@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns [EXT] (SURVEY §2.14).
+
+- :func:`cosine_topk` — brute-force exact top-k. All math is decimal-
+  snapped so an external SQL oracle reproduces it bit-for-bit; the
+  per-row work is pure Catalyst higher-order functions (codegen'd, no
+  Python). At 100 TB brute force against a single query vector is an
+  embarrassingly parallel scan — fine. For query BATCHES use
+  :func:`lsh_topk`.
+- :func:`sign_lsh_buckets` — random-hyperplane (sign) LSH bucketing; the
+  scale path that turns kNN into an equi-join on bucket ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_decimal(a: str, b: str, dims: int) -> Column:
+    """Order-independent exact dot product: per-element double products
+    snapped to DECIMAL(20,10), summed exactly, DOUBLE out."""
+    return F.expr(
+        f"""
+        cast(aggregate(
+            transform(sequence(1, {dims}),
+                      i -> cast(cast(element_at({a}, i) as double)
+                               * cast(element_at({b}, i) as double) as decimal(20,10))),
+            cast(0 as decimal(30,10)),
+            (acc, x) -> cast(acc + x as decimal(30,10))) as double)
+        """
+    )
+
+
+def _norm(col: str, dims: int) -> Column:
+    return F.sqrt(_dot_decimal(col, col, dims))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one corpus vector.
+
+    The 1-row query side is cross-broadcast; the corpus scan never
+    shuffles until the final TakeOrderedAndProject(k).
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q))
+    cos = F.round(
+        _dot_decimal(vec_col, "qvec", dims)
+        / (_norm(vec_col, dims) * _norm("qvec", dims)),
+        6,
+    )
+    return (
+        joined.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), F.col("label"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sign_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign-bit string of ``n_planes``
+    projections. Hyperplane components are deterministic pseudo-randoms
+    derived from xxhash64(seed, plane, dim) — reproducible across runs
+    without shipping a plane matrix.
+
+    kNN then becomes: group/join by bucket (optionally multi-probe
+    neighboring buckets), exact re-rank within buckets — the IVF-style
+    scale path for batch ANN.
+    """
+    def plane_component(p: int, i: int) -> Column:
+        h = F.xxhash64(F.lit(f"{seed}:{p}:{i}"))
+        return (h % 2001 - 1000).cast("double") / 1000.0  # uniform [-1, 1]
+
+    bits = []
+    for p in range(n_planes):
+        proj = None
+        for i in range(1, dims + 1):
+            term = F.element_at(F.col(vec_col), i).cast("double") * plane_component(p, i)
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(
+        F.col(id_col), F.col("label"), F.concat(*bits).alias("bucket")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    **kw,
+) -> DataFrame:
+    """ANN top-k: restrict the exact re-rank to the query's LSH bucket.
+    Approximate (recall < 1.0) by design; rows-only checked."""
+    id_col = kw.get("id_col", "vec_id")
+    buckets = sign_lsh_buckets(embeddings, n_planes=n_planes, **kw)
+    qb = buckets.filter(F.col(id_col) == query_vec_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cands = buckets.join(
+        F.broadcast(qb), buckets.bucket == F.col("qbucket"), "inner"
+    ).select(id_col)
+    subset = embeddings.join(cands, id_col, "left_semi")
+    return cosine_topk(subset, query_vec_id, k=k, **kw)
+
+
+def embedding_stats(embeddings: DataFrame, dims: int = 64) -> DataFrame:
+    """Per-label profile of the embedding corpus: count, mean L2 norm,
+    mean first component (decimal-snapped for oracle parity)."""
+    norm = F.round(_norm("embedding", dims), 6)
+    d1 = F.element_at(F.col("embedding"), 1).cast("double")
+    return (
+        embeddings.select(F.col("label"), norm.alias("nrm"), d1.alias("d1"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_norm"),
+            F.round(F.sum(F.col("d1").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_dim1"),
+        )
+    )

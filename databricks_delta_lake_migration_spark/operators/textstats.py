@@ -1,0 +1,108 @@
+"""Text-analysis operators [EXT]: tokenization, language-ID heuristic,
+quality scoring, document fingerprinting (SURVEY §2.14).
+
+All pure Catalyst expressions (split / regexp / higher-order array
+functions) — no Python UDFs, so the hot path stays inside whole-stage
+codegen and scales to 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import norm_text_hash
+
+# Marker stopwords per language, matched as whole words. Deterministic
+# argmax with fixed priority order (en > de > es > fr) on ties.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|und|die|das|ist)\b",
+    "es": r"\b(el|la|los|de|que)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+}
+
+STOPWORDS_EN = "the|a|an|and|or|of|to|in|is|it"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (≈ chars/4 ceiling, the common LLM heuristic) + distinct ratio."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("bigint").alias("n_subwords_est"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("distinct_ratio"),
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: F.regexp_count(F.lower(text), F.lit(pat))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def guess_language(text: Column) -> Column:
+    """n-gram/stopword language-ID heuristic: argmax of marker-word
+    counts, 'und' (undetermined) when all scores are zero."""
+    s = language_scores(text)
+    best = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return best
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation density, digit
+    density, stopword ratio, mean word length → composite score."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    stop = F.size(
+        F.filter(toks, lambda w: w.rlike(f"^({STOPWORDS_EN})$"))
+    )
+    punct_ratio = F.round(punct / n_chars, 6)
+    digit_ratio = F.round(digits / n_chars, 6)
+    stop_ratio = F.round(stop / n_tokens, 6)
+    mean_word_len = F.round((n_chars - n_tokens + 1) / n_tokens, 6)
+    score = F.round(
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        - F.least(digit_ratio * 2, F.lit(0.3))
+        + F.least(stop_ratio, F.lit(0.2)),
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint (normalize → sha2) — the basis of
+    exact dedup."""
+    return df.withColumn("doc_fp", norm_text_hash(F.col(text_col)))

@@ -1,0 +1,130 @@
+"""Query registry: name → (spark callable, DuckDB oracle SQL).
+
+Cross-engine determinism rules (SURVEY.md §7.4 item 5):
+
+- Floating-point SUMs are accumulated in ``DECIMAL(18,4)`` (exact,
+  order-independent) and cast back to DOUBLE for output — Spark's
+  partial-aggregation order then cannot perturb the value vs DuckDB.
+- Averages/ratios divide two exact quantities in DOUBLE (IEEE — same
+  result in both engines) and round.
+- Timestamps are compared in UTC (session timezone pinned in
+  :mod:`..session`).
+- Arrays are rendered ``concat_ws(',')`` after ``array_sort`` so that
+  collect_set's nondeterministic ordering can't leak into hashes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-preserving parquet scan of one driver fixture table (S1).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which the Spark parquet
+    reader rejects; we read nanos as long (dynamic legacy conf) and
+    truncate to microsecond timestamps — the same truncation DuckDB
+    applies, so oracles stay aligned.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_field = df.schema["ts"]
+        if ts_field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---- portable exact-aggregation helpers (Spark side) ----------------------
+
+# NB: every exact decimal sum is ROUND(…, 4)-snapped BEFORE the double
+# cast. Two reasons, both empirically verified against DuckDB 1.x:
+# (1) DuckDB's wide-decimal→DOUBLE cast is int128→double→÷10^scale (two
+#     lossy steps, 1-ULP off for unscaled values > 2^53) while Spark's
+#     BigDecimal→double is correctly rounded — snapping to scale 4 keeps
+#     the unscaled value far inside 2^53 where both are exact.
+# (2) DuckDB's decimal→decimal CAST *truncates*; ROUND() is
+#     half-away-from-zero, which matches Spark's HALF_UP.
+
+def dsum(col, alias: str, scale: int = 4):
+    """Order-independent SUM of a double column: exact decimal accumulate,
+    round to 4 dp, DOUBLE out. SQL twin: :func:`sql_dsum`."""
+    return (
+        F.round(F.sum(F.col(col).cast(f"decimal(18,{scale})")), 4)
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def dsum_expr(expr, alias: str, scale: int = 4):
+    """Like :func:`dsum` for a computed column expression. The expression is
+    evaluated per-row in DOUBLE (IEEE-deterministic), snapped to decimal,
+    then summed exactly."""
+    return (
+        F.round(F.sum(expr.cast(f"decimal(18,{scale})")), 4)
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def sql_dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,{scale}))), 4) AS DOUBLE)"
+
+
+# ---- exact decimal products -----------------------------------------------
+# A double→decimal cast of a per-row PRODUCT lands exactly on the
+# rounding boundary whenever the inputs have fixed decimal scales
+# (price has 2 dp, so price*(1-disc) has exactly 4 dp) — and Spark
+# (BigDecimal HALF_UP) and DuckDB disagree on boundary rounding. The
+# portable pattern: snap each FACTOR to decimal (far from boundaries),
+# multiply exactly in decimal, sum exactly, cast DOUBLE at the end.
+
+def dfactor(col, scale: int = 4):
+    """Snap one multiplicand to decimal (exact for fixed-scale inputs)."""
+    return col.cast(f"decimal(18,{scale})")
+
+
+def dprod_sum(a, b, alias: str):
+    """SUM(dec(a) * dec(b)) rounded to 4 dp as double — order-independent
+    & portable. ``b`` should be the small factor (rate/multiplier),
+    snapped at decimal(8,4)."""
+    return (
+        F.round(F.sum(a.cast("decimal(18,4)") * b.cast("decimal(8,4)")), 4)
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def sql_dprod_sum(a: str, b: str) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(8,4))), 4)"
+        " AS DOUBLE)"
+    )

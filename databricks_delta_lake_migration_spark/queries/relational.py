@@ -1,0 +1,860 @@
+"""Relational query surface: scans, projections, filters, joins,
+aggregations, windows, sorts, set ops, scalar functions — SURVEY.md
+§2.1, §2.3–§2.9 — plus the medallion gold products (§3.1) re-expressed
+over the driver fixture tables.
+
+Each query cites the reference usage site it gives parity for.
+All plans are declarative DataFrame programs → Catalyst handles
+pushdown/pruning/join selection; small dimensions are explicitly
+broadcast where the stats make that the right call at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import (
+    dprod_sum,
+    dsum,
+    dsum_expr,
+    load_table,
+    query,
+    sql_dprod_sum,
+    sql_dsum,
+)
+
+# charge = price * (1-disc) * (1+tax): triple product kept fully in
+# decimal — (12,4)*(8,4)*(8,4) → scale 12, precision ≤ 38 in both
+# engines, so NO intermediate rounding (an intermediate re-snap lands
+# on exact .5 ties where Spark HALF_UP ≠ DuckDB HALF_EVEN).
+_SQL_CHARGE = (
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))"
+    " * CAST(1 + l_tax AS DECIMAL(8,4))), 4) AS DOUBLE)"
+)
+
+
+def _charge_sum(alias: str):
+    return (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+                * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A3 workhorse grouped aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dprod_sum('l_extendedprice', '1 - l_discount')} AS sum_disc_price,
+           {_SQL_CHARGE} AS sum_charge,
+           ROUND({sql_dsum('l_quantity')} / COUNT(*), 6) AS avg_qty,
+           ROUND({sql_dsum('l_extendedprice')} / COUNT(*), 6) AS avg_price,
+           ROUND({sql_dsum('l_discount')} / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped multi-aggregate — the reference's workhorse
+    pattern (9-agg groupBy at 03_gold_aggregation.py:58-71). Exercises
+    S1, P4 (pushed filter), A1, scalar arithmetic. Map-side partial agg
+    + 2-key shuffle: scales linearly; no skew (|groups| = 6)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dprod_sum(
+                F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"), "sum_disc_price"
+            ),
+            _charge_sum("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / cnt, 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / cnt, 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / cnt, 6
+            ).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_top_orders_by_revenue",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           {sql_dprod_sum('l.l_extendedprice', '1 - l.l_discount')} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (J2) + group + global top-N (O1/O2). Catalyst plans
+    the sort+limit as TakeOrderedAndProject — no full sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(dprod_sum(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q03_segment_daily_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS order_date,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, CAST(o.o_orderdate AS DATE)
+    """,
+)
+def q03_segment_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension left-side broadcast enrichment (J1/J5 —
+    03_gold_aggregation.py:109-111): customer is the small dim, so we
+    broadcast it explicitly; at 100 TB the fact side never shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+    )
+
+
+@query(
+    "q04_order_priority_late_ship",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) + group-count — the semi-join surface the
+    reference lacks but Spark gives for free (SURVEY §2.4 note)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > F.date_add(o.o_orderdate, 60)
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q05_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name, r.r_name,
+           {sql_dprod_sum('l.l_extendedprice', '1 - l.l_discount')} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join. Dimensions (supplier, customer,
+    nation, region) are broadcast; only fact↔orders is a shuffle join —
+    the plan that survives a 1000-executor 100 TB run."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(dprod_sum(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "q06_revenue_forecast",
+    oracle=f"""
+    SELECT {sql_dprod_sum('l_extendedprice', 'l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style global aggregate (A4) over a compound pushed-down
+    predicate (P4) — filters reach the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dprod_sum(F.col("l_extendedprice"), F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q07_conditional_agg",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q07_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — sum(when(...)) count-if pattern
+    (A2, 03_gold_aggregation.py:65-66,119-121)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_large"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+            "n_urgent"
+        ),
+        dsum_expr(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(
+                F.lit(0.0)
+            ),
+            "urgent_revenue",
+        ),
+    )
+
+
+@query(
+    "q08_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q08_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (A3 — 03_gold_aggregation.py:63-64). At
+    100 TB swap to approx_count_distinct (HLL) — exposed as
+    operators.analytics.approx_distinct — but the oracle gate needs
+    exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q09_null_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey_nulls,
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus_nulls,
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice_nulls,
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate_nulls
+    FROM orders
+    """,
+)
+def q09_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-profile aggregate (A7 — 01_bronze_ingestion.py:310): one pass,
+    list-comprehension agg; never N passes of df.filter(isNull).count()."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls") for c in cols
+    ]
+    return o.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.6 — engine decision: deterministic dedup & analytics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q10_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q10_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic latest-record-wins dedup via row_number — the
+    correctness upgrade over the reference's nondeterministic
+    dropDuplicates (P5, 02_silver_transformation.py:156; SURVEY §2.6)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q11_top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+        FROM part
+    ) WHERE rnk <= 3
+    """,
+)
+def q11_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (rank) — top-N per group."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+@query(
+    "q12_daily_revenue_delta",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT order_date, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY order_date), 4) AS revenue_delta
+    FROM daily
+    """,
+)
+def q12_daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window (lag) over a pre-aggregated daily series. The
+    un-partitioned ORDER BY window is safe here: |days| ≈ few thousand
+    regardless of fact size, so the single-partition sort is tiny."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        dsum("o_totalprice", "revenue")
+    )
+    w = Window.orderBy("order_date")
+    return daily.withColumn(
+        "revenue_delta", F.round(F.col("revenue") - F.lag("revenue").over(w), 4)
+    )
+
+
+@query(
+    "q13_rolling_7day_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT order_date, revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS revenue_7d
+    FROM daily
+    """,
+)
+def q13_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (rowsBetween) — rolling 7-row sum over the daily
+    series (SURVEY §2.6 frame support)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        dsum("o_totalprice", "revenue")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    return daily.withColumn("revenue_7d", F.round(F.sum("revenue").over(w), 4))
+
+
+@query(
+    "q18_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch twin of F.session_window. One shuffle on user_id serves
+    both windows and the final groupBy (co-partitioned)."""
+    e = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_ts = F.lag("ts").over(order_w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_seq", F.sum("new_session").over(run_w))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / anti joins / cross join (§2.8, J3, J4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_nation_set_algebra",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT 'both' AS tag, n_name FROM nation JOIN (SELECT nk FROM cn INTERSECT SELECT nk FROM sn) t ON n_nationkey = t.nk
+    UNION ALL
+    SELECT 'customer_only' AS tag, n_name FROM nation JOIN (SELECT nk FROM cn EXCEPT SELECT nk FROM sn) t ON n_nationkey = t.nk
+    UNION ALL
+    SELECT 'all_seen' AS tag, n_name FROM nation JOIN (SELECT nk FROM cn UNION SELECT nk FROM sn) t ON n_nationkey = t.nk
+    """,
+)
+def q14_nation_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: union / intersect / except (U1 + SURVEY §2.8 note)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    ).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    ).distinct()
+    n = load_table(spark, sf_dir, "nation")
+
+    def tag(df: DataFrame, t: str) -> DataFrame:
+        return df.join(F.broadcast(n), df.nk == n.n_nationkey).select(
+            F.lit(t).alias("tag"), "n_name"
+        )
+
+    return (
+        tag(c.intersect(s), "both")
+        .unionByName(tag(c.exceptAll(s).distinct(), "customer_only"))
+        .unionByName(tag(c.union(s).distinct(), "all_seen"))
+    )
+
+
+@query(
+    "q15_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q15_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's version-diff pattern
+    (J3, 05_time_travel_demo.py:120-127)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q16_global_kpis",
+    oracle=f"""
+    SELECT * FROM
+      (SELECT {sql_dsum('o_totalprice')} AS total_revenue, COUNT(*) AS total_orders FROM orders)
+    CROSS JOIN
+      (SELECT COUNT(*) AS total_customers FROM customer)
+    CROSS JOIN
+      (SELECT COUNT(*) AS total_events, COUNT(DISTINCT user_id) AS active_users FROM events)
+    """,
+)
+def q16_global_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-KPI cross join (J4 + A4 — daily_kpis at
+    03_gold_aggregation.py:298-350): three one-row aggregates combined."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    rev = o.agg(
+        dsum("o_totalprice", "total_revenue"), F.count(F.lit(1)).alias("total_orders")
+    )
+    cust = c.agg(F.count(F.lit(1)).alias("total_customers"))
+    eng = e.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    return rev.crossJoin(cust).crossJoin(eng)
+
+
+# ---------------------------------------------------------------------------
+# Medallion gold products re-expressed (03_gold_aggregation.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q17_events_hourly_rollup",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date, EXTRACT(hour FROM ts) AS event_hour, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q17_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup — date/hour scalar family (§2.9) + A1/A3."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date("ts").alias("event_date"),
+            F.hour("ts").cast("bigint").alias("event_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
+    "q19_daily_user_activity",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date, user_id,
+           COUNT(*) AS total_events,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+           {sql_dsum('value')} AS total_value,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS active_sec,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q19_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily_user_activity gold product (03_gold_aggregation.py:52-91):
+    per-day-per-user multi-agg incl. collect_set → sorted CSV so the
+    set's nondeterministic order can't break hashes (A1/A2/A5)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("event_date"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchase_events"
+            ),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "error_events"
+            ),
+            dsum("value", "total_value"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("active_sec"),
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+                "event_types"
+            ),
+        )
+    )
+
+
+@query(
+    "q20_daily_transaction_analytics",
+    oracle=f"""
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           {sql_dsum('o_totalprice')} AS revenue,
+           ROUND({sql_dsum('o_totalprice')} / COUNT(*), 6) AS avg_order_value,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS fulfilled_revenue,
+           MIN(o_totalprice) AS min_order,
+           MAX(o_totalprice) AS max_order
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q20_daily_transaction_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily_transaction_analytics gold product
+    (03_gold_aggregation.py:100-149): the 10-agg daily rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            cnt.alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice", "revenue"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") / cnt, 6
+            ).alias("avg_order_value"),
+            dsum_expr(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
+                    F.lit(0.0)
+                ),
+                "fulfilled_revenue",
+            ),
+            F.min("o_totalprice").alias("min_order"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+    )
+
+
+@query(
+    "q21_customer_ltv",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS lifetime_value,
+           CAST(MIN(o.o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o.o_orderdate) AS DATE) AS last_order,
+           (EXTRACT(year FROM MAX(o.o_orderdate)) * 12 + EXTRACT(month FROM MAX(o.o_orderdate)))
+         - (EXTRACT(year FROM MIN(o.o_orderdate)) * 12 + EXTRACT(month FROM MIN(o.o_orderdate))) AS tenure_months,
+           CASE WHEN {sql_dsum('o.o_totalprice')} > 1000000 THEN 'HIGH'
+                WHEN {sql_dsum('o.o_totalprice')} > 400000 THEN 'MEDIUM'
+                ELSE 'LOW' END AS ltv_segment
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q21_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_ltv gold product (03_gold_aggregation.py:158-228): per-customer
+    lifetime aggregates + tenure months (portable integer month
+    arithmetic instead of months_between — SURVEY §7.4 item 5) +
+    CASE segment buckets."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ltv = F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4).cast("double")
+    months = lambda col: F.year(col) * 12 + F.month(col)  # noqa: E731
+    return (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            ltv.alias("lifetime_value"),
+            F.to_date(F.min("o_orderdate")).alias("first_order"),
+            F.to_date(F.max("o_orderdate")).alias("last_order"),
+            (months(F.max("o_orderdate")) - months(F.min("o_orderdate")))
+            .cast("bigint")
+            .alias("tenure_months"),
+            F.when(ltv > 1000000, "HIGH")
+            .when(ltv > 400000, "MEDIUM")
+            .otherwise("LOW")
+            .alias("ltv_segment"),
+        )
+    )
+
+
+@query(
+    "q22_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ), activity AS (
+        SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS active_month
+        FROM orders
+    )
+    SELECT CAST(c.cohort_month AS DATE) AS cohort_month,
+           (EXTRACT(year FROM a.active_month) * 12 + EXTRACT(month FROM a.active_month))
+         - (EXTRACT(year FROM c.cohort_month) * 12 + EXTRACT(month FROM c.cohort_month)) AS months_since,
+           COUNT(DISTINCT a.o_custkey) AS n_customers
+    FROM cohort c JOIN activity a ON c.o_custkey = a.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cohort_retention gold product (03_gold_aggregation.py:237-289):
+    first-activity cohort × months-since retention matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate")
+    cohort = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
+    activity = o.select("o_custkey", month.alias("active_month")).distinct()
+    months = lambda col: F.year(col) * 12 + F.month(col)  # noqa: E731
+    return (
+        cohort.join(activity, "o_custkey")
+        .groupBy(
+            F.to_date("cohort_month").alias("cohort_month"),
+            (months(F.col("active_month")) - months(F.col("cohort_month")))
+            .cast("bigint")
+            .alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "q23_currency_normalization",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT o_orderkey,
+               CASE CAST(o_custkey % 3 AS INTEGER) WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'GBP' END AS currency,
+               o_totalprice
+        FROM orders
+    )
+    SELECT currency, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS amount_native,
+           {sql_dprod_sum('o_totalprice', "CASE currency WHEN 'EUR' THEN 1.1 WHEN 'GBP' THEN 1.25 ELSE 1.0 END")} AS amount_usd
+    FROM tagged
+    GROUP BY currency
+    """,
+)
+def q23_currency_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency normalization when-chain
+    (02_silver_transformation.py:231-237) — reference semantics (fixed
+    FX table), deterministically keyed off custkey so the oracle can
+    reproduce it."""
+    o = load_table(spark, sf_dir, "orders")
+    cur = (
+        F.when((F.col("o_custkey") % 3).cast("int") == 0, "USD")
+        .when((F.col("o_custkey") % 3).cast("int") == 1, "EUR")
+        .otherwise("GBP")
+    )
+    tagged = o.select(
+        "o_orderkey", cur.alias("currency"), "o_totalprice"
+    )
+    rate = (
+        F.when(F.col("currency") == "EUR", 1.1)
+        .when(F.col("currency") == "GBP", 1.25)
+        .otherwise(1.0)
+    )
+    return tagged.groupBy("currency").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "amount_native"),
+        dprod_sum(F.col("o_totalprice"), rate, "amount_usd"),
+    )
+
+
+@query(
+    "q24_row_fingerprint",
+    oracle="""
+    SELECT o_orderkey,
+           sha256(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                            CAST(CAST(o_orderdate AS DATE) AS VARCHAR))) AS record_hash
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def q24_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable row fingerprint — sha2 over a canonical concat_ws
+    serialization (01_bronze_ingestion.py:62 uses to_json(struct(...));
+    we canonicalize to pipe-joined decimal-snapped strings because JSON
+    key order isn't cross-engine stable — SURVEY §7.4 item 2)."""
+    from ..functions.hashing import row_fingerprint
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        row_fingerprint(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.col("o_orderdate").cast("date").cast("string"),
+        ).alias("record_hash"),
+    )
+
+
+@query(
+    "q25_quality_report",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS n_distinct_keys,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+           SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_out_of_range,
+           SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS disc_out_of_range,
+           ROUND(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4) AS qty_null_pct
+    FROM lineitem
+    """,
+)
+def q25_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validators in one pass (Q1 completeness, Q2
+    uniqueness, Q3 range — src/data_processor.py:346-405) — single
+    aggregate, no per-check actions (100 TB discipline, SURVEY §7.4
+    item 6)."""
+    from ..quality import quality_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return quality_report(
+        li,
+        key_expr=(F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+        null_checks={"qty_nulls": "l_quantity"},
+        range_checks={
+            "qty_out_of_range": ("l_quantity", 1, 50),
+            "disc_out_of_range": ("l_discount", 0, 0.1),
+        },
+        null_pct={"qty_null_pct": "l_quantity"},
+    )

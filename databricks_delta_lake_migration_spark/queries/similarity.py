@@ -1,0 +1,65 @@
+"""Embedding similarity-search query surface [EXT] over the
+``embeddings`` fixture (64-dim float vectors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity
+from .registry import load_table, query
+
+# DuckDB twin of similarity._dot_decimal (1-based list indexing in both).
+def _sql_dot(a: str, b: str, dims: int = 64) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(20,10)))) AS DOUBLE)"
+    )
+
+
+@query(
+    "q40_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_sql_dot('embedding', 'qvec')} /
+                 (sqrt({_sql_dot('embedding', 'embedding')}) * sqrt({_sql_dot('qvec', 'qvec')})), 6) AS cosine
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 neighbors of vec_id=0.
+    Decimal-snapped dot products → bit-identical across engines."""
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0)
+
+
+@query(
+    "q42_embedding_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT label,
+               ROUND(sqrt({_sql_dot('embedding', 'embedding')}), 6) AS nrm,
+               CAST(embedding[1] AS DOUBLE) AS d1
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+           ROUND(CAST(SUM(CAST(d1 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_dim1
+    FROM t GROUP BY label
+    """,
+)
+def q42_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus profile (count, mean L2 norm, mean dim-1)."""
+    return similarity.embedding_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("q41_ann_lsh_topk", oracle=None)  # approximate by design → rows-only
+def q41_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH bucket restriction + exact re-rank —
+    the IVF/LSH scale path. Recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    return similarity.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, n_planes=8
+    )

@@ -1,0 +1,228 @@
+"""Text-analysis / dedup query surface [EXT] over the ``documents``
+fixture table (SURVEY §2.14). Oracles reproduce the exact hashing /
+tokenization so even MinHash signatures hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, textstats
+from .registry import load_table, query
+
+# DuckDB twin of textstats.tokens()
+_SQL_TOKS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+@query(
+    "q30_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks, text FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+           ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio
+    FROM t
+    """,
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish subword estimate)."""
+    return textstats.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q31_language_profile",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(der|und|die|das|ist)\\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\\b(el|la|los|de|que)\\b')) AS s_es,
+               len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS s_fr
+        FROM documents
+    ), guessed AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS guessed_lang
+        FROM scored
+    )
+    SELECT lang, guessed_lang, COUNT(*) AS n_docs
+    FROM guessed GROUP BY lang, guessed_lang
+    """,
+)
+def q31_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-stopword argmax) × labeled lang —
+    confusion-matrix counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", textstats.guess_language(F.col("text")).alias("guessed_lang"))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q32_quality_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks,
+               length(text) AS n_chars,
+               len({_SQL_TOKS}) AS n_tokens,
+               length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(punct * 1.0 / n_chars, 6) AS punct_ratio,
+               ROUND(digits * 1.0 / n_chars, 6) AS digit_ratio,
+               ROUND(len(list_filter(toks, w -> regexp_full_match(w, '(the|a|an|and|or|of|to|in|is|it)'))) * 1.0 / n_tokens, 6) AS stopword_ratio,
+               ROUND((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6) AS mean_word_len
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, punct_ratio, digit_ratio, stopword_ratio, mean_word_len,
+           ROUND(1.0 - least(punct_ratio * 2, 0.5) - least(digit_ratio * 2, 0.3) + least(stopword_ratio, 0.2), 6) AS quality_score
+    FROM r
+    """,
+)
+def q32_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: punctuation/digit/stopword ratios →
+    composite score."""
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q33_dedup_stats",
+    oracle="""
+    WITH fp AS (
+        SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_dup_rows
+    FROM fp
+    """,
+)
+def q33_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup summary over normalized-text fingerprints."""
+    return dedup.dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q34_exact_dedup",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q34_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy keeping the lowest doc_id per
+    fingerprint (deterministic latest/first-wins)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q35_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_distinct({_SQL_TOKS})) AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared,
+           ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) >= 0.5
+    """,
+)
+def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs (token-join formulation, blocked
+    by source)."""
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), block_col="source", threshold=0.5
+    )
+
+
+def _sql_minhash(seed: int) -> str:
+    return f"list_min(list_transform(list_distinct({_SQL_TOKS}), w -> sha256('{seed}|' || w)))"
+
+
+@query(
+    "q36_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {_sql_minhash(0)} AS mh0, {_sql_minhash(1)} AS mh1,
+               {_sql_minhash(2)} AS mh2, {_sql_minhash(3)} AS mh3,
+               {_sql_minhash(4)} AS mh4, {_sql_minhash(5)} AS mh5,
+               {_sql_minhash(6)} AS mh6, {_sql_minhash(7)} AS mh7
+        FROM documents
+    ), banded AS (
+        SELECT doc_id,
+               mh0 || '#' || mh1 AS band0, mh2 || '#' || mh3 AS band1,
+               mh4 || '#' || mh5 AS band2, mh6 || '#' || mh7 AS band3
+        FROM sigs
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a JOIN banded b ON a.band0 = b.band0 WHERE a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b ON a.band1 = b.band1 WHERE a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b ON a.band2 = b.band2 WHERE a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b ON a.band3 = b.band3 WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b FROM pairs
+    """,
+)
+def q36_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands × 2) candidate pairs — shingle→minhash→
+    band→bucket-join, the near-dup scale path. Portable sha2-based
+    hash family so the oracle reproduces signatures exactly."""
+    return dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, band_size=2
+    )
+
+
+@query("q37_simhash", oracle=None)  # bit-arithmetic not portable to the oracle
+def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) fingerprints (xxhash64 bit votes) — rows-only
+    check; semantics unit-tested in tests/test_dedup.py."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q50_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha,
+           CAST(octet_length(encode(text)) % 256 AS BIGINT) AS feature
+    FROM documents
+    """,
+)
+def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed metadata +
+    Arrow-batched mapInPandas feature extraction (decode stubbed —
+    codecs absent; SURVEY §2.14). The oracle checks byte lengths and
+    content hashes, proving the binary round-trip."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(d, F.encode(F.col("text"), "utf-8"))
+    return multimodal.extract_features(media)

@@ -1,0 +1,92 @@
+"""Local twin of the driver's correctness gate: run every registered
+query in Spark AND its oracle SQL in DuckDB on the same parquet
+fixtures, canonicalize, and compare values exactly.
+
+If this passes at sf0.001/sf0.01, the driver's order-insensitive
+value-hash comparison passes too.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from databricks_delta_lake_migration_spark.queries import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+ORACLE_QUERIES = sorted(
+    name for name, q in all_queries().items() if q.oracle is not None
+)
+ROWS_ONLY_QUERIES = sorted(
+    name for name, q in all_queries().items() if q.oracle is None
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # collapse -0.0 and fp noise far below our rounding scales
+        return round(v, 9) + 0.0
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return [cols[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, ddb, name):
+    q = all_queries()[name]
+    sdf = q.fn(spark, SF_DIR)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(q.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
+    sc, sr = _canon(s_cols, s_rows)
+    dc, dr = _canon(d_cols, d_rows)
+    assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs oracle {len(dr)}"
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        assert a == b, f"{name}: row {i} mismatch\n spark={a}\n duck ={b}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    q = all_queries()[name]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
