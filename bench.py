@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Counterpart of the reference's benchmark suite
+(/root/reference/benchmarks/delta_performance_benchmark.py) — ours
+times the declared query surface on the shared fixtures instead of a
+private synthetic table, so results compare directly against the
+DuckDB-validated workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from databricks_delta_lake_migration_spark.queries import all_queries  # noqa: E402
+from databricks_delta_lake_migration_spark.session import build_session  # noqa: E402
+
+# Headline set: relational workhorses + windows + [EXT] dedup/similarity.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_orders_by_revenue",
+    "q05_nation_revenue",
+    "q06_revenue_forecast",
+    "q08_distinct_counts",
+    "q18_sessionization",
+    "q21_customer_ltv",
+    "q22_cohort_retention",
+    "q34_exact_dedup",
+    "q36_minhash_lsh_pairs",
+    "q40_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm the JVM + file-index caches once with the cheapest query so
+    # per-query numbers measure execution, not session bootstrap.
+    registry["q06_revenue_forecast"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        n = df.count() if name.startswith(("q34", "q36")) else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

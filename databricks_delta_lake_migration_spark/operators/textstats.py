@@ -30,6 +30,37 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
 
 
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word 3-gram shingles of normalized text (document fingerprinting
+    unit for MinHash). Docs shorter than 3 tokens contribute their whole
+    normalized text as a single shingle so they still fingerprint.
+
+    Built with zip_with over shifted slices — NOT transform(sequence)
+    with element_at: lambda-body references to the token array are
+    re-evaluated per element by Catalyst (the regexp tokenization ran
+    3× per shingle; measured ~10× slowdown at sf0.1). Here the token
+    array is only referenced a constant number of times per row.
+    """
+    assert k == 3, "zip_with construction below is specialized to 3-grams"
+    toks = tokens(text)
+    n = F.size(toks)
+    # bigrams: toks[i] + toks[i+1]; final position pairs with NULL and
+    # is sliced off after the trigram stage.
+    bi = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    tri = F.zip_with(
+        bi,
+        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return F.when(n >= 3, F.slice(tri, 1, n - 2)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish subword estimate
     (≈ chars/4 ceiling, the common LLM heuristic) + distinct ratio."""

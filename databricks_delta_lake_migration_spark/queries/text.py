@@ -161,8 +161,21 @@ def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of textstats.shingles(k=3): word 3-grams, whole-text
+# fallback for docs under 3 tokens.
+_SQL_SHINGLES = (
+    f"CASE WHEN len({_SQL_TOKS}) >= 3 THEN "
+    f"list_transform(range(1, len({_SQL_TOKS}) - 1), "
+    f"i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]) "
+    f"ELSE [array_to_string({_SQL_TOKS}, ' ')] END"
+)
+
+
 def _sql_minhash(seed: int) -> str:
-    return f"list_min(list_transform(list_distinct({_SQL_TOKS}), w -> sha256('{seed}|' || w)))"
+    return (
+        f"list_min(list_transform(list_distinct({_SQL_SHINGLES}),"
+        f" w -> substring(sha256(w), {1 + 8 * seed}, 8)))"
+    )
 
 
 @query(
