@@ -1,0 +1,1142 @@
+"""Log-structured ACID table format: Parquet data files + a JSON
+commit log, with Delta-Lake-OSS user semantics.
+
+This replaces ``delta-spark`` (absent from this environment) for the
+reference's signature surface (SURVEY.md §2.10/§2.2):
+
+- versioned commits, time travel (``versionAsOf`` / ``timestampAsOf``)
+  — reference ``notebooks/05_time_travel_demo.py:94-139``
+- MERGE upsert with conditional clauses — ``src/data_processor.py:233-280``,
+  ``notebooks/04_acid_operations.py:69-101``
+- UPDATE / DELETE with predicates — ``04_acid_operations.py:128-175``
+- RESTORE — ``src/delta_utils.py:176-197``
+- Change Data Feed with ``_change_type``/``_commit_version``/
+  ``_commit_timestamp`` — ``src/delta_utils.py:373-438``
+- OPTIMIZE / Z-ORDER / VACUUM — ``src/delta_utils.py:295-370``
+- replaceWhere partition-scoped overwrite — ``notebooks/03_gold_aggregation.py:82-86``
+- schema evolution (mergeSchema / overwriteSchema) — ``src/delta_utils.py:107-147``
+- CLONE, DESCRIBE HISTORY / DETAIL, table properties, CHECK constraints
+
+Scale design
+------------
+All row-level work is DataFrame programs executed by Spark; the driver
+only ever touches **metadata** (the commit log and file lists — KBs,
+never rows). DML uses Delta's file-pruned rewrite: a metadata join
+identifies the files that contain matched rows, only those files are
+rewritten, untouched files carry over by reference. Snapshots are
+plain ``spark.read.parquet(files)`` scans, so Catalyst pushdown /
+pruning / AQE apply unchanged. On a real cluster the log directory
+lives on the shared filesystem (S3/HDFS); single-writer optimistic
+commit via atomic version-file creation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_DIR = "_log"
+CHANGES_DIR = "_changes"
+STAGING_DIR = "_staging"
+
+CDF_PROP = "enableChangeDataFeed"
+
+# _change_type values (Delta CDF parity — delta_utils.py:398-402)
+CT_INSERT = "insert"
+CT_UPDATE_PRE = "update_preimage"
+CT_UPDATE_POST = "update_postimage"
+CT_DELETE = "delete"
+
+
+class ConcurrentWriteError(RuntimeError):
+    pass
+
+
+class ConstraintViolationError(ValueError):
+    pass
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root (includes partition subdirs);
+    # absolute for shallow-clone references into a foreign table
+    num_records: int
+    size_bytes: int
+    base: str | None = None  # partition-resolution root for foreign files
+
+    def abspath(self, root: str) -> str:
+        return self.path if os.path.isabs(self.path) else os.path.join(root, self.path)
+
+    def to_json(self) -> dict:
+        d = {"path": self.path, "numRecords": self.num_records, "size": self.size_bytes}
+        if self.base:
+            d["base"] = self.base
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d["numRecords"], d["size"], d.get("base"))
+
+
+@dataclass
+class Commit:
+    version: int
+    timestamp: float
+    operation: str
+    add: list[FileEntry] = field(default_factory=list)
+    remove: list[str] = field(default_factory=list)
+    schema_json: str | None = None
+    partition_by: list[str] | None = None
+    properties: dict[str, str] | None = None
+    parameters: dict[str, Any] = field(default_factory=dict)
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "timestamp": self.timestamp,
+            "operation": self.operation,
+            "add": [f.to_json() for f in self.add],
+            "remove": self.remove,
+            "schema": self.schema_json,
+            "partitionBy": self.partition_by,
+            "properties": self.properties,
+            "operationParameters": self.parameters,
+            "operationMetrics": self.metrics,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Commit":
+        return Commit(
+            version=d["version"],
+            timestamp=d["timestamp"],
+            operation=d["operation"],
+            add=[FileEntry.from_json(f) for f in d.get("add", [])],
+            remove=d.get("remove", []),
+            schema_json=d.get("schema"),
+            partition_by=d.get("partitionBy"),
+            properties=d.get("properties"),
+            parameters=d.get("operationParameters", {}),
+            metrics=d.get("operationMetrics", {}),
+        )
+
+
+def _parquet_file_stats(path: str) -> tuple[int, int]:
+    """(num_records, size_bytes) from the parquet footer — metadata
+    only, no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+
+
+class LogTable:
+    """One log-structured table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._commits: list[Commit] | None = None  # lazy log cache
+
+    # ------------------------------------------------------------------
+    # log plumbing (driver-side metadata only)
+    # ------------------------------------------------------------------
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.path, LOG_DIR)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._log_path) and bool(os.listdir(self._log_path))
+
+    def commits(self) -> list[Commit]:
+        if self._commits is None:
+            out = []
+            if os.path.isdir(self._log_path):
+                for name in sorted(os.listdir(self._log_path)):
+                    if name.endswith(".json"):
+                        with open(os.path.join(self._log_path, name)) as fh:
+                            out.append(Commit.from_json(json.load(fh)))
+            self._commits = out
+        return self._commits
+
+    def version(self) -> int:
+        cs = self.commits()
+        if not cs:
+            raise FileNotFoundError(f"not a log table: {self.path}")
+        return cs[-1].version
+
+    def _commit(self, commit: Commit) -> None:
+        """Atomic optimistic commit: create-exclusive the version file."""
+        os.makedirs(self._log_path, exist_ok=True)
+        target = os.path.join(self._log_path, f"{commit.version:020d}.json")
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(commit.to_json(), fh)
+        try:
+            # hard-link is atomic and fails if target exists → optimistic
+            # concurrency control without a lock service.
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {commit.version} already committed at {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        if self._commits is not None:
+            self._commits.append(commit)
+
+    def _next_version(self) -> int:
+        cs = self.commits()
+        return (cs[-1].version + 1) if cs else 0
+
+    # ---- snapshot state ------------------------------------------------
+
+    def _replay(self, version: int | None = None, timestamp: float | None = None):
+        """Replay the log → (active file entries, schema_json,
+        partition_by, properties, version)."""
+        cs = self.commits()
+        if not cs:
+            raise FileNotFoundError(f"not a log table: {self.path}")
+        if timestamp is not None:
+            eligible = [c for c in cs if c.timestamp <= timestamp]
+            if not eligible:
+                raise ValueError(f"no commit at or before timestamp {timestamp}")
+            version = eligible[-1].version
+        active: dict[str, FileEntry] = {}
+        schema_json: str | None = None
+        partition_by: list[str] = []
+        props: dict[str, str] = {}
+        seen = False
+        for c in cs:
+            if version is not None and c.version > version:
+                break
+            seen = True
+            for p in c.remove:
+                active.pop(p, None)
+            for f in c.add:
+                active[f.path] = f
+            if c.schema_json:
+                schema_json = c.schema_json
+            if c.partition_by is not None:
+                partition_by = c.partition_by
+            if c.properties is not None:
+                props.update(c.properties)
+        if version is not None and not seen:
+            raise ValueError(f"version {version} not found (table at {self.version()})")
+        v = version if version is not None else cs[-1].version
+        return list(active.values()), schema_json, partition_by, props, v
+
+    def schema(self) -> T.StructType:
+        _, schema_json, _, _, _ = self._replay()
+        return T.StructType.fromJson(json.loads(schema_json))
+
+    def partition_columns(self) -> list[str]:
+        return self._replay()[2]
+
+    def properties(self) -> dict[str, str]:
+        return self._replay()[3]
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES (delta_utils.py:149-166)."""
+        merged = {**self.properties(), **props}
+        self._commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="SET TBLPROPERTIES",
+                properties=merged,
+                parameters={"properties": props},
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+
+    def read(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
+        """Snapshot read; ``version``/``timestamp`` give time travel
+        (S8 — 05_time_travel_demo.py:103-109,211-213)."""
+        files, schema_json, partition_by, _, _ = self._replay(version, timestamp)
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        return self._read_entries(files, schema)
+
+    def read_changes(
+        self,
+        starting_version: int = 0,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """CDF scan (S9 — delta_utils.py:387-416): rows with
+        ``_change_type`` ∈ {insert, update_preimage, update_postimage,
+        delete}, ``_commit_version``, ``_commit_timestamp``."""
+        if self.properties().get(CDF_PROP, "false") != "true":
+            raise ValueError(f"{CDF_PROP} is not enabled on {self.path}")
+        end = ending_version if ending_version is not None else self.version()
+        schema = self.schema()
+        cdf_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        dirs = []
+        for c in self.commits():
+            if starting_version <= c.version <= end:
+                d = os.path.join(self.path, CHANGES_DIR, f"v={c.version:020d}")
+                if os.path.isdir(d) and any(
+                    n.endswith(".parquet") for n in os.listdir(d)
+                ):
+                    dirs.append(d)
+        if not dirs:
+            return self.spark.createDataFrame([], cdf_schema)
+        df = self.spark.read.parquet(*dirs)
+        return df.select(*[F.col(f.name) for f in cdf_schema.fields])
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY (D10 — delta_utils.py:168-174)."""
+        rows = [
+            (
+                c.version,
+                # seconds → timestamp in session tz (UTC pinned)
+                c.timestamp,
+                c.operation,
+                json.dumps(c.parameters, sort_keys=True, default=str),
+                json.dumps(c.metrics, sort_keys=True, default=str),
+            )
+            for c in reversed(self.commits())
+        ]
+        schema = "version long, timestamp double, operation string, operationParameters string, operationMetrics string"
+        return self.spark.createDataFrame(rows, schema).withColumn(
+            "timestamp", F.timestamp_seconds("timestamp")
+        )
+
+    def detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL (D10): physical stats."""
+        files, _, partition_by, props, v = self._replay()
+        return {
+            "format": "logtable",
+            "location": self.path,
+            "numFiles": len(files),
+            "sizeInBytes": sum(f.size_bytes for f in files),
+            "numRecords": sum(f.num_records for f in files),
+            "partitionColumns": partition_by,
+            "properties": props,
+            "version": v,
+        }
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = True,
+    ) -> "LogTable":
+        """Create-if-absent empty table (K4 — delta_utils.py:27-77)."""
+        t = LogTable(spark, path)
+        if t.exists():
+            if if_not_exists:
+                return t
+            raise FileExistsError(path)
+        os.makedirs(t.path, exist_ok=True)
+        t._commit(
+            Commit(
+                version=0,
+                timestamp=time.time(),
+                operation="CREATE TABLE",
+                schema_json=schema.json(),
+                partition_by=partition_by or [],
+                properties=properties or {},
+            )
+        )
+        return t
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """CHECK constraints (Q6 — README.md:303-306): properties of the
+        form ``constraint.<name> = <sql predicate>``."""
+        checks = {
+            k.removeprefix("constraint."): v
+            for k, v in self.properties().items()
+            if k.startswith("constraint.")
+        }
+        if not checks:
+            return
+        aggs = [
+            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+            for name, pred in checks.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {name: row[name] for name in checks if (row[name] or 0) > 0}
+        if bad:
+            raise ConstraintViolationError(f"CHECK constraint violations: {bad}")
+
+    def _write_files(
+        self, df: DataFrame, partition_by: list[str]
+    ) -> list[FileEntry]:
+        """Materialize ``df`` as parquet under the table root, returning
+        entries. Data is written by executors to a staging dir; the
+        driver then *renames* files into place (metadata-only)."""
+        stage = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(stage)
+        entries: list[FileEntry] = []
+        prefix = uuid.uuid4().hex[:8]
+        for dirpath, _, names in os.walk(stage):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(dirpath, stage)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                new_name = f"part-{prefix}-{len(entries):05d}.parquet"
+                rel_path = os.path.join(rel_dir, new_name) if rel_dir else new_name
+                dst = os.path.join(self.path, rel_path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                src = os.path.join(dirpath, name)
+                n, size = _parquet_file_stats(src)
+                if n == 0:
+                    continue
+                os.rename(src, dst)
+                entries.append(FileEntry(rel_path, n, size))
+        shutil.rmtree(os.path.join(self.path, STAGING_DIR), ignore_errors=True)
+        return entries
+
+    def _write_changes(self, version: int, change_df: DataFrame | None) -> None:
+        if change_df is None:
+            return
+        if self.properties().get(CDF_PROP, "false") != "true":
+            return
+        d = os.path.join(self.path, CHANGES_DIR, f"v={version:020d}")
+        change_df.write.mode("overwrite").parquet(d)
+
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project ``df`` onto ``schema`` (order + missing-as-null)."""
+        cols = []
+        have = {f.name for f in df.schema.fields}
+        for f in schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def _evolve_schema(self, df: DataFrame, merge_schema: bool) -> T.StructType:
+        current = self.schema()
+        if not merge_schema:
+            return current
+        names = {f.name for f in current.fields}
+        extra = [f for f in df.schema.fields if f.name not in names]
+        return T.StructType(list(current.fields) + extra)
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> None:
+        """Delta append (K1), optional mergeSchema evolution
+        (delta_utils.py:107-147)."""
+        schema = self._evolve_schema(df, merge_schema)
+        data = self._align(df, schema)
+        self._check_constraints(data)
+        _, _, partition_by, _, _ = self._replay()
+        entries = self._write_files(data, partition_by)
+        version = self._next_version()
+        self._commit(
+            Commit(
+                version=version,
+                timestamp=time.time(),
+                operation="WRITE",
+                add=entries,
+                schema_json=schema.json() if merge_schema else None,
+                parameters={"mode": "Append", "mergeSchema": merge_schema},
+                metrics={
+                    "numOutputRows": sum(e.num_records for e in entries),
+                    "numAddedFiles": len(entries),
+                },
+            )
+        )
+        self._write_changes(
+            version,
+            self._cdf_frame(self.read_files(entries), CT_INSERT, version),
+        )
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        replace_where: str | None = None,
+        overwrite_schema: bool = False,
+    ) -> None:
+        """Delta overwrite (K2) / partition-scoped idempotent overwrite
+        via ``replace_where`` (K3 — 03_gold_aggregation.py:82-86)."""
+        files, schema_json, partition_by, _, _ = self._replay()
+        schema = (
+            df.schema if overwrite_schema else T.StructType.fromJson(json.loads(schema_json))
+        )
+        data = self._align(df, schema)
+        self._check_constraints(data)
+
+        removed: list[str]
+        carried: list[FileEntry] = []
+        extra_add: list[FileEntry] = []
+        if replace_where is None:
+            removed = [f.path for f in files]
+        else:
+            pred = F.expr(replace_where)
+            # new data must satisfy the predicate (delta semantics)
+            n_bad = data.filter(~pred).count()
+            if n_bad:
+                raise ValueError(
+                    f"replaceWhere: {n_bad} input rows violate '{replace_where}'"
+                )
+            touched, untouched = self._split_files_by_predicate(files, pred)
+            removed = [f.path for f in touched]
+            carried = untouched
+            # rows in touched files that do NOT match the predicate survive
+            if touched:
+                survivors = self._read_file_subset(touched).filter(~pred)
+                extra_add = self._write_files(
+                    self._align(survivors, schema), partition_by
+                )
+        entries = self._write_files(data, partition_by) + extra_add
+        version = self._next_version()
+        self._commit(
+            Commit(
+                version=version,
+                timestamp=time.time(),
+                operation="WRITE",
+                add=entries,
+                remove=removed,
+                schema_json=schema.json() if overwrite_schema else None,
+                parameters={
+                    "mode": "Overwrite",
+                    **({"replaceWhere": replace_where} if replace_where else {}),
+                },
+                metrics={
+                    "numOutputRows": sum(e.num_records for e in entries),
+                    "numAddedFiles": len(entries),
+                    "numRemovedFiles": len(removed),
+                },
+            )
+        )
+        del carried  # carried files stay active simply by not being removed
+
+    def read_files(self, entries: list[FileEntry]) -> DataFrame:
+        return self._read_file_subset(entries)
+
+    def _read_file_subset(
+        self, entries: list[FileEntry], with_file_path: bool = False
+    ) -> DataFrame:
+        return self._read_entries(entries, self.schema(), with_file_path)
+
+    def _read_entries(
+        self,
+        entries: list[FileEntry],
+        schema: T.StructType,
+        with_file_path: bool = False,
+    ) -> DataFrame:
+        """Scan a file set with the declared schema. Files written before
+        a schema evolution surface NULL for later columns; partition
+        columns come back from the hive-style paths via basePath.
+        Shallow-clone entries carry a foreign ``base`` and are scanned
+        in their own group so partition resolution stays correct."""
+        cols = [F.col(f.name) for f in schema.fields]
+        if with_file_path:
+            # _metadata is a scan-time pseudo-column; materialize it here
+            # because it doesn't survive projections/joins downstream.
+            cols = cols + [F.col("_metadata.file_path").alias("__file_path")]
+        if not entries:
+            df = self.spark.createDataFrame([], schema)
+            return (
+                df.withColumn("__file_path", F.lit(None).cast("string"))
+                if with_file_path
+                else df
+            )
+        by_base: dict[str, list[str]] = {}
+        for e in entries:
+            by_base.setdefault(e.base or self.path, []).append(e.abspath(self.path))
+        parts = [
+            self.spark.read.schema(schema)
+            .option("basePath", base)
+            .parquet(*paths)
+            .select(*cols)
+            for base, paths in sorted(by_base.items())
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    # ---- file pruning helpers -----------------------------------------
+
+    def _split_files_by_predicate(
+        self, files: list[FileEntry], pred: Column
+    ) -> tuple[list[FileEntry], list[FileEntry]]:
+        """Files that contain ≥1 row matching ``pred`` vs the rest.
+        One metadata-sized aggregate job: group matching rows by
+        source file (``_metadata.file_path``) — never collects data."""
+        if not files:
+            return [], []
+        df = self._read_file_subset(files, with_file_path=True)
+        hit = self._norm_paths(
+            {
+                r.fp
+                for r in df.filter(pred)
+                .select(F.col("__file_path").alias("fp"))
+                .distinct()
+                .collect()
+            }
+        )
+        touched = [f for f in files if f.path in hit]
+        untouched = [f for f in files if f.path not in hit]
+        return touched, untouched
+
+    def _norm_paths(self, raw: set[str]) -> set[str]:
+        """Normalize scan-reported file URIs to both absolute and
+        table-relative forms (shallow clones store absolute entries)."""
+        import re
+
+        out = set()
+        for p in raw:
+            # file:/x, file://x, file:///x all mean local /x
+            p = re.sub(r"^file:/+", "/", p)
+            if os.path.isabs(p):
+                out.add(p)
+                out.add(os.path.relpath(p, self.path))
+            else:
+                out.add(p)
+                out.add(os.path.abspath(os.path.join(self.path, p)))
+        return out
+
+    # ------------------------------------------------------------------
+    # DML: UPDATE / DELETE / MERGE
+    # ------------------------------------------------------------------
+
+    def _cdf_frame(
+        self, df: DataFrame, change_type: str | Column, version: int
+    ) -> DataFrame:
+        ct = F.lit(change_type) if isinstance(change_type, str) else change_type
+        ts = F.timestamp_seconds(F.lit(time.time()))
+        return df.withColumn("_change_type", ct).withColumn(
+            "_commit_version", F.lit(version).cast("long")
+        ).withColumn("_commit_timestamp", ts)
+
+    def update(self, condition: str, set_exprs: dict[str, str]) -> dict:
+        """UPDATE with predicate (D3 — 04_acid_operations.py:128-139).
+        ``set_exprs`` maps column → SQL expression."""
+        files, _, partition_by, _, _ = self._replay()
+        pred = F.expr(condition)
+        touched, _ = self._split_files_by_predicate(files, pred)
+        if not touched:
+            self._commit_dml("UPDATE", [], [], {"predicate": condition}, 0)
+            return {"numUpdatedRows": 0}
+        schema = self.schema()
+        old = self._read_file_subset(touched)
+        updated = old.withColumns(
+            {c: F.when(pred, F.expr(e)).otherwise(F.col(c)) for c, e in set_exprs.items()}
+        )
+        self._check_constraints(updated)
+        entries = self._write_files(self._align(updated, schema), partition_by)
+        n_updated = old.filter(pred).count()
+        version = self._commit_dml(
+            "UPDATE",
+            entries,
+            [f.path for f in touched],
+            {"predicate": condition},
+            n_updated,
+        )
+        if self.properties().get(CDF_PROP) == "true":
+            pre = self._cdf_frame(old.filter(pred), CT_UPDATE_PRE, version)
+            post = self._cdf_frame(
+                updated.filter(pred), CT_UPDATE_POST, version
+            )
+            self._write_changes(version, pre.unionByName(post))
+        return {"numUpdatedRows": n_updated}
+
+    def delete(self, condition: str) -> dict:
+        """DELETE with predicate (D4 — 04_acid_operations.py:170-175)."""
+        files, _, partition_by, _, _ = self._replay()
+        pred = F.expr(condition)
+        touched, _ = self._split_files_by_predicate(files, pred)
+        if not touched:
+            self._commit_dml("DELETE", [], [], {"predicate": condition}, 0)
+            return {"numDeletedRows": 0}
+        schema = self.schema()
+        old = self._read_file_subset(touched)
+        survivors = old.filter(~pred | pred.isNull())
+        entries = self._write_files(self._align(survivors, schema), partition_by)
+        n_deleted = old.filter(pred).count()
+        version = self._commit_dml(
+            "DELETE",
+            entries,
+            [f.path for f in touched],
+            {"predicate": condition},
+            n_deleted,
+        )
+        if self.properties().get(CDF_PROP) == "true":
+            self._write_changes(
+                version, self._cdf_frame(old.filter(pred), CT_DELETE, version)
+            )
+        return {"numDeletedRows": n_deleted}
+
+    def _commit_dml(
+        self,
+        op: str,
+        entries: list[FileEntry],
+        removed: list[str],
+        params: dict,
+        n_affected: int,
+    ) -> int:
+        version = self._next_version()
+        self._commit(
+            Commit(
+                version=version,
+                timestamp=time.time(),
+                operation=op,
+                add=entries,
+                remove=removed,
+                parameters=params,
+                metrics={
+                    "numAffectedRows": n_affected,
+                    "numAddedFiles": len(entries),
+                    "numRemovedFiles": len(removed),
+                },
+            )
+        )
+        return version
+
+    def merge(self, source: DataFrame, condition: str) -> "MergeBuilder":
+        """MERGE builder (D1): ``target`` / ``source`` aliases are bound
+        in ``condition`` and clause expressions, mirroring
+        ``DeltaTable.alias("target").merge(source.alias("source"), ...)``."""
+        return MergeBuilder(self, source, condition)
+
+    def upsert(self, source: DataFrame, key_columns: list[str]) -> dict:
+        """batch_upsert parity (data_processor.py:233-280)."""
+        cond = " AND ".join(f"target.{k} = source.{k}" for k in key_columns)
+        return (
+            self.merge(source, cond)
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute()
+        )
+
+    # ------------------------------------------------------------------
+    # maintenance: RESTORE / OPTIMIZE / ZORDER / VACUUM / CLONE
+    # ------------------------------------------------------------------
+
+    def restore(self, version: int | None = None, timestamp: float | None = None) -> dict:
+        """RESTORE TABLE TO VERSION/TIMESTAMP AS OF (D5)."""
+        old_files, old_schema, old_part, _, v = self._replay(version, timestamp)
+        cur_files, _, _, _, _ = self._replay()
+        cur_paths = {f.path for f in cur_files}
+        old_paths = {f.path for f in old_files}
+        self._commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="RESTORE",
+                add=[f for f in old_files if f.path not in cur_paths],
+                remove=sorted(cur_paths - old_paths),
+                schema_json=old_schema,
+                partition_by=old_part,
+                parameters={"version": v},
+            )
+        )
+        return {"restoredVersion": v}
+
+    def optimize(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """OPTIMIZE compaction (D6): bin-pack small files per partition
+        directory into ~target-size files."""
+        files, _, partition_by, _, _ = self._replay()
+        by_dir: dict[str, list[FileEntry]] = {}
+        for f in files:
+            d = os.path.dirname(f.path)
+            if f.size_bytes < target_file_bytes:
+                by_dir.setdefault(d, []).append(f)
+        to_compact = [fs for fs in by_dir.values() if len(fs) > 1]
+        if not to_compact:
+            return {"numFilesRemoved": 0, "numFilesAdded": 0}
+        removed: list[str] = []
+        added: list[FileEntry] = []
+        for group in to_compact:
+            df = self._read_file_subset(group)
+            total = sum(f.size_bytes for f in group)
+            n_out = max(1, total // target_file_bytes)
+            added += self._write_files(df.coalesce(int(n_out)), partition_by)
+            removed += [f.path for f in group]
+        self._commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="OPTIMIZE",
+                add=added,
+                remove=removed,
+                metrics={"numFilesRemoved": len(removed), "numFilesAdded": len(added)},
+            )
+        )
+        return {"numFilesRemoved": len(removed), "numFilesAdded": len(added)}
+
+    def zorder(self, cols: list[str], n_buckets: int = 64, n_files: int | None = None) -> dict:
+        """OPTIMIZE ZORDER BY (D7 — delta_utils.py:295-335): cluster data
+        so per-file min/max ranges on ``cols`` are tight → data skipping.
+
+        Real multi-dimensional clustering: each column is bucketized by
+        its approx quantiles (equi-depth, metadata-sized driver list),
+        bucket ids are bit-interleaved into a Z-value, and the table is
+        range-repartitioned + sorted by that Z-value — the same
+        linearize-and-sort strategy OSS Delta uses.
+        """
+        files, _, partition_by, _, _ = self._replay()
+        if not files:
+            return {"numFilesRemoved": 0, "numFilesAdded": 0}
+        df = self._read_file_subset(files)
+        bits = max(1, (n_buckets - 1).bit_length())
+        zcols = []
+        for c in cols:
+            qs = df.stat.approxQuantile(
+                c, [i / n_buckets for i in range(1, n_buckets)], 0.01
+            )
+            bucket = F.lit(0)
+            for q in qs:
+                bucket = bucket + F.when(F.col(c).cast("double") > q, 1).otherwise(0)
+            zcols.append(bucket)
+        # bit-interleave: z = Σ_j Σ_i bit_i(bucket_j) << (i*len(cols)+j)
+        z = F.lit(0).cast("long")
+        for j, b in enumerate(zcols):
+            for i in range(bits):
+                z = z + (
+                    F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (i * len(cols) + j))
+                )
+        out = n_files or max(1, len(files))
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        added = self._write_files(clustered, partition_by)
+        removed = [f.path for f in files]
+        self._commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="OPTIMIZE",
+                add=added,
+                remove=removed,
+                parameters={"zOrderBy": cols},
+                metrics={"numFilesRemoved": len(removed), "numFilesAdded": len(added)},
+            )
+        )
+        return {"numFilesRemoved": len(removed), "numFilesAdded": len(added)}
+
+    def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
+        """VACUUM [DRY RUN] (D8 — delta_utils.py:337-370): delete data
+        files not referenced by any commit within the retention window
+        (all versions ≥ the retention horizon keep their files)."""
+        horizon = time.time() - retain_hours * 3600
+        keep: set[str] = set()
+        cs = self.commits()
+        # files referenced by the latest snapshot OR by any snapshot whose
+        # commit is newer than the horizon (time travel within retention)
+        protected_versions = [c.version for c in cs if c.timestamp >= horizon]
+        protected_versions.append(cs[-1].version)
+        for v in set(protected_versions):
+            keep.update(f.abspath(self.path) for f in self._replay(v)[0])
+        candidates = []
+        for dirpath, dirnames, names in os.walk(self.path):
+            dirnames[:] = [
+                d for d in dirnames if d not in (LOG_DIR, CHANGES_DIR, STAGING_DIR)
+            ]
+            for name in names:
+                if name.endswith(".parquet"):
+                    full = os.path.join(dirpath, name)
+                    if full not in keep:
+                        candidates.append(os.path.relpath(full, self.path))
+        if not dry_run:
+            for rel in candidates:
+                os.unlink(os.path.join(self.path, rel))
+        return sorted(candidates)
+
+    def clone(self, target_path: str, shallow: bool = False) -> "LogTable":
+        """CREATE TABLE ... [SHALLOW|DEEP] CLONE (K7 —
+        delta_utils.py:79-105). Shallow references the source's files;
+        deep copies them."""
+        files, schema_json, partition_by, props, v = self._replay()
+        t = LogTable(self.spark, target_path)
+        if t.exists():
+            raise FileExistsError(target_path)
+        os.makedirs(t.path, exist_ok=True)
+        entries = []
+        for f in files:
+            if shallow:
+                entries.append(
+                    FileEntry(
+                        f.abspath(self.path),
+                        f.num_records,
+                        f.size_bytes,
+                        base=f.base or self.path,
+                    )
+                )
+            else:
+                rel = (
+                    os.path.relpath(f.abspath(self.path), f.base or self.path)
+                    if os.path.isabs(f.path)
+                    else f.path
+                )
+                dst = os.path.join(t.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(f.abspath(self.path), dst)
+                entries.append(FileEntry(rel, f.num_records, f.size_bytes))
+        t._commit(
+            Commit(
+                version=0,
+                timestamp=time.time(),
+                operation="CLONE",
+                add=entries,
+                schema_json=schema_json,
+                partition_by=partition_by,
+                properties=props,
+                parameters={"source": self.path, "sourceVersion": v, "shallow": shallow},
+            )
+        )
+        return t
+
+
+class MergeBuilder:
+    """``LogTable.merge(...)`` clause builder with Delta semantics:
+
+    - ``when_matched_update(set=..., condition=...)`` / ``..._update_all()``
+    - ``when_matched_delete(condition=...)``
+    - ``when_not_matched_insert(values=..., condition=...)`` / ``..._insert_all()``
+
+    Clauses evaluate in declaration order per matched row (first whose
+    condition holds wins), exactly like Delta. Raises on multiple source
+    rows matching one target row (ambiguous update — same as Delta).
+    """
+
+    def __init__(self, table: LogTable, source: DataFrame, condition: str):
+        self.table = table
+        self.source = source
+        self.condition = condition
+        self.matched: list[tuple[str, dict[str, str] | None, str | None]] = []
+        self.not_matched: list[tuple[dict[str, str] | None, str | None]] = []
+
+    def when_matched_update_all(self, condition: str | None = None) -> "MergeBuilder":
+        self.matched.append(("update", None, condition))
+        return self
+
+    def when_matched_update(
+        self, set: dict[str, str], condition: str | None = None
+    ) -> "MergeBuilder":
+        self.matched.append(("update", set, condition))
+        return self
+
+    def when_matched_delete(self, condition: str | None = None) -> "MergeBuilder":
+        self.matched.append(("delete", None, condition))
+        return self
+
+    def when_not_matched_insert_all(self, condition: str | None = None) -> "MergeBuilder":
+        self.not_matched.append((None, condition))
+        return self
+
+    def when_not_matched_insert(
+        self, values: dict[str, str], condition: str | None = None
+    ) -> "MergeBuilder":
+        self.not_matched.append((values, condition))
+        return self
+
+    # ------------------------------------------------------------------
+
+    def execute(self) -> dict:
+        t = self.table
+        files, _, partition_by, _, _ = t._replay()
+        schema = t.schema()
+        tcols = [f.name for f in schema.fields]
+
+        src = self.source.alias("source")
+        cond = F.expr(self.condition)
+
+        # 1. File pruning (metadata join): which target files hold rows
+        #    that satisfy the merge condition against ANY source row?
+        touched: list[FileEntry] = []
+        if files:
+            tgt_all = t._read_file_subset(files, with_file_path=True).alias("target")
+            hits = (
+                tgt_all.join(src, cond, "inner")
+                .select(F.col("target.__file_path").alias("fp"))
+                .distinct()
+                .collect()
+            )
+            hit = t._norm_paths({r.fp for r in hits})
+            touched = [f for f in files if f.path in hit]
+
+        tgt = (
+            t._read_file_subset(touched)
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .alias("target")
+            if touched
+            else None
+        )
+
+        n_updated = n_deleted = n_inserted = 0
+        out_parts: list[DataFrame] = []
+
+        def _apply_matched(
+            joined: DataFrame,
+        ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+            """rows → (updated rows, deleted pre-images, untouched-matched,
+            pre-images of clause-affected rows)"""
+            # first-clause-wins: tag each row with the clause index that fires
+            clause_idx = F.lit(None).cast("int")
+            for i, (_, _, c) in reversed(list(enumerate(self.matched))):
+                fire = F.lit(True) if c is None else F.expr(c)
+                clause_idx = F.when(fire, F.lit(i)).otherwise(clause_idx)
+            tagged = joined.withColumn("__clause", clause_idx)
+            updated_parts, deleted_parts = [], []
+            for i, (kind, set_exprs, _) in enumerate(self.matched):
+                rows = tagged.filter(F.col("__clause") == i)
+                if kind == "update":
+                    if set_exprs is None:  # UPDATE ALL
+                        proj = [
+                            F.expr(f"source.{c}").alias(c)
+                            if c in self.source.columns
+                            else F.col(f"target.{c}").alias(c)
+                            for c in tcols
+                        ]
+                    else:
+                        proj = [
+                            F.expr(set_exprs[c]).alias(c)
+                            if c in set_exprs
+                            else F.col(f"target.{c}").alias(c)
+                            for c in tcols
+                        ]
+                    updated_parts.append(rows.select(*proj))
+                else:  # delete
+                    deleted_parts.append(
+                        rows.select(*[F.col(f"target.{c}").alias(c) for c in tcols])
+                    )
+            untouched_matched = tagged.filter(F.col("__clause").isNull()).select(
+                *[F.col(f"target.{c}").alias(c) for c in tcols]
+            )
+            affected_pre = tagged.filter(F.col("__clause").isNotNull()).select(
+                *[F.col(f"target.{c}").alias(c) for c in tcols]
+            )
+            empty = t.spark.createDataFrame([], schema)
+            upd = reduce(DataFrame.unionByName, updated_parts) if updated_parts else empty
+            dele = reduce(DataFrame.unionByName, deleted_parts) if deleted_parts else empty
+            return upd, dele, untouched_matched, affected_pre
+
+        if tgt is not None:
+            matched_joined = tgt.join(src, cond, "inner")
+            # ambiguity check (Delta parity): >1 source row per target row
+            dup = (
+                matched_joined.groupBy(F.col("target.__rid"))
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup and self.matched:
+                raise ValueError(
+                    "MERGE: multiple source rows matched the same target row"
+                )
+            upd, dele, kept_matched, _ = _apply_matched(matched_joined)
+            unmatched_target = tgt.join(src, cond, "left_anti").select(
+                *[F.col(f"target.{c}").alias(c) for c in tcols]
+            )
+            n_updated = upd.count()
+            n_deleted = dele.count()
+            out_parts += [upd, unmatched_target, kept_matched]
+        # 2. inserts: source rows matching NO target row (checked against
+        #    the FULL table — an unmatched file can't contain a match by
+        #    construction of the pruning join).
+        if files:
+            tgt_full = t._read_file_subset(files).alias("target")
+            unmatched_src = src.join(tgt_full, cond, "left_anti")
+        else:
+            unmatched_src = src
+        insert_parts = []
+        remaining = unmatched_src
+        for values, c in self.not_matched:
+            rows = remaining.filter(F.expr(c)) if c else remaining
+            if values is None:
+                proj = [
+                    F.col(c2).alias(c2)
+                    if c2 in self.source.columns
+                    else F.lit(None).alias(c2)
+                    for c2 in tcols
+                ]
+            else:
+                proj = [
+                    F.expr(values[c2]).alias(c2)
+                    if c2 in values
+                    else F.lit(None).alias(c2)
+                    for c2 in tcols
+                ]
+            insert_parts.append(rows.select(*proj))
+            if c:
+                remaining = remaining.filter(~F.expr(c) | F.expr(c).isNull())
+            else:
+                remaining = remaining.limit(0)
+        if insert_parts:
+            ins = reduce(DataFrame.unionByName, insert_parts)
+            n_inserted = ins.count()
+            out_parts.append(t._align(ins, schema))
+
+        if not out_parts:
+            t._commit_dml("MERGE", [], [], {"predicate": self.condition}, 0)
+            return {"numUpdatedRows": 0, "numDeletedRows": 0, "numInsertedRows": 0}
+
+        result = reduce(DataFrame.unionByName, [t._align(p, schema) for p in out_parts])
+        t._check_constraints(result)
+        entries = t._write_files(result, partition_by)
+        version = t._commit_dml(
+            "MERGE",
+            entries,
+            [f.path for f in touched],
+            {"predicate": self.condition},
+            n_updated + n_deleted + n_inserted,
+        )
+        # CDF: write pre/post images + inserts/deletes
+        if t.properties().get(CDF_PROP) == "true":
+            parts = []
+            if tgt is not None:
+                matched_joined = tgt.join(src, cond, "inner")
+                upd, dele, _, affected_pre = _apply_matched(matched_joined)
+                parts += [
+                    t._cdf_frame(upd, CT_UPDATE_POST, version),
+                    t._cdf_frame(
+                        affected_pre.join(dele, tcols, "left_anti"),
+                        CT_UPDATE_PRE,
+                        version,
+                    ),
+                    t._cdf_frame(dele, CT_DELETE, version),
+                ]
+            if insert_parts:
+                parts.append(
+                    t._cdf_frame(
+                        t._align(reduce(DataFrame.unionByName, insert_parts), schema),
+                        CT_INSERT,
+                        version,
+                    )
+                )
+            if parts:
+                t._write_changes(version, reduce(DataFrame.unionByName, parts))
+        return {
+            "numUpdatedRows": n_updated,
+            "numDeletedRows": n_deleted,
+            "numInsertedRows": n_inserted,
+        }

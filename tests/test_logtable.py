@@ -1,0 +1,282 @@
+"""Unit tests for the log-structured ACID table format — semantics
+asserted per SURVEY.md §5 item 1 (MERGE clause order, replaceWhere
+idempotency, time travel, CDF, RESTORE, OPTIMIZE, VACUUM, constraints,
+schema evolution)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_delta_lake_migration_spark.tables import LogTable
+from databricks_delta_lake_migration_spark.tables.logtable import (
+    ConstraintViolationError,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("day", T.StringType()),
+    ]
+)
+
+
+def rows_df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        partition_by=["day"],
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(
+        rows_df(
+            spark,
+            [
+                (1, "PENDING", 10.0, "d1"),
+                (2, "COMPLETED", 20.0, "d1"),
+                (3, "PENDING", 30.0, "d2"),
+            ],
+        )
+    )
+    return t
+
+
+def state(t, version=None):
+    return {
+        tuple(r)
+        for r in t.read(version=version)
+        .select("id", "status", "amount", "day")
+        .collect()
+    }
+
+
+def test_create_append_read(table):
+    assert state(table) == {
+        (1, "PENDING", 10.0, "d1"),
+        (2, "COMPLETED", 20.0, "d1"),
+        (3, "PENDING", 30.0, "d2"),
+    }
+    assert table.version() == 1
+    d = table.detail()
+    assert d["numRecords"] == 3 and d["partitionColumns"] == ["day"]
+
+
+def test_partition_layout_on_disk(table):
+    # hive-style partition dirs → partition pruning at scan time
+    assert os.path.isdir(os.path.join(table.path, "day=d1"))
+    assert os.path.isdir(os.path.join(table.path, "day=d2"))
+
+
+def test_upsert_merge(spark, table):
+    src = rows_df(spark, [(2, "REFUNDED", 25.0, "d1"), (9, "NEW", 99.0, "d3")])
+    res = table.upsert(src, ["id"])
+    assert res == {"numUpdatedRows": 1, "numDeletedRows": 0, "numInsertedRows": 1}
+    assert state(table) == {
+        (1, "PENDING", 10.0, "d1"),
+        (2, "REFUNDED", 25.0, "d1"),
+        (3, "PENDING", 30.0, "d2"),
+        (9, "NEW", 99.0, "d3"),
+    }
+
+
+def test_merge_file_pruning_leaves_unmatched_partition_alone(spark, table):
+    before = {
+        f.path for f in table._replay()[0] if f.path.startswith("day=d2")
+    }
+    table.upsert(rows_df(spark, [(1, "X", 11.0, "d1")]), ["id"])
+    after = {f.path for f in table._replay()[0] if f.path.startswith("day=d2")}
+    assert before == after  # d2's file not rewritten
+
+
+def test_merge_conditional_clauses(spark, table):
+    src = rows_df(
+        spark,
+        [
+            (1, "ANY", 0.0, "d1"),   # matched, amount 10 → delete clause
+            (3, "ANY", 0.0, "d2"),   # matched, amount 30 → update clause
+            (7, "BIG", 70.0, "d9"),  # not matched, insert-condition holds
+            (8, "SMALL", 1.0, "d9"), # not matched, condition fails → dropped
+        ],
+    )
+    res = (
+        table.merge(src, "target.id = source.id")
+        .when_matched_delete(condition="target.amount < 15")
+        .when_matched_update(set={"status": "'TOUCHED'"})
+        .when_not_matched_insert_all(condition="source.amount >= 50")
+        .execute()
+    )
+    assert res == {"numUpdatedRows": 1, "numDeletedRows": 1, "numInsertedRows": 1}
+    assert state(table) == {
+        (2, "COMPLETED", 20.0, "d1"),
+        (3, "TOUCHED", 30.0, "d2"),
+        (7, "BIG", 70.0, "d9"),
+    }
+
+
+def test_merge_ambiguous_source_raises(spark, table):
+    src = rows_df(spark, [(1, "A", 1.0, "d1"), (1, "B", 2.0, "d1")])
+    with pytest.raises(ValueError, match="multiple source rows"):
+        table.upsert(src, ["id"])
+
+
+def test_update_delete(table):
+    res = table.update("status = 'PENDING' AND amount < 15", {"status": "'EXPIRED'"})
+    assert res["numUpdatedRows"] == 1
+    res = table.delete("day = 'd2'")
+    assert res["numDeletedRows"] == 1
+    assert state(table) == {
+        (1, "EXPIRED", 10.0, "d1"),
+        (2, "COMPLETED", 20.0, "d1"),
+    }
+
+
+def test_time_travel_and_restore(spark, table):
+    v1 = state(table)
+    table.delete("id = 1")
+    assert state(table) != v1
+    assert state(table, version=1) == v1  # versionAsOf
+    table.restore(version=1)
+    assert state(table) == v1
+    # history records all four commits
+    ops = [r.operation for r in table.history().collect()]
+    assert ops == ["RESTORE", "DELETE", "WRITE", "CREATE TABLE"]
+
+
+def test_replace_where_idempotent(spark, table):
+    gold = rows_df(spark, [(100, "GOLD", 1.0, "d1"), (101, "GOLD", 2.0, "d1")])
+    for _ in range(2):  # rerun must be idempotent
+        table.overwrite(gold, replace_where="day = 'd1'")
+        assert state(table) == {
+            (100, "GOLD", 1.0, "d1"),
+            (101, "GOLD", 2.0, "d1"),
+            (3, "PENDING", 30.0, "d2"),
+        }
+
+
+def test_replace_where_rejects_out_of_scope_rows(spark, table):
+    bad = rows_df(spark, [(100, "GOLD", 1.0, "d2")])
+    with pytest.raises(ValueError, match="violate"):
+        table.overwrite(bad, replace_where="day = 'd1'")
+
+
+def test_cdf_insert_update_delete(spark, table):
+    table.update("id = 1", {"amount": "amount + 5"})
+    table.delete("id = 2")
+    ch = table.read_changes(starting_version=2).select(
+        "id", "_change_type", "_commit_version"
+    )
+    got = {(r.id, r._change_type) for r in ch.collect()}
+    assert got == {
+        (1, "update_preimage"),
+        (1, "update_postimage"),
+        (2, "delete"),
+    }
+    versions = {r._commit_version for r in ch.collect()}
+    assert versions == {2, 3}
+
+
+def test_cdf_merge(spark, table):
+    table.upsert(
+        rows_df(spark, [(2, "REFUNDED", 25.0, "d1"), (9, "NEW", 99.0, "d3")]), ["id"]
+    )
+    ch = table.read_changes(starting_version=2)
+    got = {(r.id, r._change_type) for r in ch.collect()}
+    assert got == {
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+        (9, "insert"),
+    }
+
+
+def test_schema_evolution_merge_schema(spark, table):
+    evolved = table.read().withColumn("extra", F.lit("x"))
+    table.append(evolved, merge_schema=True)
+    assert "extra" in [f.name for f in table.schema().fields]
+    # old rows surface NULL for the new column
+    nulls = table.read().filter(F.col("extra").isNull()).count()
+    assert nulls == 3 and table.read().count() == 6
+
+
+def test_append_schema_mismatch_is_projected(spark, table):
+    # extra column silently dropped without mergeSchema (enforcement)
+    df = table.read().withColumn("junk", F.lit(1))
+    table.append(df)
+    assert "junk" not in table.read().columns
+
+
+def test_check_constraints(spark, tmp_path):
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "c"),
+        SCHEMA,
+        properties={"constraint.valid_amount": "amount > 0"},
+    )
+    t.append(rows_df(spark, [(1, "OK", 5.0, "d1")]))
+    with pytest.raises(ConstraintViolationError, match="valid_amount"):
+        t.append(rows_df(spark, [(2, "BAD", -1.0, "d1")]))
+    assert t.read().count() == 1
+
+
+def test_optimize_compacts_small_files(spark, table):
+    for i in range(4):  # create small-file debris
+        table.append(rows_df(spark, [(100 + i, "S", 1.0, "d1")]))
+    n_before = table.detail()["numFiles"]
+    res = table.optimize()
+    assert res["numFilesRemoved"] > res["numFilesAdded"]
+    assert table.detail()["numFiles"] < n_before
+    assert table.read().count() == 7  # content unchanged
+
+
+def test_zorder_clusters_and_preserves_content(spark, table):
+    before = state(table)
+    res = table.zorder(["id", "amount"])
+    assert res["numFilesAdded"] >= 1
+    assert state(table) == before
+
+
+def test_vacuum_dry_run_and_delete(spark, table):
+    table.delete("id = 1")  # orphans d1's original file
+    dry = table.vacuum(retain_hours=0, dry_run=True)
+    assert len(dry) >= 1
+    gone = table.vacuum(retain_hours=0)
+    assert gone == dry
+    for rel in gone:
+        assert not os.path.exists(os.path.join(table.path, rel))
+    # current snapshot still reads fine
+    assert table.read().count() == 2
+
+
+def test_clone_deep_and_shallow(spark, table, tmp_path):
+    deep = table.clone(str(tmp_path / "deep"))
+    shallow = table.clone(str(tmp_path / "shallow"), shallow=True)
+    assert state(deep) == state(table)
+    assert state(shallow) == state(table)
+    # deep clone is independent of source mutations
+    table.delete("id = 1")
+    assert (1, "PENDING", 10.0, "d1") in state(deep)
+
+
+def test_timestamp_as_of(spark, table):
+    import time
+
+    ts_after_v1 = time.time()
+    table.delete("id = 1")
+    old = table.read(timestamp=ts_after_v1)
+    assert {r.id for r in old.collect()} == {1, 2, 3}
+
+
+def test_properties_roundtrip(table):
+    table.set_properties({"custom.owner": "etl"})
+    assert table.properties()["custom.owner"] == "etl"
+    assert table.properties()["enableChangeDataFeed"] == "true"
