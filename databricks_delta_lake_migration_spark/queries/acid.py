@@ -1,7 +1,314 @@
-"""ACID/DML query surface — filled in once tables.logtable lands.
+"""ACID/DML query surface (SURVEY §2.10) over scratch log tables.
 
-Each query here materializes a scratch log-table from fixture data,
-runs a DML program (MERGE / UPDATE / DELETE / SCD2 / replaceWhere /
-time travel / CDF), and returns the resulting table state; the oracle
-reproduces the same final state declaratively in SQL.
+Each query materializes a scratch table from fixture data under a
+fresh temp dir, runs a DML program (MERGE / UPDATE+DELETE / SCD2 /
+replaceWhere / time travel / CDF), and returns the resulting state;
+the oracle reproduces the same final state declaratively in DuckDB
+SQL. Everything is deterministic: fixture inputs, injected clocks,
+exact-arithmetic mutations (×2, +100 — no float rounding hazards).
 """
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scd2 import scd2_upsert, with_scd2_columns
+from ..tables import LogTable
+from .registry import load_table, query
+
+
+def _scratch(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"logtable-{prefix}-") + "/t"
+
+
+def _orders_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-column slice of orders used as the DML target."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 4 != 0)
+    )
+
+
+@query(
+    "q60_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ), source AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT * FROM source
+    UNION ALL
+    SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+    """,
+)
+def q60_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert (D1 — data_processor.py:233-280): matched rows take
+    source values, unmatched source rows insert. Final table state
+    returned; ×2 price mutation is float-exact in both engines."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("merge"), target.schema)
+    t.append(target)
+    source = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+    )
+    t.upsert(source, ["o_orderkey"])
+    return t.read()
+
+
+@query(
+    "q61_merge_conditional",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ), source AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT t.o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL AND t.o_totalprice >= 100000
+                THEN 'FLAGGED' ELSE t.o_orderstatus END AS o_orderstatus,
+           t.o_totalprice
+    FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_totalprice < 100000)
+    """,
+)
+def q61_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE clauses (04_acid_operations.py:73-101):
+    matched+cheap → DELETE, matched+expensive → flag update; clause
+    order fixed, no inserts."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("mergecond"), target.schema)
+    t.append(target)
+    source = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey")
+    )
+    (
+        t.merge(source, "target.o_orderkey = source.o_orderkey")
+        .when_matched_delete(condition="target.o_totalprice < 100000")
+        .when_matched_update(set={"o_orderstatus": "'FLAGGED'"})
+        .execute()
+    )
+    return t.read()
+
+
+@query(
+    "q62_update_delete",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'EXPIRED' ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 <> 0 AND NOT o_totalprice < 50000
+    """,
+)
+def q62_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE with predicate then DELETE with predicate (D3/D4 —
+    04_acid_operations.py:128-175)."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("upddel"), target.schema)
+    t.append(target)
+    t.update("o_orderstatus = 'P'", {"o_orderstatus": "'EXPIRED'"})
+    t.delete("o_totalprice < 50000")
+    return t.read()
+
+
+@query(
+    "q63_time_travel_diff",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 <> 0 AND o_totalprice < 50000
+    """,
+)
+def q63_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + version diff via left-anti join (S8 + J3 —
+    05_time_travel_demo.py:103-127): rows present at v1 but deleted at
+    v2."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("tt"), target.schema)
+    t.append(target)  # v1
+    t.delete("o_totalprice < 50000")  # v2
+    v1 = t.read(version=1)
+    v2 = t.read()
+    return v1.join(v2, "o_orderkey", "left_anti")
+
+
+@query(
+    "q64_cdf_summary",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT * FROM (
+        SELECT 'update_preimage' AS change_type, COUNT(*) AS n_rows
+        FROM target WHERE o_orderstatus = 'P'
+        UNION ALL
+        SELECT 'update_postimage', COUNT(*) FROM target WHERE o_orderstatus = 'P'
+        UNION ALL
+        SELECT 'delete', COUNT(*) FROM target WHERE o_totalprice < 50000
+        UNION ALL
+        SELECT 'insert', COUNT(*) FROM target
+    ) WHERE n_rows > 0
+    """,
+)
+def q64_cdf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF change tracking (S9/D12 — delta_utils.py:373-438): per-
+    change-type row counts across the commit range. The UPDATE fires
+    before the DELETE, so pre/post counts are status-based and the
+    delete count is price-based on the original rows (disjoint column
+    domains keep the oracle simple)."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(
+        spark,
+        _scratch("cdf"),
+        target.schema,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(target)  # v1: inserts
+    t.update("o_orderstatus = 'P'", {"o_orderstatus": "'EXPIRED'"})  # v2
+    t.delete("o_totalprice < 50000")  # v3
+    ch = t.read_changes(starting_version=1)
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "q65_replace_where",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year
+        FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT o_orderkey,
+           CASE WHEN order_year = 1996 THEN 'REBUILT' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN order_year = 1996 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+           order_year
+    FROM t
+    """,
+)
+def q65_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere idempotent partition overwrite (K3 —
+    03_gold_aggregation.py:82-86): rebuild the 1996 partition twice;
+    the second run must be a no-op on the final state."""
+    target = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+    )
+    t = LogTable.create(
+        spark, _scratch("rw"), target.schema, partition_by=["order_year"]
+    )
+    t.append(target)
+    rebuilt = target.filter(F.col("order_year") == 1996).select(
+        "o_orderkey",
+        F.lit("REBUILT").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "order_year",
+    )
+    for _ in range(2):  # idempotency under re-run
+        t.overwrite(rebuilt, replace_where="order_year = 1996")
+    return t.read()
+
+
+@query(
+    "q66_scd2_dimension",
+    oracle="""
+    WITH snap1 AS (
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+    ), snap2 AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+    ), changed AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    )
+    SELECT s1.c_custkey, s1.c_name, s1.c_mktsegment, s1.c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS effective_start_date,
+           TIMESTAMP '2024-02-01 00:00:00' AS effective_end_date,
+           FALSE AS is_current
+    FROM snap1 s1 JOIN changed ch ON s1.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT s2.c_custkey, s2.c_name, s2.c_mktsegment, s2.c_acctbal,
+           TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+    FROM snap2 s2 JOIN changed ch ON s2.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT s1.c_custkey, s1.c_name, s1.c_mktsegment, s1.c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
+    FROM snap1 s1 WHERE s1.c_custkey NOT IN (SELECT c_custkey FROM changed)
+    """,
+)
+def q66_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 (D2 — 02_silver_transformation.py:83-135) as the
+    deterministic staged-union single MERGE: two snapshots with pinned
+    clocks; changed keys close + re-open, unchanged keys untouched."""
+    snap1 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    snap2 = snap1.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    init = with_scd2_columns(snap1, ["c_custkey"], "2024-01-01 00:00:00")
+    t = LogTable.create(spark, _scratch("scd2"), init.schema)
+    t.append(init)
+    scd2_upsert(t, snap2, ["c_custkey"], "2024-02-01 00:00:00")
+    return t.read().drop("record_hash")
+
+
+@query("q67_maintenance_metrics", oracle=None)  # physical metrics → rows-only
+def q67_maintenance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE + VACUUM physical lifecycle (D6/D8): small-file debris
+    compacted, orphans vacuumed; returns before/after file counts."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("maint"), target.schema)
+    # 4 small appends → small-file debris
+    for i in range(4):
+        t.append(target.filter(F.col("o_orderkey") % 4 == i % 4))
+    before = t.detail()
+    res = t.optimize()
+    vacuumed = t.vacuum(retain_hours=0)
+    after = t.detail()
+    return spark.createDataFrame(
+        [
+            (
+                before["numFiles"],
+                after["numFiles"],
+                res["numFilesRemoved"],
+                len(vacuumed),
+                before["numRecords"],
+                after["numRecords"],
+            )
+        ],
+        "files_before long, files_after long, files_compacted long, files_vacuumed long, rows_before long, rows_after long",
+    )

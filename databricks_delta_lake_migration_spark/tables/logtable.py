@@ -657,9 +657,14 @@ class LogTable:
             n_updated,
         )
         if self.properties().get(CDF_PROP) == "true":
-            pre = self._cdf_frame(old.filter(pred), CT_UPDATE_PRE, version)
+            # filter BEFORE applying set-exprs: the update may rewrite
+            # the very columns the predicate tests.
+            matched_old = old.filter(pred)
+            pre = self._cdf_frame(matched_old, CT_UPDATE_PRE, version)
             post = self._cdf_frame(
-                updated.filter(pred), CT_UPDATE_POST, version
+                matched_old.withColumns({c: F.expr(e) for c, e in set_exprs.items()}),
+                CT_UPDATE_POST,
+                version,
             )
             self._write_changes(version, pre.unionByName(post))
         return {"numUpdatedRows": n_updated}
