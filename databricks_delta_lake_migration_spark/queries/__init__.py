@@ -13,6 +13,7 @@ from . import relational  # noqa: F401, E402
 from . import text  # noqa: F401, E402
 from . import similarity  # noqa: F401, E402
 from . import acid  # noqa: F401, E402
+from . import medallion  # noqa: F401, E402
 
 
 def all_queries():

@@ -1,0 +1,90 @@
+"""Medallion pipeline query surface: run bronze→silver→gold on the
+``events`` fixture against scratch log tables; oracles reproduce the
+full pipeline declaratively (SURVEY §3.1)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.medallion import MedallionPipeline
+from ..tables import LogTable
+from .registry import load_table, query
+
+_INGEST_TS = "2024-03-01 00:00:00"
+
+# DuckDB twin of the silver layer (dedup omitted: event_id is unique in
+# the fixture AND bronze is a single snapshot, so row_number()=1 is the
+# identity; validity filter spelled out in full).
+_SQL_SILVER = """
+    SELECT event_id, ts, user_id, event_type, value, props,
+           CAST(ts AS DATE) AS event_date,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,
+           CASE event_type
+                WHEN 'purchase' THEN 'CONVERSION' WHEN 'signup' THEN 'CONVERSION'
+                WHEN 'click' THEN 'ENGAGEMENT' WHEN 'view' THEN 'ENGAGEMENT'
+                WHEN 'error' THEN 'ERROR' ELSE 'OTHER' END AS event_category,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE event_type IN ('click','error','purchase','signup','view')
+      AND value IS NOT NULL AND value >= 0 AND user_id IS NOT NULL
+"""
+
+
+@query(
+    "q70_medallion_gold",
+    oracle=f"""
+    WITH silver AS ({_SQL_SILVER})
+    SELECT event_date, user_id,
+           COUNT(*) AS total_events,
+           SUM(CASE WHEN event_category = 'CONVERSION' THEN 1 ELSE 0 END) AS conversion_events,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS active_sec,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+           MAX(prop_k) AS max_prop_k
+    FROM silver
+    GROUP BY event_date, user_id
+    """,
+)
+def q70_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bronze→silver→gold pipeline (SURVEY §3.1) on scratch log
+    tables with a pinned ingestion clock; returns the gold
+    daily_user_activity product read back from its table."""
+    raw = load_table(spark, sf_dir, "events")
+    pipe = MedallionPipeline(spark, tempfile.mkdtemp(prefix="medallion-"))
+    gold = pipe.run(raw, _INGEST_TS)
+    return gold.read()
+
+
+@query(
+    "q71_bronze_stamping",
+    oracle=f"""
+    SELECT event_id,
+           'events.parquet' AS source_file,
+           DATE '2024-03-01' AS ingestion_date,
+           sha256(concat_ws('|',
+               CAST(event_id AS VARCHAR),
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f'),
+               CAST(user_id AS VARCHAR),
+               event_type,
+               printf('%.6f', value))) AS data_hash
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+)
+def q71_bronze_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze ingestion metadata stamping (01_bronze_ingestion.py:56-62):
+    injected clock, real source_file from the scan's _metadata, and the
+    canonical sha2 row fingerprint — cross-engine reproducible."""
+    from pyspark.sql import functions as F
+
+    raw = load_table(spark, sf_dir, "events")
+    pipe = MedallionPipeline(spark, tempfile.mkdtemp(prefix="bronze-"))
+    bronze = pipe.run_bronze(raw, _INGEST_TS)
+    return (
+        bronze.read()
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "source_file", "ingestion_date", "data_hash")
+    )
