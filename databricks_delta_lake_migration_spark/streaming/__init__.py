@@ -1,0 +1,3 @@
+"""Structured-Streaming ingestion into log tables."""
+
+from .ingest import stream_files_to_table, windowed_counts  # noqa: F401

@@ -1,0 +1,122 @@
+"""Streaming ingestion (T1-T3 — reference
+``src/data_processor.py:159-200``, ``01_bronze_ingestion.py:205-229``).
+
+The reference uses Databricks Auto Loader (``cloudFiles``); the OSS
+replacement is Spark's built-in file streaming source with an explicit
+schema (SURVEY §7.4 item 3) plus ``maxFilesPerTrigger`` rate limiting.
+The sink side writes into a :class:`LogTable` through ``foreachBatch``
+with batch-id idempotence: each micro-batch commit records its
+``batchId`` in the commit parameters, and re-delivered batches (after
+a crash between sink-commit and checkpoint-advance) are skipped — the
+same transactional-sink contract the Delta sink implements.
+
+[EXT] streaming analytics (watermarks + event-time windows) is exposed
+via :func:`windowed_counts`; the reference itself is ingest-only
+(SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..tables import LogTable
+
+
+def _last_committed_batch(table: LogTable, stream_id: str) -> int:
+    for c in reversed(table.commits()):
+        p = c.parameters or {}
+        if p.get("streamId") == stream_id and "batchId" in p:
+            return int(p["batchId"])
+    return -1
+
+
+def stream_files_to_table(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    schema: T.StructType,
+    file_format: str = "json",
+    stream_id: str = "default",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 10,
+    available_now: bool = True,
+    transform=None,
+) -> StreamingQuery:
+    """File stream → checkpointed append into a log table.
+
+    ``available_now=True`` drains everything currently in the source
+    then stops (test/batch-catchup mode); ``False`` runs continuously
+    with a processing-time trigger (data_processor.py:190-197).
+    """
+    t = LogTable.create(spark, table_path, schema)
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(file_format)
+        .load(source_path)
+    )
+    if transform is not None:
+        reader = transform(reader)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = LogTable(spark, table_path)
+        if batch_id <= _last_committed_batch(tbl, stream_id):
+            return  # exactly-once: batch was already committed
+        data = batch_df
+        schema_now = tbl.schema()
+        aligned = data.select(*[F.col(f.name).cast(f.dataType) for f in schema_now.fields])
+        entries = tbl._write_files(aligned, tbl.partition_columns())
+        from ..tables.logtable import Commit
+        import time as _time
+
+        tbl._commit(
+            Commit(
+                version=tbl._next_version(),
+                timestamp=_time.time(),
+                operation="STREAMING UPDATE",
+                add=entries,
+                parameters={"streamId": stream_id, "batchId": int(batch_id)},
+                metrics={"numOutputRows": sum(e.num_records for e in entries)},
+            )
+        )
+
+    writer = reader.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """[EXT] event-time tumbling-window aggregation with late-data
+    watermarking — works on both batch and streaming DataFrames."""
+    gcols = group_cols or []
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), *gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *gcols,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -159,14 +159,22 @@ class LogTable:
         return os.path.isdir(self._log_path) and bool(os.listdir(self._log_path))
 
     def commits(self) -> list[Commit]:
+        """Commit list, cached per already-read version. The dir listing
+        runs every call (cheap metadata op) so commits written by OTHER
+        handles — streaming sinks, concurrent writers — are picked up;
+        only the new tail is parsed."""
+        names = (
+            sorted(n for n in os.listdir(self._log_path) if n.endswith(".json"))
+            if os.path.isdir(self._log_path)
+            else []
+        )
         if self._commits is None:
-            out = []
-            if os.path.isdir(self._log_path):
-                for name in sorted(os.listdir(self._log_path)):
-                    if name.endswith(".json"):
-                        with open(os.path.join(self._log_path, name)) as fh:
-                            out.append(Commit.from_json(json.load(fh)))
-            self._commits = out
+            self._commits = []
+        if len(names) < len(self._commits):  # external truncation — reload
+            self._commits = []
+        for name in names[len(self._commits):]:
+            with open(os.path.join(self._log_path, name)) as fh:
+                self._commits.append(Commit.from_json(json.load(fh)))
         return self._commits
 
     def version(self) -> int:

@@ -1,0 +1,193 @@
+"""Migration connector + streaming ingest tests (SURVEY §2 M6/M7)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_delta_lake_migration_spark.sources import (
+    JdbcSourceConfig,
+    incremental_query,
+    jdbc_reader_options,
+    migrate_directory,
+    read_files,
+    sample_query,
+    union_paths,
+    validate_migration,
+)
+from databricks_delta_lake_migration_spark.streaming import (
+    stream_files_to_table,
+    windowed_counts,
+)
+from databricks_delta_lake_migration_spark.tables import LogTable
+
+# ---------------------------------------------------------------------------
+# JDBC query builders (offline, no DB needed)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_url_per_engine():
+    pg = JdbcSourceConfig("postgresql", "db", 5432, "prod")
+    ms = JdbcSourceConfig("sqlserver", "db", 1433, "prod")
+    ora = JdbcSourceConfig("oracle", "db", 1521, "ORCL")
+    assert pg.url() == "jdbc:postgresql://db:5432/prod"
+    assert ms.url() == "jdbc:sqlserver://db:1433;databaseName=prod"
+    assert ora.url() == "jdbc:oracle:thin:@db:1521:ORCL"
+
+
+def test_jdbc_partitioned_options():
+    cfg = JdbcSourceConfig("postgresql", "db", 5432, "prod", user="u", password="p")
+    opts = jdbc_reader_options(
+        cfg, "public.orders", partition_column="order_id",
+        num_partitions=16, lower_bound=0, upper_bound=1_000_000,
+    )
+    assert opts["partitionColumn"] == "order_id"
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "10000"
+    assert opts["driver"] == "org.postgresql.Driver"
+
+
+def test_jdbc_incremental_pushdown():
+    assert incremental_query("orders", "updated_at", None) == "orders"
+    q = incremental_query("orders", "updated_at", "2024-01-01 00:00:00")
+    assert q.startswith("(SELECT * FROM orders WHERE updated_at > '2024-01-01")
+    assert q.endswith("AS incremental_extract")
+    assert sample_query("orders", 5) == "(SELECT * FROM orders LIMIT 5) AS sample_extract"
+
+
+# ---------------------------------------------------------------------------
+# File migration
+# ---------------------------------------------------------------------------
+
+
+def _write_csv(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write("id,name,amount\n")
+        for r in rows:
+            fh.write(",".join(map(str, r)) + "\n")
+
+
+def test_full_migration_csv_roundtrip(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_csv(src + "/a.csv", [(1, "x", 10.5), (2, "y", 20.5)])
+    _write_csv(src + "/b.csv", [(3, "z", 30.5)])
+    report = migrate_directory(
+        spark, src, str(tmp_path / "t"), file_format="csv", mode="full"
+    )
+    assert report.passed and report.source_rows == 3
+
+
+def test_incremental_migration_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_csv(src + "/date=2024-01-01/p.csv", [(1, "a", 1.0)])
+    _write_csv(src + "/date=2024-01-02/p.csv", [(2, "b", 2.0), (3, "c", 3.0)])
+    tgt = str(tmp_path / "t")
+    for _ in range(2):  # re-run must not duplicate
+        report = migrate_directory(
+            spark, src, tgt, file_format="csv", mode="incremental",
+            dates=["2024-01-01", "2024-01-02"],
+        )
+        assert report.passed
+        assert LogTable(spark, tgt).read().count() == 3
+
+
+def test_migration_transform_hook(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_csv(src + "/a.csv", [(1, "x", 10.0), (2, "y", -5.0)])
+    report = migrate_directory(
+        spark, src, str(tmp_path / "t"), file_format="csv", mode="full",
+        transform=lambda df: df.filter(F.col("amount") > 0),
+    )
+    assert report.passed and report.target_rows == 1
+
+
+def test_union_paths_single_scan(spark, tmp_path):
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 5).write.parquet(str(tmp_path / f"p{i}"))
+    df = union_paths(spark, [str(tmp_path / f"p{i}") for i in range(3)])
+    assert df.count() == 15
+    # one FileScan node, not a union of three
+    assert df._jdf.queryExecution().executedPlan().toString().count("FileScan") == 1
+
+
+def test_validate_migration_detects_drift(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([(1,)], "id long").withColumn(
+        "ingestion_date", F.lit("2024-01-01")
+    )
+    rep = validate_migration(a, b)
+    assert not rep.passed
+    assert rep.missing_columns == ["name"]
+    assert rep.extra_columns == []  # metadata cols ignored
+
+
+def test_read_files_rejects_unknown_format(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_files(spark, "/nowhere", "xml")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest
+# ---------------------------------------------------------------------------
+
+STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _write_json(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_stream_files_to_table_exactly_once(spark, tmp_path):
+    src, tgt, ckpt = (str(tmp_path / n) for n in ("src", "t", "ckpt"))
+    _write_json(src + "/f1.json", [{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}])
+    q = stream_files_to_table(
+        spark, src, tgt, STREAM_SCHEMA, stream_id="s1", checkpoint=ckpt
+    )
+    q.awaitTermination(60)
+    t = LogTable(spark, tgt)
+    assert t.read().count() == 2
+
+    # second batch: only the new file is picked up (checkpointed offsets)
+    _write_json(src + "/f2.json", [{"id": 3, "v": 3.0}])
+    q = stream_files_to_table(
+        spark, src, tgt, STREAM_SCHEMA, stream_id="s1", checkpoint=ckpt
+    )
+    q.awaitTermination(60)
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+    # commit log carries the stream/batch lineage
+    ops = [c.operation for c in t.commits()]
+    assert ops.count("STREAMING UPDATE") == 2
+
+
+def test_windowed_counts_batch_semantics(spark):
+    rows = [
+        ("2024-01-01 00:01:00", "a", 1.0),
+        ("2024-01-01 00:05:00", "a", 2.0),
+        ("2024-01-01 00:15:00", "b", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (str(r.window_start), r.user, r.n_events, r.total_value)
+        for r in windowed_counts(df, group_cols=["user"]).collect()
+    }
+    assert out == {
+        ("2024-01-01 00:00:00", "a", 2, 3.0),
+        ("2024-01-01 00:10:00", "b", 1, 4.0),
+    }
