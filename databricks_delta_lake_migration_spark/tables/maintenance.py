@@ -1,0 +1,107 @@
+"""Table maintenance & observability composites (D9-D12, Q5 —
+reference ``src/delta_utils.py:265-438``, ``src/data_processor.py:208-231``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .logtable import LogTable
+
+MB = 1024 * 1024
+
+
+@dataclass
+class TableStatsReport:
+    """Stats advisor output (D11 — delta_utils.py:265-293)."""
+
+    num_files: int
+    size_bytes: int
+    num_records: int
+    avg_file_size_mb: float
+    partition_columns: list[str]
+    recommendations: list[str] = field(default_factory=list)
+
+
+def table_stats_advisor(
+    table: LogTable,
+    small_file_mb: float = 64.0,
+    max_files: int = 1000,
+    partition_threshold_gb: float = 1.0,
+) -> TableStatsReport:
+    """Physical-layout advisor: flags small average file size, file-count
+    explosion, and large unpartitioned tables, with the reference's
+    thresholds (delta_utils.py:282-287). Pure metadata — no data scan."""
+    d = table.detail()
+    avg_mb = (d["sizeInBytes"] / d["numFiles"] / MB) if d["numFiles"] else 0.0
+    recs = []
+    if d["numFiles"] and avg_mb < small_file_mb:
+        recs.append(
+            f"average file size {avg_mb:.1f} MB < {small_file_mb:.0f} MB — run OPTIMIZE"
+        )
+    if d["numFiles"] > max_files:
+        recs.append(
+            f"{d['numFiles']} files > {max_files} — run OPTIMIZE and/or repartition writes"
+        )
+    if not d["partitionColumns"] and d["sizeInBytes"] > partition_threshold_gb * 1024 * MB:
+        recs.append(
+            f"table over {partition_threshold_gb:.0f} GB without partitioning — "
+            "partition by a date/low-cardinality column"
+        )
+    return TableStatsReport(
+        num_files=d["numFiles"],
+        size_bytes=d["sizeInBytes"],
+        num_records=d["numRecords"],
+        avg_file_size_mb=round(avg_mb, 2),
+        partition_columns=d["partitionColumns"],
+        recommendations=recs,
+    )
+
+
+def change_summary(table: LogTable, key_col: str, starting_version: int = 0) -> DataFrame:
+    """Per-key CDC rollup (D12 — delta_utils.py:418-438): CDF scan →
+    change counts and first/last change time per key and change type."""
+    ch = table.read_changes(starting_version=starting_version)
+    return ch.groupBy(F.col(key_col), "_change_type").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.min("_commit_version").alias("first_version"),
+        F.max("_commit_version").alias("last_version"),
+        F.min("_commit_timestamp").alias("first_change_at"),
+        F.max("_commit_timestamp").alias("last_change_at"),
+    )
+
+
+def quality_over_versions(
+    table: LogTable,
+    required_cols: list[str],
+    key_cols: list[str],
+    versions: list[int] | None = None,
+) -> DataFrame:
+    """Data quality replayed across table history (Q5 —
+    05_time_travel_demo.py:381-424): one single-pass aggregate per
+    version (completeness + uniqueness), never per-check actions."""
+    if versions is None:
+        versions = [c.version for c in table.commits()]
+    spark = table.spark
+    reports = []
+    for v in versions:
+        df = table.read(version=v)
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*[F.col(k) for k in key_cols]).alias("n_distinct_keys"),
+        ] + [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls")
+            for c in required_cols
+        ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        row["version"] = v
+        row["unique_keys"] = row["n_rows"] == row["n_distinct_keys"]
+        reports.append(row)
+    first = reports[0]
+    schema = ", ".join(
+        f"{k} {'boolean' if isinstance(first[k], bool) else 'long'}" for k in first
+    )
+    return spark.createDataFrame([tuple(r.values()) for r in reports], schema)

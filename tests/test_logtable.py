@@ -280,3 +280,46 @@ def test_properties_roundtrip(table):
     table.set_properties({"custom.owner": "etl"})
     assert table.properties()["custom.owner"] == "etl"
     assert table.properties()["enableChangeDataFeed"] == "true"
+
+
+# ---------------------------------------------------------------------------
+# maintenance composites (D11/D12/Q5)
+# ---------------------------------------------------------------------------
+
+
+def test_stats_advisor_flags_small_files(spark, table):
+    from databricks_delta_lake_migration_spark.tables.maintenance import (
+        table_stats_advisor,
+    )
+
+    rep = table_stats_advisor(table)
+    assert rep.num_records == 3 and rep.partition_columns == ["day"]
+    assert any("OPTIMIZE" in r for r in rep.recommendations)  # tiny files
+    table.optimize()
+    rep2 = table_stats_advisor(table)
+    assert rep2.num_files <= rep.num_files
+
+
+def test_change_summary_per_key(spark, table):
+    from databricks_delta_lake_migration_spark.tables.maintenance import change_summary
+
+    table.update("id = 1", {"amount": "amount + 1"})
+    table.update("id = 1", {"amount": "amount + 1"})
+    cs = change_summary(table, "id")
+    row = {
+        (r.id, r._change_type): (r.n_changes, r.first_version, r.last_version)
+        for r in cs.collect()
+    }
+    assert row[(1, "update_postimage")] == (2, 2, 3)
+
+
+def test_quality_over_versions(spark, table):
+    from databricks_delta_lake_migration_spark.tables.maintenance import (
+        quality_over_versions,
+    )
+
+    table.delete("id = 3")
+    q = quality_over_versions(table, ["status"], ["id"], versions=[1, 2])
+    rows = {r.version: (r.n_rows, r.unique_keys, r.status_nulls) for r in q.collect()}
+    assert rows[1] == (3, True, 0)
+    assert rows[2] == (2, True, 0)
