@@ -38,6 +38,57 @@ HEADLINE = [
 ]
 
 
+def acid_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Log-table lifecycle throughput, mirroring the reference's
+    benchmark suite shape (write / full-scan read / 10% MERGE /
+    time-travel read; delta_performance_benchmark.py:49-236) so the
+    numbers compare against BASELINE.md's rows/s directly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    # synthetic keyed table, same shape as the reference's generator
+    # (delta_performance_benchmark.py:53-60) — fixture lineitem has no
+    # unique key, and MERGE needs one. Sized to the fixture SF.
+    n_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    li = spark.range(n_rows).select(
+        F.col("id"),
+        (F.col("id") % 100000).cast("string").alias("user_id"),
+        (F.col("id") % 10).cast("string").alias("category"),
+        ((F.col("id") % 100000) / 100).cast("double").alias("amount"),
+        F.concat(F.lit("data_"), F.col("id")).alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="bench-acid-")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        t = LogTable.create(spark, f"{root}/t", li.schema)
+        t.append(li)
+        out["write_rows_per_s"] = round(n_rows / (time.perf_counter() - t0))
+
+        t0 = time.perf_counter()
+        assert t.read().count() == n_rows
+        out["read_rows_per_s"] = round(n_rows / (time.perf_counter() - t0))
+
+        src = li.filter(F.col("id") % 10 == 1).withColumn(
+            "amount", F.col("amount") * 2
+        )
+        n_src = src.count()
+        t0 = time.perf_counter()
+        t.upsert(src, ["id"])
+        out["merge_rows_per_s"] = round(n_src / (time.perf_counter() - t0))
+
+        t0 = time.perf_counter()
+        assert t.read(version=1).count() == n_rows
+        out["time_travel_rows_per_s"] = round(n_rows / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -59,6 +110,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
 
+    acid = acid_bench(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -67,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "acid": acid,
                 "sf": sf,
             }
         )

@@ -51,6 +51,11 @@ STAGING_DIR = "_staging"
 
 CDF_PROP = "enableChangeDataFeed"
 
+# Below this total table size, MERGE rewrites every file instead of
+# running the pruning probe job — at small scale the probe costs more
+# than the rewrite it avoids. Module-level so tests/tuning can override.
+MERGE_PRUNE_THRESHOLD_BYTES = 4 * 1024 * 1024 * 1024
+
 # _change_type values (Delta CDF parity — delta_utils.py:398-402)
 CT_INSERT = "insert"
 CT_UPDATE_PRE = "update_preimage"
@@ -651,12 +656,21 @@ class LogTable:
             return {"numUpdatedRows": 0}
         schema = self.schema()
         old = self._read_file_subset(touched)
-        updated = old.withColumns(
-            {c: F.when(pred, F.expr(e)).otherwise(F.col(c)) for c, e in set_exprs.items()}
-        )
+        # one pass: count matched rows via Observation during the write
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        updated = old.withColumn("__hit", pred).observe(
+            obs, F.coalesce(F.sum(F.when(F.col("__hit"), 1).otherwise(0)), F.lit(0)).alias("n")
+        ).withColumns(
+            {
+                c: F.when(F.col("__hit"), F.expr(e)).otherwise(F.col(c))
+                for c, e in set_exprs.items()
+            }
+        ).drop("__hit")
         self._check_constraints(updated)
         entries = self._write_files(self._align(updated, schema), partition_by)
-        n_updated = old.filter(pred).count()
+        n_updated = obs.get["n"]
         version = self._commit_dml(
             "UPDATE",
             entries,
@@ -687,9 +701,22 @@ class LogTable:
             return {"numDeletedRows": 0}
         schema = self.schema()
         old = self._read_file_subset(touched)
-        survivors = old.filter(~pred | pred.isNull())
+        # one pass: deleted rows are counted by the observe node, then
+        # filtered out before the sink.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        survivors = (
+            old.withColumn("__del", pred)
+            .observe(
+                obs,
+                F.coalesce(F.sum(F.when(F.col("__del"), 1).otherwise(0)), F.lit(0)).alias("n"),
+            )
+            .filter(~F.col("__del") | F.col("__del").isNull())
+            .drop("__del")
+        )
         entries = self._write_files(self._align(survivors, schema), partition_by)
-        n_deleted = old.filter(pred).count()
+        n_deleted = obs.get["n"]
         version = self._commit_dml(
             "DELETE",
             entries,
@@ -982,29 +1009,48 @@ class MergeBuilder:
         src = self.source.alias("source")
         cond = F.expr(self.condition)
 
-        # 1. File pruning (metadata join): which target files hold rows
-        #    that satisfy the merge condition against ANY source row?
+        # Job 1 — file pruning AND ambiguity detection in ONE metadata
+        # aggregate: per touched file, the max number of source rows
+        # matching any single target row. Skipped entirely for
+        # insert-only merges (no matched clause ⇒ no file rewrite) and
+        # for small tables, where rewriting everything is cheaper than
+        # the probe job; ambiguity is then detected post-hoc from the
+        # observed row counts (matched target rows written must equal
+        # the touched files' metadata row count) with rollback.
         touched: list[FileEntry] = []
-        if files:
-            tgt_all = t._read_file_subset(files, with_file_path=True).alias("target")
-            hits = (
-                tgt_all.join(src, cond, "inner")
-                .select(F.col("target.__file_path").alias("fp"))
-                .distinct()
+        skip_probe = (
+            files
+            and self.matched
+            and sum(f.size_bytes for f in files) <= MERGE_PRUNE_THRESHOLD_BYTES
+        )
+        if skip_probe:
+            touched = list(files)
+        elif files and self.matched:
+            tgt_probe = (
+                t._read_file_subset(files, with_file_path=True)
+                .withColumn("__rid", F.monotonically_increasing_id())
+                .alias("target")
+            )
+            probe = (
+                tgt_probe.join(src, cond, "inner")
+                .groupBy(
+                    F.col("target.__file_path").alias("fp"),
+                    F.col("target.__rid").alias("rid"),
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .groupBy("fp")
+                .agg(F.max("n").alias("max_n"))
                 .collect()
             )
-            hit = t._norm_paths({r.fp for r in hits})
+            if any(r.max_n > 1 for r in probe):
+                raise ValueError(
+                    "MERGE: multiple source rows matched the same target row"
+                )
+            hit = t._norm_paths({r.fp for r in probe})
             touched = [f for f in files if f.path in hit]
 
-        tgt = (
-            t._read_file_subset(touched)
-            .withColumn("__rid", F.monotonically_increasing_id())
-            .alias("target")
-            if touched
-            else None
-        )
+        tgt = t._read_file_subset(touched).alias("target") if touched else None
 
-        n_updated = n_deleted = n_inserted = 0
         out_parts: list[DataFrame] = []
 
         def _apply_matched(
@@ -1052,27 +1098,56 @@ class MergeBuilder:
             dele = reduce(DataFrame.unionByName, deleted_parts) if deleted_parts else empty
             return upd, dele, untouched_matched, affected_pre
 
+        TAG = "__merge_action"
+
+        def _tag(df: DataFrame, tag: str) -> DataFrame:
+            return t._align(df, schema).withColumn(TAG, F.lit(tag))
+
         if tgt is not None:
-            matched_joined = tgt.join(src, cond, "inner")
-            # ambiguity check (Delta parity): >1 source row per target row
-            dup = (
-                matched_joined.groupBy(F.col("target.__rid"))
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
+            # ONE left-outer join produces updated / deleted / kept /
+            # unmatched-target rows via per-column CASE projection — the
+            # target is scanned once, not once per branch (4× measured).
+            src_marked = self.source.withColumn("__src", F.lit(1)).alias("source")
+            j = tgt.join(src_marked, cond, "left_outer")
+            matched = F.col("source.__src").isNotNull()
+            clause_idx = F.lit(None).cast("int")
+            for i, (_, _, c) in reversed(list(enumerate(self.matched))):
+                fire = F.lit(True) if c is None else F.expr(c)
+                clause_idx = F.when(fire, F.lit(i)).otherwise(clause_idx)
+            j = j.withColumn("__clause", F.when(matched, clause_idx))
+
+            proj = []
+            for fld in schema.fields:
+                cname = fld.name
+                expr = F.col(f"target.{cname}")
+                for i, (kind, set_exprs, _) in enumerate(self.matched):
+                    if kind != "update":
+                        continue
+                    if set_exprs is None:  # UPDATE ALL
+                        val = (
+                            F.expr(f"source.{cname}")
+                            if cname in self.source.columns
+                            else F.col(f"target.{cname}")
+                        )
+                    else:
+                        val = (
+                            F.expr(set_exprs[cname])
+                            if cname in set_exprs
+                            else F.col(f"target.{cname}")
+                        )
+                    expr = F.when(F.col("__clause") == i, val).otherwise(expr)
+                proj.append(expr.cast(fld.dataType).alias(cname))
+
+            kind_tag = F.lit("u")
+            for i, (kind, _, _) in enumerate(self.matched):
+                if kind == "delete":
+                    kind_tag = F.when(F.col("__clause") == i, "d").otherwise(kind_tag)
+            tag = (
+                F.when(F.col("__clause").isNotNull(), kind_tag)
+                .when(matched, F.lit("k"))
+                .otherwise(F.lit("t"))
             )
-            if dup and self.matched:
-                raise ValueError(
-                    "MERGE: multiple source rows matched the same target row"
-                )
-            upd, dele, kept_matched, _ = _apply_matched(matched_joined)
-            unmatched_target = tgt.join(src, cond, "left_anti").select(
-                *[F.col(f"target.{c}").alias(c) for c in tcols]
-            )
-            n_updated = upd.count()
-            n_deleted = dele.count()
-            out_parts += [upd, unmatched_target, kept_matched]
+            out_parts.append(j.select(*proj, tag.alias(TAG)))
         # 2. inserts: source rows matching NO target row (checked against
         #    the FULL table — an unmatched file can't contain a match by
         #    construction of the pruning join).
@@ -1105,17 +1180,58 @@ class MergeBuilder:
             else:
                 remaining = remaining.limit(0)
         if insert_parts:
-            ins = reduce(DataFrame.unionByName, insert_parts)
-            n_inserted = ins.count()
-            out_parts.append(t._align(ins, schema))
+            out_parts.append(_tag(reduce(DataFrame.unionByName, insert_parts), "i"))
 
         if not out_parts:
             t._commit_dml("MERGE", [], [], {"predicate": self.condition}, 0)
             return {"numUpdatedRows": 0, "numDeletedRows": 0, "numInsertedRows": 0}
 
-        result = reduce(DataFrame.unionByName, [t._align(p, schema) for p in out_parts])
-        t._check_constraints(result)
+        # Job 2 — ONE pass: clause metrics, constraint checks, and the
+        # rewrite are all collected by a single write action via
+        # Observation; deleted rows flow through the observe node, then
+        # are filtered out before the sink.
+        from pyspark.sql import Observation
+
+        tagged = reduce(DataFrame.unionByName, out_parts)
+        checks = {
+            k.removeprefix("constraint."): v
+            for k, v in t.properties().items()
+            if k.startswith("constraint.")
+        }
+        count_if = lambda c: F.coalesce(  # noqa: E731
+            F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+        )
+        metrics = [
+            count_if(F.col(TAG) == "u").alias("u"),
+            count_if(F.col(TAG) == "d").alias("d"),
+            count_if(F.col(TAG) == "i").alias("i"),
+            count_if(F.col(TAG).isin("u", "d", "k", "t")).alias("tgt_rows"),
+        ] + [
+            count_if((F.col(TAG) != "d") & ~F.expr(pred)).alias(f"__check_{name}")
+            for name, pred in checks.items()
+        ]
+        obs = Observation()
+        result = (
+            tagged.observe(obs, *metrics).filter(F.col(TAG) != "d").drop(TAG)
+        )
         entries = t._write_files(result, partition_by)
+        m = obs.get
+
+        def _rollback():
+            # uncommitted files — nothing references them yet
+            for e in entries:
+                os.unlink(os.path.join(t.path, e.path))
+
+        if skip_probe and m["tgt_rows"] != sum(f.num_records for f in touched):
+            _rollback()
+            raise ValueError(
+                "MERGE: multiple source rows matched the same target row"
+            )
+        bad = {n: m[f"__check_{n}"] for n in checks if m[f"__check_{n}"] > 0}
+        if bad:
+            _rollback()
+            raise ConstraintViolationError(f"CHECK constraint violations: {bad}")
+        n_updated, n_deleted, n_inserted = m["u"], m["d"], m["i"]
         version = t._commit_dml(
             "MERGE",
             entries,

@@ -90,7 +90,10 @@ def test_upsert_merge(spark, table):
     }
 
 
-def test_merge_file_pruning_leaves_unmatched_partition_alone(spark, table):
+def test_merge_file_pruning_leaves_unmatched_partition_alone(spark, table, monkeypatch):
+    from databricks_delta_lake_migration_spark.tables import logtable as lt
+
+    monkeypatch.setattr(lt, "MERGE_PRUNE_THRESHOLD_BYTES", 0)  # force probe path
     before = {
         f.path for f in table._replay()[0] if f.path.startswith("day=d2")
     }
