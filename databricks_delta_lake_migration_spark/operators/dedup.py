@@ -241,3 +241,57 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.lit(0).cast("long"),
     )
     return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def chargram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    n: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Character n-gram Jaccard near-dup pairs [EXT] — order-sensitive
+    variant of :func:`jaccard_pairs` for cross-language / no-whitespace
+    text. Same token-join reduction; the normalized text is materialized
+    behind an explode barrier so the regexp normalization is not
+    re-evaluated per n-gram position."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.explode(F.array(norm)).alias("__norm"),
+    )
+    # substring with a dynamic start position needs expr()
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(__norm) - {n - 1}, 1)),"
+        f" i -> substring(__norm, i, {n})))"
+    )
+    toks = base.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.explode(grams).alias("g"),
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    join_keys = ["g"] + ([block_col] if block_col else [])
+    a = toks.select(*[F.col(c) for c in join_keys], F.col(id_col).alias("id_a"))
+    b = toks.select(*[F.col(c) for c in join_keys], F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("n_shared") / union_sz >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_shared") / union_sz, 6).alias("jaccard"),
+        )
+    )

@@ -858,3 +858,134 @@ def q25_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         null_pct={"qty_null_pct": "l_quantity"},
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested types / JSON, multi-dim aggregates, as-of & range joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q26_json_map_access",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q26_json_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/JSON access (§2.9 JSON family + MapType §1.2): parse the
+    props JSON into a map column, aggregate a typed field. from_json →
+    MapType keeps the parse JVM-side (no UDF)."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return (
+        e.withColumn("props_map", m)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("props_map")["k"]).alias("sum_k"),
+            F.max(F.col("props_map")["k"]).alias("max_k"),
+        )
+    )
+
+
+@query(
+    "q27_rollup_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dsum('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q27_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional ROLLUP aggregate (SURVEY §2.5 'not present' tier
+    — engine exposes Spark's built-in rollup/cube surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        dsum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q28_asof_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+    FROM events
+    WHERE user_id % 7 = 0
+    """,
+)
+def q28_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup [EXT]: most recent prior 'purchase' per user at each
+    event — the as-of-join semantic expressed as a running window (one
+    shuffle on user_id, no join explosion; the 100 TB-safe formulation)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w).alias(
+            "last_purchase_ts"
+        ),
+    )
+
+
+@query(
+    "q29_range_join_ship_lag",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(l.l_linenumber) AS n_shipped_30d
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    WHERE o.o_orderkey % 5 = 0
+    GROUP BY o.o_orderkey
+    """,
+)
+def q29_range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (equi key + time-interval band): lineitems shipped
+    within 30 days of their order. The equi key carries the shuffle;
+    the band predicate is post-join — no interval cross product."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < F.timestamp_add("DAY", F.lit(30), o.o_orderdate))
+    )
+    return (
+        o.join(l, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_linenumber").alias("n_shipped_30d"))
+    )
+
+
+@query("q43_approx_distinct", oracle=None)  # HLL sketches differ per engine
+def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (A3 [EXT] scale path): HLL++ sketch of
+    order keys per return flag — the 100 TB substitute for exact
+    distinct counts. Rows-only (sketch estimates are engine-specific);
+    accuracy asserted in tests/test_operators.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

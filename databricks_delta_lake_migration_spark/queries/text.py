@@ -239,3 +239,34 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(d, F.encode(F.col("text"), "utf-8"))
     return multimodal.extract_features(media)
+
+
+@query(
+    "q38_chargram_jaccard",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, source, unnest(list_distinct(
+            list_transform(range(1, length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) - 2),
+                           i -> substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 4))
+        )) AS g
+        FROM documents WHERE doc_id % 10 = 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source = b.source
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.3
+    """,
+)
+def q38_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 4-gram Jaccard near-dup pairs [EXT] — the n-gram
+    variant of the token-join formulation (10% sample, blocked by
+    source)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.chargram_jaccard_pairs(d, n=4, threshold=0.3, block_col="source")

@@ -33,8 +33,16 @@ class SparkProfile:
 
 
 PROFILES: dict[str, SparkProfile] = {
-    # local[N] testing/bench: shuffle fan-out ≈ core count.
-    "local": SparkProfile("local", shuffle_partitions=32),
+    # local[N] testing/bench: shuffle fan-out ≈ core count; fixture
+    # files are ~10 MB, so default 128 MB splits would scan them in
+    # 1-3 tasks — split small so all cores engage. Cluster profiles
+    # below keep the reference's 128 MB splits.
+    "local": SparkProfile(
+        "local",
+        shuffle_partitions=32,
+        max_partition_bytes=str(2 * 1024 * 1024),
+        extra={"spark.sql.files.openCostInBytes": "131072"},
+    ),
     # reference dev/staging/prod tiers (config.py:76-92)
     "dev": SparkProfile("dev", shuffle_partitions=200),
     "staging": SparkProfile("staging", shuffle_partitions=1000),
