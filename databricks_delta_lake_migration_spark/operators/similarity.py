@@ -133,3 +133,39 @@ def embedding_stats(embeddings: DataFrame, dims: int = 64) -> DataFrame:
             F.round(F.sum(F.col("d1").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_dim1"),
         )
     )
+
+
+def batch_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Batch exact kNN: top-k neighbors for EACH query id in one plan.
+    Queries are broadcast (small side); per-query ranking is a window
+    over the scored scan — corpus is read once for the whole batch, the
+    100 TB-friendly shape for query sets up to broadcast size."""
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = F.round(
+        _dot_decimal(vec_col, "qvec", dims)
+        / (_norm(vec_col, dims) * _norm("qvec", dims)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select("query_id", F.col(id_col), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rnk")
+    )

@@ -63,3 +63,30 @@ def q41_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         load_table(spark, sf_dir, "embeddings"), query_vec_id=0, n_planes=8
     )
+
+
+@query(
+    "q44_batch_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({_sql_dot('e.embedding', 'q.qvec')} /
+                     (sqrt({_sql_dot('e.embedding', 'e.embedding')}) * sqrt({_sql_dot('q.qvec', 'q.qvec')})), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q44_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact kNN [EXT]: top-5 neighbors for a query SET in one
+    plan — corpus scanned once, queries broadcast, per-query window
+    ranking."""
+    return similarity.batch_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
+    )

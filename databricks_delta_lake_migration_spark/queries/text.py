@@ -270,3 +270,50 @@ def q38_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     source)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return dedup.chargram_jaccard_pairs(d, n=4, threshold=0.3, block_col="source")
+
+
+@query(
+    "q51_frame_sample_plan",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               sha256(text) AS content_sha,
+               GREATEST(CAST(floor((octet_length(encode(text)) / 4096.0) * 0.5) AS BIGINT), 1) AS n_frames
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx,
+           ROUND(CAST(unnest(range(0, n_frames)) AS BIGINT) / 0.5, 3) AS ts_offset_sec,
+           content_sha
+    FROM m
+    """,
+)
+def q51_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan [EXT]: one row per frame to
+    decode, derived from payload size at 0.5 fps — sequence+explode,
+    decode deferred to the planned subset."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    media = multimodal.attach_media(d, F.encode(F.col("text"), "utf-8"), "video")
+    return multimodal.plan_frame_samples(media, fps=0.5, bytes_per_second=4096)
+
+
+@query(
+    "q52_media_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks,
+           CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
+def q52_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-segmentation-shaped chunking [EXT]: Arrow-batched
+    mapInPandas splits payloads into 256-byte content-addressed chunks;
+    checked as per-doc chunk counts + byte totals."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    media = multimodal.attach_media(d, F.encode(F.col("text"), "utf-8"), "audio")
+    chunks = multimodal.chunk_media(media, chunk_bytes=256)
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_bytes").alias("total_bytes"),
+    )
