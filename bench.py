@@ -84,6 +84,37 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         assert t.read(version=1).count() == n_rows
         out["time_travel_rows_per_s"] = round(n_rows / (time.perf_counter() - t0))
+
+        # Z-order impact: point query before vs after clustering
+        # (reference benchmarks:238-293)
+        point = lambda: t.read().filter(  # noqa: E731
+            (F.col("user_id") == "12345") & (F.col("category") == "5")
+        ).count()
+        t0 = time.perf_counter()
+        point()
+        before = time.perf_counter() - t0
+        t.zorder(["user_id", "category"], n_files=8)
+        t0 = time.perf_counter()
+        point()
+        after = time.perf_counter() - t0
+        out["zorder_speedup_pct"] = round((before - after) / before * 100, 1)
+
+        # partition-pruning impact: full scan vs partition filter
+        # (reference benchmarks:295-343)
+        part = LogTable.create(
+            spark,
+            f"{root}/p",
+            li.withColumn("bucket", (F.col("id") % 16).cast("string")).schema,
+            partition_by=["bucket"],
+        )
+        part.append(li.withColumn("bucket", (F.col("id") % 16).cast("string")))
+        t0 = time.perf_counter()
+        part.read().count()
+        full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        part.read().filter(F.col("bucket") == "3").count()
+        pruned = time.perf_counter() - t0
+        out["pruning_speedup_pct"] = round((full - pruned) / full * 100, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -105,17 +105,27 @@ def lsh_topk(
     n_planes: int = 8,
     **kw,
 ) -> DataFrame:
-    """ANN top-k: restrict the exact re-rank to the query's LSH bucket.
-    Approximate (recall < 1.0) by design; rows-only checked."""
+    """ANN top-k with multi-probe: the exact re-rank is restricted to
+    the query's LSH bucket PLUS every bucket at Hamming distance 1 —
+    the standard recall fix for sign-LSH (a near neighbor differs from
+    the query on at most a few marginal hyperplanes). Probe set is
+    n_planes+1 bucket ids (driver-side metadata, broadcast into a
+    semi-join). Approximate by design; recall asserted in
+    tests/test_operators.py."""
     id_col = kw.get("id_col", "vec_id")
     buckets = sign_lsh_buckets(embeddings, n_planes=n_planes, **kw)
-    qb = buckets.filter(F.col(id_col) == query_vec_id).select(
-        F.col("bucket").alias("qbucket")
+    qb = (
+        buckets.filter(F.col(id_col) == query_vec_id)
+        .select("bucket")
+        .collect()[0]
+        .bucket
     )
-    cands = buckets.join(
-        F.broadcast(qb), buckets.bucket == F.col("qbucket"), "inner"
-    ).select(id_col)
-    subset = embeddings.join(cands, id_col, "left_semi")
+    probes = [qb] + [
+        qb[:i] + ("0" if qb[i] == "1" else "1") + qb[i + 1 :]
+        for i in range(len(qb))
+    ]
+    cands = buckets.filter(F.col("bucket").isin(probes)).select(id_col)
+    subset = embeddings.join(F.broadcast(cands), id_col, "left_semi")
     return cosine_topk(subset, query_vec_id, k=k, **kw)
 
 

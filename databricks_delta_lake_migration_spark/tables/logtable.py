@@ -843,14 +843,28 @@ class LogTable:
             return {"numFilesRemoved": 0, "numFilesAdded": 0}
         df = self._read_file_subset(files)
         bits = max(1, (n_buckets - 1).bit_length())
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString()
+            in ("tinyint", "smallint", "int", "bigint", "float", "double", "date", "timestamp")
+            or f.dataType.simpleString().startswith("decimal")
+        }
         zcols = []
         for c in cols:
-            qs = df.stat.approxQuantile(
-                c, [i / n_buckets for i in range(1, n_buckets)], 0.01
-            )
-            bucket = F.lit(0)
-            for q in qs:
-                bucket = bucket + F.when(F.col(c).cast("double") > q, 1).otherwise(0)
+            if c in numeric:
+                # equi-depth buckets from approx quantiles (range queries
+                # and point queries both benefit)
+                qs = df.stat.approxQuantile(
+                    c, [i / n_buckets for i in range(1, n_buckets)], 0.01
+                )
+                bucket = F.lit(0)
+                for q in qs:
+                    bucket = bucket + F.when(F.col(c).cast("double") > q, 1).otherwise(0)
+            else:
+                # non-numeric: hash-bucket — equal values co-locate, which
+                # is what equality data-skipping needs
+                bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)).cast("int")
             zcols.append(bucket)
         # bit-interleave: z = Σ_j Σ_i bit_i(bucket_j) << (i*len(cols)+j)
         z = F.lit(0).cast("long")

@@ -1,0 +1,82 @@
+"""Property tests for [EXT] operators whose queries are rows-only
+checked (approximate / engine-specific results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_migration_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_rsd(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05  # 2% rsd, 5% guard
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        r.vec_id for r in similarity.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in similarity.lsh_topk(emb, query_vec_id=0, k=10, n_planes=4).collect()
+    }
+    # every ANN hit must be a real vector, and the top-1 exact neighbor
+    # should usually survive 4-plane bucketing; assert non-trivial overlap
+    assert approx, "ANN returned nothing"
+    assert len(exact & approx) >= 1
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+            (3, "completely different text about spark query engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+    assert hamming(h[1], h[2]) < hamming(h[2], h[3])
+
+
+def test_batch_topk_matches_single_query(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    single = [
+        (r.vec_id, r.cosine)
+        for r in similarity.cosine_topk(emb, query_vec_id=1, k=5).collect()
+    ]
+    batch = [
+        (r.neighbor_id, r.cosine)
+        for r in similarity.batch_topk(emb, query_ids=[1], k=5)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert single == batch
+
+
+def test_lsh_candidate_pairs_finds_planted_near_dup(spark):
+    base = "word" + " word".join(str(i) for i in range(50))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, " ".join(f"tok{i}" for i in range(50))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
