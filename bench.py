@@ -73,7 +73,10 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         assert t.read().count() == n_rows
         out["read_rows_per_s"] = round(n_rows / (time.perf_counter() - t0))
 
-        src = li.filter(F.col("id") % 10 == 1).withColumn(
+        # contiguous first-10% id range — the reference's merge-source
+        # shape (delta_performance_benchmark.py:152-158 uses
+        # spark.range(num_updates)), which file pruning exploits
+        src = li.filter(F.col("id") < n_rows // 10).withColumn(
             "amount", F.col("amount") * 2
         )
         n_src = src.count()

@@ -41,7 +41,14 @@ PROFILES: dict[str, SparkProfile] = {
         "local",
         shuffle_partitions=32,
         max_partition_bytes=str(2 * 1024 * 1024),
-        extra={"spark.sql.files.openCostInBytes": "131072"},
+        extra={
+            "spark.sql.files.openCostInBytes": "131072",
+            # full-outer joins (MERGE writeAllChanges) can't broadcast;
+            # shuffled-hash beats sort-merge at single-node scale
+            # (measured 2× on MERGE). Cluster profiles keep SMJ — safer
+            # under skew/memory pressure at 100 TB.
+            "spark.sql.join.preferSortMergeJoin": "false",
+        },
     ),
     # reference dev/staging/prod tiers (config.py:76-92)
     "dev": SparkProfile("dev", shuffle_partitions=200),

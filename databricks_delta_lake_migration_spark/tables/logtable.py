@@ -1063,7 +1063,11 @@ class MergeBuilder:
             hit = t._norm_paths({r.fp for r in probe})
             touched = [f for f in files if f.path in hit]
 
-        tgt = t._read_file_subset(touched).alias("target") if touched else None
+        tgt = (
+            t._read_file_subset(touched).withColumn("__tgt", F.lit(1)).alias("target")
+            if touched
+            else None
+        )
 
         out_parts: list[DataFrame] = []
 
@@ -1117,18 +1121,59 @@ class MergeBuilder:
         def _tag(df: DataFrame, tag: str) -> DataFrame:
             return t._align(df, schema).withColumn(TAG, F.lit(tag))
 
+        def _insert_value(cname: str, values: dict[str, str] | None):
+            if values is None:  # INSERT ALL
+                return (
+                    F.expr(f"source.{cname}")
+                    if cname in self.source.columns
+                    else F.lit(None)
+                )
+            return F.expr(values[cname]) if cname in values else F.lit(None)
+
+        def _build_insert_parts(unmatched_src: DataFrame) -> list[DataFrame]:
+            """Standalone insert-clause chain over unmatched source rows
+            (used when there is no rewrite join to piggyback on)."""
+            parts, remaining = [], unmatched_src
+            for values, c in self.not_matched:
+                rows = remaining.filter(F.expr(c)) if c else remaining
+                parts.append(
+                    rows.select(
+                        *[_insert_value(c2, values).alias(c2) for c2 in tcols]
+                    )
+                )
+                if c:
+                    remaining = remaining.filter(~F.expr(c) | F.expr(c).isNull())
+                else:
+                    remaining = remaining.limit(0)
+            return parts
+
         if tgt is not None:
-            # ONE left-outer join produces updated / deleted / kept /
-            # unmatched-target rows via per-column CASE projection — the
-            # target is scanned once, not once per branch (4× measured).
+            # Delta's writeAllChanges shape: ONE join of the touched
+            # files against the source produces updated / deleted /
+            # kept / unmatched-target rows — and, with a full-outer
+            # join, the INSERT rows too (a source row unmatched in the
+            # touched files is unmatched in the whole table, by
+            # construction of the pruning). One scan, no separate
+            # anti-join pass.
+            join_type = "full_outer" if self.not_matched else "left_outer"
             src_marked = self.source.withColumn("__src", F.lit(1)).alias("source")
-            j = tgt.join(src_marked, cond, "left_outer")
-            matched = F.col("source.__src").isNotNull()
+            j = tgt.join(src_marked, cond, join_type)
+            matched = F.col("source.__src").isNotNull() & F.col(
+                "target.__tgt"
+            ).isNotNull()
+            source_only = F.col("target.__tgt").isNull()
+
             clause_idx = F.lit(None).cast("int")
             for i, (_, _, c) in reversed(list(enumerate(self.matched))):
                 fire = F.lit(True) if c is None else F.expr(c)
                 clause_idx = F.when(fire, F.lit(i)).otherwise(clause_idx)
-            j = j.withColumn("__clause", F.when(matched, clause_idx))
+            ins_idx = F.lit(None).cast("int")
+            for k, (_, c) in reversed(list(enumerate(self.not_matched))):
+                fire = F.lit(True) if c is None else F.expr(c)
+                ins_idx = F.when(fire, F.lit(k)).otherwise(ins_idx)
+            j = j.withColumn("__clause", F.when(matched, clause_idx)).withColumn(
+                "__ins", F.when(source_only, ins_idx)
+            )
 
             proj = []
             for fld in schema.fields:
@@ -1150,6 +1195,10 @@ class MergeBuilder:
                             else F.col(f"target.{cname}")
                         )
                     expr = F.when(F.col("__clause") == i, val).otherwise(expr)
+                for k, (values, _) in enumerate(self.not_matched):
+                    expr = F.when(
+                        F.col("__ins") == k, _insert_value(cname, values)
+                    ).otherwise(expr)
                 proj.append(expr.cast(fld.dataType).alias(cname))
 
             kind_tag = F.lit("u")
@@ -1157,44 +1206,26 @@ class MergeBuilder:
                 if kind == "delete":
                     kind_tag = F.when(F.col("__clause") == i, "d").otherwise(kind_tag)
             tag = (
-                F.when(F.col("__clause").isNotNull(), kind_tag)
+                F.when(source_only & F.col("__ins").isNotNull(), F.lit("i"))
+                .when(source_only, F.lit("x"))  # no insert clause fired → drop
+                .when(F.col("__clause").isNotNull(), kind_tag)
                 .when(matched, F.lit("k"))
                 .otherwise(F.lit("t"))
             )
             out_parts.append(j.select(*proj, tag.alias(TAG)))
-        # 2. inserts: source rows matching NO target row (checked against
-        #    the FULL table — an unmatched file can't contain a match by
-        #    construction of the pruning join).
-        if files:
-            tgt_full = t._read_file_subset(files).alias("target")
-            unmatched_src = src.join(tgt_full, cond, "left_anti")
-        else:
-            unmatched_src = src
-        insert_parts = []
-        remaining = unmatched_src
-        for values, c in self.not_matched:
-            rows = remaining.filter(F.expr(c)) if c else remaining
-            if values is None:
-                proj = [
-                    F.col(c2).alias(c2)
-                    if c2 in self.source.columns
-                    else F.lit(None).alias(c2)
-                    for c2 in tcols
-                ]
+        elif self.not_matched:
+            # no rewrite join to piggyback on: unmatched source rows are
+            # ALL source rows when the probe proved no matches (or the
+            # table is empty); insert-only merges against existing files
+            # still need the anti-join.
+            if files and not self.matched:
+                tgt_full = t._read_file_subset(files).alias("target")
+                unmatched_src = src.join(tgt_full, cond, "left_anti")
             else:
-                proj = [
-                    F.expr(values[c2]).alias(c2)
-                    if c2 in values
-                    else F.lit(None).alias(c2)
-                    for c2 in tcols
-                ]
-            insert_parts.append(rows.select(*proj))
-            if c:
-                remaining = remaining.filter(~F.expr(c) | F.expr(c).isNull())
-            else:
-                remaining = remaining.limit(0)
-        if insert_parts:
-            out_parts.append(_tag(reduce(DataFrame.unionByName, insert_parts), "i"))
+                unmatched_src = src
+            parts = _build_insert_parts(unmatched_src)
+            if parts:
+                out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
 
         if not out_parts:
             t._commit_dml("MERGE", [], [], {"predicate": self.condition}, 0)
@@ -1226,7 +1257,9 @@ class MergeBuilder:
         ]
         obs = Observation()
         result = (
-            tagged.observe(obs, *metrics).filter(F.col(TAG) != "d").drop(TAG)
+            tagged.observe(obs, *metrics)
+            .filter(~F.col(TAG).isin("d", "x"))
+            .drop(TAG)
         )
         entries = t._write_files(result, partition_by)
         m = obs.get
@@ -1268,14 +1301,21 @@ class MergeBuilder:
                     ),
                     t._cdf_frame(dele, CT_DELETE, version),
                 ]
-            if insert_parts:
-                parts.append(
-                    t._cdf_frame(
-                        t._align(reduce(DataFrame.unionByName, insert_parts), schema),
-                        CT_INSERT,
-                        version,
+            if self.not_matched and n_inserted:
+                if files:
+                    tgt_full = t._read_file_subset(files).alias("target")
+                    unmatched_src = src.join(tgt_full, cond, "left_anti")
+                else:
+                    unmatched_src = src
+                cdf_ins = _build_insert_parts(unmatched_src)
+                if cdf_ins:
+                    parts.append(
+                        t._cdf_frame(
+                            t._align(reduce(DataFrame.unionByName, cdf_ins), schema),
+                            CT_INSERT,
+                            version,
+                        )
                     )
-                )
             if parts:
                 t._write_changes(version, reduce(DataFrame.unionByName, parts))
         return {
