@@ -88,3 +88,28 @@ def q71_bronze_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 10 == 0)
         .select("event_id", "source_file", "ingestion_date", "data_hash")
     )
+
+
+@query(
+    "q72_windowed_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q72_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows with watermark (T-tier [EXT],
+    SURVEY §2.11): the same windowed_counts operator that runs on
+    streams, executed in batch mode (identical semantics — Spark
+    window aggregation is mode-agnostic)."""
+    from ..streaming import windowed_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return windowed_counts(
+        e, ts_col="ts", window_duration="10 minutes", group_cols=["event_type"]
+    )

@@ -114,14 +114,22 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join (J2) + group + global top-N (O1/O2). Catalyst plans
-    the sort+limit as TakeOrderedAndProject — no full sort at scale."""
+    """Inner equi-join (J2) + group + global top-N (O1/O2).
+
+    The aggregation is pushed BELOW the join (partial-agg pushdown
+    Catalyst doesn't do on its own): lineitem collapses to one row per
+    order key first, so the join input shrinks ~4× and the post-join
+    re-aggregation disappears. Exact-decimal sums are associative, so
+    the rewrite is value-identical. The sort+limit plans as
+    TakeOrderedAndProject — no full sort at scale."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        dprod_sum(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"), "revenue")
+    )
     return (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority")
-        .agg(dprod_sum(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"), "revenue"))
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .select("o_orderkey", "o_orderpriority", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
