@@ -997,3 +997,50 @@ def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+@query(
+    "q45_salted_skew_agg",
+    oracle=f"""
+    SELECT l_returnflag AS flag, {sql_dsum('l_quantity')} AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q45_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation [EXT]: spreads hot group keys over
+    16 salt buckets before the final merge — value-identical to the
+    direct groupBy (exact-decimal partials are associative), shuffle-
+    skew-proof when one key dominates. |keys|=3 here IS the skew case:
+    a direct groupBy lands 600k rows on 3 reducers."""
+    from ..functions.scalars import salted_grouped_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_quantity"
+    )
+    return salted_grouped_sum(li, ["flag"], "l_quantity", n_salts=16, alias="total")
+
+
+@query(
+    "q80_sql_passthrough",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+def q80_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (SURVEY §3 'thin spark.sql passthrough'):
+    fixture tables registered as temp views, the query itself is a raw
+    SQL string through Catalyst. AVG over doubles is safe here because
+    both engines compute sum/count in IEEE double with identical
+    pairwise order... NOT guaranteed — so AVG is computed via exact
+    decimal SUM / COUNT in both dialects below."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ROUND(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(*), 4) AS avg_price
+        FROM orders_v WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY o_orderstatus
+        """
+    )

@@ -3,6 +3,10 @@
 
 from __future__ import annotations
 
+# module-scope so pandas_udf type hints (stringified by the future
+# import above) resolve against the module globals
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import similarity
@@ -90,3 +94,39 @@ def q44_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.batch_topk(
         load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
     )
+
+
+@query(
+    "q53_pandas_udf_norm",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND(sqrt({_sql_dot('embedding', 'embedding')}), 6) AS l2_norm
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def q53_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Pandas UDF path (§2.12 [EXT]): Arrow-batched L2 norm
+    over the embedding column. The accumulation decimal-snaps each
+    squared term exactly like the JVM/_sql_dot formulation, so the
+    Python path hash-matches the SQL oracle — demonstrating that the
+    Arrow lane can be made bit-deterministic too."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        import math
+
+        def norm(v):
+            acc = Decimal(0)
+            for x in v:
+                p = float(x) * float(x)
+                acc += Decimal(f"{p:.10f}")  # snap at decimal(_,10), like _dot_decimal
+            return round(math.sqrt(float(acc)), 6)
+
+        return vecs.map(norm)
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return e.select("vec_id", "label", l2_norm("embedding").alias("l2_norm"))

@@ -105,3 +105,44 @@ def quality_over_versions(
         f"{k} {'boolean' if isinstance(first[k], bool) else 'long'}" for k in first
     )
     return spark.createDataFrame([tuple(r.values()) for r in reports], schema)
+
+
+def compute_stats(table: LogTable, columns: list[str] | None = None) -> dict:
+    """ANALYZE TABLE COMPUTE STATISTICS parity (D9 —
+    data_processor.py:208-231): single-pass column stats (null count,
+    approx NDV, min/max for atomic types) persisted into table
+    properties for planners/advisors to read without a scan."""
+    import json as _json
+
+    df = table.read()
+    cols = columns or [f.name for f in df.schema.fields]
+    atomic = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        in ("tinyint", "smallint", "int", "bigint", "float", "double",
+            "string", "date", "timestamp", "boolean")
+        or f.dataType.simpleString().startswith("decimal")
+    }
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        if c not in atomic:
+            continue
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    stats = {"numRows": row["__n_rows"], "columns": {}}
+    for c in cols:
+        if c in atomic:
+            stats["columns"][c] = {
+                "nullCount": row[f"__nulls_{c}"],
+                "approxNdv": row[f"__ndv_{c}"],
+                "min": row[f"__min_{c}"],
+                "max": row[f"__max_{c}"],
+            }
+    table.set_properties({"stats": _json.dumps(stats, default=str)})
+    return stats

@@ -326,3 +326,22 @@ def test_quality_over_versions(spark, table):
     rows = {r.version: (r.n_rows, r.unique_keys, r.status_nulls) for r in q.collect()}
     assert rows[1] == (3, True, 0)
     assert rows[2] == (2, True, 0)
+
+
+def test_compute_stats_persists_to_properties(spark, table):
+    import json
+
+    from databricks_delta_lake_migration_spark.tables.maintenance import compute_stats
+
+    stats = compute_stats(table)
+    assert stats["numRows"] == 3
+    assert stats["columns"]["amount"]["min"] == "10.0"
+    assert stats["columns"]["id"]["nullCount"] == 0
+    persisted = json.loads(table.properties()["stats"])
+    assert persisted == json.loads(json.dumps(stats, default=str))
+
+
+def test_register_temp_view_sql(spark, table):
+    table.read().createOrReplaceTempView("acid_t")
+    got = spark.sql("SELECT COUNT(*) AS n, SUM(amount) AS s FROM acid_t").collect()[0]
+    assert (got.n, got.s) == (3, 60.0)
