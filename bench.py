@@ -32,9 +32,12 @@ HEADLINE = [
     "q18_sessionization",
     "q21_customer_ltv",
     "q22_cohort_retention",
+    "q29_range_join_ship_lag",
     "q34_exact_dedup",
     "q36_minhash_lsh_pairs",
     "q40_cosine_topk",
+    "q44_batch_topk",
+    "q72_windowed_event_counts",
 ]
 
 

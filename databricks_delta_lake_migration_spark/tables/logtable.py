@@ -259,6 +259,26 @@ class LogTable:
     def properties(self) -> dict[str, str]:
         return self._replay()[3]
 
+    def add_columns(self, new_fields: list[T.StructField]) -> None:
+        """ALTER TABLE ADD COLUMNS (K9 — 04_acid_operations.py:288-296):
+        additive schema evolution as a metadata-only commit; existing
+        files surface NULL for the new columns on read."""
+        current = self.schema()
+        names = {f.name for f in current.fields}
+        dup = [f.name for f in new_fields if f.name in names]
+        if dup:
+            raise ValueError(f"columns already exist: {dup}")
+        evolved = T.StructType(list(current.fields) + list(new_fields))
+        self._commit(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ADD COLUMNS",
+                schema_json=evolved.json(),
+                parameters={"columns": [f.name for f in new_fields]},
+            )
+        )
+
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE SET TBLPROPERTIES (delta_utils.py:149-166)."""
         merged = {**self.properties(), **props}

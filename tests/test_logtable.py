@@ -345,3 +345,14 @@ def test_register_temp_view_sql(spark, table):
     table.read().createOrReplaceTempView("acid_t")
     got = spark.sql("SELECT COUNT(*) AS n, SUM(amount) AS s FROM acid_t").collect()[0]
     assert (got.n, got.s) == (3, 60.0)
+
+
+def test_add_columns_metadata_only(spark, table):
+    import pytest as _pytest
+
+    n_files_before = table.detail()["numFiles"]
+    table.add_columns([T.StructField("note", T.StringType())])
+    assert table.detail()["numFiles"] == n_files_before  # no rewrite
+    assert table.read().filter(F.col("note").isNull()).count() == 3
+    with _pytest.raises(ValueError, match="already exist"):
+        table.add_columns([T.StructField("note", T.StringType())])

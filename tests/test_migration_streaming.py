@@ -191,3 +191,12 @@ def test_windowed_counts_batch_semantics(spark):
         ("2024-01-01 00:00:00", "a", 2, 3.0),
         ("2024-01-01 00:10:00", "b", 1, 4.0),
     }
+
+
+def test_orc_roundtrip_migration(spark, tmp_path):
+    src = str(tmp_path / "orc")
+    spark.range(50).selectExpr("id", "id * 2 AS v").write.orc(src)
+    report = migrate_directory(
+        spark, src, str(tmp_path / "t_orc"), file_format="orc", mode="full"
+    )
+    assert report.passed and report.source_rows == 50
