@@ -146,3 +146,18 @@ def compute_stats(table: LogTable, columns: list[str] | None = None) -> dict:
             }
     table.set_properties({"stats": _json.dumps(stats, default=str)})
     return stats
+
+
+def incremental_batch(table: LogTable, last_processed_version: int) -> tuple[DataFrame, int]:
+    """Version-based incremental processing (T4 —
+    05_time_travel_demo.py:328-372): return only the NET new/updated
+    rows since ``last_processed_version`` (CDF filtered to insert +
+    update_postimage) plus the new high-water mark to persist."""
+    current = table.version()
+    if current <= last_processed_version:
+        return table.read().limit(0), last_processed_version
+    ch = table.read_changes(starting_version=last_processed_version + 1)
+    fresh = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type", "_commit_version", "_commit_timestamp")
+    return fresh, current

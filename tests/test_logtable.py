@@ -356,3 +356,19 @@ def test_add_columns_metadata_only(spark, table):
     assert table.read().filter(F.col("note").isNull()).count() == 3
     with _pytest.raises(ValueError, match="already exist"):
         table.add_columns([T.StructField("note", T.StringType())])
+
+
+def test_incremental_batch_high_water_mark(spark, table):
+    from databricks_delta_lake_migration_spark.tables.maintenance import (
+        incremental_batch,
+    )
+
+    hwm = table.version()  # processed through initial load
+    table.upsert(rows_df(spark, [(2, "R", 25.0, "d1"), (9, "N", 99.0, "d3")]), ["id"])
+    table.delete("id = 1")
+    fresh, new_hwm = incremental_batch(table, hwm)
+    got = {(r.id, r.status) for r in fresh.collect()}
+    assert got == {(2, "R"), (9, "N")}  # deletes excluded, postimages in
+    assert new_hwm == table.version()
+    again, same = incremental_batch(table, new_hwm)
+    assert again.count() == 0 and same == new_hwm
