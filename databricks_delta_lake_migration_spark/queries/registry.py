@@ -15,6 +15,7 @@ Cross-engine determinism rules (SURVEY.md §7.4 item 5):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -32,13 +33,55 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Queries using mapInPandas / pandas_udf pickle closures that
+    reference package-module globals; workers then need the package
+    importable. When the driver process runs outside the repo (the
+    round driver, a notebook), the workers' sys.path won't have it —
+    a zipped copy shipped through the Spark files mechanism works in
+    every deployment mode, local or cluster."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, names in os.walk(pkg_dir):
+                for n in names:
+                    if n.endswith(".py"):
+                        full = os.path.join(root, n)
+                        z.write(
+                            full,
+                            os.path.join(pkg_name, os.path.relpath(full, pkg_dir)),
+                        )
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
+
 
 def query(name: str, oracle: str | None = None):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn):
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
-        return fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        return wrapped
 
     return deco
 

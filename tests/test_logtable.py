@@ -372,3 +372,33 @@ def test_incremental_batch_high_water_mark(spark, table):
     assert new_hwm == table.version()
     again, same = incremental_batch(table, new_hwm)
     assert again.count() == 0 and same == new_hwm
+
+
+def test_optimistic_concurrency_conflict(spark, table):
+    import json as _json
+
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        ConcurrentWriteError,
+    )
+
+    # another writer claims the next version out from under this handle
+    nxt = table._next_version()
+    path = os.path.join(table._log_path, f"{nxt:020d}.json")
+    with open(path, "w") as fh:
+        _json.dump(
+            {"version": nxt, "timestamp": 0, "operation": "WRITE", "add": [],
+             "remove": [], "schema": None, "partitionBy": None, "properties": None,
+             "operationParameters": {}, "operationMetrics": {}},
+            fh,
+        )
+    t2 = LogTable(spark, table.path)  # stale handle that hasn't seen it
+    t2._commits = table.commits()[: nxt]  # force staleness
+    with pytest.raises(ConcurrentWriteError):
+        t2._commit(
+            __import__(
+                "databricks_delta_lake_migration_spark.tables.logtable",
+                fromlist=["Commit"],
+            ).Commit(version=nxt, timestamp=1.0, operation="WRITE")
+        )
+    # the losing writer's table is still consistent and readable
+    assert LogTable(spark, table.path).read().count() == 3
