@@ -53,10 +53,12 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
 
     from databricks_delta_lake_migration_spark.tables import LogTable
 
-    # synthetic keyed table, same shape as the reference's generator
-    # (delta_performance_benchmark.py:53-60) — fixture lineitem has no
-    # unique key, and MERGE needs one. Sized to the fixture SF.
-    n_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # synthetic keyed table, same shape AND size as the reference's
+    # generator (delta_performance_benchmark.py:53-60, 10M rows / 1M-row
+    # MERGE — the exact config behind BASELINE.md's rows/s numbers, so
+    # throughput compares apples-to-apples). Fixture lineitem has no
+    # unique key, and MERGE needs one.
+    n_rows = int(os.environ.get("SPARK_GRAFT_ACID_ROWS", 10_000_000))
     li = spark.range(n_rows).select(
         F.col("id"),
         (F.col("id") % 100000).cast("string").alias("user_id"),

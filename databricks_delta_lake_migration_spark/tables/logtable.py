@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -78,6 +79,10 @@ class FileEntry:
     num_records: int
     size_bytes: int
     base: str | None = None  # partition-resolution root for foreign files
+    # per-column [min, max] from the parquet footer (Delta's add.stats):
+    # drives MERGE/DML file pruning without scanning data. None for
+    # files written before stats collection (conservatively un-prunable).
+    stats: dict[str, list] | None = None
 
     def abspath(self, root: str) -> str:
         return self.path if os.path.isabs(self.path) else os.path.join(root, self.path)
@@ -86,11 +91,15 @@ class FileEntry:
         d = {"path": self.path, "numRecords": self.num_records, "size": self.size_bytes}
         if self.base:
             d["base"] = self.base
+        if self.stats:
+            d["stats"] = self.stats
         return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["numRecords"], d["size"], d.get("base"))
+        return FileEntry(
+            d["path"], d["numRecords"], d["size"], d.get("base"), d.get("stats")
+        )
 
 
 @dataclass
@@ -136,12 +145,49 @@ class Commit:
         )
 
 
-def _parquet_file_stats(path: str) -> tuple[int, int]:
-    """(num_records, size_bytes) from the parquet footer — metadata
-    only, no data read."""
+# max columns to carry min/max stats for (Delta's
+# dataSkippingNumIndexedCols default) — bounds commit-log size.
+STATS_MAX_COLS = 32
+
+
+def _parquet_file_stats(path: str) -> tuple[int, int, dict[str, list] | None]:
+    """(num_records, size_bytes, per-column [min,max]) from the parquet
+    footer — metadata only, no data read. Stats are kept for top-level
+    int/float/str/bool columns whose every row group publishes min/max
+    (parquet string stats may be footer-truncated, which is still
+    range-conservative: truncated min <= true min, max >= true max).
+
+    On a cluster these stats would be collected executor-side at write
+    time and shipped in the add action (Delta's ``add.stats`` JSON); in
+    local mode the driver reads the footers it just renamed."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+    md = pq.ParquetFile(path).metadata
+    lo: dict[str, Any] = {}
+    hi: dict[str, Any] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(min(md.num_columns, STATS_MAX_COLS)):
+            col = g.column(i)
+            name = col.path_in_schema
+            if "." in name or name in dead:  # nested / already invalid
+                continue
+            st = col.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, (int, float, str, bool))
+                or not isinstance(st.max, (int, float, str, bool))
+            ):
+                dead.add(name)
+                lo.pop(name, None)
+                hi.pop(name, None)
+                continue
+            lo[name] = st.min if name not in lo else min(lo[name], st.min)
+            hi[name] = st.max if name not in hi else max(hi[name], st.max)
+    stats = {k: [lo[k], hi[k]] for k in lo} or None
+    return md.num_rows, os.path.getsize(path), stats
 
 
 class LogTable:
@@ -445,11 +491,11 @@ class LogTable:
                 dst = os.path.join(self.path, rel_path)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 src = os.path.join(dirpath, name)
-                n, size = _parquet_file_stats(src)
+                n, size, stats = _parquet_file_stats(src)
                 if n == 0:
                     continue
                 os.rename(src, dst)
-                entries.append(FileEntry(rel_path, n, size))
+                entries.append(FileEntry(rel_path, n, size, stats=stats))
         shutil.rmtree(os.path.join(self.path, STAGING_DIR), ignore_errors=True)
         return entries
 
@@ -1008,6 +1054,76 @@ class MergeBuilder:
         self.matched: list[tuple[str, dict[str, str] | None, str | None]] = []
         self.not_matched: list[tuple[dict[str, str] | None, str | None]] = []
 
+    # ---- stats-based file pruning ------------------------------------
+
+    @staticmethod
+    def _equi_pairs(condition: str) -> list[tuple[str, str]]:
+        """(target_col, source_col) equality pairs that are NECESSARY
+        conditions of the merge predicate — i.e. the predicate is a pure
+        AND-conjunction (any OR/NOT makes individual equalities
+        non-necessary, so no pruning)."""
+        if re.search(r"\bOR\b|\bNOT\b|!", condition, re.IGNORECASE):
+            return []
+        pairs = [
+            (m.group(1), m.group(2))
+            for m in re.finditer(r"target\.(\w+)\s*==?\s*source\.(\w+)", condition)
+        ] + [
+            (m.group(2), m.group(1))
+            for m in re.finditer(r"source\.(\w+)\s*==?\s*target\.(\w+)", condition)
+        ]
+        return pairs
+
+    def _prune_candidates(self, files: list[FileEntry]) -> list[FileEntry]:
+        """Data skipping for MERGE (Delta's stats-based file pruning):
+        a file whose [min,max] range for an equi-key column is disjoint
+        from the source's global [min,max] for the paired column cannot
+        contain a matched row — drop it from the rewrite set. One tiny
+        aggregate job over the source computes the bounds; no target
+        data is read. Conservative everywhere: files without stats, or
+        non-comparable types, stay candidates."""
+        pairs = [
+            (tc, sc)
+            for tc, sc in self._equi_pairs(self.condition)
+            if sc in self.source.columns
+        ]
+        usable = [
+            (tc, sc)
+            for tc, sc in pairs
+            if any(f.stats and tc in f.stats for f in files)
+        ]
+        if not usable:
+            return list(files)
+        aggs = []
+        for i, (_, sc) in enumerate(usable):
+            aggs += [F.min(sc).alias(f"lo{i}"), F.max(sc).alias(f"hi{i}")]
+        row = self.source.agg(*aggs).first()
+
+        def _comparable(a, b) -> bool:
+            num = (int, float)
+            return (isinstance(a, num) and isinstance(b, num)) or (
+                isinstance(a, str) and isinstance(b, str)
+            )
+
+        out = []
+        for f in files:
+            keep = True
+            for i, (tc, _) in enumerate(usable):
+                s_lo, s_hi = row[f"lo{i}"], row[f"hi{i}"]
+                if s_lo is None:  # empty/all-null source key: no match possible
+                    keep = False
+                    break
+                if not f.stats or tc not in f.stats:
+                    continue
+                f_lo, f_hi = f.stats[tc]
+                if not (_comparable(f_lo, s_lo) and _comparable(f_hi, s_hi)):
+                    continue
+                if f_hi < s_lo or f_lo > s_hi:
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
     def when_matched_update_all(self, condition: str | None = None) -> "MergeBuilder":
         self.matched.append(("update", None, condition))
         return self
@@ -1052,16 +1168,19 @@ class MergeBuilder:
         # observed row counts (matched target rows written must equal
         # the touched files' metadata row count) with rollback.
         touched: list[FileEntry] = []
+        candidates = (
+            self._prune_candidates(files) if (files and self.matched) else list(files)
+        )
         skip_probe = (
-            files
+            candidates
             and self.matched
-            and sum(f.size_bytes for f in files) <= MERGE_PRUNE_THRESHOLD_BYTES
+            and sum(f.size_bytes for f in candidates) <= MERGE_PRUNE_THRESHOLD_BYTES
         )
         if skip_probe:
-            touched = list(files)
-        elif files and self.matched:
+            touched = list(candidates)
+        elif candidates and self.matched:
             tgt_probe = (
-                t._read_file_subset(files, with_file_path=True)
+                t._read_file_subset(candidates, with_file_path=True)
                 .withColumn("__rid", F.monotonically_increasing_id())
                 .alias("target")
             )
@@ -1081,7 +1200,7 @@ class MergeBuilder:
                     "MERGE: multiple source rows matched the same target row"
                 )
             hit = t._norm_paths({r.fp for r in probe})
-            touched = [f for f in files if f.path in hit]
+            touched = [f for f in candidates if f.path in hit]
 
         tgt = (
             t._read_file_subset(touched).withColumn("__tgt", F.lit(1)).alias("target")
@@ -1168,32 +1287,23 @@ class MergeBuilder:
             return parts
 
         if tgt is not None:
-            # Delta's writeAllChanges shape: ONE join of the touched
-            # files against the source produces updated / deleted /
-            # kept / unmatched-target rows — and, with a full-outer
-            # join, the INSERT rows too (a source row unmatched in the
-            # touched files is unmatched in the whole table, by
-            # construction of the pruning). One scan, no separate
-            # anti-join pass.
-            join_type = "full_outer" if self.not_matched else "left_outer"
+            # Rewrite join: touched files ⟕ source. Left-outer — NOT
+            # full-outer — so the planner stays free to broadcast the
+            # source side (Spark can never broadcast a full-outer join;
+            # it would force a two-sided shuffle sort-merge even for a
+            # tiny update batch against a pruned file set). INSERT rows
+            # come from a separate anti join below: its shuffles hash on
+            # the same keys, so at scale exchange reuse/AQE shares them
+            # with the rewrite join, and at small scale both broadcast.
             src_marked = self.source.withColumn("__src", F.lit(1)).alias("source")
-            j = tgt.join(src_marked, cond, join_type)
-            matched = F.col("source.__src").isNotNull() & F.col(
-                "target.__tgt"
-            ).isNotNull()
-            source_only = F.col("target.__tgt").isNull()
+            j = tgt.join(src_marked, cond, "left_outer")
+            matched = F.col("source.__src").isNotNull()
 
             clause_idx = F.lit(None).cast("int")
             for i, (_, _, c) in reversed(list(enumerate(self.matched))):
                 fire = F.lit(True) if c is None else F.expr(c)
                 clause_idx = F.when(fire, F.lit(i)).otherwise(clause_idx)
-            ins_idx = F.lit(None).cast("int")
-            for k, (_, c) in reversed(list(enumerate(self.not_matched))):
-                fire = F.lit(True) if c is None else F.expr(c)
-                ins_idx = F.when(fire, F.lit(k)).otherwise(ins_idx)
-            j = j.withColumn("__clause", F.when(matched, clause_idx)).withColumn(
-                "__ins", F.when(source_only, ins_idx)
-            )
+            j = j.withColumn("__clause", F.when(matched, clause_idx))
 
             proj = []
             for fld in schema.fields:
@@ -1215,10 +1325,6 @@ class MergeBuilder:
                             else F.col(f"target.{cname}")
                         )
                     expr = F.when(F.col("__clause") == i, val).otherwise(expr)
-                for k, (values, _) in enumerate(self.not_matched):
-                    expr = F.when(
-                        F.col("__ins") == k, _insert_value(cname, values)
-                    ).otherwise(expr)
                 proj.append(expr.cast(fld.dataType).alias(cname))
 
             kind_tag = F.lit("u")
@@ -1226,13 +1332,21 @@ class MergeBuilder:
                 if kind == "delete":
                     kind_tag = F.when(F.col("__clause") == i, "d").otherwise(kind_tag)
             tag = (
-                F.when(source_only & F.col("__ins").isNotNull(), F.lit("i"))
-                .when(source_only, F.lit("x"))  # no insert clause fired → drop
-                .when(F.col("__clause").isNotNull(), kind_tag)
+                F.when(F.col("__clause").isNotNull(), kind_tag)
                 .when(matched, F.lit("k"))
                 .otherwise(F.lit("t"))
             )
             out_parts.append(j.select(*proj, tag.alias(TAG)))
+            if self.not_matched:
+                # a source row unmatched in the touched files is
+                # unmatched in the whole table: pruning only drops files
+                # whose key ranges provably exclude every source key.
+                unmatched_src = src.join(
+                    t._read_file_subset(touched).alias("target"), cond, "left_anti"
+                )
+                parts = _build_insert_parts(unmatched_src)
+                if parts:
+                    out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
         elif self.not_matched:
             # no rewrite join to piggyback on: unmatched source rows are
             # ALL source rows when the probe proved no matches (or the
