@@ -402,3 +402,100 @@ def test_optimistic_concurrency_conflict(spark, table):
         )
     # the losing writer's table is still consistent and readable
     assert LogTable(spark, table.path).read().count() == 3
+
+
+def test_merge_stats_pruning_rewrites_only_overlapping_files(spark, tmp_path):
+    """Data skipping via per-file [min,max] stats: a MERGE whose source
+    key range misses a file's range must not rewrite that file."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "sp"), schema)
+    # three appends → three files with disjoint contiguous id ranges
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 100)], schema
+            ).coalesce(1)
+        )
+    files_before = {f.path for f in t._replay()[0]}
+    assert len(files_before) == 3
+    assert all(f.stats and "id" in f.stats for f in t._replay()[0])
+
+    src = spark.createDataFrame([(150, "UP"), (199, "UP")], schema)
+    res = t.upsert(src, ["id"])
+    assert res == {"numUpdatedRows": 2, "numDeletedRows": 0, "numInsertedRows": 0}
+    files_after = {f.path for f in t._replay()[0]}
+    # files [0,99] and [200,299] survive untouched; only [100,199] rewritten
+    assert len(files_before & files_after) == 2
+    got = {tuple(r) for r in t.read().filter("id IN (150, 199, 0, 299)").collect()}
+    assert got == {(150, "UP"), (199, "UP"), (0, "v0"), (299, "v299")}
+
+
+def test_merge_stats_pruning_string_keys_and_inserts(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "sps"), schema)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], schema).coalesce(1))
+    t.append(spark.createDataFrame([("x", 3), ("y", 4)], schema).coalesce(1))
+    files_before = {f.path for f in t._replay()[0]}
+    # source range ["b","b"] misses file ["x","y"] → that file is pruned
+    res = t.upsert(spark.createDataFrame([("b", 20)], schema), ["k"])
+    assert res["numUpdatedRows"] == 1 and res["numInsertedRows"] == 0
+    assert len(files_before & {f.path for f in t._replay()[0]}) == 1
+    # unmatched key beyond every file range: pure insert, nothing rewritten
+    files_mid = {f.path for f in t._replay()[0]}
+    res = t.upsert(spark.createDataFrame([("zz", 99)], schema), ["k"])
+    assert res["numUpdatedRows"] == 0 and res["numInsertedRows"] == 1
+    assert files_mid <= {f.path for f in t._replay()[0]}
+    assert {tuple(r) for r in t.read().collect()} == {
+        ("a", 1), ("b", 20), ("x", 3), ("y", 4), ("zz", 99),
+    }
+
+
+def test_merge_stats_pruning_disabled_on_disjunctive_condition(spark, tmp_path):
+    """An OR in the merge predicate makes per-equality pruning unsound —
+    the builder must fall back to all-files candidacy and still be right."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "spo"), schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (50, "c")], schema).coalesce(1))
+    src = spark.createDataFrame([(2, "S"), (50, "T")], schema)
+    from databricks_delta_lake_migration_spark.tables.logtable import MergeBuilder
+
+    assert MergeBuilder._equi_pairs("target.id = source.id OR target.v = source.v") == []
+    res = (
+        t.merge(src, "target.id = source.id OR target.v = source.v")
+        .when_matched_update_all()
+        .execute()
+    )
+    assert res["numUpdatedRows"] == 2
+    assert {tuple(r) for r in t.read().collect()} == {(1, "a"), (2, "S"), (50, "T")}
+
+
+def test_merge_legacy_entries_without_stats_stay_candidates(spark, tmp_path):
+    """Commit-log entries written before stats collection (stats=None)
+    must remain un-prunable, not silently skipped."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "leg"), schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1))
+    # simulate a pre-stats log: strip stats in memory and on disk
+    import json as _json
+
+    for name in os.listdir(t._log_path):
+        p = os.path.join(t._log_path, name)
+        with open(p) as fh:
+            d = _json.load(fh)
+        for f in d.get("add", []):
+            f.pop("stats", None)
+        with open(p, "w") as fh:
+            _json.dump(d, fh)
+    t._commits = None
+    assert all(f.stats is None for f in t._replay()[0])
+    res = t.upsert(spark.createDataFrame([(2, "B2")], schema), ["id"])
+    assert res["numUpdatedRows"] == 1
+    assert {tuple(r) for r in t.read().collect()} == {(1, "a"), (2, "B2")}
