@@ -190,6 +190,89 @@ def _parquet_file_stats(path: str) -> tuple[int, int, dict[str, list] | None]:
     return md.num_rows, os.path.getsize(path), stats
 
 
+# ---- predicate ↔ file-stats evaluation (data skipping) --------------------
+
+_CMP_RE = re.compile(r"^\s*(\w+)\s*(==|=|<=|>=|<|>)\s*(.+?)\s*$")
+_CMP_FLIP_RE = re.compile(r"^\s*(.+?)\s*(==|=|<=|>=|<|>)\s*(\w+)\s*$")
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "=="}
+
+
+def _parse_sql_literal(s: str):
+    s = s.strip()
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
+    if re.fullmatch(r"-?\d+\.\d*", s):
+        return float(s)
+    m = re.fullmatch(r"'([^']*)'", s) or re.fullmatch(r'"([^"]*)"', s)
+    if m:
+        return m.group(1)
+    return None
+
+
+def _parse_conjuncts(condition: str) -> list[tuple[str, str, Any]]:
+    """``col <op> literal`` conjuncts of a pure AND-conjunction; []
+    when the predicate has OR/NOT/parens (then no conjunct is a
+    necessary condition) or yields nothing usable."""
+    if re.search(r"\bOR\b|\bNOT\b|[()]", condition, re.IGNORECASE):
+        return []
+    out = []
+    for part in re.split(r"\bAND\b", condition, flags=re.IGNORECASE):
+        m = _CMP_RE.match(part)
+        if m and (lit := _parse_sql_literal(m.group(3))) is not None:
+            out.append((m.group(1), m.group(2), lit))
+            continue
+        m = _CMP_FLIP_RE.match(part)
+        if m and (lit := _parse_sql_literal(m.group(1))) is not None:
+            out.append((m.group(3), _FLIP[m.group(2)], lit))
+    return out
+
+
+def _partition_values(path: str) -> dict[str, str]:
+    """hive-style ``k=v`` dir segments of a file path."""
+    out = {}
+    for seg in path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+def _stats_may_match(f: FileEntry, conjuncts: list[tuple[str, str, Any]]) -> bool:
+    """False only when some conjunct PROVABLY excludes every row of the
+    file, judged from column [min,max] stats or the partition-path
+    value. Missing stats / non-comparable types keep the file."""
+    num = (int, float)
+    part_vals = _partition_values(f.path)
+    for col, op, lit in conjuncts:
+        if col in part_vals:
+            # path values are strings: only string equality is typed
+            # soundly (numeric range compare on strings would be
+            # lexicographic and wrong)
+            if isinstance(lit, str) and op in ("=", "==") and part_vals[col] != lit:
+                return False
+            continue
+        if not f.stats or col not in f.stats:
+            continue
+        lo, hi = f.stats[col]
+        same_type = (
+            isinstance(lo, num) and isinstance(hi, num) and isinstance(lit, num)
+            and not isinstance(lit, bool)
+        ) or (isinstance(lo, str) and isinstance(hi, str) and isinstance(lit, str))
+        if not same_type:
+            continue
+        if op in ("=", "==") and (lit < lo or lit > hi):
+            return False
+        if op == "<" and lo >= lit:
+            return False
+        if op == "<=" and lo > lit:
+            return False
+        if op == ">" and hi <= lit:
+            return False
+        if op == ">=" and hi < lit:
+            return False
+    return True
+
+
 class LogTable:
     """One log-structured table rooted at ``path``."""
 
@@ -582,7 +665,7 @@ class LogTable:
                 raise ValueError(
                     f"replaceWhere: {n_bad} input rows violate '{replace_where}'"
                 )
-            touched, untouched = self._split_files_by_predicate(files, pred)
+            touched, untouched = self._split_files_by_predicate(files, pred, replace_where)
             removed = [f.path for f in touched]
             carried = untouched
             # rows in touched files that do NOT match the predicate survive
@@ -660,14 +743,29 @@ class LogTable:
     # ---- file pruning helpers -----------------------------------------
 
     def _split_files_by_predicate(
-        self, files: list[FileEntry], pred: Column
+        self, files: list[FileEntry], pred: Column, text: str | None = None
     ) -> tuple[list[FileEntry], list[FileEntry]]:
         """Files that contain ≥1 row matching ``pred`` vs the rest.
-        One metadata-sized aggregate job: group matching rows by
-        source file (``_metadata.file_path``) — never collects data."""
+
+        Two-phase, like Delta: (1) metadata-only skipping — evaluate the
+        predicate's conjuncts against per-file [min,max] stats and
+        partition-path values, excluding files that provably can't match
+        (no job at all); (2) one metadata-sized aggregate job over the
+        survivors — group matching rows by ``_metadata.file_path`` —
+        for the exact touched set. Never collects data."""
         if not files:
             return [], []
-        df = self._read_file_subset(files, with_file_path=True)
+        candidates = files
+        excluded: list[FileEntry] = []
+        if text:
+            conj = _parse_conjuncts(text)
+            if conj:
+                candidates, excluded = [], []
+                for f in files:
+                    (candidates if _stats_may_match(f, conj) else excluded).append(f)
+        if not candidates:
+            return [], list(files)
+        df = self._read_file_subset(candidates, with_file_path=True)
         hit = self._norm_paths(
             {
                 r.fp
@@ -677,8 +775,8 @@ class LogTable:
                 .collect()
             }
         )
-        touched = [f for f in files if f.path in hit]
-        untouched = [f for f in files if f.path not in hit]
+        touched = [f for f in candidates if f.path in hit]
+        untouched = [f for f in candidates if f.path not in hit] + excluded
         return touched, untouched
 
     def _norm_paths(self, raw: set[str]) -> set[str]:
@@ -716,7 +814,7 @@ class LogTable:
         ``set_exprs`` maps column → SQL expression."""
         files, _, partition_by, _, _ = self._replay()
         pred = F.expr(condition)
-        touched, _ = self._split_files_by_predicate(files, pred)
+        touched, _ = self._split_files_by_predicate(files, pred, condition)
         if not touched:
             self._commit_dml("UPDATE", [], [], {"predicate": condition}, 0)
             return {"numUpdatedRows": 0}
@@ -761,7 +859,7 @@ class LogTable:
         """DELETE with predicate (D4 — 04_acid_operations.py:170-175)."""
         files, _, partition_by, _, _ = self._replay()
         pred = F.expr(condition)
-        touched, _ = self._split_files_by_predicate(files, pred)
+        touched, _ = self._split_files_by_predicate(files, pred, condition)
         if not touched:
             self._commit_dml("DELETE", [], [], {"predicate": condition}, 0)
             return {"numDeletedRows": 0}

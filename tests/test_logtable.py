@@ -499,3 +499,52 @@ def test_merge_legacy_entries_without_stats_stay_candidates(spark, tmp_path):
     res = t.upsert(spark.createDataFrame([(2, "B2")], schema), ["id"])
     assert res["numUpdatedRows"] == 1
     assert {tuple(r) for r in t.read().collect()} == {(1, "a"), (2, "B2")}
+
+
+def test_dml_stats_skipping_excludes_files_without_scan(spark, tmp_path):
+    """UPDATE/DELETE metadata skipping: conjunct evaluation against
+    file stats and partition-path values must exclude non-matching
+    files before any scan, and results must stay exact."""
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        _parse_conjuncts,
+        _stats_may_match,
+        FileEntry,
+    )
+
+    # parser unit checks
+    assert _parse_conjuncts("amount > 10 AND status = 'X'") == [
+        ("amount", ">", 10), ("status", "=", "X"),
+    ]
+    assert _parse_conjuncts("10 <= amount") == [("amount", ">=", 10)]
+    assert _parse_conjuncts("a = 1 OR b = 2") == []
+    assert _parse_conjuncts("NOT (a = 1)") == []
+
+    fe = FileEntry("day=d1/p.parquet", 10, 100, stats={"amount": [5, 20]})
+    assert _stats_may_match(fe, [("amount", ">", 10)])
+    assert not _stats_may_match(fe, [("amount", ">", 20)])
+    assert not _stats_may_match(fe, [("amount", "=", 21)])
+    assert not _stats_may_match(fe, [("day", "=", "d2")])   # partition path
+    assert _stats_may_match(fe, [("day", "=", "d1")])
+    # numeric literal vs string partition value: conservative keep
+    assert _stats_may_match(fe, [("day", "=", 7)])
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "dmlskip"), schema)
+    for lo in (0, 100):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 100)], schema
+            ).coalesce(1)
+        )
+    before = {f.path for f in t._replay()[0]}
+    res = t.delete("id >= 150")
+    assert res["numDeletedRows"] == 50
+    after = {f.path for f in t._replay()[0]}
+    # file [0,99] untouched by the delete
+    assert len(before & after) == 1
+    res = t.update("id < 50", {"v": "'LOW'"})
+    assert res["numUpdatedRows"] == 50
+    assert t.read().filter("v = 'LOW'").count() == 50
+    assert t.read().count() == 150
