@@ -65,23 +65,12 @@ def cosine_topk(
     )
 
 
-def sign_lsh_buckets(
-    embeddings: DataFrame,
-    n_planes: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dims: int = 64,
-    seed: int = 42,
-) -> DataFrame:
-    """Random-hyperplane LSH: bucket id = sign-bit string of ``n_planes``
-    projections. Hyperplane components are deterministic pseudo-randoms
-    derived from xxhash64(seed, plane, dim) — reproducible across runs
-    without shipping a plane matrix.
+def _bucket_expr(vec_col: str, n_planes: int, dims: int, seed: int) -> Column:
+    """Sign-bit bucket id of ``n_planes`` random-hyperplane projections.
+    Hyperplane components are deterministic pseudo-randoms derived from
+    xxhash64(seed, plane, dim) — reproducible across runs without
+    shipping a plane matrix."""
 
-    kNN then becomes: group/join by bucket (optionally multi-probe
-    neighboring buckets), exact re-rank within buckets — the IVF-style
-    scale path for batch ANN.
-    """
     def plane_component(p: int, i: int) -> Column:
         h = F.xxhash64(F.lit(f"{seed}:{p}:{i}"))
         return (h % 2001 - 1000).cast("double") / 1000.0  # uniform [-1, 1]
@@ -93,8 +82,24 @@ def sign_lsh_buckets(
             term = F.element_at(F.col(vec_col), i).cast("double") * plane_component(p, i)
             proj = term if proj is None else proj + term
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def sign_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucketing. kNN then becomes: group/join by
+    bucket (optionally multi-probe neighboring buckets), exact re-rank
+    within buckets — the IVF-style scale path for batch ANN."""
     return embeddings.select(
-        F.col(id_col), F.col("label"), F.concat(*bits).alias("bucket")
+        F.col(id_col),
+        F.col("label"),
+        _bucket_expr(vec_col, n_planes, dims, seed).alias("bucket"),
     )
 
 
@@ -143,6 +148,85 @@ def embedding_stats(embeddings: DataFrame, dims: int = 64) -> DataFrame:
             F.round(F.sum(F.col("d1").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_dim1"),
         )
     )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs [EXT]: (id_a < id_b,
+    cosine) with cosine ≥ threshold, exact within ``block_col`` blocks.
+
+    The self-join is keyed on the block, so the shuffle is an equi-join
+    and the quadratic work is per-block, never corpus-wide — the exact
+    baseline. When no natural blocking key exists at scale, use
+    :func:`lsh_near_dup_pairs` (sign-LSH buckets as the block key)."""
+    a = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    cos = F.round(
+        _dot_decimal("va", "vb", dims) / (_norm("va", dims) * _norm("vb", dims)), 6
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Near-dup pairs at scale: sign-LSH bucket as the blocking key,
+    exact cosine check within buckets. Candidate volume drops ~2^planes
+    per table vs all-pairs; ``n_tables`` independent hash tables
+    (OR-amplification) recover pairs a single table's hyperplanes
+    split — a pair at angle θ survives one table with (1-θ/π)^planes,
+    any of L tables with 1-(1-p)^L. Tables explode into one long
+    (id, table, bucket) relation, so the whole thing is ONE equi-join
+    shuffle keyed on (table, bucket), then distinct."""
+    tables = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _bucket_expr(vec_col, n_planes, dims, seed=42 + t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
+    blocked = embeddings.select(
+        F.col(id_col), F.col(vec_col), tables.alias("tb")
+    ).select(
+        id_col, vec_col, F.concat_ws(":", "tb.tbl", "tb.bucket").alias("tbl_bucket")
+    )
+    return cosine_near_dup_pairs(
+        blocked,
+        threshold=threshold,
+        block_col="tbl_bucket",
+        id_col=id_col,
+        vec_col=vec_col,
+        dims=dims,
+    ).distinct()
 
 
 def batch_topk(

@@ -130,3 +130,36 @@ def q53_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     return e.select("vec_id", "label", l2_norm("embedding").alias("l2_norm"))
+
+
+@query(
+    "q46_cosine_near_dup",
+    oracle=f"""
+    WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_sql_dot('a.embedding', 'b.embedding')} /
+                     (sqrt({_sql_dot('a.embedding', 'a.embedding')}) *
+                      sqrt({_sql_dot('b.embedding', 'b.embedding')})), 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    """,
+)
+def q46_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs [EXT] — exact within
+    label blocks (equi-join shuffle, per-block quadratic only). The
+    un-blockable scale path is q47 (sign-LSH buckets as blocks)."""
+    return similarity.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query("q47_lsh_near_dup", oracle=None)  # approximate by design → rows-only
+def q47_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via sign-LSH blocking + exact in-bucket cosine —
+    the 100 TB path when no natural block key exists. Recall vs the
+    exact pair set is asserted in tests/test_operators.py."""
+    return similarity.lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
+    )

@@ -80,3 +80,30 @@ def test_lsh_candidate_pairs_finds_planted_near_dup(spark):
     pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_near_dup_exact_and_lsh_recall(spark):
+    """q46/q47 semantics: the exact blocked pair set is symmetric-free
+    and threshold-filtered; the LSH-blocked variant recovers most of the
+    unblocked exact pair set (near-dups rarely straddle a hyperplane)."""
+    from databricks_delta_lake_migration_spark.operators import similarity
+    from databricks_delta_lake_migration_spark.queries.registry import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # unblocked exact: single constant block
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_dup_pairs(
+            emb.withColumn("one", F.lit(1)), threshold=0.35, block_col="one"
+        ).collect()
+    }
+    assert exact and all(a < b for a, b in exact)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_near_dup_pairs(
+            emb, threshold=0.35, n_planes=4
+        ).collect()
+    }
+    assert got <= exact  # in-bucket check is exact → no false positives
+    assert len(got) / len(exact) >= 0.5  # recall at 4 planes
