@@ -137,3 +137,41 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint (normalize → sha2) — the basis of
     exact dedup."""
     return df.withColumn("doc_fp", norm_text_hash(F.col(text_col)))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection à la
+    Schleimer/Wilkerson/Aiken, the MOSS algorithm): hash every word
+    3-gram shingle, keep the minimum hash of each sliding window of
+    ``window`` consecutive shingle hashes, then distinct + sort. Local
+    edits perturb only nearby windows, so two documents sharing a long
+    run of text share most fingerprints — the classic copy-detection /
+    overlap-estimation primitive.
+
+    Portable md5 hash family so a SQL oracle reproduces the selection
+    exactly. The sliding min is built from O(log window) shifted-slice
+    ``zip_with`` folds (``least`` ignores the NULL padding), NOT
+    ``transform(sequence)`` — see :func:`shingles` for why: lambda-body
+    references to outer arrays re-evaluate per element in Catalyst,
+    which would re-hash every shingle ``window`` times per row. Docs
+    with fewer than ``window`` shingles contribute the min over all of
+    them, so every document fingerprints.
+    """
+    assert window == 4, "shifted-slice fold below is specialized to window=4"
+    h = F.transform(shingles(F.col(text_col)), lambda s: F.md5(s))
+    n = F.size(h)
+    # p[i] = min(h[i], h[i+1]); q[i] = min(p[i], p[i+2]) = min(h[i..i+3])
+    lmin = lambda x, y: F.least(x, y)  # noqa: E731 — F.least is *cols, not a binary lambda
+    p = F.zip_with(h, F.slice(h, 2, F.greatest(n - 1, F.lit(0))), lmin)
+    q = F.zip_with(p, F.slice(p, 3, F.greatest(n - 2, F.lit(0))), lmin)
+    fps = F.array_sort(F.array_distinct(F.slice(q, 1, F.greatest(n - 3, F.lit(1)))))
+    return df.select(
+        F.col(id_col),
+        fps.alias("fingerprints"),
+        F.size(fps).cast("bigint").alias("n_fingerprints"),
+    )

@@ -317,3 +317,30 @@ def q52_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_bytes").alias("total_bytes"),
     )
+
+
+@query(
+    "q39_winnow_fingerprints",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform({_SQL_SHINGLES}, s -> md5(s)) AS h
+        FROM documents
+    ), fp AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [list_min(h[i:least(i + 3, len(h))])
+                    for i in range(1, greatest(len(h) - 3, 1) + 1)]
+               )) AS fingerprints
+        FROM h
+    )
+    SELECT doc_id, fingerprints,
+           CAST(len(fingerprints) AS BIGINT) AS n_fingerprints
+    FROM fp
+    """,
+)
+def q39_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling window-min over shingle hashes, MOSS-style)
+    document fingerprints [EXT] — selected md5 mins per 4-shingle
+    window, the copy-detection primitive."""
+    return textstats.winnow_fingerprints(load_table(spark, sf_dir, "documents"))

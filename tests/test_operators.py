@@ -107,3 +107,32 @@ def test_cosine_near_dup_exact_and_lsh_recall(spark):
     }
     assert got <= exact  # in-bucket check is exact → no false positives
     assert len(got) / len(exact) >= 0.5  # recall at 4 planes
+
+
+def test_winnow_fingerprints_window_min_semantics(spark):
+    """Winnowing: every fingerprint is a shingle hash, a doc with <=
+    window shingles yields exactly its min hash, and a pure suffix edit
+    leaves the shared prefix's fingerprints intact (locality)."""
+    from pyspark.sql import functions as F
+
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " lambda mu"),
+        (2, base + " omicron pi"),          # suffix-only edit of doc 1
+        (3, "tiny doc"),                     # < 3 tokens → whole-text shingle
+        (4, "one two three four"),           # 2 shingles < window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r.doc_id: r.fingerprints for r in textstats.winnow_fingerprints(df).collect()}
+
+    # <window shingles → single fingerprint = min shingle hash
+    sh4 = df.filter("doc_id = 4").select(
+        F.array_min(F.transform(textstats.shingles(F.col("text")), lambda s: F.md5(s))).alias("m")
+    ).collect()[0].m
+    assert fp[4] == [sh4]
+    assert len(fp[3]) == 1
+    # locality: suffix edit keeps most prefix-window fingerprints
+    shared = set(fp[1]) & set(fp[2])
+    assert len(shared) >= len(fp[1]) - 2
