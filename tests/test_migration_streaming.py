@@ -200,3 +200,48 @@ def test_orc_roundtrip_migration(spark, tmp_path):
         spark, src, str(tmp_path / "t_orc"), file_format="orc", mode="full"
     )
     assert report.passed and report.source_rows == 50
+
+
+def test_running_totals_state_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-key totals accumulate across
+    micro-batches through the state store (maxFilesPerTrigger=1 forces
+    one batch per file), and the last update row per key reflects the
+    all-time total."""
+    from databricks_delta_lake_migration_spark.streaming import running_totals
+
+    src = str(tmp_path / "src")
+    _write_json(src + "/f1.json", [{"user_id": "a", "value": 1.0},
+                                   {"user_id": "b", "value": 10.0}])
+    _write_json(src + "/f2.json", [{"user_id": "a", "value": 2.0}])
+
+    schema = T.StructType([
+        T.StructField("user_id", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    updates = []
+
+    def sink(batch_df, batch_id):
+        updates.extend((batch_id, r.user_id, r.n_events, r.total_value)
+                       for r in batch_df.collect())
+
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {}
+    for _bid, user, n, total in sorted(updates):
+        final[user] = (n, total)
+    assert final == {"a": (2, 3.0), "b": (1, 10.0)}
+    # state genuinely crossed a batch boundary: 'a' was updated twice
+    assert sum(1 for u in updates if u[1] == "a") == 2
