@@ -1044,3 +1044,182 @@ def q80_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Surface beyond strict reference parity: percentiles, pivot, cube,
+# full-outer join, distribution windows, predicated NOT EXISTS.
+# SURVEY.md §2.4/§2.5 lists these as "Spark built-ins our engine exposes";
+# each gets a DuckDB oracle so the exposure is *verified*, not claimed.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q54_group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q54_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Spark's sort-based exact
+    `percentile` and DuckDB's `quantile_cont` share the linear-interpolation
+    definition. Scale note: exact percentile buffers each group on one
+    reducer — fine for 3 groups; at high-cardinality grouping switch to
+    `approx_percentile` (t-digest, mergeable map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q55_pivot_quantity",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'A'), 4) AS DOUBLE) AS A,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'N'), 4) AS DOUBLE) AS N,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'R'), 4) AS DOUBLE) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q55_pivot_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregate). Explicit pivot values keep the
+    plan a single pass (no extra distinct-values job) — required at scale:
+    `.pivot(col)` without values triggers a driver-side collect of the
+    distinct key set first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity", "qty"))
+    )
+
+
+@query(
+    "q56_cube_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q56_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id — multi-granularity rollup in one shuffle
+    (Spark expands grouping sets map-side; 4 granularities share one
+    pass over lineitem rather than 4 separate jobs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice", "revenue"),
+    )
+
+
+@query(
+    "q57_nation_balance_full_outer",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+             {sql_dsum('c_acctbal')} AS cust_bal
+      FROM customer GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_supp,
+             {sql_dsum('s_acctbal')} AS supp_bal
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(cust_bal, 0.0) AS cust_bal,
+           COALESCE(n_supp, 0) AS n_supp,
+           COALESCE(supp_bal, 0.0) AS supp_bal
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q57_nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregates (SURVEY §2.4 'not present in
+    reference; exposed by our engine'). Aggregate-before-join: the outer
+    join sees |nations| rows per side instead of |customers|+|suppliers|
+    — the shuffle is on the tiny aggregated sets."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", "cust_bal"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"), dsum("s_acctbal", "supp_bal"))
+    )
+    return cust.join(supp, cust.c_nk == supp.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
+
+
+@query(
+    "q58_balance_distribution",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q58_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist).
+    Tie-broken ORDER BY (acctbal, custkey) keeps ntile deterministic
+    cross-engine. Partitioned by segment: each window sorts locally
+    after a segment-keyed shuffle — no global sort."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@query(
+    "q59_quiet_customers",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q59_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicated NOT EXISTS as a left-anti join (J3 pattern with a
+    source-side filter). The o_totalprice filter is pushed to the
+    orders scan, shrinking the anti-join build side before the shuffle;
+    Catalyst plans anti-joins broadcast when the filtered side fits."""
+    big_spenders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(big_spenders, cust.c_custkey == big_spenders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_bal"))
+    )

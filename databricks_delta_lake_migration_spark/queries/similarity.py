@@ -163,3 +163,17 @@ def q47_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
     )
+
+
+@query("q48_ivf_topk", oracle=None)  # approximate by design → rows-only
+def q48_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (deterministic k-means coarse quantizer, nprobe
+    cell probing, exact in-cell re-rank) — the density-adaptive scale
+    path beside sign-LSH (q41). Recall vs brute force asserted in
+    tests/test_operators.py."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        n_cells=16,
+        nprobe=4,
+    )

@@ -136,3 +136,30 @@ def test_winnow_fingerprints_window_min_semantics(spark):
     # locality: suffix edit keeps most prefix-window fingerprints
     shared = set(fp[1]) & set(fp[2])
     assert len(shared) >= len(fp[1]) - 2
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        r.vec_id for r in similarity.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, query_vec_id=0, k=10, n_cells=16, nprobe=4
+        ).collect()
+    }
+    assert len(approx) == 10
+    # 4/16 cells probed on a density-adaptive quantizer: expect most of
+    # the true neighborhood recovered
+    assert len(exact & approx) / 10 >= 0.5
+
+
+def test_ivf_train_shapes_and_determinism(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = similarity.ivf_train(emb, n_cells=8, n_iters=1)
+    c2 = similarity.ivf_train(emb, n_cells=8, n_iters=1)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)  # same seeds, same assignment, same means
