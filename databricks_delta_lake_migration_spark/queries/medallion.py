@@ -113,3 +113,44 @@ def q72_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(
         e, ts_col="ts", window_duration="10 minutes", group_cols=["event_type"]
     )
+
+
+@query(
+    "q73_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def q73_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (F.session_window — the
+    streaming-capable sessionization), hash-matched against the SQL
+    gaps-and-islands formulation: session_end = last event + gap in
+    both. Unlike the q18 lag-over-global-sort pattern, this operator
+    runs incrementally on streams with state cleanup via watermark."""
+    from ..streaming import session_windowed_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return session_windowed_counts(
+        e, ts_col="ts", gap="30 minutes", group_cols=["user_id"]
+    ).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )

@@ -1,4 +1,9 @@
 """Structured-Streaming ingestion into log tables."""
 
-from .ingest import stream_files_to_table, windowed_counts  # noqa: F401
+from .ingest import (  # noqa: F401
+    session_windowed_counts,
+    stream_files_to_table,
+    stream_upsert_to_table,
+    windowed_counts,
+)
 from .stateful import running_totals  # noqa: F401

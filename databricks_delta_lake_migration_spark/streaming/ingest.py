@@ -120,3 +120,101 @@ def windowed_counts(
             "total_value",
         )
     )
+
+
+def stream_upsert_to_table(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    schema: T.StructType,
+    key_columns: list[str],
+    order_col: str,
+    file_format: str = "json",
+    stream_id: str = "upsert",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File stream → MERGE upsert per micro-batch (streaming CDC apply).
+
+    The reference composes this shape from ``streaming_ingest`` +
+    ``batch_upsert`` (data_processor.py:159-280); here it is one
+    operator: each micro-batch is first deduplicated to the latest row
+    per key (``row_number() = 1`` over ``order_col`` descending — a
+    batch can carry several updates for one key, and MERGE requires a
+    unique source key), then merged into the target. Batch-id
+    idempotence rides on the MERGE commit parameters, so crash-replayed
+    batches short-circuit instead of double-applying.
+
+    At scale each micro-batch MERGE touches only the target files whose
+    key-range stats overlap the batch (LogTable stats pruning), so
+    steady-state cost tracks batch size, not table size.
+    """
+    from pyspark.sql import Window
+
+    LogTable.create(spark, table_path, schema)
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(file_format)
+        .load(source_path)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = LogTable(spark, table_path)
+        if batch_id <= _last_committed_batch(tbl, stream_id):
+            return
+        w = Window.partitionBy(*key_columns).orderBy(F.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        cond = " AND ".join(f"target.{k} = source.{k}" for k in key_columns)
+        (
+            tbl.merge(latest, cond)
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .with_commit_params(streamId=stream_id, batchId=int(batch_id))
+            .execute()
+        )
+
+    writer = reader.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+def session_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """[EXT] session windows (gap-based, data-driven extent) with
+    watermarking — Spark's native `session_window` replaces the
+    window-lag sessionization (q18) on streams, where a global
+    lag-over-sort is impossible. Batch & streaming both work."""
+    gcols = group_cols or []
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *gcols,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1151,6 +1151,14 @@ class MergeBuilder:
         self.condition = condition
         self.matched: list[tuple[str, dict[str, str] | None, str | None]] = []
         self.not_matched: list[tuple[dict[str, str] | None, str | None]] = []
+        self.extra_params: dict = {}
+
+    def with_commit_params(self, **params) -> "MergeBuilder":
+        """Attach caller metadata (e.g. streaming batch identity) to the
+        MERGE commit's parameters — the idempotence hook for
+        transactional foreachBatch sinks."""
+        self.extra_params.update(params)
+        return self
 
     # ---- stats-based file pruning ------------------------------------
 
@@ -1460,7 +1468,7 @@ class MergeBuilder:
                 out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
 
         if not out_parts:
-            t._commit_dml("MERGE", [], [], {"predicate": self.condition}, 0)
+            t._commit_dml("MERGE", [], [], {"predicate": self.condition, **self.extra_params}, 0)
             return {"numUpdatedRows": 0, "numDeletedRows": 0, "numInsertedRows": 0}
 
         # Job 2 — ONE pass: clause metrics, constraint checks, and the
@@ -1515,7 +1523,7 @@ class MergeBuilder:
             "MERGE",
             entries,
             [f.path for f in touched],
-            {"predicate": self.condition},
+            {"predicate": self.condition, **self.extra_params},
             n_updated + n_deleted + n_inserted,
         )
         # CDF: write pre/post images + inserts/deletes

@@ -245,3 +245,72 @@ def test_running_totals_state_across_microbatches(spark, tmp_path):
     assert final == {"a": (2, 3.0), "b": (1, 10.0)}
     # state genuinely crossed a batch boundary: 'a' was updated twice
     assert sum(1 for u in updates if u[1] == "a") == 2
+
+UPSERT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def test_stream_upsert_exactly_once_latest_wins(spark, tmp_path):
+    from databricks_delta_lake_migration_spark.streaming import stream_upsert_to_table
+
+    src, tgt, ckpt = (str(tmp_path / n) for n in ("src", "t", "ckpt"))
+    # one batch containing TWO versions of id=1 → latest (seq=2) must win
+    _write_json(
+        src + "/f1.json",
+        [
+            {"id": 1, "v": 1.0, "seq": 1},
+            {"id": 1, "v": 10.0, "seq": 2},
+            {"id": 2, "v": 2.0, "seq": 1},
+        ],
+    )
+    q = stream_upsert_to_table(
+        spark, src, tgt, UPSERT_SCHEMA, key_columns=["id"], order_col="seq",
+        stream_id="u1", checkpoint=ckpt,
+    )
+    q.awaitTermination(60)
+    t = LogTable(spark, tgt)
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, 10.0), (2, 2.0)}
+
+    # second stream run: update id=2, insert id=3; id=1 untouched
+    _write_json(
+        src + "/f2.json",
+        [{"id": 2, "v": 20.0, "seq": 2}, {"id": 3, "v": 3.0, "seq": 1}],
+    )
+    q = stream_upsert_to_table(
+        spark, src, tgt, UPSERT_SCHEMA, key_columns=["id"], order_col="seq",
+        stream_id="u1", checkpoint=ckpt,
+    )
+    q.awaitTermination(60)
+    assert {(r.id, r.v) for r in t.read().collect()} == {
+        (1, 10.0), (2, 20.0), (3, 3.0),
+    }
+    merges = [c for c in t.commits() if c.operation == "MERGE"]
+    assert all("batchId" in c.parameters for c in merges)
+
+
+def test_session_windowed_counts_batch_semantics(spark):
+    from databricks_delta_lake_migration_spark.streaming import session_windowed_counts
+
+    rows = [
+        ("2024-01-01 00:00:00", "a", 1.0),
+        ("2024-01-01 00:10:00", "a", 2.0),   # within 30m gap → same session
+        ("2024-01-01 01:30:00", "a", 4.0),   # >30m after previous → new session
+        ("2024-01-01 00:05:00", "b", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (str(r.session_start), r.user, r.n_events, r.total_value)
+        for r in session_windowed_counts(df, gap="30 minutes", group_cols=["user"]).collect()
+    }
+    assert out == {
+        ("2024-01-01 00:00:00", "a", 2, 3.0),
+        ("2024-01-01 01:30:00", "a", 1, 4.0),
+        ("2024-01-01 00:05:00", "b", 1, 8.0),
+    }
