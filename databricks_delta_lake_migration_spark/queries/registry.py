@@ -76,6 +76,13 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_package_shipped(spark)
+            # the driver may hand us a session built without our
+            # factory; pin the runtime-settable determinism confs the
+            # oracles depend on (timestamps render in session TZ — a
+            # non-UTC session would shift every collected timestamp
+            # against the DuckDB oracle)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -71,3 +71,40 @@ def test_q36_minhash_lsh_single_shuffle_per_band(spark):
     plan = explain(_q(spark, "q36_minhash_lsh_pairs"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring join key pre-co-locates the
+    data so the join needs NO Exchange — at 100 TB the difference
+    between a one-off shuffle per query and none. (SURVEY §4 'bucketing
+    for co-located joins'.)"""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    to, tl = f"bo_{uuid.uuid4().hex[:8]}", f"bl_{uuid.uuid4().hex[:8]}"
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table(to)
+            .join(spark.table(tl), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = explain(j)
+        # the join itself is exchange-free: no shuffle on either join
+        # key anywhere in the plan — the only Exchange is the final
+        # small groupBy on o_orderstatus
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(o_orderkey" not in plan
+        assert "hashpartitioning(l_orderkey" not in plan
+        assert "hashpartitioning(o_orderstatus" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
