@@ -315,3 +315,41 @@ def chargram_jaccard_pairs(
             F.round(F.col("n_shared") / union_sz, 6).alias("jaccard"),
         )
     )
+
+
+def chunk_dedup_counts(
+    df: DataFrame,
+    chunk_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level exact dedup [EXT]: split each document into
+    consecutive ``chunk_words``-word chunks, fingerprint each, and
+    report corpus-wide duplicated chunks (hash, occurrences, distinct
+    docs).
+
+    The whole chunking is array expressions (split → sequence →
+    slice → concat_ws) — codegen'd JVM, no explode-then-regroup and no
+    order-unstable ``collect_list``. One shuffle, keyed on the chunk
+    hash; at 100 TB that key is near-uniform (content hash), so no
+    skew. This is the building block of contamination scans and
+    boilerplate removal in training-data pipelines: exact doc-level
+    dedup (q34) misses documents that share most chunks but not all.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * chunk_words + 1, chunk_words)),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("chunk")
+    )
+    return (
+        exploded.groupBy(F.sha2(F.col("chunk"), 256).alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

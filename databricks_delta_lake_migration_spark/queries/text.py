@@ -344,3 +344,31 @@ def q39_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     document fingerprints [EXT] — selected md5 mins per 4-shingle
     window, the copy-detection primitive."""
     return textstats.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q49_chunk_dedup",
+    oracle="""
+    WITH chunked AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT)),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i*20 + 1, i*20 + 20), ' ')
+               )) AS chunk
+        FROM documents
+    )
+    SELECT sha256(chunk) AS chunk_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM chunked
+    GROUP BY chunk
+    HAVING COUNT(*) > 1
+    """,
+)
+def q49_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup [EXT]: corpus-wide duplicated 20-word
+    chunks — the contamination/boilerplate scan doc-level dedup (q34)
+    cannot see. Chunking is pure array expressions (no Python, no
+    collect_list); one content-hash-keyed shuffle."""
+    return dedup.chunk_dedup_counts(load_table(spark, sf_dir, "documents"))
