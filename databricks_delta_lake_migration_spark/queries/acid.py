@@ -312,3 +312,52 @@ def q67_maintenance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "files_before long, files_after long, files_compacted long, files_vacuumed long, rows_before long, rows_after long",
     )
+
+
+@query(
+    "q68_cdc_mirror",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ), source AS (
+        SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice + 100 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    -- matched rows take source values; new source keys insert;
+    -- target rows absent from source: F-status rows are deleted,
+    -- the rest survive verbatim
+    SELECT s.* FROM source s
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      AND t.o_orderstatus <> 'F'
+    """,
+)
+def q68_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause-family MERGE (Delta's full surface, incl. WHEN NOT
+    MATCHED BY SOURCE): update matches, insert new keys, and delete
+    stale target rows the source no longer carries — the one-statement
+    CDC mirror. NMBS disables file pruning by construction (every
+    target row participates); the rewrite is still a single joined
+    pass."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("mirror"), target.schema)
+    t.append(target)
+    source = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("M").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        )
+    )
+    (
+        t.merge(source, "target.o_orderkey = source.o_orderkey")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .when_not_matched_by_source_delete(condition="target.o_orderstatus = 'F'")
+        .execute()
+    )
+    return t.read()

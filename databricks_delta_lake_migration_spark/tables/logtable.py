@@ -1151,6 +1151,9 @@ class MergeBuilder:
         self.condition = condition
         self.matched: list[tuple[str, dict[str, str] | None, str | None]] = []
         self.not_matched: list[tuple[dict[str, str] | None, str | None]] = []
+        self.not_matched_by_source: list[
+            tuple[str, dict[str, str] | None, str | None]
+        ] = []
         self.extra_params: dict = {}
 
     def with_commit_params(self, **params) -> "MergeBuilder":
@@ -1254,6 +1257,24 @@ class MergeBuilder:
         self.not_matched.append((values, condition))
         return self
 
+    def when_not_matched_by_source_update(
+        self, set: dict[str, str], condition: str | None = None
+    ) -> "MergeBuilder":
+        """Delta's WHEN NOT MATCHED BY SOURCE ... UPDATE: modify target
+        rows that no source row matches (conditions/sets may reference
+        ``target.*`` only). Disables file pruning — every target row
+        participates, so every file is a rewrite candidate."""
+        self.not_matched_by_source.append(("update", set, condition))
+        return self
+
+    def when_not_matched_by_source_delete(
+        self, condition: str | None = None
+    ) -> "MergeBuilder":
+        """Delta's WHEN NOT MATCHED BY SOURCE ... DELETE (the sync-
+        deletions half of a full CDC mirror)."""
+        self.not_matched_by_source.append(("delete", None, condition))
+        return self
+
     # ------------------------------------------------------------------
 
     def execute(self) -> dict:
@@ -1274,17 +1295,27 @@ class MergeBuilder:
         # observed row counts (matched target rows written must equal
         # the touched files' metadata row count) with rollback.
         touched: list[FileEntry] = []
+        skip_probe = False
         candidates = (
-            self._prune_candidates(files) if (files and self.matched) else list(files)
+            self._prune_candidates(files)
+            if (files and self.matched and not self.not_matched_by_source)
+            else list(files)
         )
-        skip_probe = (
+        if self.not_matched_by_source:
+            # every target row must be inspected (a pruned-away file is
+            # exactly one whose rows the source does NOT match) — no
+            # pruning, no probe; rewrite everything.
+            touched = list(candidates)
+            skip_probe = bool(self.matched)  # post-hoc multi-match check
+        elif (
             candidates
             and self.matched
             and sum(f.size_bytes for f in candidates) <= MERGE_PRUNE_THRESHOLD_BYTES
-        )
-        if skip_probe:
+        ):
+            skip_probe = True
             touched = list(candidates)
         elif candidates and self.matched:
+            skip_probe = False
             tgt_probe = (
                 t._read_file_subset(candidates, with_file_path=True)
                 .withColumn("__rid", F.monotonically_increasing_id())
@@ -1392,7 +1423,37 @@ class MergeBuilder:
                     remaining = remaining.limit(0)
             return parts
 
-        if tgt is not None:
+        # ---- WHEN NOT MATCHED BY SOURCE helpers (clause selection over
+        # target rows with no source match; conditions/sets are
+        # target.*-only expressions) --------------------------------------
+        def _nmbs_idx() -> Column:
+            idx = F.lit(None).cast("int")
+            for i, (_, _, c) in reversed(list(enumerate(self.not_matched_by_source))):
+                fire = F.lit(True) if c is None else F.expr(c)
+                idx = F.when(fire, F.lit(i)).otherwise(idx)
+            return idx
+
+        def _nmbs_val(cname: str, base: Column) -> Column:
+            expr = base
+            for i, (kind, set_exprs, _) in enumerate(self.not_matched_by_source):
+                if kind != "update":
+                    continue
+                val = (
+                    F.expr(set_exprs[cname])
+                    if cname in set_exprs
+                    else F.col(f"target.{cname}")
+                )
+                expr = F.when(F.col("__nmbs") == i, val).otherwise(expr)
+            return expr
+
+        def _nmbs_kind_tag() -> Column:
+            kt = F.lit("u")
+            for i, (kind, _, _) in enumerate(self.not_matched_by_source):
+                if kind == "delete":
+                    kt = F.when(F.col("__nmbs") == i, "d").otherwise(kt)
+            return kt
+
+        if tgt is not None and self.matched:
             # Rewrite join: touched files ⟕ source. Left-outer — NOT
             # full-outer — so the planner stays free to broadcast the
             # source side (Spark can never broadcast a full-outer join;
@@ -1410,6 +1471,9 @@ class MergeBuilder:
                 fire = F.lit(True) if c is None else F.expr(c)
                 clause_idx = F.when(fire, F.lit(i)).otherwise(clause_idx)
             j = j.withColumn("__clause", F.when(matched, clause_idx))
+            j = j.withColumn(
+                "__nmbs", F.when(F.col("source.__src").isNull(), _nmbs_idx())
+            )
 
             proj = []
             for fld in schema.fields:
@@ -1431,6 +1495,7 @@ class MergeBuilder:
                             else F.col(f"target.{cname}")
                         )
                     expr = F.when(F.col("__clause") == i, val).otherwise(expr)
+                expr = _nmbs_val(cname, expr)
                 proj.append(expr.cast(fld.dataType).alias(cname))
 
             kind_tag = F.lit("u")
@@ -1439,6 +1504,7 @@ class MergeBuilder:
                     kind_tag = F.when(F.col("__clause") == i, "d").otherwise(kind_tag)
             tag = (
                 F.when(F.col("__clause").isNotNull(), kind_tag)
+                .when(F.col("__nmbs").isNotNull(), _nmbs_kind_tag())
                 .when(matched, F.lit("k"))
                 .otherwise(F.lit("t"))
             )
@@ -1450,6 +1516,33 @@ class MergeBuilder:
                 unmatched_src = src.join(
                     t._read_file_subset(touched).alias("target"), cond, "left_anti"
                 )
+                parts = _build_insert_parts(unmatched_src)
+                if parts:
+                    out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
+        elif tgt is not None:
+            # NOT-MATCHED-BY-SOURCE without matched clauses: a multi-
+            # match source can't corrupt anything, so no probe — split
+            # target into matched (kept verbatim, semi join) and
+            # unmatched (clauses apply, anti join). Both joins hash on
+            # the same keys → AQE/exchange reuse shares the shuffle.
+            tgt_all = t._read_file_subset(touched).alias("target")
+            out_parts.append(_tag(tgt_all.join(src, cond, "left_semi"), "k"))
+            unm = tgt_all.join(src, cond, "left_anti").withColumn(
+                "__nmbs", _nmbs_idx()
+            )
+            proj = [
+                _nmbs_val(fld.name, F.col(f"target.{fld.name}"))
+                .cast(fld.dataType)
+                .alias(fld.name)
+                for fld in schema.fields
+            ]
+            tag = (
+                F.when(F.col("__nmbs").isNotNull(), _nmbs_kind_tag())
+                .otherwise(F.lit("t"))
+            )
+            out_parts.append(unm.select(*proj, tag.alias(TAG)))
+            if self.not_matched:
+                unmatched_src = src.join(tgt_all, cond, "left_anti")
                 parts = _build_insert_parts(unmatched_src)
                 if parts:
                     out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
@@ -1529,7 +1622,7 @@ class MergeBuilder:
         # CDF: write pre/post images + inserts/deletes
         if t.properties().get(CDF_PROP) == "true":
             parts = []
-            if tgt is not None:
+            if tgt is not None and self.matched:
                 matched_joined = tgt.join(src, cond, "inner")
                 upd, dele, _, affected_pre = _apply_matched(matched_joined)
                 parts += [
@@ -1540,6 +1633,49 @@ class MergeBuilder:
                         version,
                     ),
                     t._cdf_frame(dele, CT_DELETE, version),
+                ]
+            if self.not_matched_by_source and touched:
+                unm = (
+                    t._read_file_subset(touched)
+                    .alias("target")
+                    .join(src, cond, "left_anti")
+                    .withColumn("__nmbs", _nmbs_idx())
+                )
+                upd2_parts, del2_parts = [], []
+                for i, (kind, set_exprs, _) in enumerate(self.not_matched_by_source):
+                    rows = unm.filter(F.col("__nmbs") == i)
+                    if kind == "update":
+                        proj2 = [
+                            (
+                                F.expr(set_exprs[c])
+                                if c in set_exprs
+                                else F.col(f"target.{c}")
+                            )
+                            .cast(schema[c].dataType)
+                            .alias(c)
+                            for c in tcols
+                        ]
+                        upd2_parts.append(rows.select(*proj2))
+                    else:
+                        del2_parts.append(
+                            rows.select(*[F.col(f"target.{c}").alias(c) for c in tcols])
+                        )
+                pre2 = unm.filter(F.col("__nmbs").isNotNull()).select(
+                    *[F.col(f"target.{c}").alias(c) for c in tcols]
+                )
+                empty2 = t.spark.createDataFrame([], schema)
+                upd2 = (
+                    reduce(DataFrame.unionByName, upd2_parts) if upd2_parts else empty2
+                )
+                del2 = (
+                    reduce(DataFrame.unionByName, del2_parts) if del2_parts else empty2
+                )
+                parts += [
+                    t._cdf_frame(upd2, CT_UPDATE_POST, version),
+                    t._cdf_frame(
+                        pre2.join(del2, tcols, "left_anti"), CT_UPDATE_PRE, version
+                    ),
+                    t._cdf_frame(del2, CT_DELETE, version),
                 ]
             if self.not_matched and n_inserted:
                 if files:

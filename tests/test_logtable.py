@@ -548,3 +548,73 @@ def test_dml_stats_skipping_excludes_files_without_scan(spark, tmp_path):
     assert res["numUpdatedRows"] == 50
     assert t.read().filter("v = 'LOW'").count() == 50
     assert t.read().count() == 150
+
+
+def test_merge_not_matched_by_source_full_mirror(spark, table):
+    """Full CDC mirror: source is the complete desired state — update
+    matches, insert new keys, delete target rows absent from source."""
+    src = rows_df(
+        spark,
+        [
+            (1, "SYNCED", 11.0, "d1"),  # matched → update
+            (4, "NEW", 40.0, "d3"),     # not matched → insert
+            # ids 2,3 absent → not matched by source → delete
+        ],
+    )
+    res = (
+        table.merge(src, "target.id = source.id")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .when_not_matched_by_source_delete()
+        .execute()
+    )
+    assert res == {"numUpdatedRows": 1, "numDeletedRows": 2, "numInsertedRows": 1}
+    assert state(table) == {
+        (1, "SYNCED", 11.0, "d1"),
+        (4, "NEW", 40.0, "d3"),
+    }
+    # CDF: deletes recorded for the vanished rows
+    ch = table.read_changes(starting_version=table.version())
+    deleted = {r.id for r in ch.filter(ch._change_type == "delete").collect()}
+    assert deleted == {2, 3}
+
+
+def test_merge_not_matched_by_source_conditional_update(spark, table):
+    """NMBS update with a condition: only PENDING strays are flagged;
+    other unmatched rows stay verbatim."""
+    src = rows_df(spark, [(2, "ANY", 0.0, "d1")])  # matches id=2 only
+    res = (
+        table.merge(src, "target.id = source.id")
+        .when_matched_update(set={"status": "'SEEN'"})
+        .when_not_matched_by_source_update(
+            set={"status": "'STALE'"}, condition="target.status = 'PENDING'"
+        )
+        .execute()
+    )
+    # ids 1,3 are PENDING & unmatched → STALE; id 2 matched → SEEN
+    assert res["numUpdatedRows"] == 3
+    assert state(table) == {
+        (1, "STALE", 10.0, "d1"),
+        (2, "SEEN", 20.0, "d1"),
+        (3, "STALE", 30.0, "d2"),
+    }
+
+
+def test_merge_nmbs_only_no_matched_clauses(spark, table):
+    """NMBS without matched clauses (and a multi-match source, which is
+    legal here — no matched clause can fire twice): matched rows kept
+    verbatim, unmatched rows deleted."""
+    src = rows_df(
+        spark,
+        [(1, "A", 0.0, "dX"), (1, "B", 0.0, "dY")],  # two source rows hit id=1
+    )
+    res = (
+        table.merge(src, "target.id = source.id")
+        .when_not_matched_by_source_delete(condition="target.amount >= 30")
+        .execute()
+    )
+    assert res == {"numUpdatedRows": 0, "numDeletedRows": 1, "numInsertedRows": 0}
+    assert state(table) == {
+        (1, "PENDING", 10.0, "d1"),
+        (2, "COMPLETED", 20.0, "d1"),
+    }
