@@ -642,9 +642,16 @@ class LogTable:
         df: DataFrame,
         replace_where: str | None = None,
         overwrite_schema: bool = False,
+        dynamic: bool = False,
     ) -> None:
         """Delta overwrite (K2) / partition-scoped idempotent overwrite
-        via ``replace_where`` (K3 — 03_gold_aggregation.py:82-86)."""
+        via ``replace_where`` (K3 — 03_gold_aggregation.py:82-86) /
+        ``dynamic=True`` = Spark's ``partitionOverwriteMode=dynamic``:
+        replace exactly the partitions present in ``df``, keep the
+        rest. Unlike ``replace_where`` there is no predicate to declare
+        — the incoming data itself names the partitions. One
+        metadata-sized distinct over the partition columns; file
+        selection is pure path matching (no data read)."""
         files, schema_json, partition_by, _, _ = self._replay()
         schema = (
             df.schema if overwrite_schema else T.StructType.fromJson(json.loads(schema_json))
@@ -655,7 +662,22 @@ class LogTable:
         removed: list[str]
         carried: list[FileEntry] = []
         extra_add: list[FileEntry] = []
-        if replace_where is None:
+        if dynamic:
+            if not partition_by:
+                raise ValueError("dynamic overwrite requires a partitioned table")
+            if replace_where is not None:
+                raise ValueError("dynamic and replace_where are mutually exclusive")
+            new_parts = {
+                tuple(str(r[c]) for c in partition_by)
+                for r in data.select(*partition_by).distinct().collect()
+            }
+            touched_d, carried = [], []
+            for f in files:
+                pv = _partition_values(f.path)
+                key = tuple(pv.get(c) for c in partition_by)
+                (touched_d if key in new_parts else carried).append(f)
+            removed = [f.path for f in touched_d]
+        elif replace_where is None:
             removed = [f.path for f in files]
         else:
             pred = F.expr(replace_where)

@@ -618,3 +618,28 @@ def test_merge_nmbs_only_no_matched_clauses(spark, table):
         (1, "PENDING", 10.0, "d1"),
         (2, "COMPLETED", 20.0, "d1"),
     }
+
+
+def test_dynamic_partition_overwrite(spark, table):
+    """partitionOverwriteMode=dynamic parity: incoming data names the
+    partitions to replace; untouched partitions survive verbatim."""
+    table.overwrite(
+        rows_df(spark, [(9, "DYN", 90.0, "d1")]), dynamic=True
+    )
+    # d1 fully replaced by the single new row; d2 untouched
+    assert state(table) == {
+        (9, "DYN", 90.0, "d1"),
+        (3, "PENDING", 30.0, "d2"),
+    }
+    # idempotent re-run: same input → same state
+    table.overwrite(rows_df(spark, [(9, "DYN", 90.0, "d1")]), dynamic=True)
+    assert state(table) == {
+        (9, "DYN", 90.0, "d1"),
+        (3, "PENDING", 30.0, "d2"),
+    }
+    # unpartitioned table refuses
+    import pytest as _pytest
+
+    t2 = LogTable.create(spark, str(table.path) + "_flat", SCHEMA)
+    with _pytest.raises(ValueError):
+        t2.overwrite(rows_df(spark, [(1, "X", 1.0, "d1")]), dynamic=True)
