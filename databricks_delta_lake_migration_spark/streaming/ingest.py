@@ -218,3 +218,29 @@ def session_windowed_counts(
             "total_value",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "lts",
+    right_ts: str = "rts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """[EXT] stream-stream event-time interval join: right events within
+    ``(left_ts, left_ts + max_delay]`` of a matching-key left event —
+    the attribution-join shape (click → purchase). Both sides carry
+    watermarks and the join has a two-sided time bound, so Spark can
+    expire buffered state (without the bound, stream-stream join state
+    grows forever). Works identically in batch mode, where it plans as
+    a key-equi + time-range join."""
+    la = left.withWatermark(left_ts, watermark).alias("l")
+    ra = right.withWatermark(right_ts, watermark).alias("r")
+    key_cond = " AND ".join(f"l.{k} = r.{k}" for k in keys)
+    time_cond = (
+        f"r.{right_ts} > l.{left_ts} AND "
+        f"r.{right_ts} <= l.{left_ts} + INTERVAL {max_delay}"
+    )
+    return la.join(ra, F.expr(f"{key_cond} AND {time_cond}"), "inner")

@@ -314,3 +314,39 @@ def test_session_windowed_counts_batch_semantics(spark):
         ("2024-01-01 01:30:00", "a", 1, 4.0),
         ("2024-01-01 00:05:00", "b", 1, 8.0),
     }
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """True stream-stream join: two file sources, watermarked interval
+    join, append sink — purchases attributed to the click ≤ 1h before."""
+    from databricks_delta_lake_migration_spark.streaming.ingest import interval_join
+
+    clicks_dir, buys_dir = str(tmp_path / "c"), str(tmp_path / "b")
+    _write_json(clicks_dir + "/c.json", [
+        {"user": 1, "lts": "2024-01-01 10:00:00", "page": "ad1"},
+        {"user": 2, "lts": "2024-01-01 10:00:00", "page": "ad2"},
+    ])
+    _write_json(buys_dir + "/b.json", [
+        {"user": 1, "rts": "2024-01-01 10:30:00", "amount": 5.0},   # within 1h → match
+        {"user": 2, "rts": "2024-01-01 12:30:00", "amount": 7.0},   # 2.5h later → no match
+    ])
+    cs = T.StructType([T.StructField("user", T.LongType()),
+                       T.StructField("lts", T.TimestampType()),
+                       T.StructField("page", T.StringType())])
+    bs = T.StructType([T.StructField("user", T.LongType()),
+                       T.StructField("rts", T.TimestampType()),
+                       T.StructField("amount", T.DoubleType())])
+    clicks = spark.readStream.schema(cs).json(clicks_dir)
+    buys = spark.readStream.schema(bs).json(buys_dir)
+    joined = interval_join(clicks, buys, keys=["user"])
+    q = (
+        joined.select("l.user", "l.page", "r.amount")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = {(r.user, r.page, r.amount) for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == {(1, "ad1", 5.0)}
