@@ -1223,3 +1223,84 @@ def q59_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_bal"))
     )
+
+
+@query(
+    "q74_summary_stats",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sx,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sxx,
+               MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        FROM lineitem
+    )
+    SELECT n, ROUND(sx / n, 6) AS mean_qty,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           min_qty, max_qty
+    FROM s
+    """,
+)
+def q74_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()/summary() semantics (A8) made oracle-exact: count,
+    mean, SAMPLE stddev, min, max — stddev via the sum-of-squares
+    identity over exact decimal accumulators, so the value is
+    order-independent and engine-portable (a naive F.stddev is a
+    streaming variance whose fp error differs per partition order).
+    One aggregate pass, map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(q.cast("decimal(18,4)")), 4).cast("double").alias("sx"),
+        F.round(F.sum(q.cast("decimal(18,4)") * q.cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("sxx"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return agg.select(
+        n,
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 6).alias("stddev_qty"),
+        "min_qty",
+        "max_qty",
+    )
+
+
+@query(
+    "q75_range_frame_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch(CAST(o_orderdate AS DATE)) AS day_sec,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT order_date, revenue,
+           ROUND(SUM(revenue) OVER (
+               ORDER BY day_sec
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 4) AS revenue_30d
+    FROM daily
+    """,
+)
+def q75_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (rangeBetween over a numeric time axis):
+    value-based 30-DAY rolling revenue — unlike q13's ROWS frame, gaps
+    in the date series shrink the window instead of stretching it.
+    Single window sort; the frame is evaluated with a sliding
+    accumulator, not a per-row rescan."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        dsum("o_totalprice", "revenue")
+    )
+    daily = daily.withColumn(
+        "day_sec", F.unix_timestamp(F.col("order_date").cast("timestamp"))
+    )
+    w = Window.orderBy("day_sec").rangeBetween(-30 * 86400, 0)
+    return daily.select(
+        F.col("order_date").cast("string").alias("order_date"),
+        "revenue",
+        F.round(F.sum("revenue").over(w), 4).alias("revenue_30d"),
+    )
