@@ -643,3 +643,50 @@ def test_dynamic_partition_overwrite(spark, table):
     t2 = LogTable.create(spark, str(table.path) + "_flat", SCHEMA)
     with _pytest.raises(ValueError):
         t2.overwrite(rows_df(spark, [(1, "X", 1.0, "d1")]), dynamic=True)
+
+
+def test_schema_utils_diff_ddl_infer(spark):
+    from databricks_delta_lake_migration_spark.tables import (
+        evolution_plan,
+        schema_diff,
+        schema_from_ddl,
+        schema_from_json_sample,
+        schema_to_ddl,
+    )
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    tgt = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),  # type mismatch
+            T.StructField("extra", T.DateType()),
+        ]
+    )
+    d = schema_diff(src, tgt)
+    assert d["missing_in_target"] == ["tag"]
+    assert d["missing_in_source"] == ["extra"]
+    assert d["type_mismatches"] == [
+        {"column": "v", "source_type": "double", "target_type": "string"}
+    ]
+    assert not d["compatible"]
+    assert schema_diff(src, src)["compatible"]
+
+    ddl = schema_to_ddl(src, comments={"v": "value"})
+    assert "id BIGINT" in ddl and "COMMENT 'value'" in ddl
+    assert schema_from_ddl(ddl.replace(" COMMENT 'value'", "")) == src
+
+    inferred = schema_from_json_sample(
+        spark, '{"a": 1, "b": "x", "c": [1.5]}'
+    )
+    assert dict((f.name, f.dataType.simpleString()) for f in inferred.fields) == {
+        "a": "bigint", "b": "string", "c": "array<double>"
+    }
+
+    plan = evolution_plan(src, tgt)
+    assert plan == ["ALTER TABLE {table} ADD COLUMNS (tag STRING)"]
