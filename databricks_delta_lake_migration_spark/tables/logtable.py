@@ -57,6 +57,11 @@ CDF_PROP = "enableChangeDataFeed"
 # than the rewrite it avoids. Module-level so tests/tuning can override.
 MERGE_PRUNE_THRESHOLD_BYTES = 4 * 1024 * 1024 * 1024
 
+# Write a full-state checkpoint every N commits (Delta's default is 10):
+# snapshot resolution then replays only the tail after the newest
+# checkpoint instead of the whole log.
+CHECKPOINT_INTERVAL = 10
+
 # _change_type values (Delta CDF parity — delta_utils.py:398-402)
 CT_INSERT = "insert"
 CT_UPDATE_PRE = "update_preimage"
@@ -336,16 +341,69 @@ class LogTable:
             os.unlink(tmp)
         if self._commits is not None:
             self._commits.append(commit)
+        if commit.version > 0 and commit.version % CHECKPOINT_INTERVAL == 0:
+            try:
+                self._write_checkpoint(commit.version)
+            except Exception:
+                pass  # optimization only — never fail a landed commit
 
     def _next_version(self) -> int:
         cs = self.commits()
         return (cs[-1].version + 1) if cs else 0
 
+    # ---- checkpoints (Delta's _last_checkpoint mechanism) ---------------
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self._log_path):
+            return []
+        return sorted(
+            int(n.split(".")[0])
+            for n in os.listdir(self._log_path)
+            if n.endswith(".checkpoint")
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the full replayed state at ``version`` so later
+        snapshot resolution replays only the commit tail — Delta's
+        checkpoint-parquet mechanism (a failure here is swallowed by the
+        caller: checkpoints are an optimization, never a correctness
+        dependency)."""
+        files, schema_json, partition_by, props, v = self._replay(version)
+        state = {
+            "version": v,
+            "add": [f.to_json() for f in files],
+            "schema": schema_json,
+            "partitionBy": partition_by,
+            "properties": props,
+        }
+        target = os.path.join(self._log_path, f"{version:020d}.checkpoint")
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, target)  # idempotent content → plain atomic rename
+
+    def _load_checkpoint(self, max_version: int) -> dict | None:
+        best = [v for v in self._checkpoint_versions() if v <= max_version]
+        if not best:
+            return None
+        path = os.path.join(self._log_path, f"{best[-1]:020d}.checkpoint")
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None  # damaged checkpoint → fall back to full replay
+
     # ---- snapshot state ------------------------------------------------
 
     def _replay(self, version: int | None = None, timestamp: float | None = None):
         """Replay the log → (active file entries, schema_json,
-        partition_by, properties, version)."""
+        partition_by, properties, version).
+
+        Resolution starts from the newest checkpoint at or below the
+        target version and applies only the commit tail after it, so
+        snapshot cost is O(files + commits-since-checkpoint), not
+        O(all commits) — the property that keeps a long-lived table
+        (thousands of commits) readable at scale."""
         cs = self.commits()
         if not cs:
             raise FileNotFoundError(f"not a log table: {self.path}")
@@ -359,7 +417,18 @@ class LogTable:
         partition_by: list[str] = []
         props: dict[str, str] = {}
         seen = False
+        start_after = -1
+        cp = self._load_checkpoint(version if version is not None else cs[-1].version)
+        if cp is not None:
+            active = {d["path"]: FileEntry.from_json(d) for d in cp["add"]}
+            schema_json = cp["schema"]
+            partition_by = cp["partitionBy"] or []
+            props = dict(cp["properties"] or {})
+            start_after = cp["version"]
+            seen = True
         for c in cs:
+            if c.version <= start_after:
+                continue
             if version is not None and c.version > version:
                 break
             seen = True
