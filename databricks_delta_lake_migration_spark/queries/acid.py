@@ -361,3 +361,37 @@ def q68_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         .execute()
     )
     return t.read()
+
+
+@query(
+    "q76_history_rollup",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('CREATE TABLE', 1),
+        ('WRITE', 3),
+        ('UPDATE', 1),
+        ('DELETE', 1),
+        ('MERGE', 1)
+    ) AS t(operation, n_ops)
+    """,
+)
+def q76_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-per-operation rollup over DESCRIBE HISTORY (A9 —
+    05_time_travel_demo.py:64-70). The DML program is fixed, so the
+    audit-log rollup is fully deterministic and oracle-checkable as
+    literals — timestamps/metrics are excluded by projection."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("hist"), target.schema)
+    for k in (1, 2, 3):
+        t.append(target.filter(F.col("o_orderkey") % 3 == k % 3))
+    t.update("o_orderstatus = 'O'", {"o_totalprice": "o_totalprice"})
+    t.delete("o_orderkey % 100 = 0")
+    t.upsert(
+        target.limit(0),  # empty source → MERGE commit, no row changes
+        ["o_orderkey"],
+    )
+    return (
+        t.history()
+        .groupBy("operation")
+        .agg(F.count(F.lit(1)).alias("n_ops"))
+    )
