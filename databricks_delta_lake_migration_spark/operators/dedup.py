@@ -353,3 +353,55 @@ def chunk_dedup_counts(
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph [EXT]:
+    (node, component) where component = min node id reachable — turns
+    pairwise near-dup hits into dedup GROUPS (keep one doc per
+    component).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-node minimum; converges in O(graph
+    diameter) rounds — near-dup clusters are shallow (stars/cliques),
+    so 2-4 rounds in practice. Scale discipline: each round is one
+    equi-join + one groupBy (shuffle on node id), the convergence check
+    is a metadata-sized count, and ``localCheckpoint`` truncates the
+    growing lineage so round N's plan doesn't replay rounds 1..N-1 —
+    the standard Spark pattern for iterative graph algorithms
+    (GraphX/GraphFrames do the same internally).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("a")
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.b == labels.node).select(
+            edges.a.alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -175,3 +175,31 @@ def winnow_fingerprints(
         fps.alias("fingerprints"),
         F.size(fps).cast("bigint").alias("n_fingerprints"),
     )
+
+
+def word_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document word-distribution entropy [EXT] — a repetition /
+    degenerate-text quality signal (boilerplate and keyword-stuffed
+    docs score low; natural prose scores high).
+
+    H = -Σ p_w·log2(p_w) over the doc's word frequencies. Each term is
+    snapped to DECIMAL(28,12) before the sum, so accumulation order
+    (Spark partial aggs vs any serial oracle) cannot perturb the value.
+    Shuffles on (doc, word) then (doc): both content-keyed, skew-free;
+    per-doc frequency maps never materialize driver-side.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    wc = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = wc.groupBy(id_col).agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = (-p * F.log2(p)).cast("decimal(28,12)")
+    return (
+        wc.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+            F.max("n").alias("n_tokens"),
+        )
+    )

@@ -372,3 +372,73 @@ def q49_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot see. Chunking is pure array expressions (no Python, no
     collect_list); one content-hash-keyed shuffle."""
     return dedup.chunk_dedup_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q78_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, unnest(list_distinct({_SQL_TOKS})) AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.source = b.source
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM (
+            SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+            UNION ALL SELECT a, b FROM edges
+        )
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+    """,
+)
+def q78_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → dedup GROUPS via iterative connected
+    components (min-label propagation; component = min reachable doc
+    id). The oracle computes the same closure with a recursive CTE —
+    the iterative Spark algorithm is exactly verified, not rows-only.
+    Downstream dedup keeps MIN(doc_id) per component."""
+    prs = dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), block_col="source", threshold=0.5
+    )
+    return dedup.connected_components(prs)
+
+
+@query(
+    "q77_word_entropy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    ), totals AS (
+        SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id
+    )
+    SELECT wc.doc_id,
+           ROUND(CAST(SUM(CAST(-(c * 1.0 / n) * log2(c * 1.0 / n) AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy,
+           MAX(n) AS n_tokens
+    FROM wc JOIN totals ON wc.doc_id = totals.doc_id
+    GROUP BY wc.doc_id
+    """,
+)
+def q77_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-distribution entropy per document — the repetition/
+    degeneracy quality signal. Per-term decimal snap makes the
+    irrational log2 terms order-independent, so the iterative-free
+    two-shuffle plan hash-matches the SQL oracle exactly."""
+    return textstats.word_entropy(load_table(spark, sf_dir, "documents"))
