@@ -203,3 +203,30 @@ def word_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             F.max("n").alias("n_tokens"),
         )
     )
+
+
+PII_PATTERNS = {
+    # deliberately simple, RE2-compatible patterns (portable between
+    # Java regex and DuckDB/RE2) — production would use a layered ruleset
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
+    """PII scrubbing [EXT]: regex-redact emails/phones in one
+    JVM-side pass per pattern (chained regexp_replace — no Python, no
+    extra shuffle; purely row-local so it composes with any scan)."""
+    out = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    n_hits = sum(
+        (F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), p, "")))
+        / F.lit(1)  # length delta > 0 ⇒ at least one hit
+        for p in PII_PATTERNS.values()
+    )
+    return df.withColumn("redacted", out).withColumn(
+        "had_pii", n_hits > 0
+    )

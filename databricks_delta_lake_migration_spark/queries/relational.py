@@ -1304,3 +1304,30 @@ def q75_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.sum("revenue").over(w), 4).alias("revenue_30d"),
     )
+
+
+@query(
+    "q81_price_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS bucket_lo,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 4) AS lo,
+           ROUND(MAX(l_extendedprice), 4) AS hi
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q81_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (binning analytics): bucket arithmetic is
+    a row-local floor-div — one partial-agg shuffle on the bucket id,
+    |buckets| rows out regardless of input size. The distributed
+    histogram shape used for profiling 100 TB columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("bigint")
+    return li.groupBy(
+        bucket.alias("bucket"), (bucket * 5000).alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 4).alias("lo"),
+        F.round(F.max("l_extendedprice"), 4).alias("hi"),
+    )

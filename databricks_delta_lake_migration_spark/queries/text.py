@@ -442,3 +442,68 @@ def q77_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     irrational log2 terms order-independent, so the iterative-free
     two-shuffle plan hash-matches the SQL oracle exactly."""
     return textstats.word_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q79_pii_redaction",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                    WHEN doc_id % 10 = 5
+                    THEN text || ' call +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents
+    ), red AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                   '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '[PII]', 'g') AS redacted,
+               (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                OR regexp_matches(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS had_pii
+        FROM seeded
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN had_pii THEN 1 ELSE 0 END) AS n_with_pii,
+           SUM(CASE WHEN contains(redacted, '[PII]') THEN 1 ELSE 0 END) AS n_redacted
+    FROM red GROUP BY source
+    """,
+)
+def q79_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing [EXT]: deterministic synthetic emails/phones are
+    seeded into a tenth of the corpus (same expression in both
+    engines), then redacted with portable RE2-safe patterns. Verifies
+    the redaction actually fires (n_with_pii = n_redacted) per source —
+    one row-local pass, aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact agent"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1 (555) 010-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    red = textstats.redact_pii(seeded)
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("had_pii"), 1).otherwise(0)).alias("n_with_pii"),
+        F.sum(
+            F.when(F.col("redacted").contains("[PII]"), 1).otherwise(0)
+        ).alias("n_redacted"),
+    )
