@@ -1246,6 +1246,14 @@ class MergeBuilder:
             tuple[str, dict[str, str] | None, str | None]
         ] = []
         self.extra_params: dict = {}
+        self.auto_evolve = False
+
+    def with_schema_evolution(self) -> "MergeBuilder":
+        """Delta's ``schema.autoMerge``: source columns absent from the
+        target are added (metadata-only ADD COLUMNS) before the merge;
+        pre-evolution files surface NULL for them."""
+        self.auto_evolve = True
+        return self
 
     def with_commit_params(self, **params) -> "MergeBuilder":
         """Attach caller metadata (e.g. streaming batch identity) to the
@@ -1370,6 +1378,11 @@ class MergeBuilder:
 
     def execute(self) -> dict:
         t = self.table
+        if self.auto_evolve:
+            tgt_names = {f.name for f in t.schema().fields}
+            new = [f for f in self.source.schema.fields if f.name not in tgt_names]
+            if new:
+                t.add_columns(new)
         files, _, partition_by, _, _ = t._replay()
         schema = t.schema()
         tcols = [f.name for f in schema.fields]

@@ -720,3 +720,34 @@ def test_checkpoint_written_and_replay_equivalent(spark, tmp_path):
         fh.write("{corrupt")
     t3 = LT(spark, str(tmp_path / "cp"))
     assert t3.read().count() == 12
+
+
+def test_merge_schema_evolution(spark, table):
+    """with_schema_evolution: source carries a new column — target
+    schema evolves (metadata-only), matched rows take source values,
+    untouched rows surface NULL."""
+    src_schema = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("channel", T.StringType())]
+    )
+    src = spark.createDataFrame(
+        [(1, "EVOLVED", 11.0, "d1", "web"), (9, "NEW", 90.0, "d9", "app")],
+        src_schema,
+    )
+    (
+        table.merge(src, "target.id = source.id")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .with_schema_evolution()
+        .execute()
+    )
+    got = {
+        (r.id, r.status, r.channel)
+        for r in table.read().select("id", "status", "channel").collect()
+    }
+    assert got == {
+        (1, "EVOLVED", "web"),
+        (2, "COMPLETED", None),
+        (3, "PENDING", None),
+        (9, "NEW", "app"),
+    }
+    assert [f.name for f in table.schema().fields][-1] == "channel"
