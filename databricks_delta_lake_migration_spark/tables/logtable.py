@@ -495,13 +495,30 @@ class LogTable:
     # ------------------------------------------------------------------
 
     def read(
-        self, version: int | None = None, timestamp: float | None = None
+        self,
+        version: int | None = None,
+        timestamp: float | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Snapshot read; ``version``/``timestamp`` give time travel
-        (S8 — 05_time_travel_demo.py:103-109,211-213)."""
+        (S8 — 05_time_travel_demo.py:103-109,211-213).
+
+        ``where`` enables stats-based data skipping BEFORE the scan:
+        files whose per-column [min,max] (or partition-path value)
+        provably exclude every conjunct are dropped from the file list
+        — Delta's read-path data skipping. The predicate is also
+        applied as a normal filter, so results are identical to
+        ``read().filter(where)``; only the I/O differs. Catalyst's
+        parquet row-group pruning still applies within surviving files.
+        """
         files, schema_json, partition_by, _, _ = self._replay(version, timestamp)
         schema = T.StructType.fromJson(json.loads(schema_json))
-        return self._read_entries(files, schema)
+        if where is None:
+            return self._read_entries(files, schema)
+        conj = _parse_conjuncts(where)
+        if conj:
+            files = [f for f in files if _stats_may_match(f, conj)]
+        return self._read_entries(files, schema).filter(F.expr(where))
 
     def read_changes(
         self,

@@ -751,3 +751,25 @@ def test_merge_schema_evolution(spark, table):
         (9, "NEW", "app"),
     }
     assert [f.name for f in table.schema().fields][-1] == "channel"
+
+
+def test_read_where_skips_files_by_stats(spark, tmp_path):
+    """read(where=...) drops provably-excluded files from the scan via
+    footer stats, and returns the same rows as read().filter(...)."""
+    t = LogTable.create(spark, str(tmp_path / "skip"), SCHEMA)
+    # three appends with disjoint id ranges → three files with
+    # non-overlapping [min,max] id stats
+    for lo in (0, 100, 200):
+        t.append(
+            rows_df(spark, [(lo + i, "S", float(i), "d1") for i in range(5)])
+        )
+    df = t.read(where="id >= 200")
+    # file-level skipping: only the 200-range append's files reach the
+    # scan (each append may produce several files; all 0-/100-range
+    # files must be gone)
+    n_active = len(t._replay()[0])
+    scanned = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+    assert len(scanned) <= n_active / 3
+    assert {r.id for r in df.collect()} == {200, 201, 202, 203, 204}
+    # equivalence with the unskipped path
+    assert df.count() == t.read().filter("id >= 200").count()
