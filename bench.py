@@ -93,6 +93,16 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         assert t.read(version=1).count() == n_rows
         out["time_travel_rows_per_s"] = round(n_rows / (time.perf_counter() - t0))
 
+        # stats-based data skipping (unpartitioned table, range predicate
+        # against per-file min/max footer stats)
+        t0 = time.perf_counter()
+        t.read().filter(F.col("id") >= n_rows - n_rows // 20).count()
+        unskipped = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t.read(where=f"id >= {n_rows - n_rows // 20}").count()
+        skipped = time.perf_counter() - t0
+        out["skipping_speedup_pct"] = round((unskipped - skipped) / unskipped * 100, 1)
+
         # Z-order impact: point query before vs after clustering
         # (reference benchmarks:238-293)
         point = lambda: t.read().filter(  # noqa: E731
@@ -123,6 +133,7 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         part.read().filter(F.col("bucket") == "3").count()
         pruned = time.perf_counter() - t0
         out["pruning_speedup_pct"] = round((full - pruned) / full * 100, 1)
+
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
