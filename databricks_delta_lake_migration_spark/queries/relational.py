@@ -1331,3 +1331,30 @@ def q81_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 4).alias("lo"),
         F.round(F.max("l_extendedprice"), 4).alias("hi"),
     )
+
+
+@query(
+    "q82_multi_path_union",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT * FROM orders UNION ALL SELECT * FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {sql_dsum('o_totalprice')} AS total
+    FROM unioned GROUP BY o_orderstatus
+    """,
+)
+def q82_multi_path_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-path consolidation (U1 — the reference's loop-of-unions at
+    migrate_from_s3.py:286-295, re-expressed as ONE reader call over
+    all paths): a single FileIndex → a single scan node in the plan,
+    not N unioned subplans. Duplicated path here stands in for N
+    source directories."""
+    from ..sources import union_paths
+
+    u = union_paths(
+        spark, [f"{sf_dir}/orders.parquet", f"{sf_dir}/orders.parquet"]
+    )
+    return u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
