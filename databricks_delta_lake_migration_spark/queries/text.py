@@ -507,3 +507,30 @@ def q79_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("redacted").contains("[PII]"), 1).otherwise(0)
         ).alias("n_redacted"),
     )
+
+
+@query(
+    "q83_top_tokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT 20
+    """,
+)
+def q83_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: exact token frequency top-20
+    (count desc, token asc tie-break). Map-side partial counts collapse
+    the explode before the shuffle; the sort+limit plans as
+    TakeOrderedAndProject — at 100 TB the shuffle carries |vocab| rows,
+    not |tokens|."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textstats.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
