@@ -68,6 +68,17 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
     )
     root = tempfile.mkdtemp(prefix="bench-acid-")
     out: dict[str, float] = {}
+
+    def best_time(fn, n=2):
+        """min-of-n wall time — single samples of sub-second metadata
+        ops are too noisy to subtract (GC pauses invert the sign)."""
+        b = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            b = min(b, time.perf_counter() - t0)
+        return b
+
     try:
         t0 = time.perf_counter()
         t = LogTable.create(spark, f"{root}/t", li.schema)
@@ -95,12 +106,12 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
 
         # stats-based data skipping (unpartitioned table, range predicate
         # against per-file min/max footer stats)
-        t0 = time.perf_counter()
-        t.read().filter(F.col("id") >= n_rows - n_rows // 20).count()
-        unskipped = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        t.read(where=f"id >= {n_rows - n_rows // 20}").count()
-        skipped = time.perf_counter() - t0
+        unskipped = best_time(
+            lambda: t.read().filter(F.col("id") >= n_rows - n_rows // 20).count()
+        )
+        skipped = best_time(
+            lambda: t.read(where=f"id >= {n_rows - n_rows // 20}").count()
+        )
         out["skipping_speedup_pct"] = round((unskipped - skipped) / unskipped * 100, 1)
 
         # Z-order impact: point query before vs after clustering
@@ -108,13 +119,9 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         point = lambda: t.read().filter(  # noqa: E731
             (F.col("user_id") == "12345") & (F.col("category") == "5")
         ).count()
-        t0 = time.perf_counter()
-        point()
-        before = time.perf_counter() - t0
+        before = best_time(point)
         t.zorder(["user_id", "category"], n_files=8)
-        t0 = time.perf_counter()
-        point()
-        after = time.perf_counter() - t0
+        after = best_time(point)
         out["zorder_speedup_pct"] = round((before - after) / before * 100, 1)
 
         # partition-pruning impact: full scan vs partition filter
@@ -126,12 +133,10 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
             partition_by=["bucket"],
         )
         part.append(li.withColumn("bucket", (F.col("id") % 16).cast("string")))
-        t0 = time.perf_counter()
-        part.read().count()
-        full = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        part.read().filter(F.col("bucket") == "3").count()
-        pruned = time.perf_counter() - t0
+        full = best_time(lambda: part.read().count())
+        pruned = best_time(
+            lambda: part.read().filter(F.col("bucket") == "3").count()
+        )
         out["pruning_speedup_pct"] = round((full - pruned) / full * 100, 1)
 
     finally:
