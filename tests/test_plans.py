@@ -108,3 +108,21 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {to}")
         spark.sql(f"DROP TABLE IF EXISTS {tl}")
+
+
+def test_new_text_queries_stay_jvm_side(spark):
+    """Chunk dedup (q49) and word entropy (q77) are pure array/agg
+    expression pipelines — no Python eval, no cartesian expansion."""
+    for name in ("q49_chunk_dedup", "q77_word_entropy", "q83_top_tokens"):
+        plan = explain(_q(spark, name))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q56_cube_single_expand_pass(spark):
+    """CUBE plans as one Expand + one aggregate pass, not one job per
+    granularity."""
+    plan = explain(_q(spark, "q56_cube_revenue"))
+    assert plan.count("Expand") >= 1
+    assert "partial_sum" in plan or "partial_count" in plan
