@@ -31,9 +31,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver hash-checks the first 50 registrations; with 82 queries
+# registered, ordering is coverage policy. Priority below puts one hard
+# (oracle-bearing) anchor inside the window for every SURVEY §2 family:
+# the full ACID tier (the reference's signature surface), the medallion
+# pipeline, the LLM-pipeline text/similarity tier, and a relational core
+# hand-picked so no §2 family loses its only anchor. Approximate-by-
+# design rows-only queries (q41/q47/q48/q67/q43) and variants whose
+# family has another in-window anchor follow after — pytest still
+# exercises all 82.
+_PRIORITY = [
+    # ACID tier (MERGE/UPDATE/DELETE/time-travel/CDF/replaceWhere/SCD2)
+    "q60_merge_upsert", "q61_merge_conditional", "q62_update_delete",
+    "q63_time_travel_diff", "q64_cdf_summary", "q65_replace_where",
+    "q66_scd2_dimension", "q68_cdc_mirror", "q76_history_rollup",
+    # medallion bronze→silver→gold + streaming-shaped windows
+    "q70_medallion_gold", "q71_bronze_stamping",
+    "q72_windowed_event_counts", "q73_session_windows",
+    # similarity (oracle-bearing)
+    "q40_cosine_topk", "q42_embedding_stats", "q44_batch_topk",
+    "q46_cosine_near_dup", "q53_pandas_udf_norm",
+    # text / dedup / multimodal plumbing (oracle-bearing)
+    "q30_token_stats", "q31_language_profile", "q32_quality_scores",
+    "q33_dedup_stats", "q34_exact_dedup", "q35_jaccard_pairs",
+    "q36_minhash_lsh_pairs", "q37_simhash", "q38_chargram_jaccard",
+    "q39_winnow_fingerprints", "q49_chunk_dedup", "q50_multimodal_features",
+    "q51_frame_sample_plan", "q52_media_chunks", "q77_word_entropy",
+    "q78_near_dup_clusters", "q79_pii_redaction", "q83_top_tokens",
+    # relational core — each anchors a §2 family with no other in-window
+    # anchor (windows, anti/cross/broadcast joins, conditional/null/
+    # quality aggregates, salting, catalog SQL)
+    "q01_pricing_summary", "q02_top_orders_by_revenue",
+    "q05_nation_revenue", "q07_conditional_agg", "q08_distinct_counts",
+    "q09_null_profile", "q10_latest_event_per_user",
+    "q15_customers_without_orders", "q16_global_kpis",
+    "q18_sessionization", "q19_daily_user_activity", "q25_quality_report",
+    "q45_salted_skew_agg", "q80_sql_passthrough",
+]
+
+
+def _ordered():
+    qs = all_queries()
+    ordered = {n: qs[n] for n in _PRIORITY if n in qs}
+    ordered.update((n, q) for n, q in qs.items() if n not in ordered)
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in all_queries().items()}
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}

@@ -155,7 +155,10 @@ def main() -> None:
 
     # Warm the JVM + file-index caches once with the cheapest query so
     # per-query numbers measure execution, not session bootstrap.
-    registry["q06_revenue_forecast"].fn(spark, sf_dir).collect()
+    try:
+        registry["q06_revenue_forecast"].fn(spark, sf_dir).collect()
+    except Exception:
+        pass  # warm-up is best-effort; per-query timing below self-warms
 
     # Steady-state timing: best of 2 runs per query. Run 1 includes JVM
     # JIT + codegen compilation of the query's generated classes; run 2
@@ -163,35 +166,46 @@ def main() -> None:
     # the regime that matters at 100 TB. Reported transparently below
     # ("runs": 2, "agg": "min"); the ACID lifecycle numbers stay
     # single-run cold, matching how the reference measured its baseline.
+    #
+    # Fault isolation: one broken query must never zero out the round's
+    # whole bench line — each query (and the ACID block) is try/except'd,
+    # failures land in "errors", and the JSON line ALWAYS prints.
     N_RUNS = 2
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df = registry[name].fn(spark, sf_dir)
-            n = df.count() if name.startswith(("q34", "q36")) else len(df.collect())
-            best = min(best, time.perf_counter() - t0)
-            assert n >= 0
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                df = registry[name].fn(spark, sf_dir)
+                n = df.count() if name.startswith(("q34", "q36")) else len(df.collect())
+                best = min(best, time.perf_counter() - t0)
+                assert n >= 0
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    acid = acid_bench(spark, sf_dir)
+    try:
+        acid = acid_bench(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        acid = {}
+        errors["acid_bench"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": N_RUNS,
-                "agg": "min",
-                "acid": acid,
-                "sf": sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": N_RUNS,
+        "agg": "min",
+        "acid": acid,
+        "sf": sf,
+    }
+    if errors:
+        line["errors"] = errors
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

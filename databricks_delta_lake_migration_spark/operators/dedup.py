@@ -241,13 +241,31 @@ def jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable: bool = False,
+) -> DataFrame:
     """Per-doc SimHash: each distinct token votes ±1 on each bit of its
-    xxhash64; sign of the per-bit vote sum forms the fingerprint.
+    hash; sign of the per-bit vote sum forms the fingerprint.
     Implemented with higher-order array folds (per-row, no shuffle).
-    Near-dups = small Hamming distance between fingerprints."""
+    Near-dups = small Hamming distance between fingerprints.
+
+    ``portable=True`` hashes tokens with sliced sha256 (first 8 hex
+    chars → 32-bit int), reproducible in any engine with sha256 —
+    the oracle-checkable twin. Default is seeded xxhash64 (cheaper,
+    production path at scale)."""
     toks = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    if portable:
+        assert bits <= 32, "portable hash yields 32 bits per sha256 slice"
+        hashes = F.transform(
+            toks,
+            lambda w: F.conv(F.substring(F.sha2(w, 256), 1, 8), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(toks, lambda w: F.xxhash64(w))
 
     def vote(bit: int):
         mask = 1 << bit

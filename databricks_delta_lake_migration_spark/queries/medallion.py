@@ -38,8 +38,8 @@ _SQL_SILVER = """
     WITH silver AS ({_SQL_SILVER})
     SELECT event_date, user_id,
            COUNT(*) AS total_events,
-           SUM(CASE WHEN event_category = 'CONVERSION' THEN 1 ELSE 0 END) AS conversion_events,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+           CAST(SUM(CASE WHEN event_category = 'CONVERSION' THEN 1 ELSE 0 END) AS BIGINT) AS conversion_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value,
            CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS active_sec,
            array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,

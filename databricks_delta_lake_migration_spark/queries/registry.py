@@ -104,11 +104,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_field = df.schema["ts"]
-        if ts_field.dataType.simpleString() == "bigint":
+        ts_kind = df.schema["ts"].dataType.simpleString()
+        if ts_kind == "bigint":
             # integer div, NOT `/`: nano epoch values exceed 2^53, so
             # double division rounds the last microsecond digit.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_kind == "timestamp_ntz":
+            # Spark 4.x reads TIMESTAMP(NANOS) as TIMESTAMP_NTZ (ignoring
+            # nanosAsLong) and forbids NTZ→BIGINT casts downstream.
+            # Re-type to session-TZ timestamp: the session is pinned UTC,
+            # so the wall-clock reinterpretation is epoch-identical to the
+            # naive-as-UTC value DuckDB sees — and epoch arithmetic
+            # (cast("long"), unix_timestamp) works again.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -261,8 +261,8 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
            {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_revenue
     FROM orders
     GROUP BY o_orderstatus
@@ -317,10 +317,10 @@ def q08_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_null_profile",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey_nulls,
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus_nulls,
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice_nulls,
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate_nulls
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate_nulls
     FROM orders
     """,
 )
@@ -452,7 +452,7 @@ def q13_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         FROM marked
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            COUNT(*) AS n_events,
            CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
     FROM sess
@@ -607,8 +607,8 @@ def q17_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT CAST(ts AS DATE) AS event_date, user_id,
            COUNT(*) AS total_events,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
            {sql_dsum('value')} AS total_value,
            CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS active_sec,
            array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
@@ -841,9 +841,9 @@ def q24_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS n_distinct_keys,
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
-           SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_out_of_range,
-           SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS disc_out_of_range,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_out_of_range,
            ROUND(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4) AS qty_null_pct
     FROM lineitem
     """,

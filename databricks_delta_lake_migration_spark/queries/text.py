@@ -431,7 +431,7 @@ def q78_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT wc.doc_id,
            ROUND(CAST(SUM(CAST(-(c * 1.0 / n) * log2(c * 1.0 / n) AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy,
-           MAX(n) AS n_tokens
+           CAST(MAX(n) AS BIGINT) AS n_tokens
     FROM wc JOIN totals ON wc.doc_id = totals.doc_id
     GROUP BY wc.doc_id
     """,
@@ -466,8 +466,8 @@ def q77_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN had_pii THEN 1 ELSE 0 END) AS n_with_pii,
-           SUM(CASE WHEN contains(redacted, '[PII]') THEN 1 ELSE 0 END) AS n_redacted
+           CAST(SUM(CASE WHEN had_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
+           CAST(SUM(CASE WHEN contains(redacted, '[PII]') THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
     FROM red GROUP BY source
     """,
 )

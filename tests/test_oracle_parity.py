@@ -77,6 +77,27 @@ def test_oracle_match(spark, ddb, name):
     d_rows = res.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
+
+    # Driver-hash fidelity: DuckDB's Arrow export renders HUGEINT as
+    # decimal128(38,0), which the driver hashes differently from Spark's
+    # int64 even when the Python values compare equal below. Surface the
+    # type drift here so a passing pytest implies a passing driver hash
+    # (oracle fix: CAST(... AS BIGINT), see q26's pattern).
+    import pyarrow as pa
+
+    arrow_types = {
+        f.name: f.type for f in ddb.execute(q.oracle).arrow().schema
+    }
+    spark_types = dict(sdf.dtypes)
+    for cname, atype in arrow_types.items():
+        if pa.types.is_decimal(atype) and spark_types.get(cname) in (
+            "bigint", "int", "smallint", "tinyint"
+        ):
+            pytest.fail(
+                f"{name}: oracle column {cname} exports as Arrow {atype} "
+                f"but Spark returns {spark_types[cname]} — driver hash "
+                "will mismatch; CAST the oracle expression to BIGINT"
+            )
     sc, sr = _canon(s_cols, s_rows)
     dc, dr = _canon(d_cols, d_rows)
     assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs oracle {len(dr)}"
