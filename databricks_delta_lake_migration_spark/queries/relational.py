@@ -986,16 +986,39 @@ def q29_range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q43_approx_distinct", oracle=None)  # HLL sketches differ per engine
+@query(
+    "q43_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (A3 [EXT] scale path): HLL++ sketch of
     order keys per return flag — the 100 TB substitute for exact
-    distinct counts. Rows-only (sketch estimates are engine-specific);
-    accuracy asserted in tests/test_operators.py."""
+    distinct counts. The raw sketch estimate is engine-specific, so the
+    hard-checked output is the tolerance verdict: |approx−exact|/exact
+    within 3×rsd, which the oracle asserts as TRUE per group (plus the
+    exact counts themselves)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    rsd = 0.02
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 3 * rsd
+            ).alias("approx_ok"),
+        )
     )
 
 

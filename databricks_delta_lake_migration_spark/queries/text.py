@@ -214,11 +214,34 @@ def q36_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q37_simhash", oracle=None)  # bit-arithmetic not portable to the oracle
+# Portable simhash oracle: token hash = first 8 hex chars of sha256 as a
+# 32-bit int (same slicing as the minhash family); per-bit ±1 votes folded
+# into the fingerprint. COALESCE(…, 0) matches Spark's empty-fold init of 0
+# (zero votes → bit set, since 0 >= 0 on both sides).
+_SQL_SIMHASH_HS = (
+    f"list_transform(list_distinct({_SQL_TOKS}),"
+    " w -> CAST('0x' || substring(sha256(w), 1, 8) AS BIGINT))"
+)
+_SQL_SIMHASH = " + ".join(
+    "CASE WHEN COALESCE(list_sum(list_transform(hs,"
+    f" h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0"
+    f" THEN {1 << b} ELSE 0 END"
+    for b in range(32)
+)
+
+
+@query(
+    "q37_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_SIMHASH_HS} AS hs FROM documents)
+    SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash FROM t
+    """,
+)
 def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) fingerprints (xxhash64 bit votes) — rows-only
-    check; semantics unit-tested in tests/test_dedup.py."""
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+    """SimHash(32-bit) fingerprints — per-token bit votes folded per row
+    (no shuffle). Oracle-checked via the portable sha256-slice hash
+    family; the production path keeps seeded xxhash64."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), portable=True)
 
 
 @query(
