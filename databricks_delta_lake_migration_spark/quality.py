@@ -44,44 +44,73 @@ def quality_report(
     return df.agg(*aggs)
 
 
+def validate_all(
+    df: DataFrame,
+    required: list[str] | None = None,
+    key_columns: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> dict:
+    """Q1+Q2+Q3 fused: every requested check folded into ONE aggregate
+    → ONE Spark action. The reference re-scans the table per check
+    (``data_processor.py:356-405``); at 100 TB the difference between
+    one scan and three is the whole job. Returns
+    ``{"completeness": …, "uniqueness": …, "ranges": …}`` (keys present
+    only for requested checks)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    if required:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+            for c in required
+        ]
+    if key_columns:
+        aggs.append(
+            F.countDistinct(*[F.col(c) for c in key_columns]).alias("__distinct")
+        )
+    if ranges:
+        aggs += [
+            F.sum(
+                F.when((F.col(c) < lo) | (F.col(c) > hi), 1).otherwise(0)
+            ).alias(f"__range_{c}")
+            for c, (lo, hi) in ranges.items()
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    out: dict = {"total_rows": n}
+    if required:
+        safe_n = n or 1
+        out["completeness"] = {
+            c: {
+                "null_count": row[f"__null_{c}"],
+                "null_pct": round(100.0 * row[f"__null_{c}"] / safe_n, 4),
+            }
+            for c in required
+        }
+    if key_columns:
+        d = row["__distinct"]
+        out["uniqueness"] = {
+            "total_rows": n,
+            "distinct_keys": d,
+            "duplicates": n - d,
+            "is_unique": n == d,
+        }
+    if ranges:
+        out["ranges"] = {c: {"out_of_range": row[f"__range_{c}"]} for c in ranges}
+    return out
+
+
 def check_completeness(df: DataFrame, required: list[str]) -> dict[str, dict]:
     """Q1 — null count + pct per required column (one pass for all)."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in required],
-    ).collect()[0]
-    n = row["__n"] or 1
-    return {
-        c: {"null_count": row[c], "null_pct": round(100.0 * row[c] / n, 4)}
-        for c in required
-    }
+    return validate_all(df, required=required)["completeness"]
 
 
 def check_uniqueness(df: DataFrame, key_columns: list[str]) -> dict:
     """Q2 — distinct-key count vs row count (single aggregate)."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(*[F.col(c) for c in key_columns]).alias("d"),
-    ).collect()[0]
-    return {
-        "total_rows": row["n"],
-        "distinct_keys": row["d"],
-        "duplicates": row["n"] - row["d"],
-        "is_unique": row["n"] == row["d"],
-    }
+    return validate_all(df, key_columns=key_columns)["uniqueness"]
 
 
 def check_ranges(df: DataFrame, ranges: dict[str, tuple[float, float]]) -> dict:
     """Q3 — out-of-range count per column (one pass for all)."""
-    row = df.agg(
-        *[
-            F.sum(
-                F.when((F.col(c) < lo) | (F.col(c) > hi), 1).otherwise(0)
-            ).alias(c)
-            for c, (lo, hi) in ranges.items()
-        ]
-    ).collect()[0]
-    return {c: {"out_of_range": row[c]} for c in ranges}
+    return validate_all(df, ranges=ranges)["ranges"]
 
 
 def validate_migration(source: DataFrame, target: DataFrame, ignore_cols: list[str] | None = None) -> dict:

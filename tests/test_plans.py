@@ -126,3 +126,37 @@ def test_q56_cube_single_expand_pass(spark):
     plan = explain(_q(spark, "q56_cube_revenue"))
     assert plan.count("Expand") >= 1
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_validate_all_single_action(spark, monkeypatch):
+    """Q1+Q2+Q3 fused validators: the whole check battery is ONE Spark
+    action (one scan), not one action per check — the 100 TB discipline
+    the reference's per-check re-scans lack. (Job count is not the
+    gate: AQE legitimately splits one query into several jobs.)"""
+    # patch the concrete runtime class — pyspark.sql.DataFrame is only
+    # the dispatch facade in PySpark 4
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from databricks_delta_lake_migration_spark.quality import validate_all
+
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS v",
+        "CAST(id % 7 AS DOUBLE) AS x",
+    )
+    actions = []
+    real_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (actions.append(1), real_collect(self))[1]
+    )
+    out = validate_all(
+        df,
+        required=["v"],
+        key_columns=["id"],
+        ranges={"x": (0, 5)},
+    )
+    assert len(actions) == 1, "fused validators must run as one action"
+    assert out["completeness"]["v"]["null_count"] == 100
+    assert out["uniqueness"]["is_unique"] is True
+    assert out["ranges"]["x"]["out_of_range"] == 1000 - sum(
+        1 for i in range(1000) if i % 7 <= 5
+    )
