@@ -37,6 +37,7 @@ import os
 import re
 import shutil
 import time
+import urllib.parse
 import uuid
 from dataclasses import dataclass, field
 from functools import reduce
@@ -232,13 +233,21 @@ def _parse_conjuncts(condition: str) -> list[tuple[str, str, Any]]:
     return out
 
 
-def _partition_values(path: str) -> dict[str, str]:
-    """hive-style ``k=v`` dir segments of a file path."""
-    out = {}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(path: str) -> dict[str, str | None]:
+    """hive-style ``k=v`` dir segments of a file path, decoded back to
+    the logical value: percent-escapes undone (Spark's writer escapes
+    ``:``, ``%``, control chars… as ``%XX``) and the hive NULL marker
+    mapped to ``None``. Comparing raw segments against unescaped SQL
+    literals silently mis-prunes files — the round-2 data-corruption
+    bug."""
+    out: dict[str, str | None] = {}
     for seg in path.split(os.sep)[:-1]:
         if "=" in seg:
             k, _, v = seg.partition("=")
-            out[k] = v
+            out[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
     return out
 
 
@@ -250,10 +259,15 @@ def _stats_may_match(f: FileEntry, conjuncts: list[tuple[str, str, Any]]) -> boo
     part_vals = _partition_values(f.path)
     for col, op, lit in conjuncts:
         if col in part_vals:
+            pv = part_vals[col]
+            if pv is None:
+                # NULL partition: any binary comparison with a non-NULL
+                # literal matches no rows → the file is safely prunable
+                return False
             # path values are strings: only string equality is typed
             # soundly (numeric range compare on strings would be
             # lexicographic and wrong)
-            if isinstance(lit, str) and op in ("=", "==") and part_vals[col] != lit:
+            if isinstance(lit, str) and op in ("=", "==") and pv != lit:
                 return False
             continue
         if not f.stats or col not in f.stats:
@@ -753,8 +767,20 @@ class LogTable:
                 raise ValueError("dynamic overwrite requires a partitioned table")
             if replace_where is not None:
                 raise ValueError("dynamic and replace_where are mutually exclusive")
+            # canonicalize row values to the decoded-path representation
+            # (_partition_values): None stays None (hive NULL dir), bools
+            # write as lowercase, everything else as its str() form —
+            # raw str() produced 'None'/'True' which never matched a
+            # path segment, so those partitions silently duplicated.
+            def canon(v):
+                if v is None:
+                    return None
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                return str(v)
+
             new_parts = {
-                tuple(str(r[c]) for c in partition_by)
+                tuple(canon(r[c]) for c in partition_by)
                 for r in data.select(*partition_by).distinct().collect()
             }
             touched_d, carried = [], []

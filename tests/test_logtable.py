@@ -773,3 +773,65 @@ def test_read_where_skips_files_by_stats(spark, tmp_path):
     assert {r.id for r in df.collect()} == {200, 201, 202, 203, 204}
     # equivalence with the unskipped path
     assert df.count() == t.read().filter("id >= 200").count()
+
+
+def test_escaped_partition_values_read_and_overwrite(spark, tmp_path):
+    """Partition values containing hive-escaped chars (':' → %3A on
+    disk), NULLs (__HIVE_DEFAULT_PARTITION__), and booleans must round-
+    trip through read(where=) pruning AND dynamic overwrite matching —
+    raw path-segment comparison silently dropped/duplicated them."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts_key", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    t = LogTable.create(
+        spark, str(tmp_path / "esc"), schema, partition_by=["ts_key"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", True),
+                (2, "2024-01-02 00:00:00", False),
+                (3, None, True),
+            ],
+            schema,
+        )
+    )
+    # stats/path pruning with an escaped (':') literal must NOT prune
+    # the matching file
+    got = {
+        tuple(r)
+        for r in t.read(where="ts_key = '2024-01-01 00:00:00'")
+        .select("id")
+        .collect()
+    }
+    assert got == {(1,)}
+    # the NULL-partition file is prunable for equality predicates, and
+    # IS NULL still reads it (conservative keep)
+    assert {r[0] for r in t.read(where="ts_key IS NULL").select("id").collect()} == {3}
+
+    # dynamic overwrite must match the escaped partition, not duplicate it
+    t.overwrite(
+        spark.createDataFrame([(10, "2024-01-01 00:00:00", False)], schema),
+        dynamic=True,
+    )
+    assert {r[0] for r in t.read().select("id").collect()} == {10, 2, 3}
+
+    # dynamic overwrite of the NULL partition replaces (not duplicates) it
+    t.overwrite(spark.createDataFrame([(30, None, False)], schema), dynamic=True)
+    assert {r[0] for r in t.read().select("id").collect()} == {10, 2, 30}
+
+
+def test_boolean_partition_dynamic_overwrite(spark, tmp_path):
+    """Boolean partition columns write as 'true'/'false' dirs; str(True)
+    = 'True' never matched → duplicates instead of replacement."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ok", T.BooleanType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "b"), schema, partition_by=["ok"])
+    t.append(spark.createDataFrame([(1, True), (2, False)], schema))
+    t.overwrite(spark.createDataFrame([(9, True)], schema), dynamic=True)
+    assert {tuple(r) for r in t.read().collect()} == {(9, True), (2, False)}
