@@ -422,4 +422,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silently non-converged labeling would split one true
+        # component into several — callers would keep duplicate docs
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — "
+            "diameter-deep chains need ~diameter rounds"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

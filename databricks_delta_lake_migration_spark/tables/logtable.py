@@ -1035,6 +1035,7 @@ class LogTable:
         removed: list[str],
         params: dict,
         n_affected: int,
+        schema_json: str | None = None,
     ) -> int:
         version = self._next_version()
         self._commit(
@@ -1044,6 +1045,7 @@ class LogTable:
                 operation=op,
                 add=entries,
                 remove=removed,
+                schema_json=schema_json,
                 parameters=params,
                 metrics={
                     "numAffectedRows": n_affected,
@@ -1421,13 +1423,18 @@ class MergeBuilder:
 
     def execute(self) -> dict:
         t = self.table
+        files, schema_json0, partition_by, _, _ = t._replay()
+        schema = T.StructType.fromJson(json.loads(schema_json0))
+        # schema evolution is folded into the MERGE commit itself (one
+        # atomic commit), never a separate ADD COLUMNS commit upfront —
+        # a failed/rolled-back merge must leave the schema untouched.
+        evolved_json: str | None = None
         if self.auto_evolve:
-            tgt_names = {f.name for f in t.schema().fields}
+            tgt_names = {f.name for f in schema.fields}
             new = [f for f in self.source.schema.fields if f.name not in tgt_names]
             if new:
-                t.add_columns(new)
-        files, _, partition_by, _, _ = t._replay()
-        schema = t.schema()
+                schema = T.StructType(list(schema.fields) + list(new))
+                evolved_json = schema.json()
         tcols = [f.name for f in schema.fields]
 
         src = self.source.alias("source")
@@ -1464,7 +1471,7 @@ class MergeBuilder:
         elif candidates and self.matched:
             skip_probe = False
             tgt_probe = (
-                t._read_file_subset(candidates, with_file_path=True)
+                t._read_entries(candidates, schema, with_file_path=True)
                 .withColumn("__rid", F.monotonically_increasing_id())
                 .alias("target")
             )
@@ -1487,7 +1494,7 @@ class MergeBuilder:
             touched = [f for f in candidates if f.path in hit]
 
         tgt = (
-            t._read_file_subset(touched).withColumn("__tgt", F.lit(1)).alias("target")
+            t._read_entries(touched, schema).withColumn("__tgt", F.lit(1)).alias("target")
             if touched
             else None
         )
@@ -1531,13 +1538,20 @@ class MergeBuilder:
             untouched_matched = tagged.filter(F.col("__clause").isNull()).select(
                 *[F.col(f"target.{c}").alias(c) for c in tcols]
             )
-            affected_pre = tagged.filter(F.col("__clause").isNotNull()).select(
+            # update pre-images selected by the FIRING CLAUSE's kind —
+            # never by anti-joining pre against deletes on all columns,
+            # which NULL equality breaks (a deleted NULL-bearing row
+            # would emit a spurious update_preimage)
+            upd_idx = [
+                i for i, (kind, _, _) in enumerate(self.matched) if kind == "update"
+            ]
+            update_pre = tagged.filter(F.col("__clause").isin(upd_idx)).select(
                 *[F.col(f"target.{c}").alias(c) for c in tcols]
             )
             empty = t.spark.createDataFrame([], schema)
             upd = reduce(DataFrame.unionByName, updated_parts) if updated_parts else empty
             dele = reduce(DataFrame.unionByName, deleted_parts) if deleted_parts else empty
-            return upd, dele, untouched_matched, affected_pre
+            return upd, dele, untouched_matched, update_pre
 
         TAG = "__merge_action"
 
@@ -1661,7 +1675,7 @@ class MergeBuilder:
                 # unmatched in the whole table: pruning only drops files
                 # whose key ranges provably exclude every source key.
                 unmatched_src = src.join(
-                    t._read_file_subset(touched).alias("target"), cond, "left_anti"
+                    t._read_entries(touched, schema).alias("target"), cond, "left_anti"
                 )
                 parts = _build_insert_parts(unmatched_src)
                 if parts:
@@ -1672,7 +1686,7 @@ class MergeBuilder:
             # target into matched (kept verbatim, semi join) and
             # unmatched (clauses apply, anti join). Both joins hash on
             # the same keys → AQE/exchange reuse shares the shuffle.
-            tgt_all = t._read_file_subset(touched).alias("target")
+            tgt_all = t._read_entries(touched, schema).alias("target")
             out_parts.append(_tag(tgt_all.join(src, cond, "left_semi"), "k"))
             unm = tgt_all.join(src, cond, "left_anti").withColumn(
                 "__nmbs", _nmbs_idx()
@@ -1699,7 +1713,7 @@ class MergeBuilder:
             # table is empty); insert-only merges against existing files
             # still need the anti-join.
             if files and not self.matched:
-                tgt_full = t._read_file_subset(files).alias("target")
+                tgt_full = t._read_entries(files, schema).alias("target")
                 unmatched_src = src.join(tgt_full, cond, "left_anti")
             else:
                 unmatched_src = src
@@ -1708,7 +1722,14 @@ class MergeBuilder:
                 out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
 
         if not out_parts:
-            t._commit_dml("MERGE", [], [], {"predicate": self.condition, **self.extra_params}, 0)
+            t._commit_dml(
+                "MERGE",
+                [],
+                [],
+                {"predicate": self.condition, **self.extra_params},
+                0,
+                schema_json=evolved_json,
+            )
             return {"numUpdatedRows": 0, "numDeletedRows": 0, "numInsertedRows": 0}
 
         # Job 2 — ONE pass: clause metrics, constraint checks, and the
@@ -1765,25 +1786,22 @@ class MergeBuilder:
             [f.path for f in touched],
             {"predicate": self.condition, **self.extra_params},
             n_updated + n_deleted + n_inserted,
+            schema_json=evolved_json,
         )
         # CDF: write pre/post images + inserts/deletes
         if t.properties().get(CDF_PROP) == "true":
             parts = []
             if tgt is not None and self.matched:
                 matched_joined = tgt.join(src, cond, "inner")
-                upd, dele, _, affected_pre = _apply_matched(matched_joined)
+                upd, dele, _, update_pre = _apply_matched(matched_joined)
                 parts += [
                     t._cdf_frame(upd, CT_UPDATE_POST, version),
-                    t._cdf_frame(
-                        affected_pre.join(dele, tcols, "left_anti"),
-                        CT_UPDATE_PRE,
-                        version,
-                    ),
+                    t._cdf_frame(update_pre, CT_UPDATE_PRE, version),
                     t._cdf_frame(dele, CT_DELETE, version),
                 ]
             if self.not_matched_by_source and touched:
                 unm = (
-                    t._read_file_subset(touched)
+                    t._read_entries(touched, schema)
                     .alias("target")
                     .join(src, cond, "left_anti")
                     .withColumn("__nmbs", _nmbs_idx())
@@ -1807,7 +1825,14 @@ class MergeBuilder:
                         del2_parts.append(
                             rows.select(*[F.col(f"target.{c}").alias(c) for c in tcols])
                         )
-                pre2 = unm.filter(F.col("__nmbs").isNotNull()).select(
+                # update pre-images by firing-clause kind (see
+                # _apply_matched: all-column anti-joins break on NULLs)
+                upd_idx2 = [
+                    i
+                    for i, (kind, _, _) in enumerate(self.not_matched_by_source)
+                    if kind == "update"
+                ]
+                pre2 = unm.filter(F.col("__nmbs").isin(upd_idx2)).select(
                     *[F.col(f"target.{c}").alias(c) for c in tcols]
                 )
                 empty2 = t.spark.createDataFrame([], schema)
@@ -1819,14 +1844,12 @@ class MergeBuilder:
                 )
                 parts += [
                     t._cdf_frame(upd2, CT_UPDATE_POST, version),
-                    t._cdf_frame(
-                        pre2.join(del2, tcols, "left_anti"), CT_UPDATE_PRE, version
-                    ),
+                    t._cdf_frame(pre2, CT_UPDATE_PRE, version),
                     t._cdf_frame(del2, CT_DELETE, version),
                 ]
             if self.not_matched and n_inserted:
                 if files:
-                    tgt_full = t._read_file_subset(files).alias("target")
+                    tgt_full = t._read_entries(files, schema).alias("target")
                     unmatched_src = src.join(tgt_full, cond, "left_anti")
                 else:
                     unmatched_src = src

@@ -835,3 +835,92 @@ def test_boolean_partition_dynamic_overwrite(spark, tmp_path):
     t.append(spark.createDataFrame([(1, True), (2, False)], schema))
     t.overwrite(spark.createDataFrame([(9, True)], schema), dynamic=True)
     assert {tuple(r) for r in t.read().collect()} == {(9, True), (2, False)}
+
+
+def test_cdf_merge_delete_with_nulls_single_change_row(spark, tmp_path):
+    """A NULL-bearing row deleted by MERGE must emit exactly ONE change
+    row (delete) — the old all-column anti-join derivation of
+    update_preimage treated NULL != NULL as 'not a delete' and emitted a
+    spurious preimage."""
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "nulls"),
+        SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(
+        rows_df(spark, [(1, None, None, "d1"), (2, "KEEP", 2.0, "d1")])
+    )
+    src = rows_df(spark, [(1, "X", 0.0, "d1")])
+    (
+        t.merge(src, "target.id = source.id")
+        .when_matched_delete()
+        .execute()
+    )
+    ch = [
+        (r.id, r._change_type)
+        for r in t.read_changes(starting_version=2).collect()
+    ]
+    assert ch == [(1, "delete")]
+
+
+def test_cdf_nmbs_delete_with_nulls_single_change_row(spark, tmp_path):
+    """Same NULL-preimage property for WHEN NOT MATCHED BY SOURCE."""
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "nmbs-nulls"),
+        SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(rows_df(spark, [(1, None, None, "d1"), (2, "KEEP", 2.0, "d1")]))
+    src = rows_df(spark, [(2, "KEEP", 2.0, "d1")])
+    (
+        t.merge(src, "target.id = source.id")
+        .when_not_matched_by_source_delete()
+        .execute()
+    )
+    ch = [
+        (r.id, r._change_type)
+        for r in t.read_changes(starting_version=2).collect()
+    ]
+    assert ch == [(1, "delete")]
+
+
+def test_failed_merge_leaves_schema_untouched(spark, table):
+    """Schema evolution rides in the MERGE commit atomically: a merge
+    that fails (ambiguous multi-match) must not leave an ADD COLUMNS
+    commit behind."""
+    before = [f.name for f in table.schema().fields]
+    v_before = table.history().first()["version"]
+    src_schema = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("channel", T.StringType())]
+    )
+    # two source rows match target id=1 → ambiguous update → error
+    src = spark.createDataFrame(
+        [(1, "A", 1.0, "d1", "web"), (1, "B", 2.0, "d1", "app")], src_schema
+    )
+    with pytest.raises(ValueError):
+        (
+            table.merge(src, "target.id = source.id")
+            .when_matched_update_all()
+            .with_schema_evolution()
+            .execute()
+        )
+    assert [f.name for f in table.schema().fields] == before
+    assert table.history().first()["version"] == v_before
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 6-node chain needs ~5 rounds; cap at 1 → must raise, not return
+    # a silently split component
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(pairs, max_iter=1)
+    ok = connected_components(pairs, max_iter=10)
+    assert {tuple(r) for r in ok.collect()} == {(i, 1) for i in range(1, 7)}
