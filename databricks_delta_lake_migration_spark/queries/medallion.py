@@ -154,3 +154,221 @@ def q73_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "session_start", "session_end", "n_events", "total_value"
     )
+
+
+# DuckDB twin of the silver transactions cleanse (plans/medallion.py
+# cleanse_transactions — near-identity on the fixture, spelled in full).
+_SQL_SILVER_TX = """
+    SELECT o_orderkey AS transaction_id, o_custkey AS user_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice AS amount,
+           upper(trim(o_orderstatus)) AS status,
+           CASE WHEN o_totalprice < 50000 THEN 'SMALL'
+                WHEN o_totalprice < 150000 THEN 'MEDIUM'
+                WHEN o_totalprice < 300000 THEN 'LARGE'
+                ELSE 'ENTERPRISE' END AS amount_category,
+           (upper(trim(o_orderstatus)) = 'F') AS is_fulfilled
+    FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_totalprice > 0
+"""
+
+_DSUM = "CAST(ROUND(SUM(CAST({x} AS DECIMAL(18,4))), 4) AS DOUBLE)"
+
+
+def _tx_pipeline(spark: SparkSession, sf_dir: str, with_events: bool = False):
+    """Scratch bronze→silver run over the orders (+ optionally events)
+    fixtures; returns the pipeline with silver tables materialized."""
+    pipe = MedallionPipeline(spark, tempfile.mkdtemp(prefix="medallion-full-"))
+    pipe.run_bronze_transactions(load_table(spark, sf_dir, "orders"), _INGEST_TS)
+    pipe.run_silver_transactions()
+    pipe.run_silver_users(load_table(spark, sf_dir, "customer"), _INGEST_TS)
+    if with_events:
+        pipe.run_bronze(load_table(spark, sf_dir, "events"), _INGEST_TS)
+        pipe.run_silver()
+    return pipe
+
+
+@query(
+    "q84_medallion_tx_analytics",
+    oracle=f"""
+    WITH tx AS ({_SQL_SILVER_TX})
+    SELECT order_date,
+           COUNT(*) AS n_tx,
+           COUNT(DISTINCT user_id) AS n_users,
+           {_DSUM.format(x='amount')} AS revenue,
+           {_DSUM.format(x="CASE WHEN is_fulfilled THEN amount ELSE 0 END")} AS fulfilled_revenue,
+           CAST(SUM(CASE WHEN amount_category = 'SMALL' THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+           CAST(SUM(CASE WHEN amount_category = 'ENTERPRISE' THEN 1 ELSE 0 END) AS BIGINT) AS n_enterprise
+    FROM tx GROUP BY order_date
+    """,
+)
+def q84_medallion_tx_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed-pipeline gold: daily transaction analytics read back from
+    its log table after a real bronze→silver→gold run
+    (03_gold_aggregation.py:100-149)."""
+    pipe = _tx_pipeline(spark, sf_dir)
+    from ..plans.medallion import transaction_analytics
+    from ..tables import LogTable
+
+    silver = LogTable(spark, pipe._table("silver_transactions")).read()
+    df = transaction_analytics(silver)
+    t = LogTable.create(spark, pipe._table("gold_transaction_analytics"), df.schema)
+    t.overwrite(df)
+    return t.read()
+
+
+@query(
+    "q85_medallion_user_ltv",
+    oracle=f"""
+    WITH tx AS ({_SQL_SILVER_TX}),
+    m AS (
+        SELECT user_id, COUNT(*) AS n_tx,
+               {_DSUM.format(x='amount')} AS ltv,
+               MIN(order_date) AS first_order,
+               MAX(order_date) AS last_order,
+               COUNT(DISTINCT order_date) AS active_days
+        FROM tx WHERE is_fulfilled GROUP BY user_id
+    )
+    SELECT c.c_custkey AS user_id,
+           upper(trim(c.c_mktsegment)) AS segment,
+           (c.c_acctbal > 5000) AS is_premium,
+           COALESCE(m.n_tx, 0) AS n_tx,
+           COALESCE(m.ltv, 0.0) AS ltv,
+           m.first_order, m.last_order,
+           COALESCE(m.active_days, 0) AS active_days
+    FROM customer c LEFT JOIN m ON m.user_id = c.c_custkey
+    WHERE c.c_custkey IS NOT NULL
+    """,
+)
+def q85_medallion_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed-pipeline gold: user LTV over the SCD2-current users
+    dimension ⟕ fulfilled-transaction metrics
+    (03_gold_aggregation.py:158-237)."""
+    from pyspark.sql import functions as F
+
+    from ..plans.medallion import user_ltv
+    from ..tables import LogTable
+
+    pipe = _tx_pipeline(spark, sf_dir)
+    silver = LogTable(spark, pipe._table("silver_transactions")).read()
+    users = (
+        LogTable(spark, pipe._table("silver_users")).read().filter(F.col("is_current"))
+    )
+    return user_ltv(silver, users)
+
+
+@query(
+    "q86_medallion_cohorts",
+    oracle=f"""
+    WITH tx AS ({_SQL_SILVER_TX}),
+    cohorts AS (
+        SELECT user_id, CAST(date_trunc('month', MIN(order_date)) AS DATE) AS cohort_month
+        FROM tx GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('month', order_date) AS DATE) AS activity_month
+        FROM tx
+    )
+    SELECT c.cohort_month, a.activity_month, COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q86_medallion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed-pipeline gold: cohort analysis
+    (03_gold_aggregation.py:237-296)."""
+    from ..plans.medallion import cohort_analysis
+    from ..tables import LogTable
+
+    pipe = _tx_pipeline(spark, sf_dir)
+    return cohort_analysis(LogTable(spark, pipe._table("silver_transactions")).read())
+
+
+@query(
+    "q87_medallion_daily_kpis",
+    oracle=f"""
+    WITH tx AS ({_SQL_SILVER_TX}),
+    silver AS ({_SQL_SILVER}),
+    rev AS (
+        SELECT order_date AS kpi_date,
+               {_DSUM.format(x='amount')} AS total_revenue,
+               COUNT(*) AS total_transactions,
+               COUNT(DISTINCT user_id) AS paying_users
+        FROM tx WHERE is_fulfilled GROUP BY order_date
+    ),
+    eng AS (
+        SELECT CAST(ts AS DATE) AS kpi_date,
+               COUNT(*) AS total_events,
+               COUNT(DISTINCT user_id) AS active_users,
+               CAST(SUM(CASE WHEN event_category = 'CONVERSION' THEN 1 ELSE 0 END) AS BIGINT) AS conversion_events
+        FROM silver GROUP BY 1
+    )
+    SELECT COALESCE(rev.kpi_date, eng.kpi_date) AS kpi_date,
+           COALESCE(total_revenue, 0.0) AS total_revenue,
+           COALESCE(total_transactions, 0) AS total_transactions,
+           COALESCE(paying_users, 0) AS paying_users,
+           COALESCE(total_events, 0) AS total_events,
+           COALESCE(active_users, 0) AS active_users,
+           COALESCE(conversion_events, 0) AS conversion_events,
+           CASE WHEN COALESCE(total_events, 0) > 0
+                THEN ROUND(COALESCE(conversion_events, 0) * 100.0 / total_events, 4)
+                ELSE 0.0 END AS conversion_rate
+    FROM rev FULL OUTER JOIN eng ON rev.kpi_date = eng.kpi_date
+    """,
+)
+def q87_medallion_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed-pipeline gold: daily KPIs — revenue ⟗ engagement on the
+    calendar date (03_gold_aggregation.py:298-350)."""
+    from ..plans.medallion import daily_kpis
+    from ..tables import LogTable
+
+    pipe = _tx_pipeline(spark, sf_dir, with_events=True)
+    return daily_kpis(
+        LogTable(spark, pipe._table("silver_transactions")).read(),
+        LogTable(spark, pipe.silver_path()).read(),
+    )
+
+
+@query(
+    "q88_scd2_users_state",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey IS NOT NULL)
+    SELECT FALSE AS is_current,
+           (SELECT COUNT(*) FROM base WHERE c_custkey % 10 = 0) AS n_rows,
+           (SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE)
+              FROM base WHERE c_custkey % 10 = 0) AS total_bal
+    UNION ALL
+    SELECT TRUE,
+           (SELECT COUNT(*) FROM base),
+           (SELECT CAST(ROUND(SUM(CAST(
+                c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100 ELSE 0 END
+            AS DECIMAL(18,4))), 4) AS DOUBLE) FROM base)
+    """,
+)
+def q88_scd2_users_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot SCD2 state check: snapshot 2 bumps acctbal by 100
+    for every tenth user → those rows close (is_current=false, original
+    balance) and reopen with the new balance; untouched users keep one
+    open row. Final-state aggregate hash-checked against the
+    declarative twin (02_silver_transformation.py:83-135)."""
+    from pyspark.sql import functions as F
+
+    from ..tables import LogTable
+
+    pipe = MedallionPipeline(spark, tempfile.mkdtemp(prefix="scd2-"))
+    snap1 = load_table(spark, sf_dir, "customer")
+    pipe.run_silver_users(snap1, "2024-03-01 00:00:00")
+    snap2 = snap1.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    pipe.run_silver_users(snap2, "2024-03-02 00:00:00")
+    users = LogTable(spark, pipe._table("silver_users")).read()
+    return users.groupBy("is_current").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("acctbal").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("total_bal"),
+    )
