@@ -1381,3 +1381,37 @@ def q82_multi_path_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
     )
+
+
+@query(
+    "q89_catalog_named_table",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q89_catalog_named_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-table catalog (S7 3-level namespace — reference
+    delta_utils.py:27-77): create ``lake.silver.customers`` as a log
+    table, bind it into the session catalog, and run plain
+    ``spark.sql`` over the bound name — the result must match the raw
+    fixture."""
+    import tempfile
+
+    from ..tables import Catalog
+
+    c = load_table(spark, sf_dir, "customer")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="catalog-"))
+    t = cat.create_table("lake.silver.customers", c.schema)
+    t.append(c)
+    cat.bind()
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_bal
+        FROM silver.customers GROUP BY c_mktsegment
+        """
+    )

@@ -1,5 +1,6 @@
 """ACID log-structured table format (Delta-semantics on Parquet)."""
 
+from .catalog import Catalog  # noqa: F401
 from .logtable import LogTable, MergeBuilder  # noqa: F401
 from .schema_utils import (  # noqa: F401
     evolution_plan,

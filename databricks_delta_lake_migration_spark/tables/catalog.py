@@ -1,0 +1,257 @@
+"""Three-level named-table catalog over :class:`LogTable`.
+
+Parity target: the reference addresses every table as
+``catalog.schema.table`` through Unity Catalog
+(``/root/reference/src/delta_utils.py:27-77``,
+``src/config.py:50-56``); this module provides the same naming layer
+for the log-table format, with two access paths:
+
+- :meth:`Catalog.sql` — programmatic SQL over registered names. Each
+  referenced table is bound as a temp view from ``LogTable.read()``
+  (always the correct current snapshot, stats-pruned, schema-evolved).
+- :meth:`Catalog.bind` — publishes session-catalog views so PLAIN
+  ``spark.table("silver.users")`` / ``spark.sql`` resolve the table
+  with no wrapper. The view body is a *manifest*: the current
+  snapshot's file list, one UNION branch per partition with the
+  partition values inlined as literals. Constant folding prunes
+  non-matching branches under a partition predicate, so partition
+  pruning survives the view. Views pin the snapshot at bind time —
+  call :meth:`bind` again (cheap, metadata-only) after writes.
+
+At 100 TB the manifest view is the compatibility shim, not the main
+path: ``Catalog.sql``/``read`` bind the live snapshot and are what
+pipelines should use; a production deployment would back this registry
+with a real metastore.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .logtable import LogTable, _partition_values
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _q(ident: str) -> str:
+    return f"`{ident}`"
+
+
+def _sql_str(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+class Catalog:
+    """Named-table registry rooted at ``root`` (tables may live
+    anywhere; the registry is one JSON file of name → path)."""
+
+    def __init__(
+        self, spark: SparkSession, root: str, default_catalog: str = "lake"
+    ):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.default_catalog = default_catalog
+        os.makedirs(self.root, exist_ok=True)
+
+    # ---- registry ----------------------------------------------------
+
+    @property
+    def _registry_path(self) -> str:
+        return os.path.join(self.root, "catalog.json")
+
+    def _load(self) -> dict[str, str]:
+        if not os.path.exists(self._registry_path):
+            return {}
+        with open(self._registry_path) as fh:
+            return json.load(fh)
+
+    def _save(self, reg: dict[str, str]) -> None:
+        tmp = self._registry_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(reg, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._registry_path)
+
+    def resolve_name(self, name: str) -> tuple[str, str, str]:
+        """``table`` / ``schema.table`` / ``catalog.schema.table`` →
+        full 3-level tuple (reference config.py:50-56 defaulting)."""
+        parts = name.split(".")
+        if len(parts) == 1:
+            parts = [self.default_catalog, "default", parts[0]]
+        elif len(parts) == 2:
+            parts = [self.default_catalog, *parts]
+        elif len(parts) != 3:
+            raise ValueError(f"invalid table name: {name!r}")
+        for p in parts:
+            if not _NAME_RE.match(p):
+                raise ValueError(f"invalid identifier {p!r} in {name!r}")
+        return tuple(parts)  # type: ignore[return-value]
+
+    def _fq(self, name: str) -> str:
+        return ".".join(self.resolve_name(name))
+
+    # ---- table lifecycle ---------------------------------------------
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        path: str | None = None,
+    ) -> LogTable:
+        """CREATE TABLE catalog.schema.table (delta_utils.py:27-77):
+        managed location ``<root>/<catalog>/<schema>/<table>`` unless an
+        external ``path`` is given."""
+        fq = self._fq(name)
+        reg = self._load()
+        if fq in reg:
+            return LogTable(self.spark, reg[fq])
+        location = path or os.path.join(self.root, *fq.split("."))
+        t = LogTable.create(
+            self.spark, location, schema, partition_by=partition_by,
+            properties=properties,
+        )
+        reg[fq] = t.path
+        self._save(reg)
+        return t
+
+    def register(self, name: str, path: str) -> None:
+        """Attach an existing log table under a name (external table)."""
+        t = LogTable(self.spark, path)
+        if not t.exists():
+            raise FileNotFoundError(f"no log table at {path}")
+        reg = self._load()
+        reg[self._fq(name)] = t.path
+        self._save(reg)
+
+    def drop(self, name: str) -> None:
+        reg = self._load()
+        reg.pop(self._fq(name), None)
+        self._save(reg)
+
+    def tables(self) -> list[str]:
+        return sorted(self._load())
+
+    def table(self, name: str) -> LogTable:
+        fq = self._fq(name)
+        reg = self._load()
+        if fq not in reg:
+            raise KeyError(f"table not found: {fq}")
+        return LogTable(self.spark, reg[fq])
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        return self.table(name).read(version=version)
+
+    # ---- SQL over registered names -----------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL referencing registered names. Every registered name
+        appearing in the query (longest-first, word-bounded) is bound as
+        a temp view of the table's CURRENT snapshot and the query text
+        is rewritten to the view name — correct for every table state
+        (schema evolution, time travel via ``read()``'s replay)."""
+        reg = self._load()
+        rewritten = query
+        aliases: dict[str, str] = {}
+        for fq in sorted(reg, key=len, reverse=True):
+            cat, sch, tbl = fq.split(".")
+            view = f"__cat_{cat}_{sch}_{tbl}"
+            pat = re.compile(
+                r"(?<![\w.`])("
+                + re.escape(fq)
+                + "|"
+                + re.escape(f"{sch}.{tbl}")
+                + r")(?![\w.`])"
+            ) if cat == self.default_catalog else re.compile(
+                r"(?<![\w.`])" + re.escape(fq) + r"(?![\w.`])"
+            )
+            new, n = pat.subn(view, rewritten)
+            if n:
+                rewritten = new
+                aliases[fq] = view
+        for fq, view in aliases.items():
+            LogTable(self.spark, reg[fq]).read().createOrReplaceTempView(view)
+        return self.spark.sql(rewritten)
+
+    # ---- session-catalog binding (plain spark.table / spark.sql) -----
+
+    def _database_for(self, cat: str, sch: str) -> str:
+        return sch if cat == self.default_catalog else f"{cat}_{sch}"
+
+    def _manifest_body(self, t: LogTable) -> str:
+        """Snapshot-pinned view text: one branch per partition, data
+        columns from an explicit file-list parquet scan, partition
+        columns inlined as typed literals (folded → branch pruning)."""
+        files, schema_json, partition_by, _, _ = t._replay()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if not files:
+            cols = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS {_q(f.name)}"
+                for f in schema.fields
+            )
+            return f"SELECT {cols} WHERE 1=0"
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            pv = _partition_values(f.path)
+            key = tuple(pv.get(c) for c in partition_by)
+            groups.setdefault(key, []).append(os.path.join(t.path, f.path))
+        branches = []
+        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            unsafe = any(ch in p for p in paths for ch in ",{}")
+            by_dir: dict[str, list[str]] = {}
+            for p in paths:
+                by_dir.setdefault(os.path.dirname(p), []).append(os.path.basename(p))
+            scans = []
+            for d, names_ in sorted(by_dir.items()):
+                if len(names_) == 1:
+                    scans.append(f"parquet.`{d}/{names_[0]}`")
+                elif unsafe:
+                    scans += [f"parquet.`{d}/{n}`" for n in names_]
+                else:
+                    # glob braces must sit inside a path component:
+                    # dir/{f1,f2} — a fully-braced absolute path is
+                    # treated as relative
+                    scans.append("parquet.`" + d + "/{" + ",".join(sorted(names_)) + "}`")
+            sel = []
+            for fld in schema.fields:
+                if fld.name in partition_by:
+                    v = key[partition_by.index(fld.name)]
+                    lit = "NULL" if v is None else _sql_str(v)
+                    sel.append(
+                        f"CAST({lit} AS {fld.dataType.simpleString()}) AS {_q(fld.name)}"
+                    )
+                else:
+                    sel.append(_q(fld.name))
+            branches += [f"SELECT {', '.join(sel)} FROM {s}" for s in scans]
+        return " UNION ALL ".join(branches)
+
+    def bind(self, names: list[str] | None = None) -> None:
+        """Publish (or refresh) session-catalog views for the given
+        names (default: every registered table). After this,
+        ``spark.table("silver.users")`` and raw ``spark.sql`` resolve
+        them directly."""
+        reg = self._load()
+        fqs = [self._fq(n) for n in names] if names is not None else list(reg)
+        for fq in fqs:
+            if fq not in reg:
+                raise KeyError(f"table not found: {fq}")
+            cat, sch, tbl = fq.split(".")
+            db = self._database_for(cat, sch)
+            t = LogTable(self.spark, reg[fq])
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {_q(db)}")
+            self.spark.sql(
+                f"CREATE OR REPLACE VIEW {_q(db)}.{_q(tbl)} AS {self._manifest_body(t)}"
+            )
+
+    def unbind(self, names: list[str] | None = None) -> None:
+        reg = self._load()
+        fqs = [self._fq(n) for n in names] if names is not None else list(reg)
+        for fq in fqs:
+            cat, sch, tbl = fq.split(".")
+            db = self._database_for(cat, sch)
+            self.spark.sql(f"DROP VIEW IF EXISTS {_q(db)}.{_q(tbl)}")

@@ -1,0 +1,126 @@
+"""Named-table catalog semantics (reference delta_utils.py:27-77):
+3-level resolution, Catalog.sql over live snapshots, and session-
+catalog binding so plain spark.table()/spark.sql resolve log tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_delta_lake_migration_spark.tables import Catalog, LogTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("day", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "cat"), default_catalog="lake")
+    t = c.create_table("lake.silver.users", SCHEMA, partition_by=["day"])
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.0, "d1"), (2, 2.0, "d1"), (3, 3.0, "d2")], SCHEMA
+        )
+    )
+    yield c
+    c.unbind()
+
+
+def test_name_resolution_and_lifecycle(spark, cat):
+    assert cat.resolve_name("users") == ("lake", "default", "users")
+    assert cat.resolve_name("silver.users") == ("lake", "silver", "users")
+    assert cat.resolve_name("bronze.raw.events") == ("bronze", "raw", "events")
+    with pytest.raises(ValueError):
+        cat.resolve_name("a.b.c.d")
+    with pytest.raises(ValueError):
+        cat.resolve_name("bad-name")
+    assert cat.tables() == ["lake.silver.users"]
+    assert isinstance(cat.table("silver.users"), LogTable)
+    assert cat.read("silver.users").count() == 3
+    with pytest.raises(KeyError):
+        cat.table("silver.nope")
+
+
+def test_catalog_sql_resolves_names(spark, cat):
+    got = cat.sql(
+        "SELECT day, COUNT(*) AS n FROM lake.silver.users GROUP BY day ORDER BY day"
+    ).collect()
+    assert [(r.day, r.n) for r in got] == [("d1", 2), ("d2", 1)]
+    # 2-part default-catalog spelling resolves too
+    assert cat.sql("SELECT COUNT(*) AS n FROM silver.users").first().n == 3
+
+
+def test_bind_makes_spark_table_resolve(spark, cat):
+    cat.bind()
+    df = spark.table("silver.users")
+    assert {tuple(r) for r in df.collect()} == {
+        (1, 1.0, "d1"),
+        (2, 2.0, "d1"),
+        (3, 3.0, "d2"),
+    }
+    # raw SQL over the bound name, with a partition predicate: the
+    # manifest view's literal partition values constant-fold, so the
+    # non-matching branch is pruned from the plan
+    q = spark.sql("SELECT id FROM silver.users WHERE day = 'd2'")
+    assert [r.id for r in q.collect()] == [3]
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "Union" not in plan, "non-matching branches must fold away"
+    assert "day=d1" not in plan, "pruned partition's files must not be scanned"
+    assert "day=d2" in plan
+
+
+def test_bind_refresh_after_write(spark, cat):
+    cat.bind()
+    t = cat.table("silver.users")
+    t.append(spark.createDataFrame([(4, 4.0, "d3")], SCHEMA))
+    cat.bind(["silver.users"])  # metadata-only refresh
+    assert spark.table("silver.users").count() == 4
+    # overwrite drops the old files from the manifest (no stale reads)
+    t.overwrite(spark.createDataFrame([(9, 9.0, "d9")], SCHEMA))
+    cat.bind(["silver.users"])
+    assert {tuple(r) for r in spark.table("silver.users").collect()} == {
+        (9, 9.0, "d9")
+    }
+
+
+def test_bind_empty_and_null_partition(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "cat2"))
+    c.create_table("gold.empty", SCHEMA, partition_by=["day"])
+    t2 = c.create_table("gold.nullpart", SCHEMA, partition_by=["day"])
+    t2.append(spark.createDataFrame([(1, 1.0, None), (2, 2.0, "d1")], SCHEMA))
+    c.bind()
+    try:
+        assert spark.table("gold.empty").count() == 0
+        assert [f.name for f in spark.table("gold.empty").schema.fields] == [
+            "id", "v", "day",
+        ]
+        got = {tuple(r) for r in spark.table("gold.nullpart").collect()}
+        assert got == {(1, 1.0, None), (2, 2.0, "d1")}
+    finally:
+        c.unbind()
+
+
+def test_external_register_and_non_default_catalog(spark, tmp_path):
+    ext = LogTable.create(spark, str(tmp_path / "ext"), SCHEMA)
+    ext.append(spark.createDataFrame([(7, 7.0, "d7")], SCHEMA))
+    c = Catalog(spark, str(tmp_path / "cat3"))
+    c.register("bronze.raw.ext", str(tmp_path / "ext"))
+    assert c.read("bronze.raw.ext").count() == 1
+    c.bind()
+    try:
+        # non-default catalog binds under <catalog>_<schema>
+        assert spark.table("bronze_raw.ext").count() == 1
+    finally:
+        c.unbind()
