@@ -2,6 +2,12 @@
 
 from .catalog import Catalog  # noqa: F401
 from .logtable import LogTable, MergeBuilder  # noqa: F401
+from .maintenance import (  # noqa: F401
+    MaintenanceConfig,
+    run_maintenance,
+    run_maintenance_batch,
+    table_stats_advisor,
+)
 from .schema_utils import (  # noqa: F401
     evolution_plan,
     schema_diff,

@@ -161,3 +161,78 @@ def incremental_batch(table: LogTable, last_processed_version: int) -> tuple[Dat
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop("_change_type", "_commit_version", "_commit_timestamp")
     return fresh, current
+
+
+# ---------------------------------------------------------------------------
+# Config-driven maintenance scheduler (reference src/config.py:137-162 +
+# the OPTIMIZE/ZORDER/VACUUM loop its jobs drive)
+# ---------------------------------------------------------------------------
+
+LAST_RUN_PROP = "maintenance.last_run_epoch"
+
+
+@dataclass(frozen=True)
+class MaintenanceConfig:
+    """Per-table maintenance policy (config.py:137-155)."""
+
+    zorder_columns: tuple[str, ...] = ()
+    optimize_interval_hours: float = 24.0
+    vacuum_retain_hours: float = 168.0
+    target_file_mb: int = 128
+    analyze_columns: tuple[str, ...] | None = None  # () = skip, None = all
+
+
+def run_maintenance(
+    table: LogTable,
+    config: MaintenanceConfig,
+    now_epoch: float | None = None,
+    force: bool = False,
+) -> dict:
+    """One scheduler tick for one table: if the configured interval has
+    elapsed since the last recorded run (persisted in table properties —
+    the schedule is resumable from the table alone), run
+    OPTIMIZE-or-ZORDER → ANALYZE → VACUUM and stamp the run.
+
+    ``now_epoch`` is the injected clock (deterministic tests); VACUUM's
+    age cutoff still uses wall time internally, so retention semantics
+    match the reference's scheduled jobs. Returns the per-op metrics,
+    or ``{"skipped": True, ...}`` when not yet due."""
+    import time as _time
+
+    now = _time.time() if now_epoch is None else now_epoch
+    last = float(table.properties().get(LAST_RUN_PROP, "0") or 0)
+    due = force or (now - last) >= config.optimize_interval_hours * 3600
+    if not due:
+        return {
+            "skipped": True,
+            "next_due_epoch": last + config.optimize_interval_hours * 3600,
+        }
+    out: dict = {"skipped": False}
+    if config.zorder_columns:
+        out["zorder"] = table.zorder(list(config.zorder_columns))
+    else:
+        out["optimize"] = table.optimize(
+            target_file_bytes=config.target_file_mb * MB
+        )
+    if config.analyze_columns is None or config.analyze_columns:
+        out["analyze"] = compute_stats(
+            table,
+            list(config.analyze_columns) if config.analyze_columns else None,
+        )
+    out["vacuum_removed"] = len(
+        table.vacuum(retain_hours=config.vacuum_retain_hours)
+    )
+    table.set_properties({LAST_RUN_PROP: repr(now)})
+    return out
+
+
+def run_maintenance_batch(
+    tables: dict[str, tuple[LogTable, MaintenanceConfig]],
+    now_epoch: float | None = None,
+) -> dict[str, dict]:
+    """Scheduler sweep over a config map (the reference drives this from
+    TABLE_CONFIGS per job run)."""
+    return {
+        name: run_maintenance(t, cfg, now_epoch=now_epoch)
+        for name, (t, cfg) in tables.items()
+    }

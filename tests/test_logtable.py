@@ -924,3 +924,45 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(pairs, max_iter=1)
     ok = connected_components(pairs, max_iter=10)
     assert {tuple(r) for r in ok.collect()} == {(i, 1) for i in range(1, 7)}
+
+
+def test_maintenance_scheduler(spark, tmp_path):
+    """Config-driven maintenance (reference config.py:137-162): due/not-
+    due gating from the persisted last-run stamp, ZORDER vs OPTIMIZE
+    dispatch, ANALYZE stats, and the stamp advancing."""
+    from databricks_delta_lake_migration_spark.tables import (
+        MaintenanceConfig,
+        run_maintenance,
+        run_maintenance_batch,
+    )
+
+    t = LogTable.create(spark, str(tmp_path / "m"), SCHEMA)
+    for i in range(3):  # several small files → optimize has work
+        t.append(rows_df(spark, [(i, "S", float(i), "d1")]))
+
+    cfg = MaintenanceConfig(optimize_interval_hours=24, vacuum_retain_hours=0)
+    t0 = 1_700_000_000.0
+    r1 = run_maintenance(t, cfg, now_epoch=t0)
+    assert not r1["skipped"]
+    assert "optimize" in r1 and "analyze" in r1
+    assert t.read().count() == 3
+
+    # 1 hour later: not due
+    r2 = run_maintenance(t, cfg, now_epoch=t0 + 3600)
+    assert r2["skipped"]
+    # 25 hours later: due again; zorder config dispatches to zorder
+    zcfg = MaintenanceConfig(
+        zorder_columns=("id",), optimize_interval_hours=24, vacuum_retain_hours=0
+    )
+    r3 = run_maintenance(t, zcfg, now_epoch=t0 + 25 * 3600)
+    assert not r3["skipped"] and "zorder" in r3
+    assert t.read().count() == 3
+
+    # batch sweep over a config map
+    t2 = LogTable.create(spark, str(tmp_path / "m2"), SCHEMA)
+    t2.append(rows_df(spark, [(1, "S", 1.0, "d1")]))
+    out = run_maintenance_batch(
+        {"a": (t, cfg), "b": (t2, cfg)}, now_epoch=t0 + 26 * 3600
+    )
+    assert set(out) == {"a", "b"}
+    assert not out["b"]["skipped"]
