@@ -47,6 +47,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .fsio import LOCAL_FS, FileSystem
+
 LOG_DIR = "_log"
 CHANGES_DIR = "_changes"
 STAGING_DIR = "_staging"
@@ -295,9 +297,12 @@ def _stats_may_match(f: FileEntry, conjuncts: list[tuple[str, str, Any]]) -> boo
 class LogTable:
     """One log-structured table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, fs: FileSystem = LOCAL_FS
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
+        self.fs = fs  # driver-side metadata I/O seam (see fsio.py)
         self._commits: list[Commit] | None = None  # lazy log cache
 
     # ------------------------------------------------------------------
@@ -309,7 +314,7 @@ class LogTable:
         return os.path.join(self.path, LOG_DIR)
 
     def exists(self) -> bool:
-        return os.path.isdir(self._log_path) and bool(os.listdir(self._log_path))
+        return self.fs.isdir(self._log_path) and bool(self.fs.listdir(self._log_path))
 
     def commits(self) -> list[Commit]:
         """Commit list, cached per already-read version. The dir listing
@@ -317,8 +322,8 @@ class LogTable:
         handles — streaming sinks, concurrent writers — are picked up;
         only the new tail is parsed."""
         names = (
-            sorted(n for n in os.listdir(self._log_path) if n.endswith(".json"))
-            if os.path.isdir(self._log_path)
+            sorted(n for n in self.fs.listdir(self._log_path) if n.endswith(".json"))
+            if self.fs.isdir(self._log_path)
             else []
         )
         if self._commits is None:
@@ -326,8 +331,8 @@ class LogTable:
         if len(names) < len(self._commits):  # external truncation — reload
             self._commits = []
         for name in names[len(self._commits):]:
-            with open(os.path.join(self._log_path, name)) as fh:
-                self._commits.append(Commit.from_json(json.load(fh)))
+            data = self.fs.read_json(os.path.join(self._log_path, name))
+            self._commits.append(Commit.from_json(data))
         return self._commits
 
     def version(self) -> int:
@@ -338,21 +343,15 @@ class LogTable:
 
     def _commit(self, commit: Commit) -> None:
         """Atomic optimistic commit: create-exclusive the version file."""
-        os.makedirs(self._log_path, exist_ok=True)
+        self.fs.makedirs(self._log_path)
         target = os.path.join(self._log_path, f"{commit.version:020d}.json")
-        tmp = target + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(commit.to_json(), fh)
-        try:
-            # hard-link is atomic and fails if target exists → optimistic
-            # concurrency control without a lock service.
-            os.link(tmp, target)
-        except FileExistsError:
+        # put-if-absent is the whole commit protocol: optimistic
+        # concurrency without a lock service (local: atomic hard link;
+        # object stores: conditional PUT — see fsio.py).
+        if not self.fs.put_if_absent(target, json.dumps(commit.to_json())):
             raise ConcurrentWriteError(
                 f"version {commit.version} already committed at {self.path}"
-            ) from None
-        finally:
-            os.unlink(tmp)
+            )
         if self._commits is not None:
             self._commits.append(commit)
         if commit.version > 0 and commit.version % CHECKPOINT_INTERVAL == 0:
@@ -368,11 +367,11 @@ class LogTable:
     # ---- checkpoints (Delta's _last_checkpoint mechanism) ---------------
 
     def _checkpoint_versions(self) -> list[int]:
-        if not os.path.isdir(self._log_path):
+        if not self.fs.isdir(self._log_path):
             return []
         return sorted(
             int(n.split(".")[0])
-            for n in os.listdir(self._log_path)
+            for n in self.fs.listdir(self._log_path)
             if n.endswith(".checkpoint")
         )
 
@@ -391,10 +390,7 @@ class LogTable:
             "properties": props,
         }
         target = os.path.join(self._log_path, f"{version:020d}.checkpoint")
-        tmp = target + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, target)  # idempotent content → plain atomic rename
+        self.fs.write_text(target, json.dumps(state))  # idempotent content
 
     def _load_checkpoint(self, max_version: int) -> dict | None:
         best = [v for v in self._checkpoint_versions() if v <= max_version]
@@ -402,8 +398,7 @@ class LogTable:
             return None
         path = os.path.join(self._log_path, f"{best[-1]:020d}.checkpoint")
         try:
-            with open(path) as fh:
-                return json.load(fh)
+            return self.fs.read_json(path)
         except (OSError, json.JSONDecodeError):
             return None  # damaged checkpoint → fall back to full replay
 
@@ -558,8 +553,8 @@ class LogTable:
         for c in self.commits():
             if starting_version <= c.version <= end:
                 d = os.path.join(self.path, CHANGES_DIR, f"v={c.version:020d}")
-                if os.path.isdir(d) and any(
-                    n.endswith(".parquet") for n in os.listdir(d)
+                if self.fs.isdir(d) and any(
+                    n.endswith(".parquet") for n in self.fs.listdir(d)
                 ):
                     dirs.append(d)
         if not dirs:
@@ -618,7 +613,7 @@ class LogTable:
             if if_not_exists:
                 return t
             raise FileExistsError(path)
-        os.makedirs(t.path, exist_ok=True)
+        t.fs.makedirs(t.path)
         t._commit(
             Commit(
                 version=0,
@@ -663,23 +658,26 @@ class LogTable:
         w.parquet(stage)
         entries: list[FileEntry] = []
         prefix = uuid.uuid4().hex[:8]
-        for dirpath, _, names in os.walk(stage):
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                rel_dir = os.path.relpath(dirpath, stage)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                new_name = f"part-{prefix}-{len(entries):05d}.parquet"
-                rel_path = os.path.join(rel_dir, new_name) if rel_dir else new_name
-                dst = os.path.join(self.path, rel_path)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                src = os.path.join(dirpath, name)
-                n, size, stats = _parquet_file_stats(src)
-                if n == 0:
-                    continue
-                os.rename(src, dst)
-                entries.append(FileEntry(rel_path, n, size, stats=stats))
-        shutil.rmtree(os.path.join(self.path, STAGING_DIR), ignore_errors=True)
+        # staged files are immutable and unreferenced until the commit
+        # lands, so per-file promotion does NOT need atomicity — on an
+        # object store fs.rename degrades to copy+delete and the format
+        # stays correct (crash → orphans, collected by VACUUM).
+        for dirpath, name in self.fs.walk_files(stage):
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(dirpath, stage)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            new_name = f"part-{prefix}-{len(entries):05d}.parquet"
+            rel_path = os.path.join(rel_dir, new_name) if rel_dir else new_name
+            dst = os.path.join(self.path, rel_path)
+            self.fs.makedirs(os.path.dirname(dst))
+            src = os.path.join(dirpath, name)
+            n, size, stats = _parquet_file_stats(src)
+            if n == 0:
+                continue
+            self.fs.rename(src, dst)
+            entries.append(FileEntry(rel_path, n, size, stats=stats))
+        self.fs.delete_tree(os.path.join(self.path, STAGING_DIR))
         return entries
 
     def _write_changes(self, version: int, change_df: DataFrame | None) -> None:
@@ -1209,19 +1207,19 @@ class LogTable:
         protected_versions.append(cs[-1].version)
         for v in set(protected_versions):
             keep.update(f.abspath(self.path) for f in self._replay(v)[0])
+        skip = (LOG_DIR, CHANGES_DIR, STAGING_DIR)
         candidates = []
-        for dirpath, dirnames, names in os.walk(self.path):
-            dirnames[:] = [
-                d for d in dirnames if d not in (LOG_DIR, CHANGES_DIR, STAGING_DIR)
-            ]
-            for name in names:
-                if name.endswith(".parquet"):
-                    full = os.path.join(dirpath, name)
-                    if full not in keep:
-                        candidates.append(os.path.relpath(full, self.path))
+        for dirpath, name in self.fs.walk_files(self.path):
+            rel_dir = os.path.relpath(dirpath, self.path)
+            if rel_dir.split(os.sep)[0] in skip:
+                continue
+            if name.endswith(".parquet"):
+                full = os.path.join(dirpath, name)
+                if full not in keep:
+                    candidates.append(os.path.relpath(full, self.path))
         if not dry_run:
             for rel in candidates:
-                os.unlink(os.path.join(self.path, rel))
+                self.fs.delete(os.path.join(self.path, rel))
         return sorted(candidates)
 
     def clone(self, target_path: str, shallow: bool = False) -> "LogTable":
@@ -1232,7 +1230,7 @@ class LogTable:
         t = LogTable(self.spark, target_path)
         if t.exists():
             raise FileExistsError(target_path)
-        os.makedirs(t.path, exist_ok=True)
+        t.fs.makedirs(t.path)
         entries = []
         for f in files:
             if shallow:
@@ -1251,8 +1249,8 @@ class LogTable:
                     else f.path
                 )
                 dst = os.path.join(t.path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.copy2(f.abspath(self.path), dst)
+                t.fs.makedirs(os.path.dirname(dst))
+                t.fs.copy(f.abspath(self.path), dst)
                 entries.append(FileEntry(rel, f.num_records, f.size_bytes))
         t._commit(
             Commit(
@@ -1768,7 +1766,7 @@ class MergeBuilder:
         def _rollback():
             # uncommitted files — nothing references them yet
             for e in entries:
-                os.unlink(os.path.join(t.path, e.path))
+                t.fs.delete(os.path.join(t.path, e.path))
 
         if skip_probe and m["tgt_rows"] != sum(f.num_records for f in touched):
             _rollback()
