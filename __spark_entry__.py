@@ -54,13 +54,16 @@ _PRIORITY = [
     # text / dedup / multimodal plumbing (oracle-bearing)
     "q30_token_stats", "q31_language_profile", "q32_quality_scores",
     "q33_dedup_stats", "q34_exact_dedup", "q35_jaccard_pairs",
-    "q36_minhash_lsh_pairs", "q37_simhash", "q38_chargram_jaccard",
+    "q36_minhash_lsh_pairs", "q37_simhash", "q43_approx_distinct",
     "q39_winnow_fingerprints", "q49_chunk_dedup", "q50_multimodal_features",
-    "q51_frame_sample_plan", "q52_media_chunks", "q77_word_entropy",
+    "q84_medallion_tx_analytics", "q88_scd2_users_state", "q77_word_entropy",
     "q78_near_dup_clusters", "q79_pii_redaction", "q83_top_tokens",
     # relational core — each anchors a §2 family with no other in-window
     # anchor (windows, anti/cross/broadcast joins, conditional/null/
-    # quality aggregates, salting, catalog SQL)
+    # quality aggregates, salting, catalog SQL). Family variants whose
+    # anchor is already in-window (q38 chargram↔q35 jaccard, q51/q52
+    # multimodal↔q50) yield their slots to the composed-medallion and
+    # approx-distinct hard checks (q84, q88, q43).
     "q01_pricing_summary", "q02_top_orders_by_revenue",
     "q05_nation_revenue", "q07_conditional_agg", "q08_distinct_counts",
     "q09_null_profile", "q10_latest_event_per_user",
