@@ -150,11 +150,19 @@ class Catalog:
     # ---- SQL over registered names -----------------------------------
 
     def sql(self, query: str) -> DataFrame:
-        """Run SQL referencing registered names. Every registered name
-        appearing in the query (longest-first, word-bounded) is bound as
-        a temp view of the table's CURRENT snapshot and the query text
-        is rewritten to the view name — correct for every table state
-        (schema evolution, time travel via ``read()``'s replay)."""
+        """Run SQL referencing registered names. Delta-dialect utility
+        statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE /
+        UPDATE / DELETE / MERGE INTO — see :mod:`.sqlrouter`) dispatch
+        to the LogTable API; everything else binds every referenced
+        registered name (longest-first, word-bounded) as a temp view of
+        the table's CURRENT snapshot and rewrites the query text —
+        correct for every table state (schema evolution, time travel
+        via ``read()``'s replay)."""
+        from .sqlrouter import route
+
+        routed = route(self, query)
+        if routed is not None:
+            return routed
         reg = self._load()
         rewritten = query
         aliases: dict[str, str] = {}

@@ -1,0 +1,227 @@
+"""Delta-dialect utility SQL over named log tables.
+
+The reference's users drive the table format from SQL
+(``04_acid_operations.py``, ``src/delta_utils.py``: ``OPTIMIZE t ZORDER
+BY (...)``, ``VACUUM t RETAIN n HOURS [DRY RUN]``, ``DESCRIBE
+HISTORY``, ``RESTORE TABLE ... TO VERSION AS OF``, ``UPDATE`` /
+``DELETE`` / ``MERGE INTO``). Spark's parser has no Delta extensions in
+this environment, so :func:`route` recognizes the canonical spellings
+with anchored case-insensitive grammars and dispatches to the LogTable
+API; anything unrecognized returns ``None`` and flows to plain
+``spark.sql`` (SELECT etc. over the catalog's bound views).
+
+Statement coverage (the forms the reference actually uses):
+
+- ``DESCRIBE HISTORY t``
+- ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+- ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
+- ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF 'ts'``
+- ``DELETE FROM t [WHERE pred]``
+- ``UPDATE t SET a = e1, b = e2 [WHERE pred]``
+- ``MERGE INTO t [AS] target USING s [AS] source ON cond`` with clause
+  chain ``WHEN MATCHED [AND c] THEN UPDATE SET */a=e,... | DELETE``,
+  ``WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (exprs)``,
+  ``WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE``
+
+Each DML/utility returns a small metrics DataFrame so results compose
+with the rest of the SQL surface.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .catalog import Catalog
+
+_ID = r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*){0,2}"
+
+_HISTORY = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*;?\s*$", re.I)
+_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_ID})(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$", re.I
+)
+_VACUUM = re.compile(
+    rf"^\s*VACUUM\s+({_ID})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.I,
+)
+_RESTORE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_ID})\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$",
+    re.I,
+)
+_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_ID})(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S
+)
+_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+({_ID})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.I | re.S
+)
+_MERGE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_ID})(?:\s+AS)?\s+target\s+"
+    rf"USING\s+({_ID})(?:\s+AS)?\s+source\s+ON\s+(.*?)\s*"
+    r"(?=(?:WHEN\s))(.*?);?\s*$",
+    re.I | re.S,
+)
+_WHEN = re.compile(
+    r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+    r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+\*|UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*|INSERT\s*\(.*?\)\s*VALUES\s*\(.*?\))"
+    r"\s*(?=WHEN\s|$)",
+    re.I | re.S,
+)
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas outside parens/quotes (SET-assignment lists)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+def _assignments(s: str) -> dict[str, str]:
+    out = {}
+    for part in _split_top(s):
+        k, _, v = part.partition("=")
+        if not _:
+            raise ValueError(f"bad assignment: {part!r}")
+        out[k.strip().removeprefix("target.")] = v.strip()
+    return out
+
+
+def _one_row(spark, d: dict) -> DataFrame:
+    import json as _json
+
+    vals = [
+        (k, _json.dumps(v) if isinstance(v, (dict, list)) else str(v))
+        for k, v in d.items()
+    ]
+    return spark.createDataFrame([tuple(v for _, v in vals)], [k for k, _ in vals])
+
+
+def route(cat: "Catalog", query: str) -> DataFrame | None:
+    """Try to interpret ``query`` as a Delta utility statement over a
+    registered table; return its result DataFrame or ``None`` when the
+    statement isn't one (caller falls through to plain SQL)."""
+    spark = cat.spark
+
+    if m := _HISTORY.match(query):
+        return cat.table(m.group(1)).history()
+
+    if m := _OPTIMIZE.match(query):
+        t = cat.table(m.group(1))
+        if m.group(2):
+            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            return _one_row(spark, t.zorder(cols))
+        return _one_row(spark, t.optimize())
+
+    if m := _VACUUM.match(query):
+        t = cat.table(m.group(1))
+        removed = t.vacuum(
+            retain_hours=float(m.group(2)) if m.group(2) else 168.0,
+            dry_run=bool(m.group(3)),
+        )
+        return _one_row(
+            spark, {"numFilesRemoved": len(removed), "dryRun": bool(m.group(3))}
+        )
+
+    if m := _RESTORE.match(query):
+        t = cat.table(m.group(1))
+        if m.group(2) is not None:
+            res = t.restore(version=int(m.group(2)))
+        else:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(m.group(3))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)  # session tz is pinned UTC
+            res = t.restore(timestamp=dt.timestamp())
+        return _one_row(spark, res if isinstance(res, dict) else {"restored": True})
+
+    if m := _DELETE.match(query):
+        t = cat.table(m.group(1))
+        res = t.delete(m.group(2).strip() if m.group(2) else "true")
+        return _one_row(spark, res)
+
+    if m := _UPDATE.match(query):
+        t = cat.table(m.group(1))
+        res = t.update(
+            m.group(3).strip() if m.group(3) else "true", _assignments(m.group(2))
+        )
+        return _one_row(spark, res)
+
+    if m := _MERGE.match(query):
+        t = cat.table(m.group(1))
+        src = cat.read(m.group(2))
+        b = t.merge(src, m.group(3).strip())
+        clauses = _WHEN.findall(m.group(4))
+        if not clauses:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        for kind, cond, action in clauses:
+            kind = re.sub(r"\s+", " ", kind.strip().upper())
+            cond = cond.strip() or None
+            act = action.strip()
+            act_u = re.sub(r"\s+", " ", act.upper())
+            if kind == "MATCHED":
+                if act_u == "DELETE":
+                    b.when_matched_delete(condition=cond)
+                elif act_u == "UPDATE SET *":
+                    b.when_matched_update_all(condition=cond)
+                elif act_u.startswith("UPDATE SET"):
+                    b.when_matched_update(
+                        set=_assignments(act[len("UPDATE SET"):]), condition=cond
+                    )
+                else:
+                    raise ValueError(f"unsupported MATCHED action: {act!r}")
+            elif kind == "NOT MATCHED":
+                if act_u == "INSERT *":
+                    b.when_not_matched_insert_all(condition=cond)
+                elif act_u.startswith("INSERT"):
+                    cols_m = re.match(
+                        r"INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", act, re.I | re.S
+                    )
+                    if not cols_m:
+                        raise ValueError(f"unsupported INSERT form: {act!r}")
+                    cols = [c.strip().removeprefix("target.") for c in _split_top(cols_m.group(1))]
+                    vals = _split_top(cols_m.group(2))
+                    if len(cols) != len(vals):
+                        raise ValueError("INSERT column/value arity mismatch")
+                    b.when_not_matched_insert(
+                        values=dict(zip(cols, vals)), condition=cond
+                    )
+                else:
+                    raise ValueError(f"unsupported NOT MATCHED action: {act!r}")
+            else:  # NOT MATCHED BY SOURCE
+                if act_u == "DELETE":
+                    b.when_not_matched_by_source_delete(condition=cond)
+                elif act_u.startswith("UPDATE SET"):
+                    b.when_not_matched_by_source_update(
+                        set=_assignments(act[len("UPDATE SET"):]), condition=cond
+                    )
+                else:
+                    raise ValueError(f"unsupported NMBS action: {act!r}")
+        return _one_row(spark, b.execute())
+
+    return None

@@ -1,0 +1,118 @@
+"""Delta-dialect SQL surface over named tables (the spellings the
+reference's notebooks/SQL users actually run — 04_acid_operations.py,
+src/delta_utils.py) routed through Catalog.sql."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from databricks_delta_lake_migration_spark.tables import Catalog
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "cat"))
+    t = c.create_table("lake.acid.orders", SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(1, "PENDING", 10.0), (2, "COMPLETED", 20.0), (3, "PENDING", 30.0)],
+            SCHEMA,
+        )
+    )
+    src = c.create_table("lake.acid.updates", SCHEMA)
+    src.append(
+        spark.createDataFrame([(2, "REFUNDED", 25.0), (9, "NEW", 90.0)], SCHEMA)
+    )
+    return c
+
+
+def _state(cat):
+    return {
+        tuple(r)
+        for r in cat.read("acid.orders").select("id", "status", "amount").collect()
+    }
+
+
+def test_update_delete_sql(spark, cat):
+    r = cat.sql("UPDATE acid.orders SET status = 'EXPIRED' WHERE status = 'PENDING'")
+    assert r.first()["numUpdatedRows"] == "2"
+    assert {s for (_, s, _) in _state(cat)} == {"EXPIRED", "COMPLETED"}
+    r = cat.sql("DELETE FROM acid.orders WHERE amount > 25")
+    assert r.first()["numDeletedRows"] == "1"
+    assert len(_state(cat)) == 2
+
+
+def test_merge_sql_full_clause_chain(spark, cat):
+    cat.sql(
+        """
+        MERGE INTO acid.orders AS target
+        USING acid.updates AS source
+        ON target.id = source.id
+        WHEN MATCHED AND target.status = 'COMPLETED' THEN UPDATE SET *
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert _state(cat) == {
+        (1, "PENDING", 10.0),
+        (2, "REFUNDED", 25.0),
+        (3, "PENDING", 30.0),
+        (9, "NEW", 90.0),
+    }
+
+
+def test_merge_sql_explicit_insert_and_nmbs(spark, cat):
+    cat.sql(
+        """
+        MERGE INTO acid.orders AS target
+        USING acid.updates AS source
+        ON target.id = source.id
+        WHEN NOT MATCHED THEN INSERT (id, status, amount)
+            VALUES (source.id, 'INSERTED', source.amount * 2)
+        WHEN NOT MATCHED BY SOURCE AND target.amount < 15 THEN DELETE
+        """
+    )
+    assert _state(cat) == {
+        (2, "COMPLETED", 20.0),
+        (3, "PENDING", 30.0),
+        (9, "INSERTED", 180.0),
+    }
+
+
+def test_utility_statements(spark, cat):
+    t = cat.table("acid.orders")
+    for i in range(4):  # small files for optimize
+        t.append(spark.createDataFrame([(10 + i, "X", 1.0)], SCHEMA))
+    hist = cat.sql("DESCRIBE HISTORY acid.orders")
+    assert hist.count() >= 5
+    r = cat.sql("OPTIMIZE acid.orders")
+    assert int(r.first()["numFilesAdded"]) >= 1
+    r = cat.sql("VACUUM acid.orders RETAIN 0 HOURS DRY RUN")
+    assert r.first()["dryRun"] == "True"
+    n_before = cat.read("acid.orders").count()
+    r = cat.sql("VACUUM acid.orders RETAIN 0 HOURS")
+    assert int(r.first()["numFilesRemoved"]) >= 1
+    assert cat.read("acid.orders").count() == n_before
+    v = t.version()
+    cat.sql("DELETE FROM acid.orders WHERE id >= 10")
+    cat.sql(f"RESTORE TABLE acid.orders TO VERSION AS OF {v}")
+    assert cat.read("acid.orders").count() == n_before
+    # ZORDER spelling
+    r = cat.sql("OPTIMIZE acid.orders ZORDER BY (id, status)")
+    assert cat.read("acid.orders").count() == n_before
+
+
+def test_select_still_flows_to_plain_sql(spark, cat):
+    got = cat.sql(
+        "SELECT COUNT(*) AS n FROM acid.orders WHERE status = 'PENDING'"
+    ).first()
+    assert got["n"] == 2
