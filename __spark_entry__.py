@@ -48,12 +48,13 @@ _PRIORITY = [
     # medallion bronze→silver→gold + streaming-shaped windows
     "q70_medallion_gold", "q71_bronze_stamping",
     "q72_windowed_event_counts", "q73_session_windows",
-    # similarity (oracle-bearing)
-    "q40_cosine_topk", "q42_embedding_stats", "q44_batch_topk",
-    "q46_cosine_near_dup", "q53_pandas_udf_norm",
+    # similarity (oracle-bearing; q41/q48 ANN recall verdicts are hard
+    # checks — their family twins q44/q33 anchor via q40/q34 instead)
+    "q40_cosine_topk", "q41_ann_lsh_topk", "q42_embedding_stats",
+    "q46_cosine_near_dup", "q48_ivf_topk", "q53_pandas_udf_norm",
     # text / dedup / multimodal plumbing (oracle-bearing)
     "q30_token_stats", "q31_language_profile", "q32_quality_scores",
-    "q33_dedup_stats", "q34_exact_dedup", "q35_jaccard_pairs",
+    "q34_exact_dedup", "q35_jaccard_pairs",
     "q36_minhash_lsh_pairs", "q37_simhash", "q43_approx_distinct",
     "q39_winnow_fingerprints", "q49_chunk_dedup", "q50_multimodal_features",
     "q84_medallion_tx_analytics", "q88_scd2_users_state", "q77_word_entropy",

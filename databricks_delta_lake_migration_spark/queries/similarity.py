@@ -59,14 +59,41 @@ def q42_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_stats(load_table(spark, sf_dir, "embeddings"))
 
 
-@query("q41_ann_lsh_topk", oracle=None)  # approximate by design → rows-only
-def q41_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via sign-LSH bucket restriction + exact re-rank —
-    the IVF/LSH scale path. Recall vs brute force is asserted in
-    tests/test_similarity.py."""
-    return similarity.lsh_topk(
-        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, n_planes=8
+def _recall_verdict(ann: DataFrame, exact: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Hard-checkable ANN output: the raw neighbor list is approximate
+    and engine-local, but |ANN ∩ exact-top-k| / k ≥ threshold is a
+    deterministic boolean both engines agree on — the same trick as
+    q43's HLL tolerance verdict. Composed lazily (no driver actions)."""
+    from pyspark.sql import functions as F
+
+    n = ann.agg(F.count(F.lit(1)).alias("n_results"))
+    hits = ann.join(exact.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
     )
+    return n.crossJoin(hits).select(
+        F.lit(0).cast("bigint").alias("query_id"),
+        F.col("n_results"),
+        (F.col("n_hits") / k >= threshold).alias("recall_ok"),
+    )
+
+
+@query(
+    "q41_ann_lsh_topk",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    """,
+)
+def q41_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH bucket restriction (4 hyperplanes,
+    Hamming-1 multi-probe) + exact re-rank — the LSH scale path. The
+    neighbor list itself is approximate, so the hard-checked output is
+    the recall verdict vs in-query brute force: ≥0.2 at k=10 (observed
+    0.3–0.6 on the fixtures; 1.5× margin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.lsh_topk(emb, query_vec_id=0, k=10, n_planes=4)
+    exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
+    return _recall_verdict(ann, exact, k=10, threshold=0.2)
 
 
 @query(
@@ -155,25 +182,53 @@ def q46_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q47_lsh_near_dup", oracle=None)  # approximate by design → rows-only
+@query(
+    "q47_lsh_near_dup",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS n_false_positives, TRUE AS recall_ok
+    """,
+)
 def q47_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via sign-LSH blocking + exact in-bucket cosine —
-    the 100 TB path when no natural block key exists. Recall vs the
-    exact pair set is asserted in tests/test_operators.py."""
-    return similarity.lsh_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
+    the 100 TB path when no natural block key exists. Hard-checked
+    verdict: zero false positives (the in-bucket check is exact) and
+    recall ≥0.4 vs the unblocked exact pair set (observed 0.63; the
+    exact set is computed in-query, never all-pairs in production)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = similarity.lsh_near_dup_pairs(emb, threshold=0.35, n_planes=4)
+    exact = similarity.cosine_near_dup_pairs(
+        emb.withColumn("one", F.lit(1)), threshold=0.35, block_col="one"
+    ).select("id_a", "id_b")
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = lsh.join(exact, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        n_lsh.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            (F.col("n_lsh") - F.col("n_hits")).alias("n_false_positives"),
+            (F.col("n_hits") / F.col("n_exact") >= 0.4).alias("recall_ok"),
+        )
     )
 
 
-@query("q48_ivf_topk", oracle=None)  # approximate by design → rows-only
+@query(
+    "q48_ivf_topk",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    """,
+)
 def q48_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (deterministic k-means coarse quantizer, nprobe
     cell probing, exact in-cell re-rank) — the density-adaptive scale
-    path beside sign-LSH (q41). Recall vs brute force asserted in
-    tests/test_operators.py."""
-    return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        query_vec_id=0,
-        n_cells=16,
-        nprobe=4,
-    )
+    path beside sign-LSH (q41). Hard-checked recall verdict ≥0.4 at
+    k=10, nprobe=4/16 (observed 0.5–0.7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.ivf_topk(emb, query_vec_id=0, k=10, n_cells=16, nprobe=4)
+    exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
+    return _recall_verdict(ann, exact, k=10, threshold=0.4)
