@@ -230,3 +230,49 @@ def redact_pii(
     return df.withColumn("redacted", out).withColumn(
         "had_pii", n_hits > 0
     )
+
+
+# GPT-2-style pretokenizer pattern (contractions | space-prefixed letter
+# runs | space-prefixed digit runs | space-prefixed punctuation runs |
+# whitespace). Verified to match identically under Java regex (Spark)
+# and RE2 (DuckDB) including Unicode classes, so the oracle reproduces
+# counts exactly.
+BPE_PRETOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE-style pretoken array — the subword tokenizer's input units.
+    ``len(bpe_pretokens)`` is the standard fast token-count estimate for
+    LLM training budgets (whitespace-only runs excluded)."""
+    toks = F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    return F.filter(toks, lambda t: F.trim(t) != "")
+
+
+def bpe_pretoken_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document BPE-ish token accounting [EXT]: pretoken count (the
+    LLM budget estimate), word/number/other breakdown, mean pretoken
+    length — one row-local expression pipeline, no shuffle."""
+    toks = bpe_pretokens(F.col(text_col))
+    is_word = lambda t: F.trim(t).rlike(r"^[\p{L}]+$")  # noqa: E731
+    is_num = lambda t: F.trim(t).rlike(r"^[\p{N}]+$")  # noqa: E731
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_pretokens"),
+        F.size(F.filter(toks, is_word)).alias("n_word_tokens"),
+        F.size(F.filter(toks, is_num)).alias("n_number_tokens"),
+        (
+            F.size(toks)
+            - F.size(F.filter(toks, is_word))
+            - F.size(F.filter(toks, is_num))
+        ).alias("n_other_tokens"),
+        F.round(
+            F.coalesce(
+                F.aggregate(
+                    toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+                )
+                / F.nullif(F.size(toks), F.lit(0)),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("avg_pretoken_len"),
+    )

@@ -557,3 +557,30 @@ def q83_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(20)
     )
+
+
+@query(
+    "q90_bpe_pretokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(text, '{textstats.BPE_PRETOKEN_PATTERN.replace("'", "''")}'),
+                           t -> trim(t) <> '') AS pts
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pts) AS INTEGER) AS n_pretokens,
+           CAST(len(list_filter(pts, t -> regexp_full_match(trim(t), '[\\p{{L}}]+'))) AS INTEGER) AS n_word_tokens,
+           CAST(len(list_filter(pts, t -> regexp_full_match(trim(t), '[\\p{{N}}]+'))) AS INTEGER) AS n_number_tokens,
+           CAST(len(pts)
+                - len(list_filter(pts, t -> regexp_full_match(trim(t), '[\\p{{L}}]+')))
+                - len(list_filter(pts, t -> regexp_full_match(trim(t), '[\\p{{N}}]+'))) AS INTEGER) AS n_other_tokens,
+           ROUND(COALESCE(list_sum(list_transform(pts, t -> length(t))) * 1.0 / NULLIF(len(pts), 0), 0.0), 4) AS avg_pretoken_len
+    FROM toks
+    """,
+)
+def q90_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization stats [EXT] — the LLM token-budget
+    estimator (GPT-2 pretokenizer regex, cross-engine identical under
+    Java regex and RE2). Row-local expressions only."""
+    return textstats.bpe_pretoken_stats(load_table(spark, sf_dir, "documents"))
