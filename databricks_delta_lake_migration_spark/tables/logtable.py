@@ -677,7 +677,10 @@ class LogTable:
                 continue
             self.fs.rename(src, dst)
             entries.append(FileEntry(rel_path, n, size, stats=stats))
-        self.fs.delete_tree(os.path.join(self.path, STAGING_DIR))
+        # remove ONLY this call's stage dir — the staging root is shared
+        # and another writer's in-flight staged files may live beside it
+        # (deleting the root was a concurrency lost-update bug)
+        self.fs.delete_tree(stage)
         return entries
 
     def _write_changes(self, version: int, change_df: DataFrame | None) -> None:

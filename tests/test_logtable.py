@@ -966,3 +966,46 @@ def test_maintenance_scheduler(spark, tmp_path):
     )
     assert set(out) == {"a", "b"}
     assert not out["b"]["skipped"]
+
+
+def test_concurrent_appends_retry_loop_loses_nothing(spark, tmp_path):
+    """OCC stress: N threads racing appends with a retry-on-conflict
+    loop. Every append must land exactly once (no lost updates, no
+    duplicate versions) — the put_if_absent commit primitive is the
+    whole isolation story, so this is the format's core ACID claim."""
+    import threading
+
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        ConcurrentWriteError,
+    )
+
+    t = LogTable.create(spark, str(tmp_path / "occ"), SCHEMA)
+    N_THREADS, N_APPENDS = 6, 3
+    errors = []
+
+    def writer(tid: int):
+        # each thread uses its own handle (own log cache = real races)
+        h = LogTable(spark, str(tmp_path / "occ"))
+        for i in range(N_APPENDS):
+            df = rows_df(spark, [(tid * 100 + i, f"T{tid}", float(i), "d1")])
+            for _ in range(40):
+                try:
+                    h.append(df)
+                    break
+                except ConcurrentWriteError:
+                    continue  # replay log tail, retry
+            else:
+                errors.append((tid, i))
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(N_THREADS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"appends exhausted retries: {errors}"
+    final = LogTable(spark, str(tmp_path / "occ"))
+    rows = {tuple(r) for r in final.read().select("id", "status").collect()}
+    assert len(rows) == N_THREADS * N_APPENDS
+    # versions are gapless and unique: create + one commit per append
+    versions = [c.version for c in final.commits()]
+    assert versions == list(range(N_THREADS * N_APPENDS + 1))
