@@ -13,6 +13,8 @@ API; anything unrecognized returns ``None`` and flows to plain
 Statement coverage (the forms the reference actually uses):
 
 - ``DESCRIBE HISTORY t``
+- ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
+- ``INSERT INTO t SELECT ... | VALUES ...``
 - ``OPTIMIZE t [ZORDER BY (c1, c2)]``
 - ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
 - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF 'ts'``
@@ -40,6 +42,14 @@ if TYPE_CHECKING:  # pragma: no cover
 _ID = r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*){0,2}"
 
 _HISTORY = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*;?\s*$", re.I)
+_CTAS = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_ID})"
+    rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.*)$",
+    re.I | re.S,
+)
+_INSERT_INTO = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_ID})\s+(SELECT\b.*|VALUES\b.*)$", re.I | re.S
+)
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_ID})(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$", re.I
 )
@@ -129,6 +139,28 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
 
     if m := _HISTORY.match(query):
         return cat.table(m.group(1)).history()
+
+    if m := _CTAS.match(query):
+        df = cat.sql(m.group(3).rstrip().rstrip(";"))
+        part = (
+            [c.strip().strip("`") for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        t = cat.create_table(m.group(1), df.schema, partition_by=part)
+        t.append(df)
+        return _one_row(spark, {"numOutputRows": t.read().count()})
+
+    if m := _INSERT_INTO.match(query):
+        t = cat.table(m.group(1))
+        body = m.group(2).rstrip().rstrip(";")
+        df = (
+            spark.sql(f"SELECT * FROM {body}")
+            if body.upper().startswith("VALUES")
+            else cat.sql(body)
+        )
+        t.append(df)
+        return _one_row(spark, {"numInsertedRows": df.count()})
 
     if m := _OPTIMIZE.match(query):
         t = cat.table(m.group(1))

@@ -116,3 +116,19 @@ def test_select_still_flows_to_plain_sql(spark, cat):
         "SELECT COUNT(*) AS n FROM acid.orders WHERE status = 'PENDING'"
     ).first()
     assert got["n"] == 2
+
+
+def test_ctas_and_insert_into(spark, cat):
+    r = cat.sql(
+        """
+        CREATE TABLE lake.acid.fulfilled AS
+        SELECT id, amount FROM acid.orders WHERE status = 'COMPLETED'
+        """
+    )
+    assert r.first()["numOutputRows"] == "1"
+    assert {tuple(x) for x in cat.read("acid.fulfilled").collect()} == {(2, 20.0)}
+    r = cat.sql("INSERT INTO acid.fulfilled SELECT id, amount FROM acid.updates")
+    assert r.first()["numInsertedRows"] == "2"
+    assert cat.read("acid.fulfilled").count() == 3
+    r = cat.sql("INSERT INTO acid.fulfilled VALUES (99, 1.5)")
+    assert cat.read("acid.fulfilled").count() == 4
