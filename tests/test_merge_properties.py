@@ -77,3 +77,71 @@ def test_merge_matches_python_model(spark, target, source, t_del, t_stale):
         assert got == _model(target, source, t_del, t_stale)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 property: arbitrary snapshot sequences vs a pure-Python dimension
+# model (final-state equality — the semantics contract from SURVEY §7.4)
+# ---------------------------------------------------------------------------
+
+snapshots = st.lists(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=3),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(snaps=snapshots)
+def test_scd2_matches_python_model(spark, snaps):
+    """Replay random snapshot sequences through scd2_upsert and through
+    a trivial Python SCD2 model; open rows, closed-row counts, and
+    per-key current values must agree."""
+    from databricks_delta_lake_migration_spark.operators.scd2 import (
+        scd2_upsert,
+        with_scd2_columns,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    root = tempfile.mkdtemp(prefix="scd2-prop-")
+    try:
+        # model state: key -> current value; closed counts per key
+        current: dict = {}
+        n_closed = 0
+        t = None
+        for i, snap in enumerate(snaps):
+            now = f"2024-03-{i + 1:02d} 00:00:00"
+            df = spark.createDataFrame(sorted(snap.items()), schema)
+            if t is None:
+                t = LogTable.create(
+                    spark,
+                    f"{root}/dim",
+                    with_scd2_columns(df, ["k"], now).schema,
+                )
+                t.append(with_scd2_columns(df, ["k"], now))
+            else:
+                scd2_upsert(t, df, ["k"], now)
+            for k, v in snap.items():
+                if k in current and current[k] != v:
+                    n_closed += 1
+                current[k] = v
+        got = t.read()
+        open_rows = {
+            (r["k"], r["v"])
+            for r in got.filter("is_current").select("k", "v").collect()
+        }
+        assert open_rows == set(current.items())
+        assert got.filter("NOT is_current").count() == n_closed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
