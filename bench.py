@@ -69,7 +69,7 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
     root = tempfile.mkdtemp(prefix="bench-acid-")
     out: dict[str, float] = {}
 
-    def best_time(fn, n=2):
+    def best_time(fn, n=3):
         """min-of-n wall time — single samples of sub-second metadata
         ops are too noisy to subtract (GC pauses invert the sign)."""
         b = float("inf")
@@ -132,10 +132,25 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
             li.withColumn("bucket", (F.col("id") % 16).cast("string")).schema,
             partition_by=["bucket"],
         )
-        part.append(li.withColumn("bucket", (F.col("id") % 16).cast("string")))
-        full = best_time(lambda: part.read().count())
+        # repartition on the partition key before writing (K10) — the
+        # production layout: one-ish file per partition. Without it the
+        # write fans out tasks×partitions small files and file-listing
+        # overhead swamps the pruning win being measured.
+        part.append(
+            li.withColumn("bucket", (F.col("id") % 16).cast("string")).repartition(
+                "bucket"
+            )
+        )
+        # aggregate the wide string column so I/O dominates fixed job
+        # overhead — COUNT over parquet is answered from row-group
+        # metadata on both sides, hiding the pruning win entirely
+        probe_aggs = [F.sum("amount"), F.sum(F.length("data"))]
+        full = best_time(lambda: part.read().agg(*probe_aggs).collect())
         pruned = best_time(
-            lambda: part.read().filter(F.col("bucket") == "3").count()
+            lambda: part.read()
+            .filter(F.col("bucket") == "3")
+            .agg(*probe_aggs)
+            .collect()
         )
         out["pruning_speedup_pct"] = round((full - pruned) / full * 100, 1)
 
