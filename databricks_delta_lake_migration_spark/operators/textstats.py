@@ -276,3 +276,75 @@ def bpe_pretoken_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             4,
         ).alias("avg_pretoken_len"),
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_symbol_ratio: float = 0.25,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_top_bigram_frac: float = 0.30,
+    min_distinct_ratio: float = 0.20,
+) -> DataFrame:
+    """Gopher/C4-style corpus quality gate [EXT]: length bounds, symbol
+    density, word-shape sanity, and repetition (top-bigram fraction +
+    distinct-token ratio) — the standard pre-training document filter.
+
+    Returns every input row tagged with ``keep`` and the FIRST failing
+    ``drop_reason`` (rules evaluated in declared order, first-hit-wins —
+    same discipline as MERGE clause order). Pure row-local expressions:
+    at 100 TB this is a single scan with zero shuffles; callers chain
+    ``.filter("keep")`` so the gate fuses into downstream plans."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    symbols = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    symbol_ratio = symbols / F.greatest(n_chars, F.lit(1))
+    mean_word_len = (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    # top bigram fraction: most frequent adjacent pair / total bigrams
+    bigrams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bigram_n = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+            )
+        ),
+        F.lit(0),
+    )
+    top_bigram_frac = top_bigram_n / F.greatest(F.size(bigrams), F.lit(1))
+
+    rules = [
+        ("too_short", n_tokens < min_tokens),
+        ("too_long", n_tokens > max_tokens),
+        ("symbol_heavy", symbol_ratio > max_symbol_ratio),
+        (
+            "word_shape",
+            (mean_word_len < min_mean_word_len) | (mean_word_len > max_mean_word_len),
+        ),
+        ("repetitive_bigrams", top_bigram_frac > max_top_bigram_frac),
+        ("low_diversity", distinct_ratio < min_distinct_ratio),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return df.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )

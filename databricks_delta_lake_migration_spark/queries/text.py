@@ -584,3 +584,70 @@ def q90_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator (GPT-2 pretokenizer regex, cross-engine identical under
     Java regex and RE2). Row-local expressions only."""
     return textstats.bpe_pretoken_stats(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB twins of the corpus_filter signals (q91). Integer/integer
+# division is exactly-rounded IEEE double in both engines, so the rule
+# comparisons agree bit-for-bit (same precedent as q32).
+_SQL_CF_BIGRAMS = (
+    f"CASE WHEN len({_SQL_TOKS}) >= 2 THEN "
+    f"list_transform(range(1, len({_SQL_TOKS})), i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1]) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "q91_corpus_filter",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id,
+               len({_SQL_TOKS}) AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS symbols,
+               len(list_distinct({_SQL_TOKS})) AS n_distinct,
+               {_SQL_CF_BIGRAMS} AS bg
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               n_tokens,
+               symbols * 1.0 / greatest(n_chars, 1) AS symbol_ratio,
+               (n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1) AS mean_word_len,
+               n_distinct * 1.0 / greatest(n_tokens, 1) AS distinct_ratio,
+               COALESCE(list_max(list_transform(list_distinct(bg),
+                        b -> len(list_filter(bg, x -> x = b)))), 0) * 1.0
+                   / greatest(len(bg), 1) AS top_bigram_frac
+        FROM sig
+    ), tagged AS (
+        SELECT doc_id, n_tokens, symbol_ratio, top_bigram_frac, distinct_ratio,
+               CASE WHEN n_tokens < 30 THEN 'too_short'
+                    WHEN n_tokens > 100000 THEN 'too_long'
+                    WHEN symbol_ratio > 0.03 THEN 'symbol_heavy'
+                    WHEN mean_word_len < 4.5 OR mean_word_len > 12.0 THEN 'word_shape'
+                    WHEN top_bigram_frac > 0.04 THEN 'repetitive_bigrams'
+                    WHEN distinct_ratio < 0.55 THEN 'low_diversity'
+                    ELSE NULL END AS drop_reason
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(symbol_ratio, 6) AS symbol_ratio,
+           ROUND(top_bigram_frac, 6) AS top_bigram_frac,
+           ROUND(distinct_ratio, 6) AS distinct_ratio,
+           drop_reason IS NULL AS keep,
+           drop_reason
+    FROM tagged
+    """,
+)
+def q91_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style corpus quality gate [EXT]: length, symbol
+    density, word shape, bigram repetition, token diversity —
+    first-hit-wins drop reasons, row-local single scan (thresholds
+    tightened so the fixture corpus exercises every rule)."""
+    return textstats.corpus_filter(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=30,
+        max_symbol_ratio=0.03,
+        min_mean_word_len=4.5,
+        max_top_bigram_frac=0.04,
+        min_distinct_ratio=0.55,
+    )
