@@ -45,12 +45,14 @@ _PRIORITY = [
     "q60_merge_upsert", "q61_merge_conditional", "q62_update_delete",
     "q63_time_travel_diff", "q64_cdf_summary", "q65_replace_where",
     "q66_scd2_dimension", "q68_cdc_mirror", "q76_history_rollup",
-    # medallion bronze→silver→gold + streaming-shaped windows
+    # medallion bronze→silver→gold + streaming surface (q92 is a REAL
+    # readStream/foreachBatch-MERGE execution hash-checked on final state)
     "q70_medallion_gold", "q71_bronze_stamping",
     "q72_windowed_event_counts", "q73_session_windows",
+    "q92_streaming_cdc_apply",
     # similarity (oracle-bearing; q41/q48 ANN recall verdicts are hard
-    # checks — their family twins q44/q33 anchor via q40/q34 instead)
-    "q40_cosine_topk", "q41_ann_lsh_topk", "q42_embedding_stats",
+    # checks — family twins q44/q33/q42 anchor via q40/q34/pytest instead)
+    "q40_cosine_topk", "q41_ann_lsh_topk",
     "q46_cosine_near_dup", "q48_ivf_topk", "q53_pandas_udf_norm",
     # text / dedup / multimodal plumbing (oracle-bearing)
     "q30_token_stats", "q31_language_profile", "q32_quality_scores",

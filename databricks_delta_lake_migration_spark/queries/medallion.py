@@ -372,3 +372,81 @@ def q88_scd2_users_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@query(
+    "q92_streaming_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) * 4096 + event_id % 4096 DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM ranked WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def q92_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured-Streaming execution hash-checked against an
+    oracle: the events fixture is re-materialized as JSON change files,
+    applied through ``stream_upsert_to_table`` (foreachBatch MERGE,
+    availableNow, batch-id idempotence), and the FINAL upserted state —
+    latest event per user — is aggregated per event type.
+
+    Determinism by construction: ``ord`` (micros × 4096 + event_id mod
+    4096) is strictly unique per user so latest-wins has no ties, and
+    keys are chunked user_id-mod-3 so each user's history lives in one
+    chunk — micro-batch arrival order cannot change the final state."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import stream_upsert_to_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        (F.unix_micros(F.col("ts")) * 4096 + F.col("event_id") % 4096).alias("ord"),
+    )
+    root = tempfile.mkdtemp(prefix="stream-cdc-")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for b in range(3):
+        stage = os.path.join(root, f"stage{b}")
+        e.filter(F.col("user_id") % 3 == b).coalesce(1).write.json(stage)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.json"))):
+            shutil.move(f, os.path.join(src, f"chunk-{b}-{i}.json"))
+
+    schema = e.schema
+    table_path = os.path.join(root, "state")
+    q = stream_upsert_to_table(
+        spark,
+        src,
+        table_path,
+        schema,
+        key_columns=["user_id"],
+        order_col="ord",
+        file_format="json",
+        checkpoint=os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    from ..tables import LogTable
+
+    state = LogTable(spark, table_path).read()
+    return state.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )
