@@ -31,48 +31,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 82 queries
-# registered, ordering is coverage policy. Priority below puts one hard
-# (oracle-bearing) anchor inside the window for every SURVEY §2 family:
-# the full ACID tier (the reference's signature surface), the medallion
-# pipeline, the LLM-pipeline text/similarity tier, and a relational core
-# hand-picked so no §2 family loses its only anchor. Approximate-by-
-# design rows-only queries (q41/q47/q48/q67/q43) and variants whose
-# family has another in-window anchor follow after — pytest still
-# exercises all 82.
+# The driver hash-checks the first 50 registrations; with 91 queries
+# registered, ordering is coverage policy. Rounds 1–3 accumulated green
+# driver rows for 50 queries; round 4 rotates the window to the 41
+# queries that have never had a driver row (plus q39, red in r3 on a
+# comparator encoding issue, now CSV-encoded) so that by round 5 every
+# registered query has ≥1 green driver row across rounds. Eight keeper
+# anchors — one per signature tier (MERGE, time travel, streaming CDC,
+# medallion, cosine top-k, MinHash-LSH, grouped agg, star join) — stay
+# in-window as cross-round regression sentinels. pytest's local DuckDB
+# oracle-parity twin still exercises all 91 every round.
 _PRIORITY = [
-    # ACID tier (MERGE/UPDATE/DELETE/time-travel/CDF/replaceWhere/SCD2)
-    "q60_merge_upsert", "q61_merge_conditional", "q62_update_delete",
-    "q63_time_travel_diff", "q64_cdf_summary", "q65_replace_where",
-    "q66_scd2_dimension", "q68_cdc_mirror", "q76_history_rollup",
-    # medallion bronze→silver→gold + streaming surface (q92 is a REAL
-    # readStream/foreachBatch-MERGE execution hash-checked on final state)
-    "q70_medallion_gold", "q71_bronze_stamping",
-    "q72_windowed_event_counts", "q73_session_windows",
-    "q92_streaming_cdc_apply",
-    # similarity (oracle-bearing; q41/q48 ANN recall verdicts are hard
-    # checks — family twins q44/q33/q42 anchor via q40/q34/pytest instead)
-    "q40_cosine_topk", "q41_ann_lsh_topk",
-    "q46_cosine_near_dup", "q48_ivf_topk", "q53_pandas_udf_norm",
-    # text / dedup / multimodal plumbing (oracle-bearing)
-    "q30_token_stats", "q31_language_profile", "q32_quality_scores",
-    "q34_exact_dedup", "q35_jaccard_pairs",
-    "q36_minhash_lsh_pairs", "q37_simhash", "q43_approx_distinct",
-    "q39_winnow_fingerprints", "q49_chunk_dedup", "q50_multimodal_features",
-    "q84_medallion_tx_analytics", "q88_scd2_users_state", "q77_word_entropy",
-    "q78_near_dup_clusters", "q79_pii_redaction", "q83_top_tokens",
-    # relational core — each anchors a §2 family with no other in-window
-    # anchor (windows, anti/cross/broadcast joins, conditional/null/
-    # quality aggregates, salting, catalog SQL). Family variants whose
-    # anchor is already in-window (q38 chargram↔q35 jaccard, q51/q52
-    # multimodal↔q50) yield their slots to the composed-medallion and
-    # approx-distinct hard checks (q84, q88, q43).
-    "q01_pricing_summary", "q02_top_orders_by_revenue",
-    "q05_nation_revenue", "q07_conditional_agg", "q08_distinct_counts",
-    "q09_null_profile", "q10_latest_event_per_user",
-    "q15_customers_without_orders", "q16_global_kpis",
-    "q18_sessionization", "q19_daily_user_activity", "q25_quality_report",
-    "q45_salted_skew_agg", "q80_sql_passthrough",
+    # never-checked: relational / window / join / agg variants
+    "q03_segment_daily_revenue", "q04_order_priority_late_ship",
+    "q06_revenue_forecast", "q11_top_parts_per_brand",
+    "q12_daily_revenue_delta", "q13_rolling_7day_revenue",
+    "q14_nation_set_algebra", "q17_events_hourly_rollup",
+    "q20_daily_transaction_analytics", "q21_customer_ltv",
+    "q22_cohort_retention", "q23_currency_normalization",
+    "q24_row_fingerprint", "q26_json_map_access", "q27_rollup_revenue",
+    "q28_asof_last_purchase", "q29_range_join_ship_lag",
+    "q54_group_percentiles", "q55_pivot_quantity", "q56_cube_revenue",
+    "q57_nation_balance_full_outer", "q58_balance_distribution",
+    "q59_quiet_customers", "q74_summary_stats",
+    "q75_range_frame_revenue", "q81_price_histogram",
+    "q82_multi_path_union",
+    # never-checked: catalog + maintenance lifecycle (incl. RESTORE verdict)
+    "q89_catalog_named_table", "q67_maintenance_metrics",
+    # never-checked: gold medallion products
+    "q85_medallion_user_ltv", "q86_medallion_cohorts",
+    "q87_medallion_daily_kpis",
+    # never-checked: LLM-pipeline text/dedup/similarity/multimodal variants
+    "q33_dedup_stats", "q38_chargram_jaccard", "q42_embedding_stats",
+    "q44_batch_topk", "q47_lsh_near_dup", "q51_frame_sample_plan",
+    "q52_media_chunks", "q90_bpe_pretokens", "q91_corpus_filter",
+    # red in r3 (driver comparator couldn't sort an array column) —
+    # now CSV-encoded like q19; must land green this round
+    "q39_winnow_fingerprints",
+    # keepers: one anchor per signature tier
+    "q60_merge_upsert", "q63_time_travel_diff", "q92_streaming_cdc_apply",
+    "q70_medallion_gold", "q40_cosine_topk", "q36_minhash_lsh_pairs",
+    "q01_pricing_summary", "q05_nation_revenue",
 ]
 
 

@@ -357,7 +357,8 @@ def q52_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) AS fingerprints
         FROM h
     )
-    SELECT doc_id, fingerprints,
+    SELECT doc_id,
+           array_to_string(fingerprints, ',') AS fingerprints_csv,
            CAST(len(fingerprints) AS BIGINT) AS n_fingerprints
     FROM fp
     """,
@@ -365,8 +366,15 @@ def q52_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q39_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling window-min over shingle hashes, MOSS-style)
     document fingerprints [EXT] — selected md5 mins per 4-shingle
-    window, the copy-detection primitive."""
-    return textstats.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    window, the copy-detection primitive. The (already-sorted) array is
+    CSV-encoded for the driver comparator, which cannot sort on an
+    array-typed column (q19 pattern)."""
+    fps = textstats.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return fps.select(
+        "doc_id",
+        F.concat_ws(",", F.col("fingerprints")).alias("fingerprints_csv"),
+        "n_fingerprints",
+    )
 
 
 @query(

@@ -26,6 +26,7 @@ with a real metastore.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -44,6 +45,34 @@ def _q(ident: str) -> str:
 
 def _sql_str(v: str) -> str:
     return "'" + v.replace("'", "''") + "'"
+
+
+# String literals ('' / "" with doubled-quote escapes), line comments and
+# block comments must be opaque to the table-name rewrite: a WHERE clause
+# like ``note = 'see silver.users'`` must not have its literal rewritten.
+_MASK_RE = re.compile(
+    r"('(?:[^']|'')*')"      # '...' (with '' escape)
+    r"|(\"(?:[^\"]|\"\")*\")"  # "..." (with "" escape)
+    r"|(--[^\n]*)"            # -- line comment
+    r"|(/\*.*?\*/)",          # /* block comment */
+    re.S,
+)
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace literals/comments with \\x00<i>\\x00 placeholders so the
+    name-substitution regexes only see real identifier territory."""
+    stash: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        stash.append(m.group(0))
+        return f"\x00{len(stash) - 1}\x00"
+
+    return _MASK_RE.sub(repl, sql), stash
+
+
+def _unmask_literals(sql: str, stash: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], sql)
 
 
 class Catalog:
@@ -164,11 +193,15 @@ class Catalog:
         if routed is not None:
             return routed
         reg = self._load()
-        rewritten = query
+        # Mask string literals and comments so names inside them survive
+        # the rewrite untouched (ADVICE r3), and make the temp-view name
+        # injective via a short fq-hash — plain underscore-joining maps
+        # a.b_c.d and a_b.c.d to the same view (ADVICE r3).
+        rewritten, stash = _mask_literals(query)
         aliases: dict[str, str] = {}
         for fq in sorted(reg, key=len, reverse=True):
             cat, sch, tbl = fq.split(".")
-            view = f"__cat_{cat}_{sch}_{tbl}"
+            view = f"__cat_{tbl}_{hashlib.md5(fq.encode()).hexdigest()[:8]}"
             pat = re.compile(
                 r"(?<![\w.`])("
                 + re.escape(fq)
@@ -182,6 +215,7 @@ class Catalog:
             if n:
                 rewritten = new
                 aliases[fq] = view
+        rewritten = _unmask_literals(rewritten, stash)
         for fq, view in aliases.items():
             LogTable(self.spark, reg[fq]).read().createOrReplaceTempView(view)
         return self.spark.sql(rewritten)
@@ -191,10 +225,61 @@ class Catalog:
     def _database_for(self, cat: str, sch: str) -> str:
         return sch if cat == self.default_catalog else f"{cat}_{sch}"
 
+    # Above this many partition branches the UNION-ALL manifest stops
+    # scaling: view text and (worse) analyzer cost are O(branches × cols).
+    # Past the cap, bind() switches to a single-scan body that recovers
+    # partition columns from _metadata.file_path — pruning degrades from
+    # constant-folded branch elimination to a plain filter, correctness
+    # is unchanged (file list is still snapshot-exact via basename glob).
+    MAX_MANIFEST_BRANCHES = 64
+
+    def _single_scan_body(
+        self, t: LogTable, files, schema: T.StructType, partition_by: list[str]
+    ) -> str | None:
+        """One ``parquet.`` scan over a basename brace-glob (basenames
+        are writer-generated UUIDs, so stale files in sibling partition
+        dirs cannot collide), partition columns re-derived per row from
+        the file path with the same decoding as
+        :func:`logtable._partition_values`. Returns None when a basename
+        contains glob metacharacters (never for our writer)."""
+        names = sorted({os.path.basename(f.path) for f in files})
+        if any(ch in n for n in names for ch in ",{}*?[]\\"):
+            return None
+        depth = max(f.path.count("/") for f in files)
+        if depth != min(f.path.count("/") for f in files):
+            return None  # mixed layouts: keep the per-partition form
+        glob = "/".join(["*"] * depth + ["{" + ",".join(names) + "}"])
+        sel = []
+        for fld in schema.fields:
+            if fld.name in partition_by:
+                seg = (
+                    f"regexp_extract(_metadata.file_path, "
+                    f"'/{re.escape(fld.name)}=([^/]+)/', 1)"
+                )
+                # _metadata.file_path is a URI: the literal '%' of the
+                # writer's hive escaping is itself URI-encoded (%3A →
+                # %253A), so decode twice — once undoing URI encoding,
+                # once undoing the writer's escaping. url_decode treats
+                # '+' as space (form encoding) but neither encoder
+                # escapes a literal '+', so protect it before each pass.
+                dec1 = f"url_decode(replace({seg}, '+', '%2B'))"
+                dec2 = f"url_decode(replace({dec1}, '+', '%2B'))"
+                val = (
+                    f"CASE WHEN {seg} = '__HIVE_DEFAULT_PARTITION__' THEN NULL "
+                    f"ELSE {dec2} END"
+                )
+                sel.append(
+                    f"CAST({val} AS {fld.dataType.simpleString()}) AS {_q(fld.name)}"
+                )
+            else:
+                sel.append(_q(fld.name))
+        return f"SELECT {', '.join(sel)} FROM parquet.`{t.path}/{glob}`"
+
     def _manifest_body(self, t: LogTable) -> str:
         """Snapshot-pinned view text: one branch per partition, data
         columns from an explicit file-list parquet scan, partition
-        columns inlined as typed literals (folded → branch pruning)."""
+        columns inlined as typed literals (folded → branch pruning).
+        Falls back to a single-scan body past MAX_MANIFEST_BRANCHES."""
         files, schema_json, partition_by, _, _ = t._replay()
         schema = T.StructType.fromJson(json.loads(schema_json))
         if not files:
@@ -208,6 +293,10 @@ class Catalog:
             pv = _partition_values(f.path)
             key = tuple(pv.get(c) for c in partition_by)
             groups.setdefault(key, []).append(os.path.join(t.path, f.path))
+        if partition_by and len(groups) > self.MAX_MANIFEST_BRANCHES:
+            body = self._single_scan_body(t, files, schema, partition_by)
+            if body is not None:
+                return body
         branches = []
         for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
             unsafe = any(ch in p for p in paths for ch in ",{}")

@@ -43,7 +43,7 @@ _ID = r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*){0,2}"
 
 _HISTORY = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*;?\s*$", re.I)
 _CTAS = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_ID})"
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})"
     rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.*)$",
     re.I | re.S,
 )
@@ -141,13 +141,22 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         return cat.table(m.group(1)).history()
 
     if m := _CTAS.match(query):
-        df = cat.sql(m.group(3).rstrip().rstrip(";"))
+        name, if_not_exists = m.group(2), bool(m.group(1))
+        # Delta CTAS semantics (ADVICE r3): plain CREATE TABLE on an
+        # existing name is an error; IF NOT EXISTS is a no-op — never a
+        # silent duplicate append (Catalog.create_table returns the
+        # existing table when the name is registered).
+        if cat._fq(name) in cat._load():
+            if if_not_exists:
+                return _one_row(spark, {"numOutputRows": 0, "skipped": True})
+            raise ValueError(f"table already exists: {cat._fq(name)}")
+        df = cat.sql(m.group(4).rstrip().rstrip(";"))
         part = (
-            [c.strip().strip("`") for c in m.group(2).split(",")]
-            if m.group(2)
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3)
             else None
         )
-        t = cat.create_table(m.group(1), df.schema, partition_by=part)
+        t = cat.create_table(name, df.schema, partition_by=part)
         t.append(df)
         return _one_row(spark, {"numOutputRows": t.read().count()})
 
@@ -159,6 +168,19 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             if body.upper().startswith("VALUES")
             else cat.sql(body)
         )
+        # SQL INSERT is positional: VALUES rows arrive named col1..colN
+        # and a SELECT's output names need not match the target's, but
+        # LogTable._align projects by name with missing-as-null — so an
+        # unaligned insert silently wrote all-NULL rows (ADVICE r3).
+        # Validate arity, then rename positionally.
+        target_names = [f.name for f in t.schema().fields]
+        if len(df.columns) != len(target_names):
+            raise ValueError(
+                f"INSERT arity mismatch: query produces {len(df.columns)} "
+                f"columns {df.columns}, target has {len(target_names)} "
+                f"{target_names}"
+            )
+        df = df.toDF(*target_names)
         t.append(df)
         return _one_row(spark, {"numInsertedRows": df.count()})
 

@@ -124,3 +124,64 @@ def test_external_register_and_non_default_catalog(spark, tmp_path):
         assert spark.table("bronze_raw.ext").count() == 1
     finally:
         c.unbind()
+
+
+def test_sql_rewrite_skips_string_literals_and_comments(spark, cat):
+    """ADVICE r3: table names inside literals/comments must survive the
+    rewrite untouched."""
+    t = cat.table("silver.users")
+    t2 = cat.create_table("lake.silver.notes", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("note", T.StringType()),
+    ]))
+    t2.append(spark.createDataFrame(
+        [(1, "see silver.users"), (2, "other")], t2.schema()))
+    got = cat.sql(
+        "SELECT note FROM silver.notes -- silver.users in a comment\n"
+        "WHERE note = 'see silver.users'"
+    ).collect()
+    assert [r.note for r in got] == ["see silver.users"]
+    assert t.read().count() == 3  # sanity: unrelated
+
+
+def test_sql_view_names_injective_for_underscored_names(spark, tmp_path):
+    """ADVICE r3: a.b_c.d and a_b.c.d must not collide on one view."""
+    c = Catalog(spark, str(tmp_path / "catx"), default_catalog="a")
+    s1 = T.StructType([T.StructField("x", T.LongType())])
+    t1 = c.create_table("a.b_c.d", s1)
+    t1.append(spark.createDataFrame([(1,)], s1))
+    t2 = c.create_table("a_b.c.d", s1)
+    t2.append(spark.createDataFrame([(2,)], s1))
+    got = c.sql(
+        "SELECT (SELECT MAX(x) FROM a.b_c.d) AS one, "
+        "(SELECT MAX(x) FROM a_b.c.d) AS two"
+    ).first()
+    assert (got.one, got.two) == (1, 2)
+
+
+def test_bind_branch_cap_single_scan(spark, tmp_path):
+    """VERDICT r3 #3: past MAX_MANIFEST_BRANCHES partitions the manifest
+    view becomes one scan with path-derived partition columns — same
+    results (incl. NULL + escaped partition values), bounded view text."""
+    c = Catalog(spark, str(tmp_path / "catcap"))
+    n = 200
+    assert n > Catalog.MAX_MANIFEST_BRANCHES
+    t = c.create_table("gold.manyparts", SCHEMA, partition_by=["day"])
+    rows = [(i, float(i), f"d:{i}") for i in range(n)]  # ':' forces %3A escape
+    rows.append((n, float(n), None))
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    c.bind()
+    try:
+        body = c._manifest_body(t)
+        assert "UNION ALL" not in body
+        assert len(body) < 50_000
+        got = {tuple(r) for r in spark.table("gold.manyparts").collect()}
+        assert got == set(rows)
+        # filter on the derived partition column still correct
+        assert spark.sql(
+            "SELECT id FROM gold.manyparts WHERE day = 'd:7'"
+        ).first().id == 7
+        assert spark.sql(
+            "SELECT id FROM gold.manyparts WHERE day IS NULL"
+        ).first().id == n
+    finally:
+        c.unbind()

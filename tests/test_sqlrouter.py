@@ -132,3 +132,40 @@ def test_ctas_and_insert_into(spark, cat):
     assert cat.read("acid.fulfilled").count() == 3
     r = cat.sql("INSERT INTO acid.fulfilled VALUES (99, 1.5)")
     assert cat.read("acid.fulfilled").count() == 4
+
+
+def test_insert_values_positional_alignment(spark, cat):
+    """ADVICE r3 (high): VALUES rows arrive named col1..colN; the insert
+    must align positionally, never silently null-fill by name."""
+    cat.sql("INSERT INTO acid.orders VALUES (50, 'NEW', 5.5)")
+    assert (50, "NEW", 5.5) in _state(cat)
+    # SELECT with non-matching output names aligns positionally too
+    cat.sql(
+        "INSERT INTO acid.orders "
+        "SELECT id + 100 AS a, 'COPIED' AS b, amount AS c "
+        "FROM acid.updates WHERE id = 9"
+    )
+    assert (109, "COPIED", 90.0) in _state(cat)
+    # no all-NULL rows anywhere
+    assert all(i is not None and s is not None for (i, s, _) in _state(cat))
+
+
+def test_insert_arity_mismatch_raises(spark, cat):
+    with pytest.raises(ValueError, match="arity"):
+        cat.sql("INSERT INTO acid.orders VALUES (51, 'X')")
+    with pytest.raises(ValueError, match="arity"):
+        cat.sql("INSERT INTO acid.orders SELECT id FROM acid.updates")
+    assert len(_state(cat)) == 3  # nothing was written
+
+
+def test_ctas_existing_table_semantics(spark, cat):
+    """ADVICE r3 (medium): plain CTAS on a registered name errors;
+    IF NOT EXISTS is a no-op — never a duplicate append."""
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE acid.orders AS SELECT * FROM acid.updates")
+    assert cat.read("acid.orders").count() == 3
+    r = cat.sql(
+        "CREATE TABLE IF NOT EXISTS acid.orders AS SELECT * FROM acid.updates"
+    )
+    assert r.first()["skipped"] == "True"
+    assert cat.read("acid.orders").count() == 3
