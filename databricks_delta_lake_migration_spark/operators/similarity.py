@@ -73,18 +73,29 @@ def _bucket_expr(vec_col: str, n_planes: int, dims: int, seed: int) -> Column:
     """Sign-bit bucket id of ``n_planes`` random-hyperplane projections.
     Hyperplane components are deterministic pseudo-randoms derived from
     xxhash64(seed, plane, dim) — reproducible across runs without
-    shipping a plane matrix."""
+    shipping a plane matrix.
 
-    def plane_component(p: int, i: int) -> Column:
-        h = F.xxhash64(F.lit(f"{seed}:{p}:{i}"))
-        return (h % 2001 - 1000).cast("double") / 1000.0  # uniform [-1, 1]
-
+    Each plane's projection is ONE aggregate-over-zip_with fold, so the
+    plan carries O(n_planes) expression nodes regardless of ``dims``.
+    The earlier unrolled form (one ``element_at × component`` term per
+    dim) was a 12–16k-node plan per projection at production embedding
+    dims (768–1024). The fold accumulates left-to-right over doubles in
+    the same order as the unrolled sum, so bucket ids are bit-identical
+    (asserted in tests/test_operators.py)."""
     bits = []
     for p in range(n_planes):
-        proj = None
-        for i in range(1, dims + 1):
-            term = F.element_at(F.col(vec_col), i).cast("double") * plane_component(p, i)
-            proj = term if proj is None else proj + term
+        # component i of plane p: xxhash64('{seed}:{p}:{i}') % 2001
+        # mapped to a uniform grid on [-1, 1]
+        comps = (
+            f"transform(sequence(1, {dims}), i -> "
+            f"cast(xxhash64(concat('{seed}:{p}:', cast(i as string))) "
+            f"% 2001 - 1000 as double) / 1000.0)"
+        )
+        proj = F.expr(
+            f"aggregate("
+            f"zip_with({vec_col}, {comps}, (x, c) -> cast(x as double) * c), "
+            f"cast(0.0 as double), (acc, t) -> acc + t)"
+        )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 

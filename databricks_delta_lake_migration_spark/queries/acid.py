@@ -292,16 +292,21 @@ def q66_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
            CAST(COUNT(*) AS BIGINT) AS rows_after,
            TRUE AS compaction_reduced_files,
-           TRUE AS vacuum_removed_compacted
+           TRUE AS vacuum_removed_compacted,
+           CAST(COUNT(*) AS BIGINT) AS rows_after_restore,
+           TRUE AS restore_roundtrip
     FROM orders WHERE o_orderkey % 4 <> 0
     """,
 )
 def q67_maintenance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPTIMIZE + VACUUM physical lifecycle (D6/D8): small-file debris
-    compacted, orphans vacuumed. Raw file counts are engine-physical,
-    so the hard-checked output is row conservation (oracle-exact) plus
-    the lifecycle verdicts: compaction shrank the file count and VACUUM
-    collected exactly the compacted-away files."""
+    """OPTIMIZE + VACUUM + RESTORE physical lifecycle (D5/D6/D8):
+    small-file debris compacted, orphans vacuumed, then a destructive
+    DELETE is undone with RESTORE (delta_utils.py:295-370). Raw file
+    counts are engine-physical, so the hard-checked output is row
+    conservation (oracle-exact) plus the lifecycle verdicts: compaction
+    shrank the file count, VACUUM collected exactly the compacted-away
+    files, and the post-restore state is row-for-row identical to the
+    pre-delete snapshot (two-sided exceptAll)."""
     target = _orders_subset(spark, sf_dir)
     t = LogTable.create(spark, _scratch("maint"), target.schema)
     # 4 small appends → small-file debris
@@ -311,6 +316,15 @@ def q67_maintenance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = t.optimize()
     vacuumed = t.vacuum(retain_hours=0)
     after = t.detail()
+    # RESTORE round-trip: delete ~half the rows, restore to the
+    # pre-delete version, assert exact state equality vs that version
+    v = t.version()
+    t.delete("o_totalprice < 100000")
+    t.restore(version=v)
+    cur, pre = t.read(), t.read(version=v)
+    roundtrip = bool(
+        cur.exceptAll(pre).count() == 0 and pre.exceptAll(cur).count() == 0
+    )
     return spark.createDataFrame(
         [
             (
@@ -318,10 +332,13 @@ def q67_maintenance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 after["numRecords"],
                 bool(after["numFiles"] < before["numFiles"]),
                 bool(len(vacuumed) == res["numFilesRemoved"]),
+                cur.count(),
+                roundtrip,
             )
         ],
         "rows_before long, rows_after long, "
-        "compaction_reduced_files boolean, vacuum_removed_compacted boolean",
+        "compaction_reduced_files boolean, vacuum_removed_compacted boolean, "
+        "rows_after_restore long, restore_roundtrip boolean",
     )
 
 

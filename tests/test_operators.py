@@ -163,3 +163,47 @@ def test_ivf_train_shapes_and_determinism(spark):
     c2 = similarity.ivf_train(emb, n_cells=8, n_iters=1)
     assert c1.shape == (8, 64)
     assert np.array_equal(c1, c2)  # same seeds, same assignment, same means
+
+
+def test_bucket_expr_bit_identical_to_unrolled_and_bounded_plan(spark):
+    """VERDICT r3 #4: the folded sign-LSH projection must (a) produce
+    bit-identical bucket ids to the original unrolled sum (same hash
+    family, same left-to-right double accumulation) and (b) keep the
+    plan O(n_planes) nodes even at production embedding dims."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+
+    def unrolled(vec_col, n_planes, dims, seed):
+        bits = []
+        for p in range(n_planes):
+            proj = None
+            for i in range(1, dims + 1):
+                comp = (
+                    (F.xxhash64(F.lit(f"{seed}:{p}:{i}")) % 2001 - 1000)
+                    .cast("double") / 1000.0
+                )
+                term = F.element_at(F.col(vec_col), i).cast("double") * comp
+                proj = term if proj is None else proj + term
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    got = emb.select(
+        "vec_id",
+        similarity._bucket_expr("embedding", 8, 64, seed=42).alias("new"),
+        unrolled("embedding", 8, 64, seed=42).alias("old"),
+    ).collect()
+    assert all(r.new == r.old for r in got)
+
+    # plan-size gate at dims=1024: analyzed plan stays small
+    wide = spark.range(2).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(1024)),
+            lambda i: (i % 7).cast("double") / 7.0,
+        ).alias("embedding"),
+    )
+    df = wide.select(
+        similarity._bucket_expr("embedding", 16, 1024, seed=1).alias("bucket")
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 60_000, f"plan blew up: {len(plan)} chars"
+    assert df.count() == 2  # and it executes
