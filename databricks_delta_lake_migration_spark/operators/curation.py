@@ -1,0 +1,190 @@
+"""Training-data curation operators [EXT]: sequence packing, data
+mixture reweighting, and cross-split decontamination.
+
+These are the corpus-assembly steps a large-scale LLM training
+pipeline runs after dedup/quality filtering (SURVEY §2.14 companions
+to :mod:`.dedup` / :mod:`.textstats`): pack documents into fixed
+token-budget training sequences, re-weight sources toward a target
+mixture, and strip training documents that share content with an
+evaluation set. All three are pure DataFrame plans — no Python in the
+row path — and every shuffle is keyed for scale (shard, source, or
+content hash; never a global order or an all-pairs join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _whitespace_tokens(text_col: str):
+    """Whitespace tokens over the normalized text — the same
+    tokenization as :func:`textstats.tokens` so token counts agree
+    across the curation surface."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+
+
+def portable_hash_bucket(col, n_buckets: int = 10_000):
+    """Deterministic [0, n_buckets) bucket from a sliced sha256 — the
+    same portable hash family as :func:`dedup.simhash(portable=True)`,
+    reproducible in any engine with sha256 (oracle-checkable). Use for
+    sampling decisions that must be stable across engines and runs."""
+    h = F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10)
+    return h.cast("long") % n_buckets
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are streamed in
+    ``order_col`` order within each ``shard_col`` shard, and the
+    concatenated token stream is cut into training sequences of
+    ``budget_tokens`` — each document lands in the sequence where its
+    first token falls (GPT-style packing; boundary documents straddle).
+
+    Returns one row per (shard, seq_id): documents placed, tokens
+    carried, and the fill ratio of the sequence.
+
+    Scale design: the ONLY shuffle is the per-shard window sort — the
+    window is partitioned by shard, never global, so 100 TB packs as
+    thousands of independent shard sorts (choose shards like
+    source×date so each fits an executor). The running token total is
+    an exclusive-prefix window sum, not a collect."""
+    n_toks = F.size(_whitespace_tokens(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    placed = (
+        df.select(F.col(shard_col), F.col(order_col), n_toks.alias("n_toks"))
+        .withColumn("seq_id", F.floor(cum_excl / budget_tokens))
+    )
+    return placed.groupBy(shard_col, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("seq_tokens"),
+        F.round(
+            F.sum("n_toks").cast("double") / budget_tokens, 6
+        ).alias("fill_ratio"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Re-weight the corpus toward a uniform per-source token mixture
+    and take the matching deterministic document sample.
+
+    Each source's keep-probability is ``min(1, target/actual)`` where
+    ``target`` is an equal share of total tokens; a document survives
+    when its :func:`portable_hash_bucket` falls under the probability —
+    deterministic, engine-portable, and stable under reruns (the
+    down-sampling decision for a document never changes as the corpus
+    grows elsewhere). Returns per-source totals, the applied weight,
+    and the sampled doc/token counts.
+
+    Scale design: two shuffles — one token aggregate keyed on source
+    (map-side combined) and one re-aggregate of the filtered corpus;
+    the per-source stats join back via broadcast (sources are
+    metadata-sized). No global sort, no driver-side row data."""
+    n_toks = F.size(_whitespace_tokens(text_col))
+    docs = df.select(
+        F.col(source_col), F.col(id_col), n_toks.alias("n_toks")
+    )
+    per_source = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("source_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    weighted = per_source.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        "n_docs",
+        "source_tokens",
+        F.least(
+            F.lit(1.0),
+            (F.col("total_tokens").cast("double") / F.col("n_sources"))
+            / F.col("source_tokens"),
+        ).alias("weight"),
+    )
+    kept = (
+        docs.join(F.broadcast(weighted.select(source_col, "weight")), source_col)
+        .filter(
+            portable_hash_bucket(F.col(id_col))
+            < F.floor(F.col("weight") * 10_000)
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_toks").alias("sampled_tokens"),
+        )
+    )
+    return (
+        weighted.join(kept, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            "source_tokens",
+            F.round("weight", 6).alias("weight"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    chunk_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split decontamination: flag every training document that
+    shares at least one exact ``chunk_words``-word chunk with the
+    evaluation set — the standard eval-leakage scrub run before
+    training. Returns the training set with a ``contaminated`` flag
+    (callers filter; keeping the flag makes the audit joinable).
+
+    Chunking matches :func:`dedup.chunk_dedup_counts` (consecutive
+    fixed chunks, pure array expressions). Scale design: the eval
+    side's distinct chunk hashes are orders of magnitude smaller than
+    the corpus — broadcast them into a left-semi probe, so the corpus
+    is scanned once with NO corpus-side shuffle. If the eval set ever
+    outgrows broadcast size, the same plan falls back to a hash
+    equi-join on the chunk hash (uniform content key, skew-free)."""
+    def chunk_hashes(d: DataFrame):
+        words = F.split(F.col(text_col), " ")
+        n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * chunk_words + 1, chunk_words)
+            ),
+        )
+        return d.select(
+            F.col(id_col), F.explode(chunks).alias("chunk")
+        ).select(id_col, F.sha2(F.col("chunk"), 256).alias("chunk_hash"))
+
+    test_hashes = chunk_hashes(test).select("chunk_hash").distinct()
+    contaminated_ids = (
+        chunk_hashes(train)
+        .join(F.broadcast(test_hashes), "chunk_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return train.join(contaminated_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
