@@ -13,13 +13,17 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-# driver class per engine (migrate_from_rdbms.py:329-340)
+# driver class per engine (migrate_from_rdbms.py:329-340); derby is the
+# embedded engine Spark ships with (its metastore backend), so the whole
+# JDBC transport is live-testable without an external server — see
+# tests/test_jdbc_live.py
 JDBC_DRIVERS = {
     "postgresql": "org.postgresql.Driver",
     "mysql": "com.mysql.cj.jdbc.Driver",
     "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
     "oracle": "oracle.jdbc.driver.OracleDriver",
     "sqlite": "org.sqlite.JDBC",
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
@@ -42,6 +46,9 @@ class JdbcSourceConfig:
             return f"jdbc:sqlserver://{self.host}:{self.port};databaseName={self.database}"
         if self.engine == "oracle":
             return f"jdbc:oracle:thin:@{self.host}:{self.port}:{self.database}"
+        if self.engine == "derby":
+            # embedded: database is a filesystem path, no host/port
+            return f"jdbc:derby:{self.database};create=true"
         return f"jdbc:{self.engine}://{self.host}:{self.port}/{self.database}"
 
     def driver(self) -> str:

@@ -33,11 +33,50 @@ def _last_committed_batch(table: LogTable, stream_id: str) -> int:
     return -1
 
 
+def infer_stream_schema(
+    spark: SparkSession,
+    source_path: str,
+    file_format: str = "json",
+    schema_location: str | None = None,
+) -> T.StructType:
+    """Auto Loader-style schema inference for the file stream (T3 —
+    the OSS replacement for ``cloudFiles.schemaLocation``,
+    data_processor.py:182-188): infer once from the files already in
+    ``source_path`` with the batch reader, persist the result under
+    ``schema_location``, and reload it on every restart — the stream's
+    schema stays pinned as new files arrive, exactly the contract Auto
+    Loader's schema location provides. Delete the stored JSON to
+    re-infer (schema evolution is an explicit operator action, like
+    Auto Loader's ``addNewColumns`` restart)."""
+    import json
+    import os
+
+    stored = (
+        os.path.join(schema_location, "inferred_schema.json")
+        if schema_location
+        else None
+    )
+    if stored and os.path.exists(stored):
+        with open(stored) as fh:
+            return T.StructType.fromJson(json.load(fh))
+    reader = spark.read.format(file_format)
+    if file_format == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    schema = reader.load(source_path).schema
+    if stored:
+        os.makedirs(schema_location, exist_ok=True)
+        tmp = stored + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        os.replace(tmp, stored)
+    return schema
+
+
 def stream_files_to_table(
     spark: SparkSession,
     source_path: str,
     table_path: str,
-    schema: T.StructType,
+    schema: T.StructType | None = None,
     file_format: str = "json",
     stream_id: str = "default",
     checkpoint: str | None = None,
@@ -47,10 +86,16 @@ def stream_files_to_table(
 ) -> StreamingQuery:
     """File stream → checkpointed append into a log table.
 
+    ``schema=None`` infers it via :func:`infer_stream_schema`, pinned
+    under the checkpoint dir when one is given (restart-stable).
     ``available_now=True`` drains everything currently in the source
     then stops (test/batch-catchup mode); ``False`` runs continuously
     with a processing-time trigger (data_processor.py:190-197).
     """
+    if schema is None:
+        schema = infer_stream_schema(
+            spark, source_path, file_format, schema_location=checkpoint
+        )
     t = LogTable.create(spark, table_path, schema)
     reader = (
         spark.readStream.schema(schema)

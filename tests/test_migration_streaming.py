@@ -350,3 +350,36 @@ def test_interval_join_stream_stream(spark, tmp_path):
     q.awaitTermination(90)
     got = {(r.user, r.page, r.amount) for r in spark.sql("SELECT * FROM attrib").collect()}
     assert got == {(1, "ad1", 5.0)}
+
+
+def test_stream_schema_inference_pinned_across_restarts(spark, tmp_path):
+    """T3: schema=None infers from the files present at first start and
+    pins the result under the checkpoint (Auto Loader schemaLocation
+    contract) — later files with extra fields do not mutate the
+    stream's schema."""
+    from databricks_delta_lake_migration_spark.streaming import (
+        infer_stream_schema,
+    )
+
+    src, tgt, ckpt = (str(tmp_path / n) for n in ("src", "t", "ckpt"))
+    _write_json(src + "/f1.json", [{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}])
+    q = stream_files_to_table(
+        spark, src, tgt, schema=None, stream_id="s1", checkpoint=ckpt
+    )
+    q.awaitTermination(60)
+    t = LogTable(spark, tgt)
+    assert t.read().count() == 2
+    assert sorted(f.name for f in t.schema().fields) == ["id", "v"]
+
+    # restart after a wider file lands: pinned schema wins, the extra
+    # field is dropped (schema evolution = explicit re-infer)
+    _write_json(src + "/f2.json", [{"id": 3, "v": 3.0, "extra": "x"}])
+    q = stream_files_to_table(
+        spark, src, tgt, schema=None, stream_id="s1", checkpoint=ckpt
+    )
+    q.awaitTermination(60)
+    assert t.read().count() == 3
+    assert sorted(f.name for f in t.schema().fields) == ["id", "v"]
+    # the pinned schema is what infer returns on restart
+    pinned = infer_stream_schema(spark, src, "json", schema_location=ckpt)
+    assert sorted(f.name for f in pinned.fields) == ["id", "v"]
