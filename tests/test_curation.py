@@ -77,3 +77,108 @@ def test_decontaminate_broadcasts_eval_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# Property tests vs Python reference models (hypothesis)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+_doc_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _mk_docs(spark, docs):
+    return spark.createDataFrame(
+        [(i, src, " ".join(words)) for i, (src, words) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(_doc_strategy)
+def test_pack_sequences_matches_python_model(spark, docs):
+    budget = 16
+    got = {
+        (r.source, r.seq_id): (r.n_docs, r.seq_tokens)
+        for r in curation.pack_sequences(
+            _mk_docs(spark, docs), budget_tokens=budget
+        ).collect()
+    }
+    # reference: stream docs per shard in doc_id order, place each at
+    # floor(cum_before / budget)
+    ref = {}
+    cum = {}
+    for i, (src, words) in enumerate(docs):
+        seq = cum.get(src, 0) // budget
+        n, tok = ref.get((src, seq), (0, 0))
+        ref[(src, seq)] = (n + 1, tok + len(words))
+        cum[src] = cum.get(src, 0) + len(words)
+    assert got == ref
+
+
+@settings(max_examples=10, deadline=None)
+@given(_doc_strategy)
+def test_mixture_sample_matches_python_model(spark, docs):
+    rows = curation.mixture_sample(_mk_docs(spark, docs)).collect()
+    # reference weights + portable-hash keep decision (hashlib sha256
+    # reproduces Spark's sha2 exactly)
+    by_src = {}
+    for i, (src, words) in enumerate(docs):
+        by_src.setdefault(src, []).append((i, len(words)))
+    total = sum(t for docs_ in by_src.values() for _, t in docs_)
+    n_sources = len(by_src)
+    for r in rows:
+        toks = by_src[r.source]
+        source_tokens = sum(t for _, t in toks)
+        weight = min(1.0, (total / n_sources) / source_tokens)
+        kept = [
+            (i, t) for i, t in toks
+            if int(hashlib.sha256(str(i).encode()).hexdigest()[:8], 16) % 10000
+            < int(weight * 10000)
+        ]
+        assert r.n_docs == len(toks)
+        assert r.source_tokens == source_tokens
+        assert r.weight == round(weight, 6)
+        assert r.n_sampled == len(kept)
+        assert r.sampled_tokens == sum(t for _, t in kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_doc_strategy, st.integers(min_value=1, max_value=4))
+def test_decontaminate_matches_python_model(spark, docs, chunk_words):
+    df = _mk_docs(spark, docs)
+    train = df.filter(F.col("doc_id") % 3 != 0)
+    test = df.filter(F.col("doc_id") % 3 == 0)
+
+    def chunks(words):
+        return {
+            " ".join(words[i : i + chunk_words])
+            for i in range(0, len(words), chunk_words)
+        }
+
+    test_chunks = set()
+    for i, (_, words) in enumerate(docs):
+        if i % 3 == 0:
+            test_chunks |= chunks(words)
+    expected = {
+        i: bool(chunks(words) & test_chunks)
+        for i, (_, words) in enumerate(docs)
+        if i % 3 != 0
+    }
+    got = {
+        r.doc_id: r.contaminated
+        for r in curation.decontaminate(train, test, chunk_words=chunk_words).collect()
+    }
+    assert got == expected
