@@ -12,9 +12,12 @@ API; anything unrecognized returns ``None`` and flows to plain
 
 Statement coverage (the forms the reference actually uses):
 
-- ``DESCRIBE HISTORY t``
+- ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t``
+- ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]``
+- ``SHOW TBLPROPERTIES t [('key')]``
 - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
-- ``INSERT INTO t SELECT ... | VALUES ...``
+- ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
+  explicit column list maps positions, unlisted columns null-fill)
 - ``OPTIMIZE t [ZORDER BY (c1, c2)]``
 - ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
 - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF 'ts'``
@@ -42,13 +45,24 @@ if TYPE_CHECKING:  # pragma: no cover
 _ID = r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*){0,2}"
 
 _HISTORY = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*;?\s*$", re.I)
+_DETAIL = re.compile(rf"^\s*DESCRIBE\s+DETAIL\s+({_ID})\s*;?\s*$", re.I)
+_ANALYZE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+({_ID})\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\s+([^;]+))?\s*;?\s*$",
+    re.I,
+)
+_SHOW_PROPS = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+({_ID})(?:\s*\(\s*'?([^)']+?)'?\s*\))?\s*;?\s*$",
+    re.I,
+)
 _CTAS = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})"
     rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.*)$",
     re.I | re.S,
 )
 _INSERT_INTO = re.compile(
-    rf"^\s*INSERT\s+INTO\s+({_ID})\s+(SELECT\b.*|VALUES\b.*)$", re.I | re.S
+    rf"^\s*INSERT\s+INTO\s+({_ID})\s*(?:\(([^)]+)\)\s*)?(SELECT\b.*|VALUES\b.*)$",
+    re.I | re.S,
 )
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_ID})(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$", re.I
@@ -140,6 +154,32 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
     if m := _HISTORY.match(query):
         return cat.table(m.group(1)).history()
 
+    if m := _DETAIL.match(query):
+        # delta_utils.py:267 / data_processor.py:319 read .first() off
+        # DESCRIBE DETAIL — mirror Delta's one-row shape
+        return _one_row(spark, cat.table(m.group(1)).detail())
+
+    if m := _ANALYZE.match(query):
+        from .maintenance import compute_stats
+
+        cols = (
+            [c.strip().strip("`") for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        return _one_row(spark, compute_stats(cat.table(m.group(1)), columns=cols))
+
+    if m := _SHOW_PROPS.match(query):
+        props = cat.table(m.group(1)).properties()
+        if m.group(2):
+            k = m.group(2).strip()
+            rows = [(k, props.get(k))]
+        else:
+            rows = sorted(props.items()) or [(None, None)]
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows], "key string, value string"
+        )
+
     if m := _CTAS.match(query):
         name, if_not_exists = m.group(2), bool(m.group(1))
         # Delta CTAS semantics (ADVICE r3): plain CREATE TABLE on an
@@ -162,7 +202,7 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
 
     if m := _INSERT_INTO.match(query):
         t = cat.table(m.group(1))
-        body = m.group(2).rstrip().rstrip(";")
+        body = m.group(3).rstrip().rstrip(";")
         df = (
             spark.sql(f"SELECT * FROM {body}")
             if body.upper().startswith("VALUES")
@@ -172,16 +212,25 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         # and a SELECT's output names need not match the target's, but
         # LogTable._align projects by name with missing-as-null — so an
         # unaligned insert silently wrote all-NULL rows (ADVICE r3).
-        # Validate arity, then rename positionally.
+        # Validate arity, then rename positionally. An explicit column
+        # list maps positions to those columns; the rest become NULL.
         target_names = [f.name for f in t.schema().fields]
-        if len(df.columns) != len(target_names):
+        if m.group(2):
+            listed = [c.strip().strip("`") for c in _split_top(m.group(2))]
+            unknown = [c for c in listed if c not in target_names]
+            if unknown:
+                raise ValueError(f"INSERT column(s) not in target: {unknown}")
+            dest = listed
+        else:
+            dest = target_names
+        if len(df.columns) != len(dest):
             raise ValueError(
                 f"INSERT arity mismatch: query produces {len(df.columns)} "
-                f"columns {df.columns}, target has {len(target_names)} "
-                f"{target_names}"
+                f"columns {df.columns}, insert target has {len(dest)} "
+                f"{dest}"
             )
-        df = df.toDF(*target_names)
-        t.append(df)
+        df = df.toDF(*dest)
+        t.append(df)  # _align null-fills any unlisted target columns
         return _one_row(spark, {"numInsertedRows": df.count()})
 
     if m := _OPTIMIZE.match(query):

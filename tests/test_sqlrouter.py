@@ -169,3 +169,42 @@ def test_ctas_existing_table_semantics(spark, cat):
     )
     assert r.first()["skipped"] == "True"
     assert cat.read("acid.orders").count() == 3
+
+
+def test_describe_detail_analyze_show_props(spark, cat):
+    """Reference spellings delta_utils.py:151,267 / data_processor.py:229:
+    DESCRIBE DETAIL, ANALYZE TABLE, SHOW TBLPROPERTIES route to the
+    LogTable API."""
+    d = cat.sql("DESCRIBE DETAIL acid.orders").first()
+    assert int(d["numRecords"]) == 3
+    assert int(d["numFiles"]) >= 1
+    r = cat.sql("ANALYZE TABLE acid.orders COMPUTE STATISTICS").first()
+    assert int(r["numRows"]) == 3
+    r2 = cat.sql(
+        "ANALYZE TABLE acid.orders COMPUTE STATISTICS FOR COLUMNS id, amount"
+    ).first()
+    assert r2 is not None
+    t = cat.table("acid.orders")
+    t.set_properties({"delta.appendOnly": "false", "owner": "etl"})
+    props = {
+        r.key: r.value for r in cat.sql("SHOW TBLPROPERTIES acid.orders").collect()
+    }
+    assert props["owner"] == "etl"
+    one = cat.sql("SHOW TBLPROPERTIES acid.orders ('owner')").first()
+    assert (one.key, one.value) == ("owner", "etl")
+
+
+def test_insert_with_column_list(spark, cat):
+    """INSERT INTO t (cols...) VALUES/SELECT: positions map to the
+    listed columns, unlisted target columns null-fill."""
+    cat.sql("INSERT INTO acid.orders (id, amount) VALUES (70, 7.5)")
+    assert (70, None, 7.5) in _state(cat)
+    cat.sql(
+        "INSERT INTO acid.orders (amount, id) "
+        "SELECT amount, id + 200 FROM acid.updates WHERE id = 2"
+    )
+    assert (202, None, 25.0) in _state(cat)
+    with pytest.raises(ValueError, match="not in target"):
+        cat.sql("INSERT INTO acid.orders (id, nope) VALUES (71, 1.0)")
+    with pytest.raises(ValueError, match="arity"):
+        cat.sql("INSERT INTO acid.orders (id, amount) VALUES (71, 1.0, 'X')")
