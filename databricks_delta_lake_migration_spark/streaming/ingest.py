@@ -38,6 +38,7 @@ def infer_stream_schema(
     source_path: str,
     file_format: str = "json",
     schema_location: str | None = None,
+    allow_evolution: bool = False,
 ) -> T.StructType:
     """Auto Loader-style schema inference for the file stream (T3 —
     the OSS replacement for ``cloudFiles.schemaLocation``,
@@ -45,9 +46,13 @@ def infer_stream_schema(
     ``source_path`` with the batch reader, persist the result under
     ``schema_location``, and reload it on every restart — the stream's
     schema stays pinned as new files arrive, exactly the contract Auto
-    Loader's schema location provides. Delete the stored JSON to
-    re-infer (schema evolution is an explicit operator action, like
-    Auto Loader's ``addNewColumns`` restart)."""
+    Loader's schema location provides.
+
+    ``allow_evolution=True`` is the ``addNewColumns`` analog: on
+    restart, re-infer and APPEND any brand-new columns to the pinned
+    schema (existing columns keep their pinned types — widening is
+    additive only, never a type change), persisting the evolved
+    schema back."""
     import json
     import os
 
@@ -56,19 +61,36 @@ def infer_stream_schema(
         if schema_location
         else None
     )
-    if stored and os.path.exists(stored):
-        with open(stored) as fh:
-            return T.StructType.fromJson(json.load(fh))
-    reader = spark.read.format(file_format)
-    if file_format == "csv":
-        reader = reader.option("header", "true").option("inferSchema", "true")
-    schema = reader.load(source_path).schema
-    if stored:
+
+    def _save(schema: T.StructType) -> None:
         os.makedirs(schema_location, exist_ok=True)
         tmp = stored + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(schema.jsonValue(), fh)
         os.replace(tmp, stored)
+
+    def _infer() -> T.StructType:
+        reader = spark.read.format(file_format)
+        if file_format == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        return reader.load(source_path).schema
+
+    if stored and os.path.exists(stored):
+        with open(stored) as fh:
+            pinned = T.StructType.fromJson(json.load(fh))
+        if not allow_evolution:
+            return pinned
+        names = {f.name for f in pinned.fields}
+        new = [f for f in _infer().fields if f.name not in names]
+        if not new:
+            return pinned
+        evolved = T.StructType(list(pinned.fields) + new)
+        _save(evolved)
+        return evolved
+
+    schema = _infer()
+    if stored:
+        _save(schema)
     return schema
 
 
@@ -83,20 +105,31 @@ def stream_files_to_table(
     max_files_per_trigger: int = 10,
     available_now: bool = True,
     transform=None,
+    schema_evolution: bool = False,
 ) -> StreamingQuery:
     """File stream → checkpointed append into a log table.
 
     ``schema=None`` infers it via :func:`infer_stream_schema`, pinned
-    under the checkpoint dir when one is given (restart-stable).
+    under the checkpoint dir when one is given (restart-stable);
+    ``schema_evolution=True`` additionally adopts brand-new columns on
+    restart (Auto Loader ``addNewColumns``) — the pinned schema widens
+    and the target table gets a metadata-only ADD COLUMNS commit, so
+    earlier rows surface NULL for the new columns.
     ``available_now=True`` drains everything currently in the source
     then stops (test/batch-catchup mode); ``False`` runs continuously
     with a processing-time trigger (data_processor.py:190-197).
     """
     if schema is None:
         schema = infer_stream_schema(
-            spark, source_path, file_format, schema_location=checkpoint
+            spark, source_path, file_format, schema_location=checkpoint,
+            allow_evolution=schema_evolution,
         )
     t = LogTable.create(spark, table_path, schema)
+    if schema_evolution:
+        have = {f.name for f in t.schema().fields}
+        new = [f for f in schema.fields if f.name not in have]
+        if new:
+            t.add_columns(new)
     reader = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

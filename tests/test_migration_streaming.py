@@ -383,3 +383,26 @@ def test_stream_schema_inference_pinned_across_restarts(spark, tmp_path):
     # the pinned schema is what infer returns on restart
     pinned = infer_stream_schema(spark, src, "json", schema_location=ckpt)
     assert sorted(f.name for f in pinned.fields) == ["id", "v"]
+
+
+def test_stream_schema_evolution_adopts_new_columns(spark, tmp_path):
+    """T3 addNewColumns analog: with schema_evolution=True a restart
+    after a wider file lands widens the pinned schema AND the target
+    table (metadata-only ADD COLUMNS); earlier rows read NULL."""
+    src, tgt, ckpt = (str(tmp_path / n) for n in ("src", "t", "ckpt"))
+    _write_json(src + "/f1.json", [{"id": 1, "v": 1.0}])
+    q = stream_files_to_table(
+        spark, src, tgt, schema=None, stream_id="s1", checkpoint=ckpt,
+        schema_evolution=True,
+    )
+    q.awaitTermination(60)
+    _write_json(src + "/f2.json", [{"id": 2, "v": 2.0, "tag": "x"}])
+    q = stream_files_to_table(
+        spark, src, tgt, schema=None, stream_id="s1", checkpoint=ckpt,
+        schema_evolution=True,
+    )
+    q.awaitTermination(60)
+    t = LogTable(spark, tgt)
+    assert sorted(f.name for f in t.schema().fields) == ["id", "tag", "v"]
+    got = {(r.id, r.v, r.tag) for r in t.read().collect()}
+    assert got == {(1, 1.0, None), (2, 2.0, "x")}
