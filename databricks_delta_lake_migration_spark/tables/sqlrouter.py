@@ -15,6 +15,8 @@ Statement coverage (the forms the reference actually uses):
 - ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t``
 - ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]``
 - ``SHOW TBLPROPERTIES t [('key')]``
+- ``ALTER TABLE t SET TBLPROPERTIES (...)`` / ``ALTER TABLE t ADD
+  COLUMNS (name TYPE [COMMENT '...'], ...)``
 - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
 - ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
   explicit column list maps positions, unlisted columns null-fill)
@@ -54,6 +56,18 @@ _ANALYZE = re.compile(
 _SHOW_PROPS = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_ID})(?:\s*\(\s*'?([^)']+?)'?\s*\))?\s*;?\s*$",
     re.I,
+)
+_ALTER_PROPS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_ALTER_ADD_COLS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_COL_DEF = re.compile(
+    r"^\s*`?(\w+)`?\s+([A-Za-z0-9_<>,()\s]+?)(?:\s+COMMENT\s+'([^']*)')?\s*$",
+    re.I | re.S,
 )
 _CTAS = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})"
@@ -168,6 +182,37 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             else None
         )
         return _one_row(spark, compute_stats(cat.table(m.group(1)), columns=cols))
+
+    if m := _ALTER_PROPS.match(query):
+        # delta_utils.py:163,382: both '"k" = "v"' quoting and bare
+        # dotted keys/values (delta.enableChangeDataFeed = true)
+        props = {}
+        for part in _split_top(m.group(2)):
+            k, sep, v = part.partition("=")
+            if not sep:
+                raise ValueError(f"bad TBLPROPERTIES entry: {part!r}")
+            props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        cat.table(m.group(1)).set_properties(props)
+        return _one_row(spark, {"propertiesSet": props})
+
+    if m := _ALTER_ADD_COLS.match(query):
+        # 04_acid_operations.py:290-296: name TYPE [COMMENT '...']
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        fields = []
+        for part in _split_top(m.group(2)):
+            cm = _COL_DEF.match(part)
+            if not cm:
+                raise ValueError(f"bad column definition: {part!r}")
+            meta = {"comment": cm.group(3)} if cm.group(3) else None
+            fields.append(
+                StructField(
+                    cm.group(1), _parse_datatype_string(cm.group(2)), True,
+                    metadata=meta,
+                )
+            )
+        cat.table(m.group(1)).add_columns(fields)
+        return _one_row(spark, {"columnsAdded": [f.name for f in fields]})
 
     if m := _SHOW_PROPS.match(query):
         props = cat.table(m.group(1)).properties()

@@ -208,3 +208,32 @@ def test_insert_with_column_list(spark, cat):
         cat.sql("INSERT INTO acid.orders (id, nope) VALUES (71, 1.0)")
     with pytest.raises(ValueError, match="arity"):
         cat.sql("INSERT INTO acid.orders (id, amount) VALUES (71, 1.0, 'X')")
+
+
+def test_alter_table_set_properties_and_add_columns(spark, cat):
+    """Reference spellings delta_utils.py:163,382 /
+    04_acid_operations.py:287-296: ALTER TABLE SET TBLPROPERTIES (both
+    quoting styles) and ALTER TABLE ADD COLUMNS with COMMENTs."""
+    cat.sql("ALTER TABLE acid.orders SET TBLPROPERTIES ('owner' = 'etl')")
+    cat.sql(
+        "ALTER TABLE acid.orders SET TBLPROPERTIES "
+        "(delta.enableChangeDataFeed = true)"
+    )
+    props = cat.table("acid.orders").properties()
+    assert props["owner"] == "etl"
+    assert props["delta.enableChangeDataFeed"] == "true"
+    r = cat.sql(
+        """
+        ALTER TABLE acid.orders
+        ADD COLUMNS (
+            experiment_id STRING COMMENT 'A/B test experiment ID',
+            experiment_variant STRING
+        )
+        """
+    ).first()
+    assert "experiment_id" in r["columnsAdded"]
+    fields = {f.name: f for f in cat.table("acid.orders").schema().fields}
+    assert fields["experiment_id"].dataType.simpleString() == "string"
+    assert fields["experiment_id"].metadata.get("comment") == "A/B test experiment ID"
+    # existing rows surface NULL for the new columns
+    assert cat.read("acid.orders").filter("experiment_id IS NULL").count() == 3
