@@ -393,3 +393,164 @@ def ivf_topk(
     return cosine_topk(
         cands, query_vec_id, k=k, id_col=id_col, vec_col=vec_col, dims=dims
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-codes ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 16,
+    k_codes: int = 32,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    seed: int = 42,
+):
+    """Product-quantization codebooks: split the ``dims`` dimensions
+    into ``m`` subspaces of dims/m and run the same deterministic
+    mini k-means as :func:`ivf_train` in each. Returns a numpy array of
+    shape (m, k_codes, dims//m).
+
+    At 100 TB: codebooks are metadata-sized (k_codes × dims floats
+    total) and live driver-side, broadcast into the encode/search
+    closures; each Lloyd iteration is one Arrow-vectorized assignment
+    pass plus one (subspace, code, pos) partial-mean aggregate whose
+    shuffle is m × k_codes × (dims/m) rows regardless of corpus size.
+    The corpus itself is never collected. PQ compresses each vector to
+    ``m`` bytes — a 1 B-vector corpus of 1024-dim floats (4 TB) fits in
+    ~8-16 GB of codes, which is what makes exhaustive ADC scans viable.
+    """
+    import numpy as np
+
+    sub = dims // m
+    assert sub * m == dims, "dims must divide evenly into m subspaces"
+    rows = (
+        embeddings.withColumn("__h", F.xxhash64(F.col(id_col) + seed))
+        .orderBy("__h")
+        .limit(k_codes)
+        .select(vec_col)
+        .collect()
+    )
+    seeds_ = np.array([r[0] for r in rows], dtype="float64")  # (k, dims)
+    books = np.stack([seeds_[:, j * sub : (j + 1) * sub] for j in range(m)])
+    for _ in range(n_iters):
+        coded = pq_encode(embeddings, books, vec_col=vec_col)
+        means = (
+            coded.select(F.posexplode("pq_codes").alias("sub", "code"), vec_col)
+            .select(
+                "sub", "code",
+                F.posexplode(
+                    F.expr(f"slice({vec_col}, sub * {sub} + 1, {sub})")
+                ).alias("pos", "val"),
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        new = books.copy()
+        for r in means:
+            new[r.sub][r.code][r.pos] = r.mval
+        books = new
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``pq_codes`` (array of ``m`` code ids) to every row — one
+    Arrow-batched nearest-code argmin per subspace. The whole corpus-
+    side cost of PQ indexing; persist the result and the float vectors
+    can be dropped from the hot path entirely."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype="float64")  # (m, k, sub)
+    m, _, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def codes_of(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype("float64")
+        out = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            sv = mat[:, j * sub : (j + 1) * sub]
+            d = ((sv[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=-1)
+            out[:, j] = np.argmin(d, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return embeddings.withColumn("pq_codes", codes_of(F.col(vec_col)))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 16,
+    k_codes: int = 32,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """PQ ANN top-k via asymmetric distance computation (ADC): the
+    query's per-subspace distance table (m × k_codes floats, computed
+    driver-side and broadcast) turns each row's distance into ``m``
+    table lookups over its byte codes — no float vectors touched during
+    the scan. The best ``rerank × k`` ADC candidates get an exact
+    cosine re-rank.
+
+    Complements :func:`ivf_topk` (which prunes WHICH rows to scan; PQ
+    shrinks WHAT is scanned per row — production systems compose them
+    as IVF-PQ). Approximate by design; recall asserted in tests and
+    hard-checked by q96's verdict."""
+    import numpy as np
+
+    books = pq_train(
+        embeddings, m=m, k_codes=k_codes,
+        id_col=id_col, vec_col=vec_col, dims=dims,
+    )
+    sub = dims // m
+    qv = np.array(
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .collect()[0][0],
+        dtype="float64",
+    )
+    # distance tables: dt[j][c] = ||q_j - books[j][c]||^2
+    dt = np.stack(
+        [
+            ((qv[j * sub : (j + 1) * sub][None, :] - books[j]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.vstack(codes.to_numpy())  # (b, m)
+        return pd.Series(dt[np.arange(m)[None, :], c].sum(axis=1))
+
+    coded = pq_encode(embeddings, books, vec_col=vec_col)
+    cands = (
+        coded.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), adc(F.col("pq_codes")).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(rerank * k)
+        .select(id_col)
+    )
+    # keep the query row in the subset — cosine_topk rebuilds the query
+    # vector from the frame it is given
+    probe = cands.union(
+        embeddings.filter(F.col(id_col) == query_vec_id).select(id_col)
+    )
+    subset = embeddings.join(F.broadcast(probe), id_col, "left_semi")
+    return cosine_topk(
+        subset, query_vec_id, k=k, id_col=id_col, vec_col=vec_col, dims=dims
+    )

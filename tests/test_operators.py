@@ -207,3 +207,25 @@ def test_bucket_expr_bit_identical_to_unrolled_and_bounded_plan(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert len(plan) < 60_000, f"plan blew up: {len(plan)} chars"
     assert df.count() == 2  # and it executes
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        r.vec_id for r in similarity.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    }
+    approx = {
+        r.vec_id for r in similarity.pq_topk(emb, query_vec_id=0, k=10).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) / 10 >= 0.5  # observed 0.8-1.0
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    books = similarity.pq_train(emb, m=16, k_codes=32)
+    assert books.shape == (16, 32, 4)
+    a = {r.vec_id: tuple(r.pq_codes) for r in similarity.pq_encode(emb, books).collect()}
+    b = {r.vec_id: tuple(r.pq_codes) for r in similarity.pq_encode(emb, books).collect()}
+    assert a == b
+    assert all(len(c) == 16 and all(0 <= x < 32 for x in c) for c in a.values())
