@@ -554,3 +554,50 @@ def pq_topk(
     return cosine_topk(
         subset, query_vec_id, k=k, id_col=id_col, vec_col=vec_col, dims=dims
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    k_codes: int = 32,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """IVF-PQ composition — the production 100 TB ANN shape: IVF prunes
+    WHICH rows are scanned (nprobe/n_cells of the corpus, partition-
+    pruned when stored by cell), PQ shrinks WHAT each scanned row costs
+    (m byte-code lookups against broadcast ADC tables instead of a
+    float-vector read). Codebooks train on the full corpus so cell
+    boundaries don't skew them; encoding and ADC run only over the
+    probed cells; the best rerank×k candidates get an exact cosine
+    re-rank. All driver-side state is metadata-sized (centroids
+    n_cells×dims, codebooks k_codes×dims, one m×k_codes table)."""
+    import numpy as np
+
+    cents = ivf_train(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    qv = np.array(
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .collect()[0][0],
+        dtype="float64",
+    )
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    probes = [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
+    cell_subset = (
+        ivf_assign(embeddings, cents, vec_col=vec_col)
+        .filter(F.col("cell").isin(probes))
+        .drop("cell")
+    )
+    return pq_topk(
+        cell_subset, query_vec_id, k=k, m=m, k_codes=k_codes, rerank=rerank,
+        id_col=id_col, vec_col=vec_col, dims=dims,
+    )

@@ -251,3 +251,21 @@ def q96_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = similarity.pq_topk(emb, query_vec_id=0, k=10)
     exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
     return _recall_verdict(ann, exact, k=10, threshold=0.4)
+
+
+@query(
+    "q97_ivfpq_topk",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    """,
+)
+def q97_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k [EXT]: cell pruning (which rows) composed with
+    product-quantized ADC scanning (what each row costs) — the
+    production 100 TB shape. Hard-checked recall verdict ≥0.4 at k=10
+    (observed 0.7-1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.ivfpq_topk(emb, query_vec_id=0, k=10, n_cells=16, nprobe=4)
+    exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
+    return _recall_verdict(ann, exact, k=10, threshold=0.4)

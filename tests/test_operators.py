@@ -229,3 +229,18 @@ def test_pq_encode_deterministic_and_bounded(spark):
     b = {r.vec_id: tuple(r.pq_codes) for r in similarity.pq_encode(emb, books).collect()}
     assert a == b
     assert all(len(c) == 16 and all(0 <= x < 32 for x in c) for c in a.values())
+
+
+def test_ivfpq_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        r.vec_id for r in similarity.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in similarity.ivfpq_topk(
+            emb, query_vec_id=0, k=10, n_cells=16, nprobe=4
+        ).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) / 10 >= 0.4
