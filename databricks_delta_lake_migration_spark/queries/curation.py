@@ -138,3 +138,138 @@ def q95_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias("n_contaminated"),
         F.sum(F.when(F.col("contaminated"), 0).otherwise(1)).alias("n_clean"),
     )
+
+
+# DuckDB twin of the q91 bigram signal, over a CTE named ``corpus``
+_SQL_CF_BIGRAMS = (
+    f"CASE WHEN len({_SQL_TOKS}) >= 2 THEN "
+    f"list_transform(range(1, len({_SQL_TOKS})), i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1]) "
+    "ELSE [] END"
+)
+_SQL_CHUNKS4 = (
+    "list_transform(range(0, CAST(ceil(len(string_split(text, ' ')) / 4.0) AS BIGINT)), "
+    "i -> array_to_string(list_slice(string_split(text, ' '), i*4 + 1, i*4 + 4), ' '))"
+)
+
+
+@query(
+    "q98_corpus_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0
+    ), holdout AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ), sig AS (
+        SELECT doc_id,
+               len({_SQL_TOKS}) AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS symbols,
+               len(list_distinct({_SQL_TOKS})) AS n_distinct,
+               {_SQL_CF_BIGRAMS} AS bg
+        FROM corpus
+    ), m AS (
+        SELECT doc_id, n_tokens,
+               symbols * 1.0 / greatest(n_chars, 1) AS symbol_ratio,
+               (n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1) AS mean_word_len,
+               n_distinct * 1.0 / greatest(n_tokens, 1) AS distinct_ratio,
+               COALESCE(list_max(list_transform(list_distinct(bg),
+                        b -> len(list_filter(bg, x -> x = b)))), 0) * 1.0
+                   / greatest(len(bg), 1) AS top_bigram_frac
+        FROM m_base
+    ), m_base AS (SELECT * FROM sig), kept AS (
+        SELECT c.doc_id, c.source, c.text
+        FROM corpus c JOIN m ON c.doc_id = m.doc_id
+        WHERE NOT (m.n_tokens < 30 OR m.n_tokens > 100000
+                   OR m.symbol_ratio > 0.03
+                   OR m.mean_word_len < 4.5 OR m.mean_word_len > 12.0
+                   OR m.top_bigram_frac > 0.04
+                   OR m.distinct_ratio < 0.55)
+    ), winners AS (
+        SELECT MIN(doc_id) AS doc_id FROM (
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM kept
+        ) GROUP BY fp
+    ), survivors AS (
+        SELECT k.* FROM kept k JOIN winners w ON k.doc_id = w.doc_id
+    ), hchunks AS (
+        SELECT DISTINCT sha256(chunk) AS ch FROM (
+            SELECT unnest({_SQL_CHUNKS4}) AS chunk FROM holdout)
+    ), contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({_SQL_CHUNKS4}) AS chunk FROM survivors)
+        WHERE sha256(chunk) IN (SELECT ch FROM hchunks)
+    ), final AS (
+        SELECT s.* FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_quality,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_dedup,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS n_final,
+           CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL
+                THEN len(string_split(trim(regexp_replace(lower(r.text), '\\s+', ' ', 'g')), ' '))
+                ELSE 0 END), 0) AS BIGINT) AS tokens_final
+    FROM corpus r
+    LEFT JOIN kept k ON r.doc_id = k.doc_id
+    LEFT JOIN survivors s ON r.doc_id = s.doc_id
+    LEFT JOIN final f ON r.doc_id = f.doc_id
+    GROUP BY r.source
+    """,
+)
+def q98_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleanup pipeline [EXT] — the LLM-tier capstone,
+    chaining the quality gate (q91 thresholds), exact dedup (min-id per
+    normalized-text hash, q34 family), and eval-split decontamination
+    (q95) into one per-source funnel report: raw → quality-passed →
+    deduped → decontaminated counts plus final token volume.
+
+    Every stage is the already-audited scale shape: row-local quality
+    signals, one content-hash shuffle for dedup, broadcast left-semi
+    probe for decontamination; per-source funnel counts are left-semi
+    flags aggregated in one pass."""
+    from ..operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+
+    quality = textstats.corpus_filter(
+        corpus, min_tokens=30, max_symbol_ratio=0.03,
+        min_mean_word_len=4.5, max_top_bigram_frac=0.04,
+        min_distinct_ratio=0.55,
+    )
+    kept = corpus.join(
+        quality.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    from ..functions.hashing import norm_text_hash
+
+    winners = (
+        kept.select("doc_id", norm_text_hash(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = kept.join(winners, "doc_id", "left_semi")
+    flagged = curation.decontaminate(survivors, holdout, chunk_words=4)
+    n_toks = F.size(curation._whitespace_tokens("text"))
+    staged = (
+        corpus.select("doc_id", "source", "text")
+        .join(kept.select("doc_id", F.lit(1).alias("q")), "doc_id", "left")
+        .join(survivors.select("doc_id", F.lit(1).alias("d")), "doc_id", "left")
+        .join(
+            flagged.filter(~F.col("contaminated"))
+            .select("doc_id", F.lit(1).alias("f")),
+            "doc_id", "left",
+        )
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count("q").alias("n_quality"),
+        F.count("d").alias("n_dedup"),
+        F.count("f").alias("n_final"),
+        F.sum(F.when(F.col("f").isNotNull(), n_toks).otherwise(0)).alias(
+            "tokens_final"
+        ),
+    )
