@@ -140,7 +140,12 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         out["skipping_speedup_pct"] = round((unskipped - skipped) / unskipped * 100, 1)
 
         # Z-order impact: point query before vs after clustering
-        # (reference benchmarks:238-293)
+        # (reference benchmarks:238-293). The win here is parquet
+        # ROW-GROUP pruning inside files (clustered values → narrow
+        # row-group min/max), which wall time captures and file-level
+        # stats cannot — numeric-like STRING min/max spans nearly the
+        # whole range after bit-interleaving, so a file-skip count
+        # would falsely read as zero benefit.
         point = lambda: t.read().filter(  # noqa: E731
             (F.col("user_id") == "12345") & (F.col("category") == "5")
         ).count()
