@@ -4,6 +4,7 @@ from .ingest import (  # noqa: F401
     infer_stream_schema,
     interval_join,
     session_windowed_counts,
+    stream_dedup_to_table,
     stream_files_to_table,
     stream_upsert_to_table,
     windowed_counts,

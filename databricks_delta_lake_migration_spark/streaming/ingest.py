@@ -322,3 +322,74 @@ def interval_join(
         f"r.{right_ts} <= l.{left_ts} + INTERVAL {max_delay}"
     )
     return la.join(ra, F.expr(f"{key_cond} AND {time_cond}"), "inner")
+
+
+def stream_dedup_to_table(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    schema: T.StructType,
+    key_columns: list[str],
+    ts_col: str,
+    watermark: str = "30 minutes",
+    file_format: str = "json",
+    stream_id: str = "dedup",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest-dedup: drop re-deliveries of the same key
+    arriving within the watermark horizon, then append the survivors —
+    the at-least-once-source → exactly-once-rows pattern (duplicate
+    events from producer retries / log replays are the #1 ingest
+    artifact a training-data stream has to scrub).
+
+    Uses Spark's ``dropDuplicatesWithinWatermark``: state holds one
+    entry per key only until the watermark passes it (bounded state —
+    the plain ``dropDuplicates`` keeps keys forever and OOMs an
+    unbounded stream). Cross-batch duplicates inside the horizon are
+    caught by the state store; the append sink keeps the batch-id
+    idempotence contract of :func:`stream_files_to_table`, so a
+    crash-replayed micro-batch cannot double-append either.
+    """
+    t = LogTable.create(spark, table_path, schema)
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(file_format)
+        .load(source_path)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_columns)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = LogTable(spark, table_path)
+        if batch_id <= _last_committed_batch(tbl, stream_id):
+            return
+        schema_now = tbl.schema()
+        aligned = batch_df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema_now.fields]
+        )
+        entries = tbl._write_files(aligned, tbl.partition_columns())
+        from ..tables.logtable import Commit
+        import time as _time
+
+        tbl._commit(
+            Commit(
+                version=tbl._next_version(),
+                timestamp=_time.time(),
+                operation="STREAMING DEDUP",
+                add=entries,
+                parameters={"streamId": stream_id, "batchId": int(batch_id)},
+                metrics={"numOutputRows": sum(e.num_records for e in entries)},
+            )
+        )
+
+    writer = reader.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

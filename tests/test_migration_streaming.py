@@ -406,3 +406,54 @@ def test_stream_schema_evolution_adopts_new_columns(spark, tmp_path):
     assert sorted(f.name for f in t.schema().fields) == ["id", "tag", "v"]
     got = {(r.id, r.v, r.tag) for r in t.read().collect()}
     assert got == {(1, 1.0, None), (2, 2.0, "x")}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Ingest dedup: duplicate keys re-delivered across micro-batches
+    within the watermark land exactly once; bounded state via
+    dropDuplicatesWithinWatermark."""
+    from databricks_delta_lake_migration_spark.streaming import (
+        stream_dedup_to_table,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    src, tgt, ckpt = (str(tmp_path / n) for n in ("src", "t", "ckpt"))
+    # duplicates inside one file AND across files (different micro-batches)
+    _write_json(src + "/f1.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "v": 1.0},
+        {"event_id": 1, "ts": "2024-01-01T00:00:05", "v": 1.5},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "v": 2.0},
+    ])
+    _write_json(src + "/f2.json", [
+        {"event_id": 2, "ts": "2024-01-01T00:02:00", "v": 2.5},
+        {"event_id": 3, "ts": "2024-01-01T00:03:00", "v": 3.0},
+    ])
+    q = stream_dedup_to_table(
+        spark, src, tgt, schema, key_columns=["event_id"], ts_col="ts",
+        stream_id="d1", checkpoint=ckpt, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    t = LogTable(spark, tgt)
+    got = {r.event_id for r in t.read().collect()}
+    assert got == {1, 2, 3}
+    assert t.read().count() == 3  # each key exactly once
+
+    # restart with a replayed duplicate + one new key
+    _write_json(src + "/f3.json", [
+        {"event_id": 3, "ts": "2024-01-01T00:03:30", "v": 3.5},
+        {"event_id": 4, "ts": "2024-01-01T00:04:00", "v": 4.0},
+    ])
+    q = stream_dedup_to_table(
+        spark, src, tgt, schema, key_columns=["event_id"], ts_col="ts",
+        stream_id="d1", checkpoint=ckpt, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert t.read().count() == 4
+    assert {r.event_id for r in t.read().collect()} == {1, 2, 3, 4}
