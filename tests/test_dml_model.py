@@ -1,0 +1,94 @@
+"""Randomized DML-program model test: apply an arbitrary sequence of
+append / update / delete / upsert / restore / optimize operations to a
+LogTable AND to a plain Python dict model, then assert the table's
+current state matches the model — and that time travel reproduces the
+model's state as recorded after EVERY intermediate commit. This is the
+whole-format serializability check the per-operation suites can't see
+(cross-operation interactions, restore-of-restore, post-restore DML).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_delta_lake_migration_spark.tables import LogTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("amount", T.LongType()),
+    ]
+)
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 4)),
+    st.tuples(st.just("update"), st.integers(0, 50)),
+    st.tuples(st.just("delete"), st.integers(0, 50)),
+    st.tuples(st.just("upsert"), st.integers(1, 4)),
+    st.tuples(st.just("restore"), st.integers(0, 100)),
+    st.tuples(st.just("optimize"), st.just(0)),
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, s, a) for i, (s, a) in rows.items()], SCHEMA
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_op, min_size=2, max_size=8))
+def test_random_dml_program_matches_model(spark, ops):
+    path = tempfile.mkdtemp(prefix="dmlmodel-") + "/t"
+    t = LogTable.create(spark, path, SCHEMA)
+    model: dict[int, tuple[str, int]] = {}
+    next_id = 0
+    history: dict[int, dict] = {t.version(): dict(model)}
+
+    for kind, arg in ops:
+        if kind == "append":
+            batch = {next_id + i: ("NEW", (next_id + i) * 7 % 100) for i in range(arg)}
+            next_id += arg
+            t.append(_df(spark, batch))
+            model.update(batch)
+        elif kind == "update":
+            t.update(f"amount < {arg}", {"status": "'LOW'"})
+            model = {
+                i: (("LOW", a) if a < arg else (s, a)) for i, (s, a) in model.items()
+            }
+        elif kind == "delete":
+            t.delete(f"amount > {arg}")
+            model = {i: (s, a) for i, (s, a) in model.items() if not a > arg}
+        elif kind == "upsert":
+            # half existing keys (mutated), half brand new
+            existing = sorted(model)[:arg]
+            batch = {i: ("UPS", model[i][1] + 1) for i in existing}
+            batch.update(
+                {next_id + i: ("UPS", (next_id + i) * 3 % 100) for i in range(arg)}
+            )
+            next_id += arg
+            t.upsert(_df(spark, batch), ["id"])
+            model.update(batch)
+        elif kind == "restore":
+            versions = sorted(history)
+            target = versions[arg % len(versions)]
+            t.restore(version=target)
+            model = dict(history[target])
+        else:  # optimize — content-neutral physical rewrite
+            t.optimize()
+        history[t.version()] = dict(model)
+
+    def state(df):
+        return {r.id: (r.status, r.amount) for r in df.collect()}
+
+    assert state(t.read()) == model
+    # time travel reproduces the model at every recorded commit
+    for v, snap in history.items():
+        assert state(t.read(version=v)) == snap, f"version {v} drifted"
+    # and the physical row count never hides duplicates
+    assert t.read().count() == len(model)
