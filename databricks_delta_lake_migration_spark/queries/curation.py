@@ -175,8 +175,8 @@ _SQL_CHUNKS4 = (
                COALESCE(list_max(list_transform(list_distinct(bg),
                         b -> len(list_filter(bg, x -> x = b)))), 0) * 1.0
                    / greatest(len(bg), 1) AS top_bigram_frac
-        FROM m_base
-    ), m_base AS (SELECT * FROM sig), kept AS (
+        FROM sig
+    ), kept AS (
         SELECT c.doc_id, c.source, c.text
         FROM corpus c JOIN m ON c.doc_id = m.doc_id
         WHERE NOT (m.n_tokens < 30 OR m.n_tokens > 100000
