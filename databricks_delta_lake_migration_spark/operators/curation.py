@@ -188,3 +188,29 @@ def decontaminate(
     return train.join(contaminated_ids, id_col, "left").withColumn(
         "contaminated", F.coalesce("contaminated", F.lit(False))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row survives when its
+    :func:`portable_hash_bucket` falls under its stratum's fraction.
+
+    Unlike ``DataFrame.sampleBy`` (seeded RNG over partition iteration
+    order — irreproducible across engines, partitionings, and reruns),
+    the keep decision here is a pure function of the row's id, so the
+    sample is stable as the corpus is repartitioned or re-run, and an
+    external engine can replay it exactly (oracle-checkable).
+
+    Scale design: row-local predicate — no shuffle, no RNG state; the
+    fraction map is a metadata-sized when-chain, never a join."""
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, float(f)).otherwise(frac)
+    return df.filter(
+        portable_hash_bucket(F.col(id_col)) < F.floor(frac * 10_000)
+    )

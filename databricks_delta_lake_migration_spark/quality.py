@@ -10,6 +10,8 @@ engine folds every requested check into ONE aggregate pass
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -111,6 +113,106 @@ def check_uniqueness(df: DataFrame, key_columns: list[str]) -> dict:
 def check_ranges(df: DataFrame, ranges: dict[str, tuple[float, float]]) -> dict:
     """Q3 — out-of-range count per column (one pass for all)."""
     return validate_all(df, ranges=ranges)["ranges"]
+
+
+# ---- expectations (declarative pipeline gates) ---------------------------
+#
+# The reference validates after the fact (Q1–Q3 report dicts); production
+# Delta pipelines gate rows mid-flight with declarative expectations
+# (warn / drop / fail per rule). Same single-pass posture as
+# :func:`quality_report`: the gate itself is a row-local predicate (no
+# shuffle), and ALL rule metrics come from one aggregate over one scan —
+# never one action per rule.
+
+
+class ExpectationFailed(Exception):
+    """A ``fail``-action expectation observed violations."""
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative rule: ``constraint`` is a SQL boolean expression
+    over the input columns; a NULL result counts as a violation (SQL
+    CHECK semantics inverted — gates must be affirmatively true).
+
+    ``action``: ``"warn"`` counts violations but keeps rows, ``"drop"``
+    removes violating rows, ``"fail"`` aborts the write when any row
+    violates."""
+
+    name: str
+    constraint: str
+    action: str = "warn"
+
+    def __post_init__(self) -> None:
+        if self.action not in ("warn", "drop", "fail"):
+            raise ValueError(f"unknown expectation action: {self.action}")
+
+    def passes(self) -> Column:
+        return F.coalesce(F.expr(self.constraint), F.lit(False))
+
+
+def expectations_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """Per-rule violation metrics in ONE aggregate pass: one output row
+    per rule — ``(rule, action, n_rows, violations, violation_pct)``.
+
+    Scale design: a single map-side-combined global aggregate; the
+    unpivot to one-row-per-rule happens on a 1-row intermediate."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for r in rules:
+        aggs.append(
+            F.sum(F.when(r.passes(), 0).otherwise(1)).alias(f"__v_{r.name}")
+        )
+    wide = df.agg(*aggs)
+    pairs: list[Column] = []
+    for r in rules:
+        pairs.append(
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.lit(r.action).alias("action"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{r.name}").alias("violations"),
+                F.round(
+                    F.col(f"__v_{r.name}") * 100.0
+                    / F.greatest(F.col("__n"), F.lit(1)),
+                    4,
+                ).alias("violation_pct"),
+            )
+        )
+    return wide.select(F.explode(F.array(*pairs)).alias("m")).select("m.*")
+
+
+def apply_expectations(
+    df: DataFrame, rules: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Gate ``df`` through ``rules`` → ``(clean_df, metrics_df)``.
+
+    ``clean_df`` drops rows violating any drop-rule (warn rules pass
+    everything through); it is lazily defined — no action is triggered
+    here. ``metrics_df`` is :func:`expectations_report` over the input.
+    Callers enforcing fail-rules run :func:`enforce_expectations`, which
+    collects the (metadata-sized) metrics row set once."""
+    gate = F.lit(True)
+    for r in rules:
+        if r.action in ("drop", "fail"):
+            gate = gate & r.passes()
+    return df.filter(gate), expectations_report(df, rules)
+
+
+def enforce_expectations(
+    df: DataFrame, rules: list[Expectation]
+) -> tuple[DataFrame, list[dict]]:
+    """Strict gate: raises :class:`ExpectationFailed` if any
+    ``fail``-action rule has violations; returns the gated DataFrame and
+    the collected per-rule metrics (list of dicts, one per rule)."""
+    clean, metrics = apply_expectations(df, rules)
+    rows = [r.asDict() for r in metrics.collect()]
+    failed = [
+        r for r in rows if r["action"] == "fail" and r["violations"] > 0
+    ]
+    if failed:
+        detail = ", ".join(f"{r['rule']}={r['violations']}" for r in failed)
+        raise ExpectationFailed(f"fail-action expectations violated: {detail}")
+    return clean, rows
 
 
 def validate_migration(source: DataFrame, target: DataFrame, ignore_cols: list[str] | None = None) -> dict:

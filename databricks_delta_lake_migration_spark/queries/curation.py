@@ -273,3 +273,66 @@ def q98_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_final"
         ),
     )
+
+
+@query(
+    "q100_stratified_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderpriority, o_totalprice,
+               CAST('0x' || substring(sha256(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 10000 AS bucket,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 0.5
+                    WHEN '2-HIGH' THEN 0.25
+                    WHEN '3-MEDIUM' THEN 0.1
+                    ELSE 0.02 END AS frac
+        FROM orders
+    )
+    SELECT o_orderpriority AS stratum,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < CAST(floor(frac * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(ROUND(SUM(CASE WHEN bucket < CAST(floor(frac * 10000) AS BIGINT)
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END), 4)
+                AS DOUBLE) AS sampled_price
+    FROM keyed GROUP BY o_orderpriority
+    """,
+)
+def q100_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling [EXT]: per-priority keep
+    fractions enforced by the portable sliced-sha256 hash of the order
+    key — reproducible across engines/partitionings (vs sampleBy's
+    RNG). Row-local predicate, no shuffle; audit = full counts vs
+    sampled counts per stratum in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.1}
+    sampled = curation.stratified_sample(
+        o, "o_orderpriority", fractions, id_col="o_orderkey",
+        default_fraction=0.02,
+    ).select(
+        F.col("o_orderpriority"), F.lit(1).alias("s"), F.col("o_totalprice")
+    )
+    full = o.select(
+        F.col("o_orderpriority"), F.lit(None).cast("int").alias("s"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return (
+        full.unionByName(sampled)
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.sum(F.when(F.col("s").isNull(), 1).otherwise(0)).alias("n_total"),
+            F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("n_sampled"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("s").isNotNull(),
+                        F.col("o_totalprice").cast("decimal(18,4)"),
+                    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("sampled_price"),
+        )
+    )

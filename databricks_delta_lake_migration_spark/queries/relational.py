@@ -1415,3 +1415,77 @@ def q89_catalog_named_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM silver.customers GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "q99_expectations_gate",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                   THEN 1 ELSE 0 END) AS v_pos,
+               SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                   THEN 1 ELSE 0 END) AS v_status,
+               SUM(CASE WHEN NOT COALESCE(o_orderdate >= DATE '1993-01-01', FALSE)
+                   THEN 1 ELSE 0 END) AS v_recent,
+               SUM(CASE WHEN NOT COALESCE(o_orderpriority IS NOT NULL, FALSE)
+                   THEN 1 ELSE 0 END) AS v_priority,
+               SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                        AND COALESCE(o_orderdate >= DATE '1993-01-01', FALSE)
+                   THEN 1 ELSE 0 END) AS kept
+        FROM orders
+    )
+    SELECT rule, action, n_rows, violations,
+           ROUND(violations * 100.0 / GREATEST(n_rows, 1), 4) AS violation_pct
+    FROM (
+        SELECT 'positive_price' AS rule, 'fail' AS action,
+               n AS n_rows, CAST(v_pos AS BIGINT) AS violations FROM m
+        UNION ALL
+        SELECT 'known_status', 'warn', n, CAST(v_status AS BIGINT) FROM m
+        UNION ALL
+        SELECT 'recent_order', 'drop', n, CAST(v_recent AS BIGINT) FROM m
+        UNION ALL
+        SELECT 'has_priority', 'warn', n, CAST(v_priority AS BIGINT) FROM m
+        UNION ALL
+        SELECT '__rows_kept__', 'gate', n, CAST(kept AS BIGINT) FROM m
+    )
+    """,
+)
+def q99_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations gate [EXT extension of Q1–Q3]: DLT-style
+    warn/drop/fail rules enforced mid-pipeline. The fail rule
+    (positive_price) must observe zero violations — enforce_expectations
+    raises otherwise, so a green row proves the enforcement path ran.
+    One aggregate pass computes every rule's metrics; the gate predicate
+    is row-local (no shuffle, no per-rule scans).
+
+    Output: one metrics row per rule plus a ``__rows_kept__`` row
+    carrying the surviving-row count of the gated DataFrame."""
+    from ..quality import Expectation, enforce_expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        Expectation("positive_price", "o_totalprice > 0", "fail"),
+        Expectation("known_status", "o_orderstatus IN ('O','F','P')", "warn"),
+        Expectation("recent_order", "o_orderdate >= DATE '1993-01-01'", "drop"),
+        Expectation("has_priority", "o_orderpriority IS NOT NULL", "warn"),
+    ]
+    clean, rows = enforce_expectations(o, rules)
+    kept = clean.count()
+    n = rows[0]["n_rows"] if rows else 0
+    base = spark.createDataFrame(
+        [
+            (r["rule"], r["action"], r["n_rows"], r["violations"])
+            for r in rows
+        ]
+        + [("__rows_kept__", "gate", n, kept)],
+        "rule string, action string, n_rows bigint, violations bigint",
+    )
+    # percentage re-derived in Spark (HALF_UP) so the kept row rounds
+    # identically to the oracle's ROUND (Python round() is half-even)
+    return base.withColumn(
+        "violation_pct",
+        F.round(
+            F.col("violations") * 100.0 / F.greatest(F.col("n_rows"), F.lit(1)), 4
+        ),
+    )

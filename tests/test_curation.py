@@ -182,3 +182,85 @@ def test_decontaminate_matches_python_model(spark, docs, chunk_words):
         for r in curation.decontaminate(train, test, chunk_words=chunk_words).collect()
     }
     assert got == expected
+
+
+def test_stratified_sample_deterministic_and_rowlocal(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    frac = {"1-URGENT": 0.5, "2-HIGH": 0.0}
+    a = curation.stratified_sample(
+        o, "o_orderpriority", frac, id_col="o_orderkey", default_fraction=0.1
+    )
+    b = curation.stratified_sample(
+        o.repartition(7), "o_orderpriority", frac,
+        id_col="o_orderkey", default_fraction=0.1,
+    )
+    ka = sorted(r.o_orderkey for r in a.select("o_orderkey").collect())
+    kb = sorted(r.o_orderkey for r in b.select("o_orderkey").collect())
+    # identical sample regardless of partitioning (sampleBy would differ)
+    assert ka == kb and len(ka) > 0
+    # a 0.0 stratum keeps nothing
+    assert a.filter(F.col("o_orderpriority") == "2-HIGH").count() == 0
+    # no shuffle in the sampling plan itself
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_expectations_gate_drop_warn_fail(spark):
+    from databricks_delta_lake_migration_spark.quality import (
+        Expectation,
+        ExpectationFailed,
+        apply_expectations,
+        enforce_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 20.0)],
+        "id long, amount double",
+    )
+    rules = [
+        Expectation("amount_pos", "amount > 0", "drop"),
+        Expectation("id_small", "id < 4", "warn"),
+    ]
+    clean, metrics = apply_expectations(df, rules)
+    # drop removes the negative AND the NULL (null-hostile gate);
+    # warn keeps its violator
+    assert sorted(r.id for r in clean.collect()) == [1, 4]
+    m = {r.rule: (r.violations, r.action) for r in metrics.collect()}
+    assert m == {"amount_pos": (2, "drop"), "id_small": (1, "warn")}
+
+    # fail-action aborts when violated...
+    import pytest as _pytest
+
+    with _pytest.raises(ExpectationFailed):
+        enforce_expectations(
+            df, [Expectation("amount_pos", "amount > 0", "fail")]
+        )
+    # ...and passes through when satisfied
+    ok, rows = enforce_expectations(
+        df, [Expectation("has_id", "id IS NOT NULL", "fail")]
+    )
+    assert ok.count() == 4 and rows[0]["violations"] == 0
+
+    with _pytest.raises(ValueError):
+        Expectation("bad", "1=1", "quarantine")
+
+
+def test_expectations_metrics_single_pass(spark):
+    """All rule metrics must come from ONE aggregate over one scan —
+    the reference's one-action-per-check shape is the anti-pattern."""
+    from databricks_delta_lake_migration_spark.quality import (
+        Expectation,
+        expectations_report,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    rules = [
+        Expectation("p", "o_totalprice > 0", "drop"),
+        Expectation("s", "o_orderstatus IN ('O','F','P')", "warn"),
+        Expectation("d", "o_orderdate IS NOT NULL", "fail"),
+    ]
+    plan = (
+        expectations_report(o, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1
