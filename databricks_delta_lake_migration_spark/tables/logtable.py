@@ -1225,11 +1225,17 @@ class LogTable:
                 self.fs.delete(os.path.join(self.path, rel))
         return sorted(candidates)
 
-    def clone(self, target_path: str, shallow: bool = False) -> "LogTable":
+    def clone(
+        self,
+        target_path: str,
+        shallow: bool = False,
+        version: int | None = None,
+    ) -> "LogTable":
         """CREATE TABLE ... [SHALLOW|DEEP] CLONE (K7 —
         delta_utils.py:79-105). Shallow references the source's files;
-        deep copies them."""
-        files, schema_json, partition_by, props, v = self._replay()
+        deep copies them. ``version`` clones a historical snapshot
+        (CLONE ... VERSION AS OF)."""
+        files, schema_json, partition_by, props, v = self._replay(version)
         t = LogTable(self.spark, target_path)
         if t.exists():
             raise FileExistsError(target_path)

@@ -69,6 +69,19 @@ _COL_DEF = re.compile(
     r"^\s*`?(\w+)`?\s+([A-Za-z0-9_<>,()\s]+?)(?:\s+COMMENT\s+'([^']*)')?\s*$",
     re.I | re.S,
 )
+_CLONE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})\s+"
+    rf"(SHALLOW\s+|DEEP\s+)?CLONE\s+({_ID})"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+    re.I,
+)
+_DROP = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_ID})\s*;?\s*$", re.I
+)
+_SHOW_TABLES = re.compile(
+    rf"^\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+({_ID}))?\s*;?\s*$", re.I
+)
+_TRUNCATE = re.compile(rf"^\s*TRUNCATE\s+TABLE\s+({_ID})\s*;?\s*$", re.I)
 _CTAS = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})"
     rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.*)$",
@@ -224,6 +237,68 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         return spark.createDataFrame(
             [(k, v) for k, v in rows], "key string, value string"
         )
+
+    if m := _CLONE.match(query):
+        # delta_utils.py:79-105 drives CLONE from SQL; shallow default
+        # matches Delta (plain CLONE = deep in Delta Lake ≥ 3; the
+        # reference passes the kind explicitly, so we require it too —
+        # bare CLONE is deep).
+        name, if_not_exists = m.group(2), bool(m.group(1))
+        if cat._fq(name) in cat._load():
+            if if_not_exists:
+                return _one_row(spark, {"cloned": False, "skipped": True})
+            raise ValueError(f"table already exists: {cat._fq(name)}")
+        src = cat.table(m.group(4))
+        shallow = bool(m.group(3)) and m.group(3).strip().upper() == "SHALLOW"
+        import os as _os
+
+        target = _os.path.join(cat.root, *cat._fq(name).split("."))
+        t = src.clone(
+            target,
+            shallow=shallow,
+            version=int(m.group(5)) if m.group(5) else None,
+        )
+        cat.register(name, t.path)
+        return _one_row(spark, {"cloned": True, "shallow": shallow})
+
+    if m := _DROP.match(query):
+        name, if_exists = m.group(2), bool(m.group(1))
+        fq = cat._fq(name)
+        reg = cat._load()
+        if fq not in reg:
+            if if_exists:
+                return _one_row(spark, {"dropped": False, "skipped": True})
+            raise KeyError(f"table not found: {fq}")
+        path = reg[fq]
+        cat.unbind([name])
+        cat.drop(name)
+        # Delta semantics: managed tables (under the catalog root) lose
+        # their data on DROP; external (register()-attached) tables keep
+        # their files and only the name goes away.
+        import os as _os
+        import shutil as _shutil
+
+        managed = _os.path.realpath(path).startswith(
+            _os.path.realpath(cat.root) + _os.sep
+        )
+        if managed:
+            _shutil.rmtree(path, ignore_errors=True)
+        return _one_row(spark, {"dropped": True, "purged": managed})
+
+    if m := _SHOW_TABLES.match(query):
+        prefix = cat._fq(m.group(1) + ".x").rsplit(".", 1)[0] + "." if m.group(1) else ""
+        rows = [
+            tuple(fq.rsplit(".", 1))
+            for fq in cat.tables()
+            if fq.startswith(prefix)
+        ]
+        return spark.createDataFrame(
+            rows, "namespace string, tableName string"
+        )
+
+    if m := _TRUNCATE.match(query):
+        res = cat.table(m.group(1)).delete("true")
+        return _one_row(spark, res)
 
     if m := _CTAS.match(query):
         name, if_not_exists = m.group(2), bool(m.group(1))

@@ -237,3 +237,63 @@ def test_alter_table_set_properties_and_add_columns(spark, cat):
     assert fields["experiment_id"].metadata.get("comment") == "A/B test experiment ID"
     # existing rows surface NULL for the new columns
     assert cat.read("acid.orders").filter("experiment_id IS NULL").count() == 3
+
+
+def test_clone_sql_shallow_deep_and_version(spark, cat):
+    import os
+
+    # bump the source so VERSION AS OF has something to pin
+    cat.sql("INSERT INTO acid.orders VALUES (7, 'LATE', 70.0)")
+    r = cat.sql("CREATE TABLE acid.orders_v0 SHALLOW CLONE acid.orders VERSION AS OF 1")
+    assert r.first()["shallow"] == "True"
+    # the v1 clone sees the pre-insert state
+    assert cat.read("acid.orders_v0").count() == 3
+    cat.sql("CREATE TABLE acid.orders_copy DEEP CLONE acid.orders")
+    assert cat.read("acid.orders_copy").count() == 4
+    # deep clone owns its files (all under the clone's directory)
+    p = cat.table("acid.orders_copy").path
+    assert all(
+        f.startswith(os.path.realpath(p))
+        for f in (
+            os.path.realpath(e.abspath(p))
+            for e in cat.table("acid.orders_copy")._replay()[0]
+        )
+    )
+    # existing name errors; IF NOT EXISTS no-ops
+    with pytest.raises(ValueError):
+        cat.sql("CREATE TABLE acid.orders_copy SHALLOW CLONE acid.orders")
+    r = cat.sql(
+        "CREATE TABLE IF NOT EXISTS acid.orders_copy SHALLOW CLONE acid.orders"
+    )
+    assert r.first()["skipped"] == "True"
+
+
+def test_drop_show_truncate_sql(spark, cat):
+    import os
+
+    rows = {tuple(r) for r in cat.sql("SHOW TABLES").collect()}
+    assert ("lake.acid", "orders") in rows and ("lake.acid", "updates") in rows
+
+    # managed drop purges the directory
+    p = cat.table("acid.updates").path
+    r = cat.sql("DROP TABLE acid.updates")
+    assert r.first()["purged"] == "True" and not os.path.exists(p)
+    assert ("lake.acid", "updates") not in {
+        tuple(r) for r in cat.sql("SHOW TABLES").collect()
+    }
+    with pytest.raises(KeyError):
+        cat.sql("DROP TABLE acid.updates")
+    assert cat.sql("DROP TABLE IF EXISTS acid.updates").first()["skipped"] == "True"
+
+    # external drop keeps files
+    ext_dir = os.path.join(os.path.dirname(cat.root), "external_tbl")
+    cat.table("acid.orders").clone(ext_dir)
+    cat.register("acid.ext", ext_dir)
+    cat.sql("DROP TABLE acid.ext")
+    assert os.path.exists(ext_dir)
+
+    r = cat.sql("TRUNCATE TABLE acid.orders")
+    assert r.first()["numDeletedRows"] == "3"
+    assert cat.read("acid.orders").count() == 0
+    # table survives empty (schema intact), unlike DROP
+    assert cat.sql("SHOW TABLES IN lake.acid").count() == 1
