@@ -76,6 +76,19 @@ class ConcurrentWriteError(RuntimeError):
     pass
 
 
+class MetadataChangedError(ConcurrentWriteError):
+    """A concurrent commit changed schema / partitioning / properties
+    (or ours does and someone else committed anything): the losing
+    transaction cannot be rebased safely (Delta's
+    MetadataChangedException)."""
+
+
+class ConcurrentDeleteError(ConcurrentWriteError):
+    """A concurrent commit removed files this transaction also read and
+    rewrote: file-level write-write conflict (Delta's
+    ConcurrentDeleteReadException / ConcurrentDeleteDeleteException)."""
+
+
 class ConstraintViolationError(ValueError):
     pass
 
@@ -364,6 +377,76 @@ class LogTable:
         cs = self.commits()
         return (cs[-1].version + 1) if cs else 0
 
+    def _commit_tx(self, commit: Commit, attempts: int = 15) -> int:
+        """Commit with optimistic conflict resolution (WriteSerializable,
+        Delta's default isolation): on a version collision, replay the
+        commits that won the race, check them for *logical* conflicts
+        against ours, and — when the operations commute — rebase onto
+        the new head and retry.
+
+        The conflict matrix (file-granular, matching Delta's public
+        semantics at https://docs.delta.io/latest/concurrency-control.html):
+
+        - metadata change (schema / partitioning / properties) on either
+          side → :class:`MetadataChangedError`; never rebased.
+        - both transactions removed the same file → our rewrite read
+          state another writer already rewrote →
+          :class:`ConcurrentDeleteError`; never rebased.
+        - otherwise the operations commute at file granularity (blind
+          appends commute with everything; disjoint rewrites compose)
+          → renumber, restamp, retry. Every DML path in this class reads
+          exactly the files it removes, so the remove-set overlap test
+          IS the read-write conflict test.
+
+        Returns the version the commit finally landed at — callers that
+        stamp the version into follow-on artifacts (CDF files) must use
+        the return value, not the version they proposed.
+        """
+        for _ in range(attempts):
+            try:
+                self._commit(commit)
+                return commit.version
+            except ConcurrentWriteError:
+                intervening = [
+                    c for c in self.commits() if c.version >= commit.version
+                ]
+                self._check_rebase_conflicts(commit, intervening)
+                commit.version = self._next_version()
+                commit.timestamp = time.time()
+        raise ConcurrentWriteError(
+            f"commit to {self.path} lost {attempts} consecutive races; giving up"
+        )
+
+    def _check_rebase_conflicts(self, ours: Commit, theirs: list[Commit]) -> None:
+        """Raise a typed conflict error if ``ours`` cannot be replayed
+        on top of ``theirs`` (see :meth:`_commit_tx`)."""
+
+        def _is_meta(c: Commit) -> bool:
+            return (
+                c.schema_json is not None
+                or c.partition_by is not None
+                or c.properties is not None
+            )
+
+        meta_theirs = [c.operation for c in theirs if _is_meta(c)]
+        if meta_theirs:
+            raise MetadataChangedError(
+                f"{self.path}: concurrent metadata change ({meta_theirs}) "
+                f"while committing {ours.operation}"
+            )
+        if _is_meta(ours):
+            raise MetadataChangedError(
+                f"{self.path}: {ours.operation} changes table metadata and "
+                f"lost the race to {[c.operation for c in theirs]}"
+            )
+        overlap = set(ours.remove) & {p for c in theirs for p in c.remove}
+        if overlap:
+            raise ConcurrentDeleteError(
+                f"{self.path}: {ours.operation} rewrote files also rewritten "
+                f"by a concurrent {[c.operation for c in theirs]}: "
+                f"{sorted(overlap)[:3]}..."
+            )
+
     # ---- checkpoints (Delta's _last_checkpoint mechanism) ---------------
 
     def _checkpoint_versions(self) -> list[int]:
@@ -476,7 +559,7 @@ class LogTable:
         if dup:
             raise ValueError(f"columns already exist: {dup}")
         evolved = T.StructType(list(current.fields) + list(new_fields))
-        self._commit(
+        self._commit_tx(
             Commit(
                 version=self._next_version(),
                 timestamp=time.time(),
@@ -489,7 +572,7 @@ class LogTable:
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE SET TBLPROPERTIES (delta_utils.py:149-166)."""
         merged = {**self.properties(), **props}
-        self._commit(
+        self._commit_tx(
             Commit(
                 version=self._next_version(),
                 timestamp=time.time(),
@@ -718,10 +801,9 @@ class LogTable:
         self._check_constraints(data)
         _, _, partition_by, _, _ = self._replay()
         entries = self._write_files(data, partition_by)
-        version = self._next_version()
-        self._commit(
+        version = self._commit_tx(
             Commit(
-                version=version,
+                version=self._next_version(),
                 timestamp=time.time(),
                 operation="WRITE",
                 add=entries,
@@ -810,10 +892,9 @@ class LogTable:
                     self._align(survivors, schema), partition_by
                 )
         entries = self._write_files(data, partition_by) + extra_add
-        version = self._next_version()
-        self._commit(
+        self._commit_tx(
             Commit(
-                version=version,
+                version=self._next_version(),
                 timestamp=time.time(),
                 operation="WRITE",
                 add=entries,
@@ -1038,10 +1119,9 @@ class LogTable:
         n_affected: int,
         schema_json: str | None = None,
     ) -> int:
-        version = self._next_version()
-        self._commit(
+        return self._commit_tx(
             Commit(
-                version=version,
+                version=self._next_version(),
                 timestamp=time.time(),
                 operation=op,
                 add=entries,
@@ -1055,7 +1135,6 @@ class LogTable:
                 },
             )
         )
-        return version
 
     def merge(self, source: DataFrame, condition: str) -> "MergeBuilder":
         """MERGE builder (D1): ``target`` / ``source`` aliases are bound
@@ -1083,7 +1162,7 @@ class LogTable:
         cur_files, _, _, _, _ = self._replay()
         cur_paths = {f.path for f in cur_files}
         old_paths = {f.path for f in old_files}
-        self._commit(
+        self._commit_tx(
             Commit(
                 version=self._next_version(),
                 timestamp=time.time(),
@@ -1117,7 +1196,7 @@ class LogTable:
             n_out = max(1, total // target_file_bytes)
             added += self._write_files(df.coalesce(int(n_out)), partition_by)
             removed += [f.path for f in group]
-        self._commit(
+        self._commit_tx(
             Commit(
                 version=self._next_version(),
                 timestamp=time.time(),
@@ -1184,7 +1263,7 @@ class LogTable:
         )
         added = self._write_files(clustered, partition_by)
         removed = [f.path for f in files]
-        self._commit(
+        self._commit_tx(
             Commit(
                 version=self._next_version(),
                 timestamp=time.time(),
