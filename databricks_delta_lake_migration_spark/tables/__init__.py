@@ -1,7 +1,14 @@
 """ACID log-structured table format (Delta-semantics on Parquet)."""
 
 from .catalog import Catalog  # noqa: F401
-from .logtable import LogTable, MergeBuilder  # noqa: F401
+from .logtable import (  # noqa: F401
+    ConcurrentDeleteError,
+    ConcurrentWriteError,
+    ConstraintViolationError,
+    LogTable,
+    MergeBuilder,
+    MetadataChangedError,
+)
 from .maintenance import (  # noqa: F401
     MaintenanceConfig,
     run_maintenance,
