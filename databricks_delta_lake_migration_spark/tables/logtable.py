@@ -39,7 +39,7 @@ import shutil
 import time
 import urllib.parse
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from functools import reduce
 from typing import Any, Callable
 
@@ -52,6 +52,15 @@ from .fsio import LOCAL_FS, FileSystem
 LOG_DIR = "_log"
 CHANGES_DIR = "_changes"
 STAGING_DIR = "_staging"
+DV_DIR = "_deletion_vectors"
+
+# Merge-on-read DELETE (Delta's deletion vectors): when this table
+# property is "true", DELETE records (file, row_index) tombstones
+# instead of rewriting data files; reads anti-join the tombstones via
+# the parquet reader's _metadata.row_index. Low-selectivity deletes on
+# a 100 TB table then cost O(matched rows) I/O instead of O(touched
+# files) rewrite.
+DV_PROP = "enableDeletionVectors"
 
 CDF_PROP = "enableChangeDataFeed"
 
@@ -104,6 +113,10 @@ class FileEntry:
     # drives MERGE/DML file pruning without scanning data. None for
     # files written before stats collection (conservatively un-prunable).
     stats: dict[str, list] | None = None
+    # deletion-vector files (paths under DV_DIR, relative to the table
+    # root) whose (path, row_index) tombstones apply to this file; the
+    # effective deleted set is their union (Delta's add.deletionVector).
+    dv: list[str] | None = None
 
     def abspath(self, root: str) -> str:
         return self.path if os.path.isabs(self.path) else os.path.join(root, self.path)
@@ -114,12 +127,15 @@ class FileEntry:
             d["base"] = self.base
         if self.stats:
             d["stats"] = self.stats
+        if self.dv:
+            d["dv"] = self.dv
         return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
         return FileEntry(
-            d["path"], d["numRecords"], d["size"], d.get("base"), d.get("stats")
+            d["path"], d["numRecords"], d["size"], d.get("base"), d.get("stats"),
+            d.get("dv"),
         )
 
 
@@ -135,6 +151,8 @@ class Commit:
     properties: dict[str, str] | None = None
     parameters: dict[str, Any] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
+    # merge-on-read deletes: data-file path → DV files added for it
+    dvs: dict[str, list[str]] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -148,6 +166,7 @@ class Commit:
             "properties": self.properties,
             "operationParameters": self.parameters,
             "operationMetrics": self.metrics,
+            **({"deletionVectors": self.dvs} if self.dvs else {}),
         }
 
     @staticmethod
@@ -163,6 +182,7 @@ class Commit:
             properties=d.get("properties"),
             parameters=d.get("operationParameters", {}),
             metrics=d.get("operationMetrics", {}),
+            dvs=d.get("deletionVectors", {}),
         )
 
 
@@ -439,12 +459,28 @@ class LogTable:
                 f"{self.path}: {ours.operation} changes table metadata and "
                 f"lost the race to {[c.operation for c in theirs]}"
             )
-        overlap = set(ours.remove) & {p for c in theirs for p in c.remove}
+        their_removed = {p for c in theirs for p in c.remove}
+        overlap = set(ours.remove) & their_removed
         if overlap:
             raise ConcurrentDeleteError(
                 f"{self.path}: {ours.operation} rewrote files also rewritten "
                 f"by a concurrent {[c.operation for c in theirs]}: "
                 f"{sorted(overlap)[:3]}..."
+            )
+        # deletion vectors vs rewrites do NOT commute in either
+        # direction: our DV targets a file another writer rewrote (our
+        # tombstones would silently vanish), or our rewrite read rows a
+        # concurrent DV already deleted (we would resurrect them).
+        # Concurrent DVs on the same file DO commute (union semantics).
+        dv_on_removed = set(ours.dvs) & their_removed
+        removed_with_dv = set(ours.remove) & {
+            p for c in theirs for p in c.dvs
+        }
+        if dv_on_removed or removed_with_dv:
+            raise ConcurrentDeleteError(
+                f"{self.path}: {ours.operation} conflicts with concurrent "
+                f"deletion vectors / rewrites on "
+                f"{sorted(dv_on_removed | removed_with_dv)[:3]}..."
             )
 
     # ---- checkpoints (Delta's _last_checkpoint mechanism) ---------------
@@ -528,6 +564,11 @@ class LogTable:
                 active.pop(p, None)
             for f in c.add:
                 active[f.path] = f
+            for p, dvfiles in c.dvs.items():
+                e = active.get(p)
+                if e is not None:
+                    # copy-on-write: the cached Commit owns its entries
+                    active[p] = _dc_replace(e, dv=(e.dv or []) + dvfiles)
             if c.schema_json:
                 schema_json = c.schema_json
             if c.partition_by is not None:
@@ -671,7 +712,10 @@ class LogTable:
             "location": self.path,
             "numFiles": len(files),
             "sizeInBytes": sum(f.size_bytes for f in files),
+            # physical row count: counts rows tombstoned by deletion
+            # vectors (purge via OPTIMIZE to reconcile)
             "numRecords": sum(f.num_records for f in files),
+            "numDeletionVectorFiles": sum(len(f.dv or []) for f in files),
             "partitionColumns": partition_by,
             "properties": props,
             "version": v,
@@ -926,12 +970,19 @@ class LogTable:
         entries: list[FileEntry],
         schema: T.StructType,
         with_file_path: bool = False,
+        with_dv_key: bool = False,
     ) -> DataFrame:
         """Scan a file set with the declared schema. Files written before
         a schema evolution surface NULL for later columns; partition
         columns come back from the hive-style paths via basePath.
         Shallow-clone entries carry a foreign ``base`` and are scanned
-        in their own group so partition resolution stays correct."""
+        in their own group so partition resolution stays correct.
+
+        Entries carrying deletion vectors have their tombstoned rows
+        anti-joined away, so EVERY read path (snapshot, time travel,
+        DML rewrite, CDF preimages) sees merge-on-read deletes applied.
+        ``with_dv_key`` keeps the per-row ``(__dv_key, __dv_ridx)``
+        tombstone key in the output — the DV writer's hook."""
         cols = [F.col(f.name) for f in schema.fields]
         if with_file_path:
             # _metadata is a scan-time pseudo-column; materialize it here
@@ -939,22 +990,69 @@ class LogTable:
             cols = cols + [F.col("_metadata.file_path").alias("__file_path")]
         if not entries:
             df = self.spark.createDataFrame([], schema)
-            return (
-                df.withColumn("__file_path", F.lit(None).cast("string"))
-                if with_file_path
-                else df
-            )
-        by_base: dict[str, list[str]] = {}
+            if with_file_path:
+                df = df.withColumn("__file_path", F.lit(None).cast("string"))
+            if with_dv_key:
+                df = df.withColumn(
+                    "__dv_key", F.lit(None).cast("string")
+                ).withColumn("__dv_ridx", F.lit(None).cast("long"))
+            return df
+        need_key = any(e.dv for e in entries) or with_dv_key
+        by_base: dict[str, list[FileEntry]] = {}
         for e in entries:
-            by_base.setdefault(e.base or self.path, []).append(e.abspath(self.path))
-        parts = [
-            self.spark.read.schema(schema)
-            .option("basePath", base)
-            .parquet(*paths)
-            .select(*cols)
-            for base, paths in sorted(by_base.items())
-        ]
-        return reduce(DataFrame.unionByName, parts)
+            by_base.setdefault(e.base or self.path, []).append(e)
+        parts = []
+        for base, group in sorted(by_base.items()):
+            gcols = list(cols)
+            if need_key:
+                gcols += [
+                    F.expr(self._dv_key_sql(base)).alias("__dv_key"),
+                    F.col("_metadata.row_index").alias("__dv_ridx"),
+                ]
+            part = (
+                self.spark.read.schema(schema)
+                .option("basePath", base)
+                .parquet(*[e.abspath(self.path) for e in group])
+                .select(*gcols)
+            )
+            g_dvs = sorted({d for e in group if e.dv for d in e.dv})
+            if g_dvs:
+                # apply the tombstones: (file, row_index) anti-join, per
+                # base group so keys stay base-relative on both sides.
+                # The DV side is tombstones only (small vs data); Spark
+                # broadcasts it under the threshold, else a shuffled
+                # anti-join — either way O(rows + tombstones), never a
+                # rewrite.
+                tomb = self.spark.read.parquet(
+                    *[
+                        d if os.path.isabs(d) else os.path.join(self.path, d)
+                        for d in g_dvs
+                    ]
+                ).select(
+                    F.col("path").alias("__dv_key"),
+                    F.col("row_index").alias("__dv_ridx"),
+                )
+                part = part.join(tomb, ["__dv_key", "__dv_ridx"], "left_anti")
+            parts.append(part)
+        out = reduce(DataFrame.unionByName, parts)
+        if need_key and not with_dv_key:
+            out = out.drop("__dv_key", "__dv_ridx")
+        return out
+
+    def _dv_key_sql(self, base: str) -> str:
+        """SQL expr for a scan row's deletion-vector tombstone key: the
+        on-disk path of the row's parquet file, relative to the base
+        that owns it (the table root for its own files; the source root
+        for shallow-cloned files) — relative keys keep the table
+        relocatable, exactly like the commit log's relative add paths.
+        ``_metadata.file_path`` is a URI, so strip the scheme and undo
+        one round of percent-encoding (protecting literal '+', which
+        ``url_decode`` would otherwise read as a form-encoded space)."""
+        decoded = (
+            "url_decode(replace(regexp_replace(_metadata.file_path, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*:/+', '/'), '+', '%2B'))"
+        )
+        return f"substring({decoded}, {len(os.path.abspath(base)) + 2})"
 
     # ---- file pruning helpers -----------------------------------------
 
@@ -1079,6 +1177,8 @@ class LogTable:
         if not touched:
             self._commit_dml("DELETE", [], [], {"predicate": condition}, 0)
             return {"numDeletedRows": 0}
+        if self.properties().get(DV_PROP) == "true":
+            return self._delete_with_dvs(condition, pred, touched)
         schema = self.schema()
         old = self._read_file_subset(touched)
         # one pass: deleted rows are counted by the observe node, then
@@ -1107,6 +1207,71 @@ class LogTable:
         if self.properties().get(CDF_PROP) == "true":
             self._write_changes(
                 version, self._cdf_frame(old.filter(pred), CT_DELETE, version)
+            )
+        return {"numDeletedRows": n_deleted}
+
+    def _delete_with_dvs(
+        self, condition: str, pred: Column, touched: list[FileEntry]
+    ) -> dict:
+        """Merge-on-read DELETE: write (file, row_index) tombstones for
+        the matched rows instead of rewriting the touched files. The
+        scan applies any existing tombstones first, so re-deleting an
+        already-deleted row neither double-counts nor duplicates
+        tombstones. One executor job writes the DV; the per-file hit
+        map collected on the driver is bounded by the touched-file
+        count (metadata-sized)."""
+        schema = self.schema()
+        scan = self._read_entries(touched, schema, with_dv_key=True)
+        hits = scan.filter(pred)
+        dv_rel = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex}")
+        dv_abs = os.path.join(self.path, dv_rel)
+        hits.select(
+            F.col("__dv_key").alias("path"),
+            F.col("__dv_ridx").alias("row_index"),
+        ).write.mode("overwrite").parquet(dv_abs)
+        per_file = {
+            r["path"]: r["n"]
+            for r in self.spark.read.parquet(dv_abs)
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_deleted = int(sum(per_file.values()))
+        if n_deleted == 0:
+            self.fs.delete_tree(dv_abs)
+            self._commit_dml("DELETE", [], [], {"predicate": condition}, 0)
+            return {"numDeletedRows": 0}
+        # tombstone keys are base-relative; commit dvs are keyed by the
+        # entry path the replay's active-file map uses
+        key_to_path = {
+            os.path.relpath(e.abspath(self.path), e.base or self.path): e.path
+            for e in touched
+        }
+        version = self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="DELETE",
+                parameters={"predicate": condition, "deletionVectors": True},
+                metrics={
+                    "numDeletedRows": n_deleted,
+                    "numAddedFiles": 0,
+                    "numRemovedFiles": 0,
+                    "numDeletionVectorFiles": 1,
+                },
+                dvs={
+                    key_to_path[k]: [dv_rel]
+                    for k in per_file
+                    if k in key_to_path
+                },
+            )
+        )
+        if self.properties().get(CDF_PROP) == "true":
+            self._write_changes(
+                version,
+                self._cdf_frame(
+                    hits.drop("__dv_key", "__dv_ridx"), CT_DELETE, version
+                ),
             )
         return {"numDeletedRows": n_deleted}
 
@@ -1160,14 +1325,24 @@ class LogTable:
         """RESTORE TABLE TO VERSION/TIMESTAMP AS OF (D5)."""
         old_files, old_schema, old_part, _, v = self._replay(version, timestamp)
         cur_files, _, _, _, _ = self._replay()
-        cur_paths = {f.path for f in cur_files}
+        cur_by_path = {f.path: f for f in cur_files}
+        cur_paths = set(cur_by_path)
         old_paths = {f.path for f in old_files}
         self._commit_tx(
             Commit(
                 version=self._next_version(),
                 timestamp=time.time(),
                 operation="RESTORE",
-                add=[f for f in old_files if f.path not in cur_paths],
+                # re-add files missing from the current snapshot AND
+                # files whose deletion-vector state moved since the
+                # target version (a replayed add REPLACES the active
+                # entry, reverting its tombstone list)
+                add=[
+                    f
+                    for f in old_files
+                    if f.path not in cur_paths
+                    or (cur_by_path[f.path].dv or []) != (f.dv or [])
+                ],
                 remove=sorted(cur_paths - old_paths),
                 schema_json=old_schema,
                 partition_by=old_part,
@@ -1183,9 +1358,14 @@ class LogTable:
         by_dir: dict[str, list[FileEntry]] = {}
         for f in files:
             d = os.path.dirname(f.path)
-            if f.size_bytes < target_file_bytes:
+            # files carrying deletion vectors are compacted regardless of
+            # size: the rewrite purges their tombstones (Delta's
+            # REORG ... APPLY (PURGE))
+            if f.size_bytes < target_file_bytes or f.dv:
                 by_dir.setdefault(d, []).append(f)
-        to_compact = [fs for fs in by_dir.values() if len(fs) > 1]
+        to_compact = [
+            fs for fs in by_dir.values() if len(fs) > 1 or any(f.dv for f in fs)
+        ]
         if not to_compact:
             return {"numFilesRemoved": 0, "numFilesAdded": 0}
         removed: list[str] = []
@@ -1287,14 +1467,22 @@ class LogTable:
         # commit is newer than the horizon (time travel within retention)
         protected_versions = [c.version for c in cs if c.timestamp >= horizon]
         protected_versions.append(cs[-1].version)
+        keep_dv_dirs: set[str] = set()
         for v in set(protected_versions):
-            keep.update(f.abspath(self.path) for f in self._replay(v)[0])
+            for f in self._replay(v)[0]:
+                keep.add(f.abspath(self.path))
+                for d in f.dv or []:
+                    keep_dv_dirs.add(
+                        os.path.abspath(os.path.join(self.path, d))
+                    )
         skip = (LOG_DIR, CHANGES_DIR, STAGING_DIR)
         candidates = []
         for dirpath, name in self.fs.walk_files(self.path):
             rel_dir = os.path.relpath(dirpath, self.path)
             if rel_dir.split(os.sep)[0] in skip:
                 continue
+            if os.path.abspath(dirpath) in keep_dv_dirs:
+                continue  # deletion vectors referenced within retention
             if name.endswith(".parquet"):
                 full = os.path.join(dirpath, name)
                 if full not in keep:
@@ -1320,6 +1508,8 @@ class LogTable:
             raise FileExistsError(target_path)
         t.fs.makedirs(t.path)
         entries = []
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        purge = [f for f in files if not shallow and f.dv]
         for f in files:
             if shallow:
                 entries.append(
@@ -1328,8 +1518,17 @@ class LogTable:
                         f.num_records,
                         f.size_bytes,
                         base=f.base or self.path,
+                        # DV paths stay rooted at the SOURCE table
+                        dv=[
+                            d if os.path.isabs(d) else os.path.join(self.path, d)
+                            for d in f.dv
+                        ]
+                        if f.dv
+                        else None,
                     )
                 )
+            elif f.dv:
+                continue  # rewritten (purged) below, not byte-copied
             else:
                 rel = (
                     os.path.relpath(f.abspath(self.path), f.base or self.path)
@@ -1340,6 +1539,14 @@ class LogTable:
                 t.fs.makedirs(os.path.dirname(dst))
                 t.fs.copy(f.abspath(self.path), dst)
                 entries.append(FileEntry(rel, f.num_records, f.size_bytes))
+        if purge:
+            # deep clone purges deletion vectors: tombstone keys are
+            # source-rooted paths that would dangle after a byte copy,
+            # so DV-carrying files are rewritten through a DV-applied
+            # scan instead.
+            entries += t._write_files(
+                self._read_entries(purge, schema), partition_by or []
+            )
         t._commit(
             Commit(
                 version=0,
