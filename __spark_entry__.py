@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 99 queries
+# The driver hash-checks the first 50 registrations; with 100 queries
 # registered, ordering is coverage policy. Rounds 1–3 accumulated green
 # driver rows for 50 queries; round 4 rotates the window to the 41
 # queries that have never had a driver row (plus q39, red in r3 on a
@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # anchors — one per signature tier (MERGE, time travel, streaming CDC,
 # medallion, cosine top-k, MinHash-LSH, grouped agg, star join) — stay
 # in-window as cross-round regression sentinels. pytest's local DuckDB
-# oracle-parity twin still exercises all 99 every round.
+# oracle-parity twin still exercises all 100 every round.
 _PRIORITY = [
     # never-checked: relational / window / join / agg variants
     "q03_segment_daily_revenue", "q04_order_priority_late_ship",

@@ -423,3 +423,45 @@ def q76_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("operation")
         .agg(F.count(F.lit(1)).alias("n_ops"))
     )
+
+
+@query(
+    "q101_dv_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           TRUE AS mor_no_rewrite, TRUE AS dv_present, TRUE AS dv_purged
+    FROM orders
+    WHERE o_orderkey % 4 <> 0
+      AND NOT o_totalprice < 50000
+      AND NOT o_orderstatus = 'O'
+    """,
+)
+def q101_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (D4 at scale —
+    04_acid_operations.py:170-175 semantics without the rewrite):
+    two DV deletes (tombstone union), then an OPTIMIZE purge. The flag
+    columns are in-query verdicts the oracle pins to TRUE:
+    ``mor_no_rewrite`` = the data-file set was untouched by both
+    deletes, ``dv_present`` = tombstones existed before the purge,
+    ``dv_purged`` = OPTIMIZE removed them all."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(
+        spark,
+        _scratch("dv"),
+        target.schema,
+        properties={"enableDeletionVectors": "true"},
+    )
+    t.append(target)
+    files_before = {f.path for f in t._replay()[0]}
+    t.delete("o_totalprice < 50000")
+    t.delete("o_orderstatus = 'O'")
+    files_after = {f.path for f in t._replay()[0]}
+    dv_present = t.detail()["numDeletionVectorFiles"] > 0
+    t.optimize()
+    dv_purged = t.detail()["numDeletionVectorFiles"] == 0
+    return (
+        t.read()
+        .withColumn("mor_no_rewrite", F.lit(files_before == files_after))
+        .withColumn("dv_present", F.lit(dv_present))
+        .withColumn("dv_purged", F.lit(dv_purged))
+    )
