@@ -465,3 +465,85 @@ def q101_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dv_present", F.lit(dv_present))
         .withColumn("dv_purged", F.lit(dv_purged))
     )
+
+
+@query(
+    "q102_incremental_gold",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           TRUE AS incremental_matches_full
+    FROM base GROUP BY o_custkey
+    """,
+)
+def q102_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (T4+S9+D1 composed —
+    ``tables/maintenance.py:incremental_agg_refresh``): a per-customer
+    gold aggregate is first full-refreshed from a CDF-enabled source,
+    then the source takes an append + UPDATE + DELETE batch and the
+    gold is folded forward from ONLY the change feed (signed per-key
+    deltas MERGEd in; emptied keys deleted). The verdict column pins
+    the incremental state equal to a from-scratch recompute — the
+    invariant that makes the operator safe to run forever at 100 TB,
+    where re-aggregating the source each cycle is the thing you can't
+    afford. Sums accumulate in DECIMAL(18,2) so delta-addition is
+    exact and commutes with the full recompute."""
+    from ..tables.maintenance import incremental_agg_refresh
+
+    from pyspark.sql import types as T
+
+    src_rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 4 != 0)
+    )
+    src = LogTable.create(
+        spark,
+        _scratch("ivm-src"),
+        src_rows.schema,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    src.append(src_rows.filter(F.col("o_orderkey") % 3 != 0))
+
+    gold_schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("revenue", T.DecimalType(18, 2)),
+        ]
+    )
+    gold = LogTable.create(spark, _scratch("ivm-gold"), gold_schema)
+    sums = {"revenue": "CAST(o_totalprice AS DECIMAL(18,2))"}
+    r1 = incremental_agg_refresh(src, gold, ["o_custkey"], sums, "n_orders")
+
+    # source evolves: late-arriving inserts, a price correction, a purge
+    src.append(src_rows.filter(F.col("o_orderkey") % 3 == 0))
+    src.update("o_orderkey % 10 = 0", {"o_totalprice": "o_totalprice * 2"})
+    src.delete("o_orderkey % 7 = 0")
+    r2 = incremental_agg_refresh(src, gold, ["o_custkey"], sums, "n_orders")
+
+    got = gold.read().select("o_custkey", "n_orders", "revenue")
+    full = src.read().groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr(sums["revenue"])).cast("decimal(18,2)").alias("revenue"),
+    )
+    matches = (
+        r1["mode"] == "full"
+        and r2["mode"] == "incremental"
+        and got.exceptAll(full).count() == 0
+        and full.exceptAll(got).count() == 0
+    )
+    return got.select(
+        "o_custkey",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.lit(matches).alias("incremental_matches_full"),
+    )

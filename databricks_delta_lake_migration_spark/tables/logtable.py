@@ -215,12 +215,18 @@ def _parquet_file_stats(path: str) -> tuple[int, int, dict[str, list] | None]:
             if "." in name or name in dead:  # nested / already invalid
                 continue
             st = col.statistics
-            if (
-                st is None
-                or not st.has_min_max
-                or not isinstance(st.min, (int, float, str, bool))
-                or not isinstance(st.max, (int, float, str, bool))
-            ):
+            try:
+                # pyarrow raises ArrowNotImplementedError *on access*
+                # for types it can't cast stats for (e.g. DECIMAL)
+                bad = (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str, bool))
+                    or not isinstance(st.max, (int, float, str, bool))
+                )
+            except Exception:
+                bad = True
+            if bad:
                 dead.add(name)
                 lo.pop(name, None)
                 hi.pop(name, None)

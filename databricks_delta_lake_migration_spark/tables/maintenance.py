@@ -163,6 +163,87 @@ def incremental_batch(table: LogTable, last_processed_version: int) -> tuple[Dat
     return fresh, current
 
 
+IVM_HWM_PROP = "incremental.source_version"
+
+
+def incremental_agg_refresh(
+    source: LogTable,
+    gold: LogTable,
+    key_columns: list[str],
+    sum_columns: dict[str, str],
+    count_column: str = "n_rows",
+) -> dict:
+    """Incrementally maintain a grouped-aggregate gold table from a
+    CDF-enabled source (materialized-view maintenance — composes T4's
+    version HWM with S9 + D1; the batch-job form of what the
+    reference's gold notebooks recompute from scratch each run,
+    ``03_gold_aggregation.py``).
+
+    The gold table holds ``key_columns``, a row count, and SUM columns
+    (``out_col -> source-side SQL expr``). Sums must be additive and
+    exact under subtraction — pass decimal-snapped exprs (e.g.
+    ``CAST(amount AS DECIMAL(18,2))``) so increments commute with a
+    full recompute; COUNT/AVG derive from count + sums downstream.
+
+    First call (no HWM property on gold) runs a full refresh; later
+    calls read ONLY the CDF rows since the stored high-water mark,
+    fold them into per-key deltas (+1 for insert/update_postimage,
+    −1 for delete/update_preimage), and MERGE: keys whose count hits
+    zero are deleted, existing keys add their deltas, unseen keys
+    insert. The HWM persists in gold's table properties, so refresh is
+    resumable from the tables alone — no external scheduler state.
+
+    At scale: the CDF scan reads only the change files of the new
+    commits, the delta aggregate shuffles only changed rows, and the
+    MERGE probe prunes gold's files by key-range stats — cost tracks
+    the CHANGE volume, not the 100 TB source or the gold cardinality.
+    """
+    current = source.version()
+    hwm = gold.properties().get(IVM_HWM_PROP)
+    if hwm is None:
+        full = source.read().groupBy(*key_columns).agg(
+            F.count(F.lit(1)).alias(count_column),
+            *[F.sum(F.expr(e)).alias(c) for c, e in sum_columns.items()],
+        )
+        gold.overwrite(full)
+        gold.set_properties({IVM_HWM_PROP: str(current)})
+        return {"mode": "full", "source_version": current}
+    hwm = int(hwm)
+    if current <= hwm:
+        return {"mode": "noop", "source_version": hwm}
+
+    ch = source.read_changes(starting_version=hwm + 1, ending_version=current)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = ch.groupBy(*key_columns).agg(
+        F.sum(sign).alias(f"d_{count_column}"),
+        *[F.sum(sign * F.expr(e)).alias(f"d_{c}") for c, e in sum_columns.items()],
+    )
+    cond = " AND ".join(f"target.{k} = source.{k}" for k in key_columns)
+    upd = {count_column: f"target.{count_column} + source.d_{count_column}"}
+    upd.update({c: f"target.{c} + source.d_{c}" for c in sum_columns})
+    ins = {k: f"source.{k}" for k in key_columns}
+    ins[count_column] = f"source.d_{count_column}"
+    ins.update({c: f"source.d_{c}" for c in sum_columns})
+    res = (
+        gold.merge(deltas, cond)
+        # clause order is first-match-wins: a key emptied by the deltas
+        # deletes before the add-update can leave a zero-count husk
+        .when_matched_delete(
+            condition=f"target.{count_column} + source.d_{count_column} = 0"
+        )
+        .when_matched_update(set=upd)
+        # keys that net-appear-and-vanish inside one window never insert
+        .when_not_matched_insert(
+            values=ins, condition=f"source.d_{count_column} > 0"
+        )
+        .execute()
+    )
+    gold.set_properties({IVM_HWM_PROP: str(current)})
+    return {"mode": "incremental", "source_version": current, **res}
+
+
 # ---------------------------------------------------------------------------
 # Config-driven maintenance scheduler (reference src/config.py:137-162 +
 # the OPTIMIZE/ZORDER/VACUUM loop its jobs drive)

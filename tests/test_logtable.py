@@ -1009,3 +1009,61 @@ def test_concurrent_appends_retry_loop_loses_nothing(spark, tmp_path):
     # versions are gapless and unique: create + one commit per append
     versions = [c.version for c in final.commits()]
     assert versions == list(range(N_THREADS * N_APPENDS + 1))
+
+
+def test_incremental_agg_refresh_matches_recompute(spark, table, tmp_path):
+    from databricks_delta_lake_migration_spark.tables.maintenance import (
+        incremental_agg_refresh,
+    )
+
+    gold_schema = T.StructType(
+        [
+            T.StructField("status", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("total", T.DecimalType(18, 2)),
+        ]
+    )
+    gold = LogTable.create(spark, str(tmp_path / "gold"), gold_schema)
+    sums = {"total": "CAST(amount AS DECIMAL(18,2))"}
+
+    def recompute():
+        return {
+            (r.status, r.n_rows, float(r.total))
+            for r in table.read()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.expr(sums["total"])).alias("total"),
+            )
+            .collect()
+        }
+
+    def gold_state():
+        return {
+            (r.status, r.n_rows, float(r.total)) for r in gold.read().collect()
+        }
+
+    r1 = incremental_agg_refresh(table, gold, ["status"], sums, "n_rows")
+    assert r1["mode"] == "full" and gold_state() == recompute()
+
+    # noop when nothing changed
+    assert incremental_agg_refresh(table, gold, ["status"], sums, "n_rows")[
+        "mode"
+    ] == "noop"
+
+    # inserts + update (key migration PENDING→SHIPPED) + full-key delete
+    table.append(rows_df(spark, [(9, "NEW", 5.0, "d3"), (10, "NEW", 7.0, "d3")]))
+    table.update("id = 1", {"status": "'SHIPPED'"})
+    table.delete("status = 'COMPLETED'")  # empties the COMPLETED group
+    r2 = incremental_agg_refresh(table, gold, ["status"], sums, "n_rows")
+    assert r2["mode"] == "incremental"
+    assert gold_state() == recompute()
+    assert not any(r.status == "COMPLETED" for r in gold.read().collect())
+
+    # a key that appears and vanishes entirely within one window never
+    # lands in gold
+    table.append(rows_df(spark, [(11, "GHOST", 1.0, "d3")]))
+    table.delete("status = 'GHOST'")
+    incremental_agg_refresh(table, gold, ["status"], sums, "n_rows")
+    assert gold_state() == recompute()
+    assert not any(r.status == "GHOST" for r in gold.read().collect())
