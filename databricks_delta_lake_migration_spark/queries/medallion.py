@@ -450,3 +450,116 @@ def q92_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "q103_stream_windowed_agg",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY AS TIMESTAMP)
+               AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q103_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming event-time windowed aggregation with a watermark
+    verdict baked into the hash: the events fixture is replayed as
+    three chronological chunk files (mtime-ordered micro-batches, one
+    file per trigger) plus a LATE STRAGGLER file re-emitting day-1/2
+    rows after the watermark has advanced past Jan 29. The streaming
+    agg (``withWatermark`` + 1-day tumbling ``F.window``, update mode
+    → foreachBatch MERGE keyed on window_start+event_type) must drop
+    every straggler row — the oracle aggregates the ORIGINAL events
+    only, so any watermark leak double-counts day-1 windows and fails
+    the hash.
+
+    Determinism: chunks partition event time, so at each batch the
+    effective watermark (Spark applies batch N's late filter with the
+    watermark computed after batch N−2 — one batch behind the
+    progress-reported value) sits below every new chunk's minimum —
+    zero unintended drops regardless of in-chunk order. The straggler
+    arrives TWO batches after chunk 2 pushed the watermark past
+    mid-January, so its effective watermark (max(chunks 0-1) − 24 h ≈
+    Jan 19) is safely above every straggler window — dropped in full.
+    Timestamps ride as epoch-micros LONGs through JSON (lossless
+    transport) and are re-typed in-stream."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import stream_windowed_agg_to_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts")).alias("ts_us"), "event_type", "value"
+    )
+
+    def us(day: str) -> int:
+        return int(
+            datetime.fromisoformat(day).replace(tzinfo=timezone.utc).timestamp() * 1e6
+        )
+
+    b1, b2 = us("2024-01-11"), us("2024-01-21")
+    chunks = [
+        e.filter(F.col("ts_us") < b1),
+        e.filter((F.col("ts_us") >= b1) & (F.col("ts_us") < b2)),
+        e.filter(F.col("ts_us") >= b2),
+        # late straggler: re-emission of the oldest rows, arriving last
+        e.filter(F.col("ts_us") < us("2024-01-03")),
+    ]
+    root = tempfile.mkdtemp(prefix="stream-win-")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    import time as _time
+
+    t0 = _time.time() - 400
+    for i, ch in enumerate(chunks):
+        stage = os.path.join(root, f"stage{i}")
+        ch.coalesce(1).write.json(stage)
+        (part,) = glob.glob(f"{stage}/part-*.json")
+        dest = os.path.join(src, f"chunk-{i}.json")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))  # micro-batch order
+
+    from pyspark.sql import types as T
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table_path = os.path.join(root, "gold")
+    q = stream_windowed_agg_to_table(
+        spark,
+        src,
+        table_path,
+        wire_schema,
+        ts_col="ts",
+        window_duration="1 day",
+        watermark="24 hours",
+        group_cols=["event_type"],
+        transform=lambda df: df.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+        checkpoint=os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return (
+        LogTable(spark, table_path)
+        .read()
+        .select(
+            "window_start",
+            "window_end",
+            "event_type",
+            "n_events",
+            F.round(F.col("total_value"), 4).alias("total_value"),
+        )
+    )

@@ -7,6 +7,7 @@ from .ingest import (  # noqa: F401
     stream_dedup_to_table,
     stream_files_to_table,
     stream_upsert_to_table,
+    stream_windowed_agg_to_table,
     windowed_counts,
 )
 from .stateful import running_totals  # noqa: F401

@@ -457,3 +457,74 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     assert t.read().count() == 4
     assert {r.event_id for r in t.read().collect()} == {1, 2, 3, 4}
+
+
+def test_stream_windowed_agg_drops_late_rows(spark, tmp_path):
+    from databricks_delta_lake_migration_spark.streaming import (
+        stream_windowed_agg_to_table,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_chunk(name, rows, mtime):
+        p = src / name
+        p.write_text(
+            "\n".join(
+                json.dumps({"ts": ts, "event_type": et, "value": v})
+                for ts, et, v in rows
+            )
+        )
+        os.utime(p, (mtime, mtime))
+
+    t0 = time.time() - 400
+    write_chunk(
+        "a.json",
+        [
+            ("2024-01-01T01:00:00.000Z", "click", 1.0),
+            ("2024-01-01T02:00:00.000Z", "click", 2.0),
+            ("2024-01-02T01:00:00.000Z", "view", 3.0),
+        ],
+        t0,
+    )
+    write_chunk("b.json", [("2024-01-05T12:00:00.000Z", "click", 4.0)], t0 + 60)
+    write_chunk("c.json", [("2024-01-06T01:00:00.000Z", "view", 5.0)], t0 + 120)
+    # late straggler: a day-1 event arriving TWO batches after the
+    # watermark advanced past its window. Spark applies the late-row
+    # filter of batch N with the watermark computed after batch N-2
+    # (one-batch lag vs the progress-reported value), so the drop
+    # guarantee needs the extra chunk in between.
+    write_chunk("late.json", [("2024-01-01T03:00:00.000Z", "click", 99.0)], t0 + 180)
+
+    q = stream_windowed_agg_to_table(
+        spark,
+        str(src),
+        str(tmp_path / "gold"),
+        schema,
+        ts_col="ts",
+        window_duration="1 day",
+        watermark="24 hours",
+        group_cols=["event_type"],
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in LogTable(spark, str(tmp_path / "gold")).read().collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "click"): (2, 3.0),  # straggler's 99.0 dropped
+        ("2024-01-02 00:00:00", "view"): (1, 3.0),
+        ("2024-01-05 00:00:00", "click"): (1, 4.0),
+        ("2024-01-06 00:00:00", "view"): (1, 5.0),
+    }
