@@ -547,3 +547,55 @@ def q102_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.lit(matches).alias("incremental_matches_full"),
     )
+
+
+@query(
+    "q104_generated_columns",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 5 = 0
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+           CAST(FLOOR(CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 5 = 0
+                           THEN o_totalprice * 2 ELSE o_totalprice END / 50000)
+                AS BIGINT) AS price_band
+    FROM orders
+    """,
+)
+def q104_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS lifecycle (delta-spark feature parity the
+    reference inherits — ``tables/logtable.py:_generated_columns``):
+    ``price_band`` is declared as an expression over ``o_totalprice``
+    and never supplied by any write. The append computes it, the
+    UPDATE recomputes it from the post-update price (a stale band
+    fails the oracle), and the insert-only MERGE computes it for the
+    new keys. FLOOR (not a bare BIGINT cast) keeps Spark/DuckDB
+    truncate-vs-round semantics out of the hash."""
+    from pyspark.sql import types as T
+
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("price_band", T.LongType()),
+        ]
+    )
+    t = LogTable.create(
+        spark,
+        _scratch("gencol"),
+        schema,
+        generated_columns={
+            "price_band": "CAST(FLOOR(o_totalprice / 50000) AS BIGINT)"
+        },
+    )
+    t.append(base.filter(F.col("o_orderkey") % 4 != 0))
+    t.update("o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice * 2"})
+    (
+        t.merge(
+            base.filter(F.col("o_orderkey") % 4 == 0),
+            "target.o_orderkey = source.o_orderkey",
+        )
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    return t.read()

@@ -739,13 +739,28 @@ class LogTable:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         if_not_exists: bool = True,
+        generated_columns: dict[str, str] | None = None,
     ) -> "LogTable":
-        """Create-if-absent empty table (K4 — delta_utils.py:27-77)."""
+        """Create-if-absent empty table (K4 — delta_utils.py:27-77).
+
+        ``generated_columns`` maps column → SQL expression over the
+        OTHER (non-generated) columns — Delta's ``GENERATED ALWAYS AS``
+        (a delta-spark feature the reference inherits): writes that
+        omit the column get it computed; writes that supply it are
+        validated against the expression and rejected on mismatch.
+        Persisted as ``generated.<col>`` properties, so the contract
+        travels with the table like CHECK constraints do."""
         t = LogTable(spark, path)
         if t.exists():
             if if_not_exists:
                 return t
             raise FileExistsError(path)
+        props = dict(properties or {})
+        names = {f.name for f in schema.fields}
+        for c, e in (generated_columns or {}).items():
+            if c not in names:
+                raise ValueError(f"generated column {c!r} not in schema")
+            props[f"generated.{c}"] = e
         t.fs.makedirs(t.path)
         t._commit(
             Commit(
@@ -754,19 +769,51 @@ class LogTable:
                 operation="CREATE TABLE",
                 schema_json=schema.json(),
                 partition_by=partition_by or [],
-                properties=properties or {},
+                properties=props,
             )
         )
         return t
 
-    def _check_constraints(self, df: DataFrame) -> None:
-        """CHECK constraints (Q6 — README.md:303-306): properties of the
-        form ``constraint.<name> = <sql predicate>``."""
+    def _generated_columns(self) -> dict[str, str]:
+        """``generated.<col>`` properties → {col: sql expr}."""
+        return {
+            k.removeprefix("generated."): v
+            for k, v in self.properties().items()
+            if k.startswith("generated.")
+        }
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute generated columns the incoming frame omits; columns
+        it supplies are left alone (validated by :meth:`_all_checks`)."""
+        for c, e in self._generated_columns().items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e))
+        return df
+
+    def _all_checks(self) -> dict[str, str]:
+        """Every write-time predicate: explicit CHECK constraints plus
+        the implicit ``col <=> (expr)`` contract of generated columns."""
+        props = self.properties()
         checks = {
             k.removeprefix("constraint."): v
-            for k, v in self.properties().items()
+            for k, v in props.items()
             if k.startswith("constraint.")
         }
+        checks.update(
+            {
+                f"gen_{k.removeprefix('generated.')}":
+                    f"{k.removeprefix('generated.')} <=> ({v})"
+                for k, v in props.items()
+                if k.startswith("generated.")
+            }
+        )
+        return checks
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """CHECK constraints (Q6 — README.md:303-306): properties of the
+        form ``constraint.<name> = <sql predicate>``, plus generated-
+        column contracts."""
+        checks = self._all_checks()
         if not checks:
             return
         aggs = [
@@ -846,6 +893,7 @@ class LogTable:
     def append(self, df: DataFrame, merge_schema: bool = False) -> None:
         """Delta append (K1), optional mergeSchema evolution
         (delta_utils.py:107-147)."""
+        df = self._apply_generated(df)
         schema = self._evolve_schema(df, merge_schema)
         data = self._align(df, schema)
         self._check_constraints(data)
@@ -886,6 +934,7 @@ class LogTable:
         metadata-sized distinct over the partition columns; file
         selection is pure path matching (no data read)."""
         files, schema_json, partition_by, _, _ = self._replay()
+        df = self._apply_generated(df)
         schema = (
             df.schema if overwrite_schema else T.StructType.fromJson(json.loads(schema_json))
         )
@@ -1131,7 +1180,16 @@ class LogTable:
 
     def update(self, condition: str, set_exprs: dict[str, str]) -> dict:
         """UPDATE with predicate (D3 — 04_acid_operations.py:128-139).
-        ``set_exprs`` maps column → SQL expression."""
+        ``set_exprs`` maps column → SQL expression. Generated columns
+        not explicitly assigned are recomputed on the updated rows in a
+        second pass — AFTER the user's assignments land, so the
+        expression sees the new base values (Delta's UPDATE semantics —
+        base-column edits can't leave a generated column stale)."""
+        gen_recompute = {
+            c: e
+            for c, e in self._generated_columns().items()
+            if c not in set_exprs
+        }
         files, _, partition_by, _, _ = self._replay()
         pred = F.expr(condition)
         touched, _ = self._split_files_by_predicate(files, pred, condition)
@@ -1151,6 +1209,11 @@ class LogTable:
                 c: F.when(F.col("__hit"), F.expr(e)).otherwise(F.col(c))
                 for c, e in set_exprs.items()
             }
+        ).withColumns(
+            {
+                c: F.when(F.col("__hit"), F.expr(e)).otherwise(F.col(c))
+                for c, e in gen_recompute.items()
+            }
         ).drop("__hit")
         self._check_constraints(updated)
         entries = self._write_files(self._align(updated, schema), partition_by)
@@ -1168,7 +1231,9 @@ class LogTable:
             matched_old = old.filter(pred)
             pre = self._cdf_frame(matched_old, CT_UPDATE_PRE, version)
             post = self._cdf_frame(
-                matched_old.withColumns({c: F.expr(e) for c, e in set_exprs.items()}),
+                matched_old.withColumns(
+                    {c: F.expr(e) for c, e in set_exprs.items()}
+                ).withColumns({c: F.expr(e) for c, e in gen_recompute.items()}),
                 CT_UPDATE_POST,
                 version,
             )
@@ -1866,17 +1931,28 @@ class MergeBuilder:
                 )
             return F.expr(values[cname]) if cname in values else F.lit(None)
 
+        gen_cols = t._generated_columns()
+
         def _build_insert_parts(unmatched_src: DataFrame) -> list[DataFrame]:
             """Standalone insert-clause chain over unmatched source rows
-            (used when there is no rewrite join to piggyback on)."""
+            (used when there is no rewrite join to piggyback on).
+            Generated columns the clause leaves unassigned are computed
+            over the projected (single-sided, unambiguous) insert rows."""
             parts, remaining = [], unmatched_src
             for values, c in self.not_matched:
                 rows = remaining.filter(F.expr(c)) if c else remaining
-                parts.append(
-                    rows.select(
-                        *[_insert_value(c2, values).alias(c2) for c2 in tcols]
-                    )
+                part = rows.select(
+                    *[_insert_value(c2, values).alias(c2) for c2 in tcols]
                 )
+                for gc, ge in gen_cols.items():
+                    unassigned = (
+                        gc not in self.source.columns
+                        if values is None
+                        else gc not in values
+                    )
+                    if unassigned and gc in part.columns:
+                        part = part.withColumn(gc, F.expr(ge))
+                parts.append(part)
                 if c:
                     remaining = remaining.filter(~F.expr(c) | F.expr(c).isNull())
                 else:
@@ -2038,11 +2114,36 @@ class MergeBuilder:
         from pyspark.sql import Observation
 
         tagged = reduce(DataFrame.unionByName, out_parts)
-        checks = {
-            k.removeprefix("constraint."): v
-            for k, v in t.properties().items()
-            if k.startswith("constraint.")
+        # Recompute generated columns on update-tagged rows (insert
+        # parts already computed theirs): a MERGE UPDATE that edits base
+        # columns must not leave a generated column stale. A column any
+        # update clause explicitly assigns is honored verbatim — and
+        # then validated by the generated-column check below.
+        def _explicitly_assigned(gc: str) -> bool:
+            for kind, s, _ in self.matched:
+                if kind == "update" and (
+                    (s is None and gc in self.source.columns)
+                    or (s is not None and gc in s)
+                ):
+                    return True
+            for kind, s, _ in self.not_matched_by_source:
+                if kind == "update" and s is not None and gc in s:
+                    return True
+            return False
+
+        field_types = {f.name: f.dataType for f in schema.fields}
+        recompute = {
+            gc: ge for gc, ge in gen_cols.items() if not _explicitly_assigned(gc)
         }
+        if recompute:
+            tagged = tagged.withColumns(
+                {
+                    gc: F.when(F.col(TAG) == "u", F.expr(ge).cast(field_types[gc]))
+                    .otherwise(F.col(gc))
+                    for gc, ge in recompute.items()
+                }
+            )
+        checks = t._all_checks()
         count_if = lambda c: F.coalesce(  # noqa: E731
             F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
         )

@@ -1067,3 +1067,78 @@ def test_incremental_agg_refresh_matches_recompute(spark, table, tmp_path):
     incremental_agg_refresh(table, gold, ["status"], sums, "n_rows")
     assert gold_state() == recompute()
     assert not any(r.status == "GHOST" for r in gold.read().collect())
+
+
+# ---------------------------------------------------------------------------
+# Generated columns (GENERATED ALWAYS AS — delta-spark feature parity)
+# ---------------------------------------------------------------------------
+
+GEN_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def gen_table(spark, tmp_path):
+    return LogTable.create(
+        spark,
+        str(tmp_path / "gen"),
+        GEN_SCHEMA,
+        generated_columns={"bucket": "CAST(amount / 10 AS BIGINT)"},
+    )
+
+
+def gen_state(t):
+    return {(r.id, r.amount, r.bucket) for r in t.read().collect()}
+
+
+def test_generated_column_computed_on_append(spark, gen_table):
+    df = spark.createDataFrame([(1, 25.0), (2, 7.0)], "id long, amount double")
+    gen_table.append(df)
+    assert gen_state(gen_table) == {(1, 25.0, 2), (2, 7.0, 0)}
+
+
+def test_generated_column_validates_explicit_values(spark, gen_table):
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        ConstraintViolationError,
+    )
+
+    ok = spark.createDataFrame([(1, 25.0, 2)], GEN_SCHEMA)
+    gen_table.append(ok)  # correct explicit value passes
+    bad = spark.createDataFrame([(2, 25.0, 99)], GEN_SCHEMA)
+    with pytest.raises(ConstraintViolationError, match="gen_bucket"):
+        gen_table.append(bad)
+    assert gen_state(gen_table) == {(1, 25.0, 2)}
+
+
+def test_generated_column_computed_on_overwrite(spark, gen_table):
+    gen_table.append(spark.createDataFrame([(1, 25.0)], "id long, amount double"))
+    gen_table.overwrite(spark.createDataFrame([(9, 42.0)], "id long, amount double"))
+    assert gen_state(gen_table) == {(9, 42.0, 4)}
+
+
+def test_generated_column_recomputed_on_update(spark, gen_table):
+    gen_table.append(
+        spark.createDataFrame([(1, 25.0), (2, 7.0)], "id long, amount double")
+    )
+    gen_table.update("id = 1", {"amount": "amount * 4"})  # 100.0 → bucket 10
+    assert gen_state(gen_table) == {(1, 100.0, 10), (2, 7.0, 0)}
+
+
+def test_generated_column_on_merge_insert_and_update(spark, gen_table):
+    gen_table.append(
+        spark.createDataFrame([(1, 25.0), (2, 7.0)], "id long, amount double")
+    )
+    src = spark.createDataFrame([(1, 31.0), (3, 55.0)], "id long, amount double")
+    (
+        gen_table.merge(src, "target.id = source.id")
+        .when_matched_update(set={"amount": "source.amount"})
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    # update recomputed bucket from the NEW amount; insert computed it
+    assert gen_state(gen_table) == {(1, 31.0, 3), (2, 7.0, 0), (3, 55.0, 5)}
