@@ -580,7 +580,12 @@ class LogTable:
             if c.partition_by is not None:
                 partition_by = c.partition_by
             if c.properties is not None:
-                props.update(c.properties)
+                if c.operation == "UNSET TBLPROPERTIES":
+                    # replace wholesale: the commit carries the full
+                    # post-removal map; merging would resurrect the keys
+                    props = dict(c.properties)
+                else:
+                    props.update(c.properties)
         if version is not None and not seen:
             raise ValueError(f"version {version} not found (table at {self.version()})")
         v = version if version is not None else cs[-1].version
@@ -613,6 +618,22 @@ class LogTable:
                 operation="ADD COLUMNS",
                 schema_json=evolved.json(),
                 parameters={"columns": [f.name for f in new_fields]},
+            )
+        )
+
+    def unset_properties(self, keys: list[str]) -> None:
+        """ALTER TABLE UNSET TBLPROPERTIES — also the mechanism behind
+        DROP CONSTRAINT (constraints live as ``constraint.*`` props)."""
+        remaining = {
+            k: v for k, v in self.properties().items() if k not in set(keys)
+        }
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="UNSET TBLPROPERTIES",
+                properties=remaining,
+                parameters={"unset": list(keys)},
             )
         )
 

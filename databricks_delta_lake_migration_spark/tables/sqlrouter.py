@@ -15,8 +15,11 @@ Statement coverage (the forms the reference actually uses):
 - ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t``
 - ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]``
 - ``SHOW TBLPROPERTIES t [('key')]``
-- ``ALTER TABLE t SET TBLPROPERTIES (...)`` / ``ALTER TABLE t ADD
-  COLUMNS (name TYPE [COMMENT '...'], ...)``
+- ``ALTER TABLE t SET TBLPROPERTIES (...)`` / ``UNSET TBLPROPERTIES
+  [IF EXISTS] (...)`` / ``ALTER TABLE t ADD COLUMNS (name TYPE
+  [COMMENT '...'], ...)``
+- ``ALTER TABLE t ADD CONSTRAINT name CHECK (pred)`` (existing rows
+  validated first) / ``DROP CONSTRAINT [IF EXISTS] name``
 - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
 - ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
   explicit column list maps positions, unlisted columns null-fill)
@@ -64,6 +67,21 @@ _ALTER_PROPS = re.compile(
 _ALTER_ADD_COLS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$",
     re.I | re.S,
+)
+_ALTER_UNSET_PROPS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+UNSET\s+TBLPROPERTIES\s*"
+    r"(?:IF\s+EXISTS\s*)?\((.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_ADD_CONSTRAINT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    r"CHECK\s*\((.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_CONSTRAINT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+DROP\s+CONSTRAINT\s+"
+    r"(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+    re.I,
 )
 _COL_DEF = re.compile(
     r"^\s*`?(\w+)`?\s+([A-Za-z0-9_<>,()\s]+?)(?:\s+COMMENT\s+'([^']*)')?\s*$",
@@ -226,6 +244,33 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             )
         cat.table(m.group(1)).add_columns(fields)
         return _one_row(spark, {"columnsAdded": [f.name for f in fields]})
+
+    if m := _ALTER_UNSET_PROPS.match(query):
+        keys = [p.strip().strip("'\"") for p in _split_top(m.group(2))]
+        cat.table(m.group(1)).unset_properties(keys)
+        return _one_row(spark, {"propertiesUnset": keys})
+
+    if m := _ADD_CONSTRAINT.match(query):
+        # Delta semantics: existing rows must already satisfy the
+        # predicate (NULL passes, as in _check_constraints) or the DDL
+        # fails — a constraint must never be born violated.
+        from pyspark.sql import functions as F
+
+        t = cat.table(m.group(1))
+        name, pred = m.group(2), m.group(3).strip()
+        n_bad = t.read().filter(F.expr(pred) == False).count()  # noqa: E712
+        if n_bad:
+            raise ValueError(
+                f"cannot ADD CONSTRAINT {name}: {n_bad} existing rows "
+                f"violate CHECK ({pred})"
+            )
+        t.set_properties({f"constraint.{name}": pred})
+        return _one_row(spark, {"constraintAdded": name, "check": pred})
+
+    if m := _DROP_CONSTRAINT.match(query):
+        name = m.group(2)
+        cat.table(m.group(1)).unset_properties([f"constraint.{name}"])
+        return _one_row(spark, {"constraintDropped": name})
 
     if m := _SHOW_PROPS.match(query):
         props = cat.table(m.group(1)).properties()

@@ -297,3 +297,33 @@ def test_drop_show_truncate_sql(spark, cat):
     assert cat.read("acid.orders").count() == 0
     # table survives empty (schema intact), unlike DROP
     assert cat.sql("SHOW TABLES IN lake.acid").count() == 1
+
+
+def test_add_drop_constraint_sql(spark, cat):
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        ConstraintViolationError,
+    )
+
+    r = cat.sql("ALTER TABLE acid.orders ADD CONSTRAINT positive CHECK (amount > 0)")
+    assert r.first()["constraintAdded"] == "positive"
+    t = cat.table("acid.orders")
+    with pytest.raises(ConstraintViolationError, match="positive"):
+        t.append(spark.createDataFrame([(7, "X", -5.0)], SCHEMA))
+
+    # adding a constraint existing rows violate must fail
+    with pytest.raises(ValueError, match="violate"):
+        cat.sql("ALTER TABLE acid.orders ADD CONSTRAINT tiny CHECK (amount < 15)")
+    assert "constraint.tiny" not in t.properties()
+
+    r = cat.sql("ALTER TABLE acid.orders DROP CONSTRAINT positive")
+    assert r.first()["constraintDropped"] == "positive"
+    t.append(spark.createDataFrame([(7, "X", -5.0)], SCHEMA))  # now fine
+    assert (7, "X", -5.0) in _state(cat)
+
+
+def test_unset_tblproperties_sql(spark, cat):
+    cat.sql("ALTER TABLE acid.orders SET TBLPROPERTIES ('a' = '1', 'b' = '2')")
+    r = cat.sql("ALTER TABLE acid.orders UNSET TBLPROPERTIES ('a')")
+    assert r.first()["propertiesUnset"] == '["a"]'
+    props = cat.table("acid.orders").properties()
+    assert "a" not in props and props["b"] == "2"
