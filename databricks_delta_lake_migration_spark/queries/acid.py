@@ -599,3 +599,37 @@ def q104_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .execute()
     )
     return t.read()
+
+
+@query(
+    "q105_rename_drop_column",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS price,
+           TRUE AS rename_was_metadata_only
+    FROM orders
+    WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0
+    """,
+)
+def q105_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping DDL lifecycle (Delta name-mode column mapping —
+    ``tables/logtable.py:rename_column/drop_column``): RENAME COLUMN and
+    DROP COLUMN are metadata-only commits; data files keep their frozen
+    physical names and are never rewritten — at 100 TB the DDL costs one
+    log write instead of a full-table job. The program renames
+    ``o_totalprice``→``price``, runs UPDATE + DELETE against the NEW
+    logical name (predicates translate to physical stats for file
+    skipping), drops ``o_orderstatus``, and pins a verdict that the
+    data-file set was untouched by both DDLs."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("colmap"), target.schema)
+    t.append(target)
+    files_before = {f.path for f in t._replay()[0]}
+    t.rename_column("o_totalprice", "price")
+    t.drop_column("o_orderstatus")
+    files_after = {f.path for f in t._replay()[0]}
+    metadata_only = files_before == files_after
+    t.update("o_orderkey % 5 = 0", {"price": "price * 2"})
+    t.delete("o_orderkey % 7 = 0")
+    return t.read().withColumn("rename_was_metadata_only", F.lit(metadata_only))

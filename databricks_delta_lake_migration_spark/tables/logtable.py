@@ -64,6 +64,22 @@ DV_PROP = "enableDeletionVectors"
 
 CDF_PROP = "enableChangeDataFeed"
 
+# Column mapping (Delta's name-mode column mapping): logical schema
+# names are decoupled from the physical parquet column names, making
+# RENAME COLUMN and DROP COLUMN metadata-only commits — no data-file
+# rewrite, which at 100 TB is the difference between an instant DDL
+# and a full-table job. MAPPING_PROP holds {logical: physical} (only
+# non-identity entries); RESERVED_PROP holds physical names still
+# present inside data files but no longer logically visible (dropped
+# columns), so a later ADD COLUMN can't silently collide with them.
+MAPPING_PROP = "columnmapping.map"
+RESERVED_PROP = "columnmapping.reserved"
+
+# Commits whose `properties` payload REPLACES the table's property map
+# wholesale (they carry the full post-op map, and merging would
+# resurrect removed keys). All other property-bearing commits merge.
+_PROPS_REPLACE_OPS = {"UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN"}
+
 # Below this total table size, MERGE rewrites every file instead of
 # running the pruning probe job — at small scale the probe costs more
 # than the rewrite it avoids. Module-level so tests/tuning can override.
@@ -580,7 +596,7 @@ class LogTable:
             if c.partition_by is not None:
                 partition_by = c.partition_by
             if c.properties is not None:
-                if c.operation == "UNSET TBLPROPERTIES":
+                if c.operation in _PROPS_REPLACE_OPS:
                     # replace wholesale: the commit carries the full
                     # post-removal map; merging would resurrect the keys
                     props = dict(c.properties)
@@ -610,6 +626,7 @@ class LogTable:
         dup = [f.name for f in new_fields if f.name in names]
         if dup:
             raise ValueError(f"columns already exist: {dup}")
+        self._guard_new_columns([f.name for f in new_fields])
         evolved = T.StructType(list(current.fields) + list(new_fields))
         self._commit_tx(
             Commit(
@@ -675,7 +692,7 @@ class LogTable:
         schema = T.StructType.fromJson(json.loads(schema_json))
         if where is None:
             return self._read_entries(files, schema)
-        conj = _parse_conjuncts(where)
+        conj = self._physical_conjuncts(_parse_conjuncts(where))
         if conj:
             files = [f for f in files if _stats_may_match(f, conj)]
         return self._read_entries(files, schema).filter(F.expr(where))
@@ -710,8 +727,14 @@ class LogTable:
                     dirs.append(d)
         if not dirs:
             return self.spark.createDataFrame([], cdf_schema)
+        mapping = self._column_mapping()
         df = self.spark.read.parquet(*dirs)
-        return df.select(*[F.col(f.name) for f in cdf_schema.fields])
+        return df.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in cdf_schema.fields
+            ]
+        )
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY (D10 — delta_utils.py:168-174)."""
@@ -795,6 +818,134 @@ class LogTable:
         )
         return t
 
+    # ---- column mapping (rename/drop without rewrite) -----------------
+
+    def _column_mapping(self, props: dict[str, str] | None = None) -> dict[str, str]:
+        """{logical: physical} for renamed columns (identity omitted)."""
+        if props is None:
+            try:
+                props = self.properties()
+            except FileNotFoundError:
+                # pre-first-commit write paths (deep-clone purge) have
+                # no log yet — and trivially no mapping
+                return {}
+        raw = props.get(MAPPING_PROP)
+        return json.loads(raw) if raw else {}
+
+    def _reserved_physicals(self, props: dict[str, str] | None = None) -> set[str]:
+        raw = (props if props is not None else self.properties()).get(RESERVED_PROP)
+        return set(json.loads(raw)) if raw else set()
+
+    def _check_prop_references(self, col: str, props: dict[str, str]) -> None:
+        """A column referenced by a CHECK constraint or generated-column
+        expression cannot be renamed/dropped out from under it."""
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        offenders = [
+            k
+            for k, v in props.items()
+            if (k.startswith("constraint.") or k.startswith("generated."))
+            and pat.search(v)
+        ]
+        if offenders:
+            raise ValueError(
+                f"column {col!r} is referenced by {offenders}; drop those first"
+            )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only (Delta column
+        mapping, name mode): the physical parquet column name is frozen
+        at first write; only the logical schema and the mapping change.
+        No data rewrite at any table size."""
+        files, schema_json, partition_by, props, _ = self._replay()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        self._check_prop_references(old, props)
+        mapping = self._column_mapping(props)
+        physical = mapping.pop(old, old)
+        if physical != new:
+            mapping[new] = physical
+        new_props = dict(props)
+        new_props[MAPPING_PROP] = json.dumps(mapping, sort_keys=True)
+        # a generated column may itself be renamed (its expr references
+        # OTHER columns, already checked above)
+        if f"generated.{old}" in new_props:
+            new_props[f"generated.{new}"] = new_props.pop(f"generated.{old}")
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="RENAME COLUMN",
+                schema_json=T.StructType(fields).json(),
+                partition_by=[new if c == old else c for c in partition_by],
+                properties=new_props,
+                parameters={"from": old, "to": new},
+            )
+        )
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only: the physical column
+        stays in the data files (reserved against reuse); the logical
+        schema simply stops projecting it."""
+        files, schema_json, partition_by, props, _ = self._replay()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name}")
+        if name in partition_by:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        self._check_prop_references(name, props)
+        mapping = self._column_mapping(props)
+        physical = mapping.pop(name, name)
+        reserved = self._reserved_physicals(props) | {physical}
+        new_props = dict(props)
+        new_props[MAPPING_PROP] = json.dumps(mapping, sort_keys=True)
+        new_props[RESERVED_PROP] = json.dumps(sorted(reserved))
+        new_props.pop(f"generated.{name}", None)
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="DROP COLUMN",
+                schema_json=T.StructType(
+                    [f for f in schema.fields if f.name != name]
+                ).json(),
+                properties=new_props,
+                parameters={"column": name},
+            )
+        )
+
+    def _physical_conjuncts(
+        self, conjuncts: list[tuple[str, str, Any]]
+    ) -> list[tuple[str, str, Any]]:
+        """Translate predicate column names logical → physical so they
+        line up with file stats / partition paths (both physical)."""
+        mapping = self._column_mapping()
+        if not mapping:
+            return conjuncts
+        return [(mapping.get(c, c), op, v) for c, op, v in conjuncts]
+
+    def _guard_new_columns(self, new_names: list[str]) -> None:
+        """A new logical column must not collide with the frozen
+        physical name of a renamed or dropped column — the parquet
+        files already carry data under that name."""
+        props = self.properties()
+        taken = set(self._column_mapping(props).values()) | self._reserved_physicals(
+            props
+        )
+        bad = [n for n in new_names if n in taken]
+        if bad:
+            raise ValueError(
+                f"column names {bad} collide with physical columns of "
+                "renamed/dropped columns; choose different names"
+            )
+
     def _generated_columns(self) -> dict[str, str]:
         """``generated.<col>`` properties → {col: sql expr}."""
         return {
@@ -851,7 +1002,16 @@ class LogTable:
     ) -> list[FileEntry]:
         """Materialize ``df`` as parquet under the table root, returning
         entries. Data is written by executors to a staging dir; the
-        driver then *renames* files into place (metadata-only)."""
+        driver then *renames* files into place (metadata-only).
+
+        Column mapping: data lands under PHYSICAL names (frozen at
+        first write), so files stay homogeneous across renames."""
+        mapping = self._column_mapping()
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
+            partition_by = [mapping.get(c, c) for c in partition_by]
         stage = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
         w = df.write.mode("overwrite")
         if partition_by:
@@ -889,6 +1049,13 @@ class LogTable:
             return
         if self.properties().get(CDF_PROP, "false") != "true":
             return
+        mapping = self._column_mapping()
+        if mapping:
+            # CDF files use physical names too, so pre-rename change
+            # files and post-rename ones read back uniformly
+            change_df = change_df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in change_df.columns]
+            )
         d = os.path.join(self.path, CHANGES_DIR, f"v={version:020d}")
         change_df.write.mode("overwrite").parquet(d)
 
@@ -909,6 +1076,8 @@ class LogTable:
             return current
         names = {f.name for f in current.fields}
         extra = [f for f in df.schema.fields if f.name not in names]
+        if extra:
+            self._guard_new_columns([f.name for f in extra])
         return T.StructType(list(current.fields) + extra)
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> None:
@@ -986,10 +1155,13 @@ class LogTable:
                 tuple(canon(r[c]) for c in partition_by)
                 for r in data.select(*partition_by).distinct().collect()
             }
+            phys_parts = [
+                self._column_mapping().get(c, c) for c in partition_by
+            ]  # paths carry physical names
             touched_d, carried = [], []
             for f in files:
                 pv = _partition_values(f.path)
-                key = tuple(pv.get(c) for c in partition_by)
+                key = tuple(pv.get(c) for c in phys_parts)
                 (touched_d if key in new_parts else carried).append(f)
             removed = [f.path for f in touched_d]
         elif replace_where is None:
@@ -1058,8 +1230,20 @@ class LogTable:
         anti-joined away, so EVERY read path (snapshot, time travel,
         DML rewrite, CDF preimages) sees merge-on-read deletes applied.
         ``with_dv_key`` keeps the per-row ``(__dv_key, __dv_ridx)``
-        tombstone key in the output — the DV writer's hook."""
-        cols = [F.col(f.name) for f in schema.fields]
+        tombstone key in the output — the DV writer's hook.
+
+        Column mapping: files are scanned under their PHYSICAL names
+        and aliased back to the logical schema, so renamed columns
+        resolve without any file rewrite."""
+        mapping = self._column_mapping()
+        phys = {f.name: mapping.get(f.name, f.name) for f in schema.fields}
+        read_schema = T.StructType(
+            [
+                T.StructField(phys[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        cols = [F.col(phys[f.name]).alias(f.name) for f in schema.fields]
         if with_file_path:
             # _metadata is a scan-time pseudo-column; materialize it here
             # because it doesn't survive projections/joins downstream.
@@ -1086,7 +1270,7 @@ class LogTable:
                     F.col("_metadata.row_index").alias("__dv_ridx"),
                 ]
             part = (
-                self.spark.read.schema(schema)
+                self.spark.read.schema(read_schema)
                 .option("basePath", base)
                 .parquet(*[e.abspath(self.path) for e in group])
                 .select(*gcols)
@@ -1148,7 +1332,7 @@ class LogTable:
         candidates = files
         excluded: list[FileEntry] = []
         if text:
-            conj = _parse_conjuncts(text)
+            conj = self._physical_conjuncts(_parse_conjuncts(text))
             if conj:
                 candidates, excluded = [], []
                 for f in files:
@@ -1635,9 +1819,17 @@ class LogTable:
             # deep clone purges deletion vectors: tombstone keys are
             # source-rooted paths that would dangle after a byte copy,
             # so DV-carrying files are rewritten through a DV-applied
-            # scan instead.
+            # scan instead. The clone has no commits yet (no mapping),
+            # so the source's logical→physical translation is applied
+            # here — rewritten files must match the byte-copied ones.
+            mapping = self._column_mapping(props)
+            purged = self._read_entries(purge, schema)
+            if mapping:
+                purged = purged.select(
+                    *[F.col(c).alias(mapping.get(c, c)) for c in purged.columns]
+                )
             entries += t._write_files(
-                self._read_entries(purge, schema), partition_by or []
+                purged, [mapping.get(c, c) for c in (partition_by or [])]
             )
         t._commit(
             Commit(
@@ -1719,8 +1911,9 @@ class MergeBuilder:
         aggregate job over the source computes the bounds; no target
         data is read. Conservative everywhere: files without stats, or
         non-comparable types, stay candidates."""
+        mapping = self.table._column_mapping()
         pairs = [
-            (tc, sc)
+            (mapping.get(tc, tc), sc)
             for tc, sc in self._equi_pairs(self.condition)
             if sc in self.source.columns
         ]
@@ -1818,6 +2011,7 @@ class MergeBuilder:
             tgt_names = {f.name for f in schema.fields}
             new = [f for f in self.source.schema.fields if f.name not in tgt_names]
             if new:
+                t._guard_new_columns([f.name for f in new])
                 schema = T.StructType(list(schema.fields) + list(new))
                 evolved_json = schema.json()
         tcols = [f.name for f in schema.fields]

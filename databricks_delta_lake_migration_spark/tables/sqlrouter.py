@@ -20,6 +20,8 @@ Statement coverage (the forms the reference actually uses):
   [COMMENT '...'], ...)``
 - ``ALTER TABLE t ADD CONSTRAINT name CHECK (pred)`` (existing rows
   validated first) / ``DROP CONSTRAINT [IF EXISTS] name``
+- ``ALTER TABLE t RENAME COLUMN old TO new`` / ``DROP COLUMN name``
+  (metadata-only via column mapping — no data rewrite)
 - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
 - ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
   explicit column list maps positions, unlisted columns null-fill)
@@ -67,6 +69,14 @@ _ALTER_PROPS = re.compile(
 _ALTER_ADD_COLS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$",
     re.I | re.S,
+)
+_RENAME_COL = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$",
+    re.I,
+)
+_DROP_COL = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+DROP\s+COLUMNS?\s+`?(\w+)`?\s*;?\s*$",
+    re.I,
 )
 _ALTER_UNSET_PROPS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+UNSET\s+TBLPROPERTIES\s*"
@@ -244,6 +254,14 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             )
         cat.table(m.group(1)).add_columns(fields)
         return _one_row(spark, {"columnsAdded": [f.name for f in fields]})
+
+    if m := _RENAME_COL.match(query):
+        cat.table(m.group(1)).rename_column(m.group(2), m.group(3))
+        return _one_row(spark, {"renamed": m.group(2), "to": m.group(3)})
+
+    if m := _DROP_COL.match(query):
+        cat.table(m.group(1)).drop_column(m.group(2))
+        return _one_row(spark, {"columnDropped": m.group(2)})
 
     if m := _ALTER_UNSET_PROPS.match(query):
         keys = [p.strip().strip("'\"") for p in _split_top(m.group(2))]

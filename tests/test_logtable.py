@@ -1142,3 +1142,137 @@ def test_generated_column_on_merge_insert_and_update(spark, gen_table):
     )
     # update recomputed bucket from the NEW amount; insert computed it
     assert gen_state(gen_table) == {(1, 31.0, 3), (2, 7.0, 0), (3, 55.0, 5)}
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: RENAME / DROP COLUMN without data rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_metadata_only(spark, table):
+    files_before = {f.path for f in table._replay()[0]}
+    table.rename_column("amount", "value")
+    assert {f.path for f in table._replay()[0]} == files_before  # no rewrite
+    got = {(r.id, r.value) for r in table.read().collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
+    assert "amount" not in table.read().columns
+
+    # writes after the rename land under the frozen physical name and
+    # read back mixed with pre-rename files
+    table.append(rows_df(spark, [(4, "NEW", 40.0, "d2")]).withColumnRenamed("amount", "value"))
+    assert {(r.id, r.value) for r in table.read().collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)
+    }
+
+
+def test_rename_column_dml_and_time_travel(spark, table):
+    v_before = table.version()
+    table.rename_column("amount", "value")
+    table.update("value > 15", {"value": "value + 1"})
+    table.delete("id = 3")
+    got = {(r.id, r.value) for r in table.read().collect()}
+    assert got == {(1, 10.0), (2, 21.0)}
+    # time travel BEFORE the rename surfaces the old logical name?
+    # schema is versioned; pre-rename snapshots read with the old schema
+    old = table.read(version=v_before)
+    assert "amount" in old.columns
+    assert {(r.id, r.amount) for r in old.collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+
+
+def test_rename_column_cdf_round_trip(spark, table):
+    table.rename_column("amount", "value")
+    table.update("id = 1", {"value": "99.0"})
+    ch = table.read_changes(starting_version=table.version())
+    got = {(r._change_type, r.id, r.value) for r in ch.collect()}
+    assert got == {("update_preimage", 1, 10.0), ("update_postimage", 1, 99.0)}
+
+
+def test_rename_column_stats_skipping_still_prunes(spark, tmp_path):
+    t = LogTable.create(spark, str(tmp_path / "sk"), SCHEMA)
+    for lo in (0, 100, 200):
+        t.append(
+            rows_df(
+                spark,
+                [(lo + i, "S", float(lo + i), "d1") for i in range(3)],
+            ).coalesce(1)
+        )
+    t.rename_column("id", "key")
+    files, *_ = t._replay()
+    assert len(files) == 3
+    conj = t._physical_conjuncts(
+        __import__(
+            "databricks_delta_lake_migration_spark.tables.logtable", fromlist=["x"]
+        )._parse_conjuncts("key >= 200")
+    )
+    from databricks_delta_lake_migration_spark.tables.logtable import _stats_may_match
+
+    kept = [f for f in files if _stats_may_match(f, conj)]
+    assert len(kept) == 1  # two files pruned via the physical-name stats
+    assert {r.key for r in t.read(where="key >= 200").collect()} == {200, 201, 202}
+
+
+def test_rename_partition_column_and_dynamic_overwrite(spark, table):
+    table.rename_column("day", "ds")
+    assert table.partition_columns() == ["ds"]
+    table.overwrite(
+        rows_df(spark, [(9, "X", 9.0, "d1")]).withColumnRenamed("day", "ds"),
+        dynamic=True,
+    )
+    got = {(r.id, r.ds) for r in table.read().collect()}
+    assert got == {(9, "d1"), (3, "d2")}  # d1 replaced, d2 carried
+
+
+def test_drop_column_and_reuse_guard(spark, table):
+    table.drop_column("status")
+    assert "status" not in table.read().columns
+    assert {(r.id, r.amount) for r in table.read().collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+    with pytest.raises(ValueError, match="physical"):
+        table.add_columns([T.StructField("status", T.StringType())])
+    # a different name is fine
+    table.add_columns([T.StructField("state", T.StringType())])
+    assert "state" in table.read().columns
+
+
+def test_rename_blocked_by_constraint_reference(spark, tmp_path):
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "c"),
+        SCHEMA,
+        properties={"constraint.pos": "amount > 0"},
+    )
+    with pytest.raises(ValueError, match="constraint.pos"):
+        t.rename_column("amount", "value")
+    with pytest.raises(ValueError, match="constraint.pos"):
+        t.drop_column("amount")
+    t.rename_column("status", "state")  # unreferenced column renames fine
+
+
+def test_rename_column_merge_pruning_and_upsert(spark, table):
+    table.rename_column("amount", "value")
+    src = rows_df(spark, [(2, "R", 25.0, "d1"), (9, "N", 99.0, "d3")]).withColumnRenamed(
+        "amount", "value"
+    )
+    table.upsert(src, ["id"])
+    got = {(r.id, r.status, r.value) for r in table.read().collect()}
+    assert got == {
+        (1, "PENDING", 10.0),
+        (2, "R", 25.0),
+        (3, "PENDING", 30.0),
+        (9, "N", 99.0),
+    }
+
+
+def test_rename_column_sql_router(spark, tmp_path):
+    from databricks_delta_lake_migration_spark.tables import Catalog
+
+    c = Catalog(spark, str(tmp_path / "cat"))
+    t = c.create_table("lake.s.t", SCHEMA)
+    t.append(rows_df(spark, [(1, "A", 1.0, "d1")]))
+    c.sql("ALTER TABLE s.t RENAME COLUMN amount TO value")
+    assert "value" in c.table("s.t").read().columns
+    c.sql("ALTER TABLE s.t DROP COLUMN status")
+    assert "status" not in c.table("s.t").read().columns
