@@ -633,3 +633,52 @@ def q105_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.update("o_orderkey % 5 = 0", {"price": "price * 2"})
     t.delete("o_orderkey % 7 = 0")
     return t.read().withColumn("rename_was_metadata_only", F.lit(metadata_only))
+
+
+@query(
+    "q106_identity_column",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ), b AS (
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 <> 0)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+        FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT o_orderkey, o_totalprice, CAST(row_id AS BIGINT) AS row_id FROM a
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, CAST(row_id AS BIGINT) AS row_id FROM b
+    """,
+)
+def q106_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY (delta-spark feature parity —
+    ``tables/logtable.py:_apply_identity``): ``row_id`` is allocated by
+    the table on every append — contiguous from the persisted high
+    watermark via per-partition offsets (two jobs, zero shuffles, no
+    window), with explicit values rejected. Two appends land 1..N then
+    N+1..M. The fixture feeds each batch sorted single-partition so the
+    allocation order is SQL-expressible (ROW_NUMBER over the sort key);
+    the allocator itself is multi-partition-safe
+    (`test_identity_survives_multi_partition_append`)."""
+    from pyspark.sql import types as T
+
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    schema = T.StructType(
+        [
+            T.StructField("row_id", T.LongType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    t = LogTable.create(
+        spark,
+        _scratch("ident"),
+        schema,
+        identity_columns={"row_id": {"start": 1, "step": 1}},
+    )
+    for pred in (F.col("o_orderkey") % 4 != 0, F.col("o_orderkey") % 4 == 0):
+        t.append(base.filter(pred).orderBy("o_orderkey").coalesce(1))
+    return t.read()

@@ -784,6 +784,7 @@ class LogTable:
         properties: dict[str, str] | None = None,
         if_not_exists: bool = True,
         generated_columns: dict[str, str] | None = None,
+        identity_columns: dict[str, dict] | None = None,
     ) -> "LogTable":
         """Create-if-absent empty table (K4 — delta_utils.py:27-77).
 
@@ -805,6 +806,14 @@ class LogTable:
             if c not in names:
                 raise ValueError(f"generated column {c!r} not in schema")
             props[f"generated.{c}"] = e
+        for c, spec in (identity_columns or {}).items():
+            if c not in names:
+                raise ValueError(f"identity column {c!r} not in schema")
+            props[f"identity.{c}"] = json.dumps(
+                {"start": int(spec.get("start", 1)), "step": int(spec.get("step", 1)),
+                 "high": None},
+                sort_keys=True,
+            )
         t.fs.makedirs(t.path)
         t._commit(
             Commit(
@@ -946,6 +955,79 @@ class LogTable:
                 "renamed/dropped columns; choose different names"
             )
 
+    # ---- identity columns (GENERATED ALWAYS AS IDENTITY) ---------------
+
+    def _identity_columns(self) -> dict[str, dict]:
+        """``identity.<col>`` properties → {col: {start, step, high}}."""
+        out = {}
+        for k, v in self.properties().items():
+            if k.startswith("identity."):
+                out[k.removeprefix("identity.")] = json.loads(v)
+        return out
+
+    def _apply_identity(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Assign identity values to a write batch (GENERATED ALWAYS —
+        explicit values rejected; contiguous from the high watermark).
+
+        Scale-safe allocation in two jobs and zero shuffles: job 1
+        collects per-partition row counts (metadata-sized), the driver
+        turns them into per-partition starting offsets, and the write
+        job computes each row's value as ``offset[pid] + idx * step``
+        where ``idx`` is the in-partition row index recovered from
+        ``monotonically_increasing_id()``'s documented encoding
+        (``pid·2³³ + idx``) — no window, no Python round-trip. The new
+        high watermark is known exactly on the driver (base +
+        (n−1)·step), committed with the write; concurrent identity
+        writes therefore conflict as metadata changes instead of
+        silently allocating overlapping ranges. Assumes the input
+        frame's partition contents are deterministic between the two
+        jobs (true for any deterministic plan)."""
+        idents = self._identity_columns()
+        props: dict[str, str] = {}
+        if not idents:
+            return df, props
+        for c in idents:
+            if c in df.columns:
+                raise ValueError(
+                    f"identity column {c!r} is GENERATED ALWAYS — "
+                    "explicit values are not accepted"
+                )
+        pid_df = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__mono", F.monotonically_increasing_id()
+        )
+        counts = sorted(
+            (r["__pid"], r["n"])  # dict access: r.__pid would name-mangle
+            for r in pid_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        total = sum(n for _, n in counts)
+        out = pid_df
+        for c, spec in idents.items():
+            step = int(spec.get("step", 1))
+            high = spec.get("high")
+            base = int(spec.get("start", 1)) if high is None else int(high) + step
+            if total:
+                offs, acc = [], base
+                for pid, n in counts:
+                    offs.append((pid, acc))
+                    acc += n * step
+                off_df = self.spark.createDataFrame(offs, "__pid int, __off long")
+                out = out.join(F.broadcast(off_df), "__pid", "left").withColumn(
+                    c,
+                    (
+                        F.col("__off")
+                        + (F.col("__mono") % F.lit(2**33)) * F.lit(step)
+                    ).cast("long"),
+                )
+                props[f"identity.{c}"] = json.dumps(
+                    {**spec, "high": base + (total - 1) * step}, sort_keys=True
+                )
+                out = out.drop("__off")
+            else:
+                out = out.withColumn(c, F.lit(None).cast("long"))
+        return out.drop("__pid", "__mono"), props
+
     def _generated_columns(self) -> dict[str, str]:
         """``generated.<col>`` properties → {col: sql expr}."""
         return {
@@ -1083,6 +1165,7 @@ class LogTable:
     def append(self, df: DataFrame, merge_schema: bool = False) -> None:
         """Delta append (K1), optional mergeSchema evolution
         (delta_utils.py:107-147)."""
+        df, ident_props = self._apply_identity(df)
         df = self._apply_generated(df)
         schema = self._evolve_schema(df, merge_schema)
         data = self._align(df, schema)
@@ -1096,6 +1179,7 @@ class LogTable:
                 operation="WRITE",
                 add=entries,
                 schema_json=schema.json() if merge_schema else None,
+                properties=ident_props or None,
                 parameters={"mode": "Append", "mergeSchema": merge_schema},
                 metrics={
                     "numOutputRows": sum(e.num_records for e in entries),
@@ -1124,6 +1208,7 @@ class LogTable:
         metadata-sized distinct over the partition columns; file
         selection is pure path matching (no data read)."""
         files, schema_json, partition_by, _, _ = self._replay()
+        df, ident_props = self._apply_identity(df)
         df = self._apply_generated(df)
         schema = (
             df.schema if overwrite_schema else T.StructType.fromJson(json.loads(schema_json))
@@ -1192,6 +1277,7 @@ class LogTable:
                 add=entries,
                 remove=removed,
                 schema_json=schema.json() if overwrite_schema else None,
+                properties=ident_props or None,
                 parameters={
                     "mode": "Overwrite",
                     **({"replaceWhere": replace_where} if replace_where else {}),
@@ -1390,6 +1476,12 @@ class LogTable:
         second pass — AFTER the user's assignments land, so the
         expression sees the new base values (Delta's UPDATE semantics —
         base-column edits can't leave a generated column stale)."""
+        bad_ids = [c for c in self._identity_columns() if c in set_exprs]
+        if bad_ids:
+            raise ValueError(
+                f"identity columns {bad_ids} are GENERATED ALWAYS — UPDATE "
+                "cannot assign them"
+            )
         gen_recompute = {
             c: e
             for c, e in self._generated_columns().items()
@@ -2001,6 +2093,13 @@ class MergeBuilder:
 
     def execute(self) -> dict:
         t = self.table
+        if self.not_matched and t._identity_columns():
+            raise NotImplementedError(
+                "MERGE INSERT into a table with identity columns is not "
+                "supported (GENERATED ALWAYS forbids explicit values and "
+                "merge-time allocation is not implemented) — append the "
+                "unmatched rows instead"
+            )
         files, schema_json0, partition_by, _, _ = t._replay()
         schema = T.StructType.fromJson(json.loads(schema_json0))
         # schema evolution is folded into the MERGE commit itself (one

@@ -1276,3 +1276,70 @@ def test_rename_column_sql_router(spark, tmp_path):
     assert "value" in c.table("s.t").read().columns
     c.sql("ALTER TABLE s.t DROP COLUMN status")
     assert "status" not in c.table("s.t").read().columns
+
+
+# ---------------------------------------------------------------------------
+# Identity columns (GENERATED ALWAYS AS IDENTITY)
+# ---------------------------------------------------------------------------
+
+
+def test_identity_column_assignment_unique_increasing(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "ident"),
+        schema,
+        identity_columns={"uid": {"start": 100, "step": 5}},
+    )
+    t.append(spark.createDataFrame([("a",), ("b",), ("c",)], "name string"))
+    first = {r.uid: r.name for r in t.read().collect()}
+    assert len(first) == 3  # unique
+    assert min(first) == 100  # contiguous from start
+    assert all((u - 100) % 5 == 0 for u in first)  # respects step
+
+    t.append(spark.createDataFrame([("d",), ("e",)], "name string"))
+    uids = [r.uid for r in t.read().collect()]
+    assert len(set(uids)) == 5  # still unique across appends
+    second = {r.uid for r in t.read().collect()} - set(first)
+    assert min(second) > max(first)  # increasing across appends
+
+    # explicit values rejected (GENERATED ALWAYS)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(spark.createDataFrame([(1, "x")], schema))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.update("name = 'a'", {"uid": "0"})
+    with pytest.raises(NotImplementedError, match="identity"):
+        (
+            t.merge(
+                spark.createDataFrame([("z",)], "name string"),
+                "target.name = source.name",
+            )
+            .when_not_matched_insert_all()
+            .execute()
+        )
+
+
+def test_identity_survives_multi_partition_append(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "identp"),
+        schema,
+        identity_columns={"uid": {}},
+    )
+    t.append(spark.range(500).select(F.col("id").alias("v")).repartition(8))
+    rows = t.read().collect()
+    # contiguous across partitions: exactly [1, 500], no gaps, no dups
+    assert {r.uid for r in rows} == set(range(1, 501))
+    t.append(spark.range(10).select(F.col("id").alias("v")))
+    assert {r.uid for r in t.read().collect()} == set(range(1, 511))
