@@ -94,6 +94,9 @@ class FileSystem:
     def copy(self, src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
     def delete(self, path: str) -> None:
         os.unlink(path)
 

@@ -1827,7 +1827,18 @@ class LogTable:
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
         """VACUUM [DRY RUN] (D8 — delta_utils.py:337-370): delete data
         files not referenced by any commit within the retention window
-        (all versions ≥ the retention horizon keep their files)."""
+        (all versions ≥ the retention horizon keep their files).
+
+        Also garbage-collects the two auxiliary file families that
+        would otherwise grow without bound at scale:
+
+        - CDF change files of commits older than the horizon (Delta
+          ties ``_change_data`` cleanup to VACUUM retention);
+        - staging orphans from crashed writes older than the horizon
+          (the collector `_write_files` promises). As with Delta, a
+          zero-retention VACUUM racing an in-flight writer can collect
+          its staged (not yet committed) files — keep retention above
+          the longest write when vacuuming live tables."""
         horizon = time.time() - retain_hours * 3600
         keep: set[str] = set()
         cs = self.commits()
@@ -1854,6 +1865,30 @@ class LogTable:
             if name.endswith(".parquet"):
                 full = os.path.join(dirpath, name)
                 if full not in keep:
+                    candidates.append(os.path.relpath(full, self.path))
+        # CDF change files: keep a version's changes only while its
+        # commit is inside retention (or is the current version)
+        protected = set(protected_versions)
+        changes_root = os.path.join(self.path, CHANGES_DIR)
+        if self.fs.isdir(changes_root):
+            for n in self.fs.listdir(changes_root):
+                if not n.startswith("v="):
+                    continue
+                if int(n.removeprefix("v=")) in protected:
+                    continue
+                vdir = os.path.join(changes_root, n)
+                candidates += [
+                    os.path.relpath(os.path.join(d, f), self.path)
+                    for d, f in self.fs.walk_files(vdir)
+                ]
+        # staging orphans: a staged file older than the horizon belongs
+        # to a crashed write (live writes stage, promote, commit in one
+        # call) — safe to collect
+        staging_root = os.path.join(self.path, STAGING_DIR)
+        if self.fs.isdir(staging_root):
+            for d, f in self.fs.walk_files(staging_root):
+                full = os.path.join(d, f)
+                if self.fs.mtime(full) < horizon:
                     candidates.append(os.path.relpath(full, self.path))
         if not dry_run:
             for rel in candidates:

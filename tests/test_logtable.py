@@ -1343,3 +1343,43 @@ def test_identity_survives_multi_partition_append(spark, tmp_path):
     assert {r.uid for r in rows} == set(range(1, 501))
     t.append(spark.range(10).select(F.col("id").alias("v")))
     assert {r.uid for r in t.read().collect()} == set(range(1, 511))
+
+
+def test_vacuum_collects_expired_cdf_and_staging_orphans(spark, table, tmp_path):
+    import os as _os
+
+    # age out the CDF of v0-v1 by pretending time passed: retain 0 hours
+    table.update("id = 1", {"amount": "11.0"})  # writes a change dir
+    table.update("id = 2", {"amount": "22.0"})  # newer change dir
+    changes_root = _os.path.join(table.path, "_changes")
+    n_dirs_before = len(
+        [n for n in _os.listdir(changes_root) if n.startswith("v=")]
+    )
+    assert n_dirs_before >= 2
+
+    # plant a crashed-write staging orphan, backdated a week
+    orphan_dir = _os.path.join(table.path, "_staging", "deadbeef")
+    _os.makedirs(orphan_dir)
+    orphan = _os.path.join(orphan_dir, "part-000.parquet")
+    open(orphan, "wb").write(b"x")
+    old = 10.0
+    _os.utime(orphan, (old, old))
+
+    removed = table.vacuum(retain_hours=168.0)  # default retention
+    assert any("_staging" in r for r in removed)  # orphan collected
+    assert not any("_changes" in r for r in removed)  # CDF inside retention
+    assert not _os.path.exists(orphan)
+
+    removed = table.vacuum(retain_hours=0.0)
+    # all non-current change dirs collected now
+    assert any("_changes" in r for r in removed)
+    # current data still fully readable
+    assert {r.amount for r in table.read().collect()} == {11.0, 22.0, 30.0}
+
+
+def test_vacuum_dry_run_matches_actual_removal(spark, table):
+    table.update("id = 1", {"amount": "111.0"})
+    table.optimize()
+    dry = table.vacuum(retain_hours=0.0, dry_run=True)
+    real = table.vacuum(retain_hours=0.0)
+    assert dry == real and len(real) > 0
