@@ -160,3 +160,28 @@ def test_validate_all_single_action(spark, monkeypatch):
     assert out["ranges"]["x"]["out_of_range"] == 1000 - sum(
         1 for i in range(1000) if i % 7 <= 5
     )
+
+
+def test_identity_assignment_broadcasts_offsets_no_sort_merge(spark, tmp_path):
+    """The identity allocator's offset join must broadcast the
+    (metadata-sized) per-partition offset table — a sort-merge join
+    here would shuffle the entire append batch just to number it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "ident-plan"),
+        T.StructType(
+            [T.StructField("uid", T.LongType()), T.StructField("v", T.LongType())]
+        ),
+        identity_columns={"uid": {}},
+    )
+    df, _ = t._apply_identity(
+        spark.range(1000).select(F.col("id").alias("v")).repartition(4)
+    )
+    plan = explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
