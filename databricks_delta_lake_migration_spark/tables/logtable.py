@@ -688,14 +688,17 @@ class LogTable:
         ``read().filter(where)``; only the I/O differs. Catalyst's
         parquet row-group pruning still applies within surviving files.
         """
-        files, schema_json, partition_by, _, _ = self._replay(version, timestamp)
+        files, schema_json, partition_by, props, _ = self._replay(version, timestamp)
         schema = T.StructType.fromJson(json.loads(schema_json))
         if where is None:
-            return self._read_entries(files, schema)
-        conj = self._physical_conjuncts(_parse_conjuncts(where))
+            return self._read_entries(files, schema, props=props)
+        mapping = self._column_mapping(props)
+        conj = [
+            (mapping.get(c, c), op, v) for c, op, v in _parse_conjuncts(where)
+        ]
         if conj:
             files = [f for f in files if _stats_may_match(f, conj)]
-        return self._read_entries(files, schema).filter(F.expr(where))
+        return self._read_entries(files, schema, props=props).filter(F.expr(where))
 
     def read_changes(
         self,
@@ -1305,6 +1308,7 @@ class LogTable:
         schema: T.StructType,
         with_file_path: bool = False,
         with_dv_key: bool = False,
+        props: dict[str, str] | None = None,
     ) -> DataFrame:
         """Scan a file set with the declared schema. Files written before
         a schema evolution surface NULL for later columns; partition
@@ -1320,8 +1324,12 @@ class LogTable:
 
         Column mapping: files are scanned under their PHYSICAL names
         and aliased back to the logical schema, so renamed columns
-        resolve without any file rewrite."""
-        mapping = self._column_mapping()
+        resolve without any file rewrite. ``props`` carries the
+        properties AS OF the snapshot being read — a time-travel read
+        across a rename must use that version's mapping, not today's
+        (the logical name `schema` carries is the one that version's
+        mapping knows)."""
+        mapping = self._column_mapping(props)
         phys = {f.name: mapping.get(f.name, f.name) for f in schema.fields}
         read_schema = T.StructType(
             [
@@ -1691,8 +1699,15 @@ class LogTable:
 
     def restore(self, version: int | None = None, timestamp: float | None = None) -> dict:
         """RESTORE TABLE TO VERSION/TIMESTAMP AS OF (D5)."""
-        old_files, old_schema, old_part, _, v = self._replay(version, timestamp)
-        cur_files, _, _, _, _ = self._replay()
+        old_files, old_schema, old_part, old_props, v = self._replay(version, timestamp)
+        cur_files, _, _, cur_props, _ = self._replay()
+        # the restored schema's logical names need the mapping that was
+        # in force with it — restoring schema without mapping would make
+        # a renamed column read NULL. Reserved physicals stay current
+        # (superset-conservative).
+        props_patch = None
+        if cur_props.get(MAPPING_PROP) != old_props.get(MAPPING_PROP):
+            props_patch = {MAPPING_PROP: old_props.get(MAPPING_PROP, "{}")}
         cur_by_path = {f.path: f for f in cur_files}
         cur_paths = set(cur_by_path)
         old_paths = {f.path for f in old_files}
@@ -1714,6 +1729,7 @@ class LogTable:
                 remove=sorted(cur_paths - old_paths),
                 schema_json=old_schema,
                 partition_by=old_part,
+                properties=props_patch,
                 parameters={"version": v},
             )
         )

@@ -92,3 +92,64 @@ def test_random_dml_program_matches_model(spark, ops):
         assert state(t.read(version=v)) == snap, f"version {v} drifted"
     # and the physical row count never hides duplicates
     assert t.read().count() == len(model)
+
+
+_ddl_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 4)),
+    st.tuples(st.just("update"), st.integers(0, 50)),
+    st.tuples(st.just("delete"), st.integers(0, 50)),
+    st.tuples(st.just("rename"), st.just(0)),
+    st.tuples(st.just("restore"), st.integers(0, 100)),
+    st.tuples(st.just("optimize"), st.just(0)),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_ddl_op, min_size=2, max_size=8))
+def test_random_ddl_dml_program_matches_model(spark, ops):
+    """Column-mapping serializability: RENAME COLUMN interleaved with an
+    arbitrary DML program must never change any row's VALUES, and time
+    travel must reproduce each version under the schema it had then."""
+    path = tempfile.mkdtemp(prefix="ddlmodel-") + "/t"
+    t = LogTable.create(spark, path, SCHEMA)
+    model: dict[int, tuple[str, int]] = {}
+    next_id = 0
+    val_col = "amount"
+    other = {"amount": "amt", "amt": "amount"}
+    history: dict[int, tuple[dict, str]] = {t.version(): (dict(model), val_col)}
+
+    for kind, arg in ops:
+        if kind == "append":
+            batch = {next_id + i: ("NEW", (next_id + i) * 7 % 100) for i in range(arg)}
+            next_id += arg
+            df = spark.createDataFrame(
+                [(i, s, a) for i, (s, a) in batch.items()],
+                f"id long, status string, {val_col} long",
+            )
+            t.append(df)
+            model.update(batch)
+        elif kind == "update":
+            t.update(f"{val_col} < {arg}", {"status": "'LOW'"})
+            model = {
+                i: (("LOW", a) if a < arg else (s, a)) for i, (s, a) in model.items()
+            }
+        elif kind == "delete":
+            t.delete(f"{val_col} > {arg}")
+            model = {i: (s, a) for i, (s, a) in model.items() if not a > arg}
+        elif kind == "rename":
+            t.rename_column(val_col, other[val_col])
+            val_col = other[val_col]
+        elif kind == "restore":
+            versions = sorted(history)
+            target = versions[arg % len(versions)]
+            t.restore(version=target)
+            model, val_col = dict(history[target][0]), history[target][1]
+        else:
+            t.optimize()
+        history[t.version()] = (dict(model), val_col)
+
+    got = {r["id"]: (r["status"], r[val_col]) for r in t.read().collect()}
+    assert got == model
+    for v, (snap, col) in history.items():
+        old = {r["id"]: (r["status"], r[col]) for r in t.read(version=v).collect()}
+        assert old == snap, f"version {v} drifted"
