@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 105 queries
+# The driver hash-checks the first 50 registrations; with 108 queries
 # registered, ordering is coverage policy. Rounds 1–3 accumulated green
 # driver rows for 50 queries; round 4 rotates the window to the 41
 # queries that have never had a driver row (plus q39, red in r3 on a

@@ -563,3 +563,197 @@ def q103_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_value"), 4).alias("total_value"),
         )
     )
+
+
+def _events_json_chunks(spark, sf_dir, selector, chunks):
+    """Materialize the events fixture as JSON chunk files with
+    mtime-ordered micro-batch boundaries (epoch-micros transport)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    e = selector(load_table(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="stream-src-")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    t0 = _time.time() - 400
+    for i, ch in enumerate(chunks(e)):
+        stage = os.path.join(root, f"stage{i}")
+        ch.coalesce(1).write.json(stage)
+        (part,) = glob.glob(f"{stage}/part-*.json")
+        dest = os.path.join(src, f"chunk-{i}.json")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+    return root, src
+
+
+@query(
+    "q108_stream_interval_join",
+    oracle="""
+    SELECT l.user_id,
+           CAST(l.ts AS TIMESTAMP) AS click_ts,
+           CAST(r.ts AS TIMESTAMP) AS purchase_ts,
+           r.value AS purchase_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND CAST(r.ts AS TIMESTAMP) > CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def q108_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream event-time interval join hash-checked against
+    a SQL range join: clicks and purchases replay as two file streams,
+    ``interval_join`` (two-sided time bound + watermarks, so buffered
+    state expires) attributes each purchase to the clicks of the same
+    user within the preceding hour, and the joined rows land in a log
+    table via foreachBatch. Inner-join matches emit as found, so a
+    single availableNow batch per side is exactly the batch semantics —
+    while still executing Spark's streaming symmetric hash join with
+    watermarked state, not a batch join."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming import interval_join
+    from ..tables import LogTable
+
+    root, src = _events_json_chunks(
+        spark,
+        sf_dir,
+        lambda e: e.filter(F.col("event_type").isin("click", "purchase")).select(
+            "user_id", "event_type", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+        ),
+        lambda e: [e],
+    )
+    wire = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(wire)
+            .format("json")
+            .load(src)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+
+    left = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("lts"))
+    )
+    right = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("rts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = interval_join(
+        left,
+        right,
+        keys=["user_id"],
+        max_delay="1 hour",
+        watermark="2 hours",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("lts").alias("click_ts"),
+        F.col("rts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("purchase_ts", T.TimestampType()),
+            T.StructField("purchase_value", T.DoubleType()),
+        ]
+    )
+    table_path = os.path.join(root, "attrib")
+    t = LogTable.create(spark, table_path, out_schema)
+
+    def sink(bdf, bid):
+        LogTable(spark, table_path).append(bdf)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LogTable(spark, table_path).read()
+
+
+@query(
+    "q109_stream_ingest_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def q109_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming ingest-dedup hash-checked end-to-end: the events
+    fixture replays as two mtime-ordered chunk files — the second one
+    RE-EMITS every fifth event (producer-retry duplicates, the #1
+    ingest artifact) — through ``stream_dedup_to_table``
+    (``dropDuplicatesWithinWatermark`` + batch-id-idempotent append).
+    The cross-micro-batch state store must drop every re-delivery for
+    the final table to hash-match SELECT-the-original-events; a plain
+    append sink would double 20% of the rows. Bounded state: keys are
+    held only inside the watermark horizon, never forever."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming import stream_dedup_to_table
+    from ..tables import LogTable
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    # ts rides as a native JSON timestamp: it only drives the watermark
+    # (not the hashed output), so sub-millisecond JSON fidelity is moot
+    root, src = _events_json_chunks(
+        spark,
+        sf_dir,
+        lambda e: e.select(*cols, "ts"),
+        lambda e: [e, e.filter(F.col("event_id") % 5 == 0)],  # chunk 2 = re-delivery
+    )
+    wire = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    table_path = os.path.join(root, "clean")
+    q = stream_dedup_to_table(
+        spark,
+        src,
+        table_path,
+        wire,
+        key_columns=["event_id"],
+        ts_col="ts",
+        watermark="90 days",  # horizon ≥ fixture span: every retry caught
+        checkpoint=os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return LogTable(spark, table_path).read().select(*cols)
