@@ -198,6 +198,55 @@ class Catalog:
         # injective via a short fq-hash — plain underscore-joining maps
         # a.b_c.d and a_b.c.d to the same view (ADVICE r3).
         rewritten, stash = _mask_literals(query)
+        # Delta SQL time travel: `name VERSION AS OF n` / `name
+        # TIMESTAMP AS OF '<ts>'` binds a snapshot view of that version
+        # (the literal is already masked — recover it from the stash).
+        lookup: dict[str, str] = {}
+        for fq in reg:
+            cat, sch, tbl = fq.split(".")
+            lookup[fq] = fq
+            if cat == self.default_catalog:
+                lookup.setdefault(f"{sch}.{tbl}", fq)
+        tt_views: dict[str, object] = {}
+        if lookup:
+            names_alt = "|".join(
+                re.escape(n) for n in sorted(lookup, key=len, reverse=True)
+            )
+            tt_pat = re.compile(
+                r"(?<![\w.`])(" + names_alt + r")\s+"
+                r"(?:VERSION\s+AS\s+OF\s+(\d+)"
+                r"|TIMESTAMP\s+AS\s+OF\s+\x00(\d+)\x00)",
+                re.I,
+            )
+
+            def _tt_sub(m: re.Match) -> str:
+                fq = lookup[m.group(1)]
+                t = LogTable(self.spark, reg[fq])
+                if m.group(2) is not None:
+                    ver: int | None = int(m.group(2))
+                    snap = t.read(version=ver)
+                    tag = f"v{ver}"
+                else:
+                    from datetime import datetime, timezone
+
+                    lit = stash[int(m.group(3))].strip("'\"")
+                    epoch = (
+                        datetime.fromisoformat(lit)
+                        .replace(tzinfo=timezone.utc)
+                        .timestamp()
+                    )
+                    snap = t.read(timestamp=epoch)
+                    tag = f"t{int(epoch)}"
+                view = (
+                    f"__tt_{fq.split('.')[-1]}_"
+                    f"{hashlib.md5(f'{fq}@{tag}'.encode()).hexdigest()[:8]}"
+                )
+                tt_views[view] = snap
+                return view
+
+            rewritten = tt_pat.sub(_tt_sub, rewritten)
+        for view, snap in tt_views.items():
+            snap.createOrReplaceTempView(view)
         aliases: dict[str, str] = {}
         for fq in sorted(reg, key=len, reverse=True):
             cat, sch, tbl = fq.split(".")

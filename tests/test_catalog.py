@@ -185,3 +185,50 @@ def test_bind_branch_cap_single_scan(spark, tmp_path):
         ).first().id == n
     finally:
         c.unbind()
+
+
+def test_sql_time_travel_version_as_of(spark, cat):
+    t = cat.table("silver.users")
+    v1 = t.version()
+    t.delete("id = 1")
+    t.append(spark.createDataFrame([(9, 9.0, "d3")], SCHEMA))
+
+    cur = cat.sql("SELECT COUNT(*) AS n FROM silver.users").first().n
+    old = cat.sql(
+        f"SELECT COUNT(*) AS n FROM silver.users VERSION AS OF {v1}"
+    ).first().n
+    assert old == 3 and cur == 3  # v1 had 3 rows; now 2 + 1 appended = 3
+    ids_old = {
+        r.id
+        for r in cat.sql(
+            f"SELECT id FROM silver.users VERSION AS OF {v1}"
+        ).collect()
+    }
+    assert ids_old == {1, 2, 3}
+    ids_now = {r.id for r in cat.sql("SELECT id FROM silver.users").collect()}
+    assert ids_now == {2, 3, 9}
+
+    # both snapshots in ONE statement (self-join across versions)
+    diff = cat.sql(
+        f"""SELECT o.id FROM silver.users VERSION AS OF {v1} o
+            LEFT ANTI JOIN silver.users c ON o.id = c.id"""
+    )
+    assert {r.id for r in diff.collect()} == {1}
+
+
+def test_sql_time_travel_timestamp_as_of(spark, cat):
+    import time as _time
+
+    t = cat.table("silver.users")
+    ts_between = _time.time()
+    _time.sleep(0.05)
+    t.delete("id = 1")
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts_between, tz=timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    old = cat.sql(
+        f"SELECT COUNT(*) AS n FROM silver.users TIMESTAMP AS OF '{iso}'"
+    ).first().n
+    assert old == 3
