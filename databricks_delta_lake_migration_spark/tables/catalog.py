@@ -182,7 +182,10 @@ class Catalog:
         """Run SQL referencing registered names. Delta-dialect utility
         statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE /
         UPDATE / DELETE / MERGE INTO — see :mod:`.sqlrouter`) dispatch
-        to the LogTable API; everything else binds every referenced
+        to the LogTable API; ``name VERSION AS OF n`` / ``name
+        TIMESTAMP AS OF '<ts>'`` references bind that SNAPSHOT (Delta's
+        SQL time travel — mixable with current-snapshot references in
+        one statement); everything else binds every referenced
         registered name (longest-first, word-bounded) as a temp view of
         the table's CURRENT snapshot and rewrites the query text —
         correct for every table state (schema evolution, time travel
