@@ -2144,13 +2144,28 @@ class MergeBuilder:
 
     def execute(self) -> dict:
         t = self.table
-        if self.not_matched and t._identity_columns():
+        idents = t._identity_columns()
+        if self.not_matched and idents:
             raise NotImplementedError(
                 "MERGE INSERT into a table with identity columns is not "
                 "supported (GENERATED ALWAYS forbids explicit values and "
                 "merge-time allocation is not implemented) — append the "
                 "unmatched rows instead"
             )
+        if idents:
+            assigned = [
+                c
+                for c in idents
+                for kind, s, _ in (*self.matched, *self.not_matched_by_source)
+                if (s is not None and c in s)
+                or (kind == "update" and s is None and c in self.source.columns)
+            ]
+            if assigned:
+                raise ValueError(
+                    f"identity columns {sorted(set(assigned))} are GENERATED "
+                    "ALWAYS — MERGE UPDATE cannot assign them (UPDATE SET * "
+                    "with the column in the source counts as assignment)"
+                )
         files, schema_json0, partition_by, _, _ = t._replay()
         schema = T.StructType.fromJson(json.loads(schema_json0))
         # schema evolution is folded into the MERGE commit itself (one

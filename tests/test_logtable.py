@@ -1383,3 +1383,36 @@ def test_vacuum_dry_run_matches_actual_removal(spark, table):
     dry = table.vacuum(retain_hours=0.0, dry_run=True)
     real = table.vacuum(retain_hours=0.0)
     assert dry == real and len(real) > 0
+
+
+def test_identity_merge_update_cannot_assign(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    t = LogTable.create(
+        spark, str(tmp_path / "identm"), schema, identity_columns={"uid": {}}
+    )
+    t.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    src = spark.createDataFrame([(999, "a")], "uid long, name string")
+    with pytest.raises(ValueError, match="GENERATED"):
+        (
+            t.merge(src, "target.name = source.name")
+            .when_matched_update(set={"uid": "source.uid"})
+            .execute()
+        )
+    with pytest.raises(ValueError, match="GENERATED"):
+        (
+            t.merge(src, "target.name = source.name")
+            .when_matched_update_all()  # SET * with uid in the source
+            .execute()
+        )
+    # updates NOT touching the identity column still work
+    res = (
+        t.merge(src.drop("uid"), "target.name = source.name")
+        .when_matched_update(set={"name": "upper(source.name)"})
+        .execute()
+    )
+    assert res["numUpdatedRows"] == 1
