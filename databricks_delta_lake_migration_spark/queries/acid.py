@@ -682,3 +682,42 @@ def q106_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pred in (F.col("o_orderkey") % 4 != 0, F.col("o_orderkey") % 4 == 0):
         t.append(base.filter(pred).orderBy("o_orderkey").coalesce(1))
     return t.read()
+
+
+@query(
+    "q110_sql_time_travel",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ), cur AS (
+        SELECT * FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    )
+    SELECT v1.o_orderkey, v1.o_orderstatus, v1.o_totalprice,
+           (cur.o_orderkey IS NULL) AS deleted_since_v1
+    FROM v1 LEFT JOIN cur ON v1.o_orderkey = cur.o_orderkey
+    """,
+)
+def q110_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SQL time travel through the catalog (S8's SQL spelling —
+    05_time_travel_demo.py's `VERSION AS OF` run as real SQL text):
+    ONE statement joins the v1 snapshot against the current snapshot of
+    the same table (`Catalog.sql` binds each `name VERSION AS OF n`
+    reference to its own snapshot view), flagging rows a later DELETE
+    removed — the audit query every time-travel demo builds."""
+    from ..tables import Catalog
+
+    target = _orders_subset(spark, sf_dir)
+    cat = Catalog(spark, _scratch("sqltt-cat"), default_catalog="lake")
+    t = cat.create_table("lake.acid.orders_tt", target.schema)
+    t.append(target)
+    v1 = t.version()
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    return cat.sql(
+        f"""
+        SELECT v1.o_orderkey, v1.o_orderstatus, v1.o_totalprice,
+               (cur.o_orderkey IS NULL) AS deleted_since_v1
+        FROM acid.orders_tt VERSION AS OF {v1} v1
+        LEFT JOIN acid.orders_tt cur ON v1.o_orderkey = cur.o_orderkey
+        """
+    )
