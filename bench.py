@@ -145,13 +145,17 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         # row-group min/max), which wall time captures and file-level
         # stats cannot — numeric-like STRING min/max spans nearly the
         # whole range after bit-interleaving, so a file-skip count
-        # would falsely read as zero benefit.
+        # would falsely read as zero benefit. The probe aggregates the
+        # wide string column so surviving-row-group DECODE dominates the
+        # timing (a bare count() is mostly fixed job overhead, whose
+        # variance at local scale can even flip the sign); min-of-5
+        # tightens the floor further.
         point = lambda: t.read().filter(  # noqa: E731
             (F.col("user_id") == "12345") & (F.col("category") == "5")
-        ).count()
-        before = best_time(point)
+        ).agg(F.count(F.lit(1)), F.sum(F.length("data"))).collect()
+        before = best_time(point, n=5)
         t.zorder(["user_id", "category"], n_files=8)
-        after = best_time(point)
+        after = best_time(point, n=5)
         out["zorder_speedup_pct"] = round((before - after) / before * 100, 1)
 
         # partition-pruning impact: full scan vs partition filter

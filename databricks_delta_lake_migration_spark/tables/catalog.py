@@ -233,11 +233,10 @@ class Catalog:
                     from datetime import datetime, timezone
 
                     lit = stash[int(m.group(3))].strip("'\"")
-                    epoch = (
-                        datetime.fromisoformat(lit)
-                        .replace(tzinfo=timezone.utc)
-                        .timestamp()
-                    )
+                    dt = datetime.fromisoformat(lit)
+                    if dt.tzinfo is None:  # naive literal = session (UTC)
+                        dt = dt.replace(tzinfo=timezone.utc)
+                    epoch = dt.timestamp()
                     snap = t.read(timestamp=epoch)
                     tag = f"t{int(epoch)}"
                 view = (
