@@ -23,6 +23,9 @@ Statement coverage (the forms the reference actually uses):
 - ``ALTER TABLE t RENAME COLUMN old TO new`` / ``DROP COLUMN name``
   (metadata-only via column mapping — no data rewrite)
 - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
+- ``CREATE TABLE [IF NOT EXISTS] t (col TYPE [COMMENT '...'], ...)
+  [USING fmt] [PARTITIONED BY (...)] [TBLPROPERTIES (...)]`` — the DDL
+  the reference's schema→DDL generator emits (delta_utils.py:242-256)
 - ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
   explicit column list maps positions, unlisted columns null-fill)
 - ``OPTIMIZE t [ZORDER BY (c1, c2)]``
@@ -110,6 +113,17 @@ _SHOW_TABLES = re.compile(
     rf"^\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+({_ID}))?\s*;?\s*$", re.I
 )
 _TRUNCATE = re.compile(rf"^\s*TRUNCATE\s+TABLE\s+({_ID})\s*;?\s*$", re.I)
+# column-definition CREATE TABLE (delta_utils.py:242-256 generates this
+# DDL; the reference's create_table runs it). Must be tried AFTER _CTAS
+# and _CLONE — "(...)" here is a column list, not a partition spec.
+_CREATE_COLS = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})\s*"
+    r"\((.*?)\)\s*"
+    rf"(?:USING\s+\w+\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?"
+    r"(?:TBLPROPERTIES\s*\((.*)\)\s*)?;?\s*$",
+    re.I | re.S,
+)
 _CTAS = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})"
     rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.*)$",
@@ -382,6 +396,47 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         t = cat.create_table(name, df.schema, partition_by=part)
         t.append(df)
         return _one_row(spark, {"numOutputRows": t.read().count()})
+
+    if m := _CREATE_COLS.match(query):
+        # empty table from column definitions — the DDL shape the
+        # reference's schema→DDL generator emits (delta_utils.py:242-256)
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        name, if_not_exists = m.group(2), bool(m.group(1))
+        if cat._fq(name) in cat._load():
+            if if_not_exists:
+                return _one_row(spark, {"created": False, "skipped": True})
+            raise ValueError(f"table already exists: {cat._fq(name)}")
+        fields = []
+        for part_def in _split_top(m.group(3)):
+            cm = _COL_DEF.match(part_def)
+            if not cm:
+                raise ValueError(f"bad column definition: {part_def!r}")
+            meta = {"comment": cm.group(3)} if cm.group(3) else None
+            fields.append(
+                StructField(
+                    cm.group(1), _parse_datatype_string(cm.group(2)), True,
+                    metadata=meta,
+                )
+            )
+        part = (
+            [c.strip().strip("`") for c in m.group(4).split(",")]
+            if m.group(4)
+            else None
+        )
+        props = {}
+        if m.group(5):
+            for entry in _split_top(m.group(5)):
+                k, sep, v = entry.partition("=")
+                if not sep:
+                    raise ValueError(f"bad TBLPROPERTIES entry: {entry!r}")
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        cat.create_table(
+            name, StructType(fields), partition_by=part, properties=props or None
+        )
+        return _one_row(
+            spark, {"created": True, "columns": [f.name for f in fields]}
+        )
 
     if m := _INSERT_INTO.match(query):
         t = cat.table(m.group(1))

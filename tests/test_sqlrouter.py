@@ -327,3 +327,29 @@ def test_unset_tblproperties_sql(spark, cat):
     assert r.first()["propertiesUnset"] == '["a"]'
     props = cat.table("acid.orders").properties()
     assert "a" not in props and props["b"] == "2"
+
+
+def test_create_table_column_defs_sql(spark, cat):
+    r = cat.sql(
+        """CREATE TABLE acid.items (
+               item_id BIGINT,
+               name STRING COMMENT 'display name',
+               price DOUBLE
+           ) PARTITIONED BY (name)
+           TBLPROPERTIES ('enableChangeDataFeed' = 'true')"""
+    )
+    assert r.first()["created"] == "True"
+    t = cat.table("acid.items")
+    assert [f.name for f in t.schema().fields] == ["item_id", "name", "price"]
+    assert t.partition_columns() == ["name"]
+    assert t.properties()["enableChangeDataFeed"] == "true"
+    cat.sql("INSERT INTO acid.items VALUES (1, 'a', 2.5)")
+    assert t.read().count() == 1
+
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE acid.items (x BIGINT)")
+    r = cat.sql("CREATE TABLE IF NOT EXISTS acid.items (x BIGINT)")
+    assert r.first()["skipped"] == "True"
+    # CTAS still routes to its own handler, not the column-def one
+    r = cat.sql("CREATE TABLE acid.items2 AS SELECT * FROM acid.items")
+    assert r.first()["numOutputRows"] == "1"
