@@ -31,20 +31,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 109 queries
+# The driver hash-checks the first 50 registrations; with 110 queries
 # registered, ordering is coverage policy. Rounds 1–3 accumulated green
 # driver rows for 50 queries; round 4 rotates the window to the 41
 # queries that have never had a driver row (plus q39, red in r3 on a
 # comparator encoding issue, now CSV-encoded). Round 5 should rotate in
 # the remaining never-checked registrations — q93–q101 (curation, PQ,
-# expectations, DV) and q102–q110 (IVM, streaming window agg/interval
+# expectations, DV) and q102–q111 (IVM, streaming window agg/interval
 # join/ingest-dedup, generated/identity columns, column mapping,
 # semantic dedup, SQL time travel) — all already green under the local sf0.01 driver
 # simulation this round. Eight keeper anchors — one per signature tier
 # (MERGE, time travel, streaming CDC, medallion, cosine top-k,
 # MinHash-LSH, grouped agg, star join) — stay in-window as cross-round
 # regression sentinels. pytest's local DuckDB oracle-parity twin still
-# exercises all 109 every round.
+# exercises all 110 every round.
 _PRIORITY = [
     # never-checked: relational / window / join / agg variants
     "q03_segment_daily_revenue", "q04_order_priority_late_ship",

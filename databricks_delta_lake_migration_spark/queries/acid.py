@@ -721,3 +721,41 @@ def q110_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN acid.orders_tt cur ON v1.o_orderkey = cur.o_orderkey
         """
     )
+
+
+@query(
+    "q111_convert_to_delta",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus,
+           TRUE AS zero_copy
+    FROM orders
+    WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0
+    """,
+)
+def q111_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA parity (``LogTable.convert`` — the zero-copy
+    alternative to the reference's copy-based parquet migration,
+    migrate_from_hdfs.py): a plain hive-partitioned parquet directory is
+    adopted IN PLACE as version 0 — one listing + footer pass, no row
+    copied (the verdict column pins the adopted file set identical to
+    the original files). The converted directory immediately supports
+    stats-pruned DML: an UPDATE and a DELETE run against it and the
+    final state must match the declarative program."""
+    target = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .filter(F.col("o_orderkey") % 4 != 0)
+    )
+    src = _scratch("convert")
+    target.write.partitionBy("o_orderstatus").parquet(src)
+    import glob
+
+    files_before = set(glob.glob(f"{src}/**/*.parquet", recursive=True))
+    t = LogTable.convert(spark, src)
+    zero_copy = {f.abspath(t.path) for f in t._replay()[0]} == files_before
+    t.update("o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice * 2"})
+    t.delete("o_orderkey % 7 = 0")
+    return t.read().withColumn("zero_copy", F.lit(zero_copy))

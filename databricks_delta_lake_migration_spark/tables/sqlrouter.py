@@ -73,6 +73,11 @@ _ALTER_ADD_COLS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$",
     re.I | re.S,
 )
+_CONVERT = re.compile(
+    rf"^\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`"
+    rf"(?:\s+AS\s+({_ID}))?\s*;?\s*$",
+    re.I,
+)
 _RENAME_COL = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$",
     re.I,
@@ -268,6 +273,22 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             )
         cat.table(m.group(1)).add_columns(fields)
         return _one_row(spark, {"columnsAdded": [f.name for f in fields]})
+
+    if m := _CONVERT.match(query):
+        # CONVERT TO DELTA parquet.`/path` [AS cat.sch.name] — in-place
+        # metadata-only adoption; the optional AS registers the result
+        from .logtable import LogTable as _LT
+
+        t = _LT.convert(spark, m.group(1))
+        if m.group(2):
+            cat.register(m.group(2), t.path)
+        d = t.detail()
+        return _one_row(
+            spark,
+            {"converted": True, "numFiles": d["numFiles"],
+             "numRecords": d["numRecords"],
+             **({"registered": m.group(2)} if m.group(2) else {})},
+        )
 
     if m := _RENAME_COL.match(query):
         cat.table(m.group(1)).rename_column(m.group(2), m.group(3))

@@ -1416,3 +1416,51 @@ def test_identity_merge_update_cannot_assign(spark, tmp_path):
         .execute()
     )
     assert res["numUpdatedRows"] == 1
+
+
+# ---------------------------------------------------------------------------
+# CONVERT TO DELTA: in-place adoption of an existing parquet directory
+# ---------------------------------------------------------------------------
+
+
+def test_convert_parquet_dir_in_place(spark, tmp_path):
+    src = str(tmp_path / "plain")
+    rows_df(
+        spark,
+        [(1, "A", 1.0, "d1"), (2, "B", 2.0, "d1"), (3, "C", 3.0, "d2")],
+    ).write.partitionBy("day").parquet(src)
+    import glob
+
+    files_before = set(glob.glob(f"{src}/**/*.parquet", recursive=True))
+
+    t = LogTable.convert(spark, src)
+    # zero copy: the exact same data files, now tracked by the log
+    assert {f.abspath(t.path) for f in t._replay()[0]} == files_before
+    assert t.partition_columns() == ["day"]
+    assert {(r.id, r.status, r.amount, r.day) for r in t.read().collect()} == {
+        (1, "A", 1.0, "d1"),
+        (2, "B", 2.0, "d1"),
+        (3, "C", 3.0, "d2"),
+    }
+    # footer stats were adopted → data skipping works immediately
+    assert {r.id for r in t.read(where="id >= 3").collect()} == {3}
+
+    # the converted directory is a full table: DML + time travel
+    t.update("id = 1", {"amount": "10.0"})
+    t.delete("id = 2")
+    assert {(r.id, r.amount) for r in t.read().collect()} == {(1, 10.0), (3, 3.0)}
+    assert t.read(version=0).count() == 3
+
+    with pytest.raises(FileExistsError):
+        LogTable.convert(spark, src)  # already converted
+
+
+def test_convert_sql_spelling_and_register(spark, tmp_path):
+    from databricks_delta_lake_migration_spark.tables import Catalog
+
+    src = str(tmp_path / "plain2")
+    rows_df(spark, [(7, "Z", 7.0, "d1")]).write.parquet(src)
+    c = Catalog(spark, str(tmp_path / "cat"))
+    r = c.sql(f"CONVERT TO DELTA parquet.`{src}` AS lake.bronze.adopted")
+    assert r.first()["converted"] == "True"
+    assert c.read("bronze.adopted").count() == 1
