@@ -32,50 +32,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the first 50 registrations; with 110 queries
-# registered, ordering is coverage policy. Rounds 1–3 accumulated green
-# driver rows for 50 queries; round 4 rotates the window to the 41
-# queries that have never had a driver row (plus q39, red in r3 on a
-# comparator encoding issue, now CSV-encoded). Round 5 should rotate in
-# the remaining never-checked registrations — q93–q101 (curation, PQ,
-# expectations, DV) and q102–q111 (IVM, streaming window agg/interval
-# join/ingest-dedup, generated/identity columns, column mapping,
-# semantic dedup, SQL time travel) — all already green under the local sf0.01 driver
-# simulation this round. Eight keeper anchors — one per signature tier
-# (MERGE, time travel, streaming CDC, medallion, cosine top-k,
-# MinHash-LSH, grouped agg, star join) — stay in-window as cross-round
-# regression sentinels. pytest's local DuckDB oracle-parity twin still
-# exercises all 110 every round.
+# registered, ordering is coverage policy. Rounds 1–4 accumulated green
+# driver rows for 91 distinct queries; round 5 rotates in the LAST 19
+# never-checked registrations (q93–q111: curation, PQ/IVF-PQ,
+# expectations/sampling, deletion vectors, incremental gold, the three
+# streaming hard oracles, generated/identity columns, column mapping,
+# semantic dedup, SQL time travel, CONVERT TO DELTA) — with these green
+# every one of the 110 registrations has a hard driver row in some
+# round. Eight keeper anchors — one per signature tier (MERGE, time
+# travel, streaming CDC, medallion, cosine top-k, MinHash-LSH, grouped
+# agg, star join) — stay in-window as cross-round regression
+# sentinels; the remaining 23 slots re-confirm rows whose only green
+# driver row is from rounds 1–3. pytest's local DuckDB oracle-parity
+# twin still exercises all 110 every round.
 _PRIORITY = [
-    # never-checked: relational / window / join / agg variants
-    "q03_segment_daily_revenue", "q04_order_priority_late_ship",
-    "q06_revenue_forecast", "q11_top_parts_per_brand",
-    "q12_daily_revenue_delta", "q13_rolling_7day_revenue",
-    "q14_nation_set_algebra", "q17_events_hourly_rollup",
-    "q20_daily_transaction_analytics", "q21_customer_ltv",
-    "q22_cohort_retention", "q23_currency_normalization",
-    "q24_row_fingerprint", "q26_json_map_access", "q27_rollup_revenue",
-    "q28_asof_last_purchase", "q29_range_join_ship_lag",
-    "q54_group_percentiles", "q55_pivot_quantity", "q56_cube_revenue",
-    "q57_nation_balance_full_outer", "q58_balance_distribution",
-    "q59_quiet_customers", "q74_summary_stats",
-    "q75_range_frame_revenue", "q81_price_histogram",
-    "q82_multi_path_union",
-    # never-checked: catalog + maintenance lifecycle (incl. RESTORE verdict)
-    "q89_catalog_named_table", "q67_maintenance_metrics",
-    # never-checked: gold medallion products
-    "q85_medallion_user_ltv", "q86_medallion_cohorts",
-    "q87_medallion_daily_kpis",
-    # never-checked: LLM-pipeline text/dedup/similarity/multimodal variants
-    "q33_dedup_stats", "q38_chargram_jaccard", "q42_embedding_stats",
-    "q44_batch_topk", "q47_lsh_near_dup", "q51_frame_sample_plan",
-    "q52_media_chunks", "q90_bpe_pretokens", "q91_corpus_filter",
-    # red in r3 (driver comparator couldn't sort an array column) —
-    # now CSV-encoded like q19; must land green this round
-    "q39_winnow_fingerprints",
+    # never-checked: curation tier
+    "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",
+    "q98_corpus_pipeline", "q99_expectations_gate",
+    "q100_stratified_sample",
+    # never-checked: PQ ANN + semantic dedup
+    "q96_pq_topk", "q97_ivfpq_topk", "q107_semantic_dedup",
+    # never-checked: table-format extensions
+    "q101_dv_delete", "q102_incremental_gold", "q104_generated_columns",
+    "q105_rename_drop_column", "q106_identity_column",
+    "q110_sql_time_travel", "q111_convert_to_delta",
+    # never-checked: streaming hard oracles
+    "q103_stream_windowed_agg", "q108_stream_interval_join",
+    "q109_stream_ingest_dedup",
     # keepers: one anchor per signature tier
     "q60_merge_upsert", "q63_time_travel_diff", "q92_streaming_cdc_apply",
     "q70_medallion_gold", "q40_cosine_topk", "q36_minhash_lsh_pairs",
     "q01_pricing_summary", "q05_nation_revenue",
+    # re-confirm: last green driver row is r1–r3
+    "q02_top_orders_by_revenue", "q07_conditional_agg",
+    "q08_distinct_counts", "q09_null_profile",
+    "q10_latest_event_per_user", "q15_customers_without_orders",
+    "q16_global_kpis", "q18_sessionization", "q19_daily_user_activity",
+    "q25_quality_report", "q41_ann_lsh_topk", "q61_merge_conditional",
+    "q62_update_delete", "q64_cdf_summary", "q65_replace_where",
+    "q66_scd2_dimension", "q68_cdc_mirror", "q71_bronze_stamping",
+    "q72_windowed_event_counts", "q73_session_windows",
+    "q84_medallion_tx_analytics", "q88_scd2_users_state",
+    "q76_history_rollup",
 ]
 
 

@@ -140,23 +140,25 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         out["skipping_speedup_pct"] = round((unskipped - skipped) / unskipped * 100, 1)
 
         # Z-order impact: point query before vs after clustering
-        # (reference benchmarks:238-293). The win here is parquet
-        # ROW-GROUP pruning inside files (clustered values → narrow
-        # row-group min/max), which wall time captures and file-level
-        # stats cannot — numeric-like STRING min/max spans nearly the
-        # whole range after bit-interleaving, so a file-skip count
-        # would falsely read as zero benefit. The probe aggregates the
-        # wide string column so surviving-row-group DECODE dominates the
-        # timing (a bare count() is mostly fixed job overhead, whose
-        # variance at local scale can even flip the sign); min-of-5
-        # tightens the floor further.
-        point = lambda: t.read().filter(  # noqa: E731
-            (F.col("user_id") == "12345") & (F.col("category") == "5")
-        ).agg(F.count(F.lit(1)), F.sum(F.length("data"))).collect()
+        # (reference benchmarks:238-293). Two observables, because wall
+        # time alone has misread clustering twice (r3 false positive,
+        # r4 true zero): (a) wall time of the skip-aware read path —
+        # file-level min/max pruning plus parquet row-group pruning,
+        # both of which fire now that string zorder is order-preserving
+        # — aggregating the wide string column so surviving-row DECODE
+        # dominates fixed job overhead; (b) the deterministic file-skip
+        # count from prune_stats, which cannot be fooled by GC noise.
+        zpred = "user_id = '12345' AND category = '5'"
+        point = lambda: t.read(where=zpred).agg(  # noqa: E731
+            F.count(F.lit(1)), F.sum(F.length("data"))
+        ).collect()
         before = best_time(point, n=5)
         t.zorder(["user_id", "category"], n_files=8)
         after = best_time(point, n=5)
         out["zorder_speedup_pct"] = round((before - after) / before * 100, 1)
+        zskip = t.prune_stats(zpred)
+        out["zorder_files_total"] = zskip["files_total"]
+        out["zorder_files_skipped"] = zskip["files_skipped"]
 
         # partition-pruning impact: full scan vs partition filter
         # (reference benchmarks:295-343)

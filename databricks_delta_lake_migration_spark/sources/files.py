@@ -20,6 +20,21 @@ from ..tables import LogTable
 SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "avro")
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """The avro DataSource lives in the separate ``spark-avro`` module
+    (not bundled with pyspark). Probe the datasource REGISTRY, not the
+    classpath — stray avro-* util jars make a Class.forName probe lie —
+    so callers fail up-front with guidance instead of deep inside a job.
+    A missing-path error from the probe means the datasource resolved."""
+    try:
+        spark.read.format("avro").schema("__probe int").load(
+            "/__avro_datasource_probe__"
+        )
+        return True
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find data source" not in str(e)
+
+
 def read_files(
     spark: SparkSession,
     path: str,
@@ -34,6 +49,13 @@ def read_files(
     (01_bronze_ingestion.py:158-164)."""
     if file_format not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {file_format!r}")
+    if file_format == "avro" and not avro_available(spark):
+        raise RuntimeError(
+            "avro support requires the spark-avro datasource jar "
+            "(org.apache.spark:spark-avro_2.13:<spark-version>) on the "
+            "classpath — add it via spark.jars.packages / spark.jars; "
+            "it is not bundled with pyspark"
+        )
     r = spark.read
     if schema is not None:
         r = r.schema(schema)

@@ -177,6 +177,7 @@ def windowed_counts(
     window_duration: str = "10 minutes",
     watermark: str = "30 minutes",
     group_cols: list[str] | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """[EXT] event-time tumbling-window aggregation with late-data
     watermarking — works on both batch and streaming DataFrames."""
@@ -186,7 +187,7 @@ def windowed_counts(
         .groupBy(F.window(ts_col, window_duration).alias("w"), *gcols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), 4)
             .cast("double")
             .alias("total_value"),
         )
@@ -444,6 +445,7 @@ def stream_windowed_agg_to_table(
         window_duration=window_duration,
         watermark=watermark,
         group_cols=gcols,
+        value_col=value_col,
     )
 
     in_fields = {f.name: f for f in (transform(spark.createDataFrame([], schema))

@@ -230,12 +230,20 @@ class Catalog:
                     snap = t.read(version=ver)
                     tag = f"v{ver}"
                 else:
-                    from datetime import datetime, timezone
+                    from datetime import datetime
+                    from zoneinfo import ZoneInfo
 
                     lit = stash[int(m.group(3))].strip("'\"")
                     dt = datetime.fromisoformat(lit)
-                    if dt.tzinfo is None:  # naive literal = session (UTC)
-                        dt = dt.replace(tzinfo=timezone.utc)
+                    if dt.tzinfo is None:
+                        # naive literal = Spark session timezone (what
+                        # Delta/Spark use for timestamp literals), not
+                        # hardcoded UTC — on a non-UTC session the two
+                        # pin different snapshots
+                        tz = self.spark.conf.get(
+                            "spark.sql.session.timeZone", "UTC"
+                        )
+                        dt = dt.replace(tzinfo=ZoneInfo(tz))
                     epoch = dt.timestamp()
                     snap = t.read(timestamp=epoch)
                     tag = f"t{int(epoch)}"

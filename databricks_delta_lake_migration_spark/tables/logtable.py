@@ -78,7 +78,7 @@ RESERVED_PROP = "columnmapping.reserved"
 # Commits whose `properties` payload REPLACES the table's property map
 # wholesale (they carry the full post-op map, and merging would
 # resurrect removed keys). All other property-bearing commits merge.
-_PROPS_REPLACE_OPS = {"UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN"}
+_PROPS_REPLACE_OPS = {"UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN", "RESTORE"}
 
 # Below this total table size, MERGE rewrites every file instead of
 # running the pruning probe job — at small scale the probe costs more
@@ -700,6 +700,22 @@ class LogTable:
             files = [f for f in files if _stats_may_match(f, conj)]
         return self._read_entries(files, schema, props=props).filter(F.expr(where))
 
+    def prune_stats(self, where: str, version: int | None = None) -> dict[str, int]:
+        """Deterministic data-skipping metric: how many files
+        ``read(where=...)`` would skip via per-file [min,max] / partition
+        stats, without running the scan. Wall-time alone has proven too
+        blunt a gauge for clustering quality (round-3 false positive,
+        round-4 true zero) — this is the direct observable."""
+        files, _, _, props, _ = self._replay(version)
+        mapping = self._column_mapping(props)
+        conj = [(mapping.get(c, c), op, v) for c, op, v in _parse_conjuncts(where)]
+        kept = [f for f in files if _stats_may_match(f, conj)] if conj else files
+        return {
+            "files_total": len(files),
+            "files_read": len(kept),
+            "files_skipped": len(files) - len(kept),
+        }
+
     def read_changes(
         self,
         starting_version: int = 0,
@@ -886,6 +902,12 @@ class LogTable:
         # OTHER columns, already checked above)
         if f"generated.{old}" in new_props:
             new_props[f"generated.{new}"] = new_props.pop(f"generated.{old}")
+        # identity specs are keyed by logical column name too — without
+        # the re-key the next append allocates into a phantom column
+        # named ``old`` (silently dropped) while the renamed column
+        # null-fills: a GENERATED ALWAYS column would go NULL
+        if f"identity.{old}" in new_props:
+            new_props[f"identity.{new}"] = new_props.pop(f"identity.{old}")
         fields = [
             T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
             for f in schema.fields
@@ -920,6 +942,10 @@ class LogTable:
         new_props[MAPPING_PROP] = json.dumps(mapping, sort_keys=True)
         new_props[RESERVED_PROP] = json.dumps(sorted(reserved))
         new_props.pop(f"generated.{name}", None)
+        # stop allocating the dropped identity column (else every later
+        # append would compute a phantom column and commit orphan
+        # watermark updates)
+        new_props.pop(f"identity.{name}", None)
         self._commit_tx(
             Commit(
                 version=self._next_version(),
@@ -1266,6 +1292,7 @@ class LogTable:
         replace_where: str | None = None,
         overwrite_schema: bool = False,
         dynamic: bool = False,
+        extra_properties: dict[str, str] | None = None,
     ) -> None:
         """Delta overwrite (K2) / partition-scoped idempotent overwrite
         via ``replace_where`` (K3 — 03_gold_aggregation.py:82-86) /
@@ -1345,7 +1372,9 @@ class LogTable:
                 add=entries,
                 remove=removed,
                 schema_json=schema.json() if overwrite_schema else None,
-                properties=ident_props or None,
+                # extra_properties ride the SAME commit as the data
+                # change (atomic watermark pattern — see with_commit_props)
+                properties={**ident_props, **(extra_properties or {})} or None,
                 parameters={
                     "mode": "Overwrite",
                     **({"replaceWhere": replace_where} if replace_where else {}),
@@ -1724,6 +1753,7 @@ class LogTable:
         params: dict,
         n_affected: int,
         schema_json: str | None = None,
+        properties: dict[str, str] | None = None,
     ) -> int:
         return self._commit_tx(
             Commit(
@@ -1733,6 +1763,7 @@ class LogTable:
                 add=entries,
                 remove=removed,
                 schema_json=schema_json,
+                properties=properties,
                 parameters=params,
                 metrics={
                     "numAffectedRows": n_affected,
@@ -1766,13 +1797,34 @@ class LogTable:
         """RESTORE TABLE TO VERSION/TIMESTAMP AS OF (D5)."""
         old_files, old_schema, old_part, old_props, v = self._replay(version, timestamp)
         cur_files, _, _, cur_props, _ = self._replay()
-        # the restored schema's logical names need the mapping that was
-        # in force with it — restoring schema without mapping would make
-        # a renamed column read NULL. Reserved physicals stay current
-        # (superset-conservative).
-        props_patch = None
-        if cur_props.get(MAPPING_PROP) != old_props.get(MAPPING_PROP):
-            props_patch = {MAPPING_PROP: old_props.get(MAPPING_PROP, "{}")}
+        # Schema-coupled properties must travel WITH the restored schema:
+        # the column mapping (a renamed column would otherwise read
+        # NULL), and the generated./identity./constraint. families (a
+        # rename between target and now would leave e.g. generated.<new>
+        # pointing at a column the restored schema doesn't have, so
+        # later writes validate a contract against a ghost column).
+        # Everything else keeps its CURRENT value; reserved physicals
+        # are the union of both epochs (superset-conservative — a
+        # restore must never un-reserve a physical name that files from
+        # either epoch still carry).
+        coupled = ("generated.", "identity.", "constraint.")
+        props_patch = {
+            k: val
+            for k, val in cur_props.items()
+            if k != MAPPING_PROP and not k.startswith(coupled)
+        }
+        props_patch.update(
+            (k, val)
+            for k, val in old_props.items()
+            if k == MAPPING_PROP or k.startswith(coupled)
+        )
+        if MAPPING_PROP in cur_props and MAPPING_PROP not in old_props:
+            props_patch[MAPPING_PROP] = "{}"
+        reserved = self._reserved_physicals(cur_props) | self._reserved_physicals(
+            old_props
+        )
+        if reserved:
+            props_patch[RESERVED_PROP] = json.dumps(sorted(reserved))
         cur_by_path = {f.path: f for f in cur_files}
         cur_paths = set(cur_by_path)
         old_paths = {f.path for f in old_files}
@@ -1837,7 +1889,13 @@ class LogTable:
         )
         return {"numFilesRemoved": len(removed), "numFilesAdded": len(added)}
 
-    def zorder(self, cols: list[str], n_buckets: int = 64, n_files: int | None = None) -> dict:
+    def zorder(
+        self,
+        cols: list[str],
+        n_buckets: int = 64,
+        n_files: int | None = None,
+        string_strategy: str = "range",
+    ) -> dict:
         """OPTIMIZE ZORDER BY (D7 — delta_utils.py:295-335): cluster data
         so per-file min/max ranges on ``cols`` are tight → data skipping.
 
@@ -1846,7 +1904,18 @@ class LogTable:
         bucket ids are bit-interleaved into a Z-value, and the table is
         range-repartitioned + sorted by that Z-value — the same
         linearize-and-sort strategy OSS Delta uses.
+
+        Non-numeric columns use ORDER-PRESERVING equi-depth buckets from
+        sampled sorted cut-points (RangePartitioner posture: the sample
+        is bounded and driver-side metadata-sized). Hash bucketing —
+        which co-locates equal values but scatters them in hash order,
+        leaving every file's raw-string [min,max] spanning nearly the
+        whole domain so min/max data skipping prunes NOTHING — is kept
+        only as the explicit ``string_strategy="hash"`` opt-in for
+        readers that prune via dictionary/bloom filters instead.
         """
+        if string_strategy not in ("range", "hash"):
+            raise ValueError(f"string_strategy must be range|hash, got {string_strategy}")
         files, _, partition_by, _, _ = self._replay()
         if not files:
             return {"numFilesRemoved": 0, "numFilesAdded": 0}
@@ -1859,6 +1928,26 @@ class LogTable:
             in ("tinyint", "smallint", "int", "bigint", "float", "double", "date", "timestamp")
             or f.dataType.simpleString().startswith("decimal")
         }
+        # one bounded sample job shared by every string column: expected
+        # sample size ≈ n_buckets × 200 rows per column — metadata-sized
+        # at any table size, same posture as the numeric approxQuantile.
+        str_cols = [c for c in cols if c not in numeric]
+        str_cuts: dict[str, list] = {}
+        if str_cols and string_strategy == "range":
+            total = max(1, sum(f.num_records for f in files))
+            frac = min(1.0, (n_buckets * 200) / total)
+            sampled = (
+                df.select(*str_cols)
+                .sample(withReplacement=False, fraction=frac, seed=42)
+                .collect()
+            )
+            for c in str_cols:
+                vals = sorted(r[c] for r in sampled if r[c] is not None)
+                cuts = []
+                for i in range(1, n_buckets):
+                    if vals:
+                        cuts.append(vals[min(i * len(vals) // n_buckets, len(vals) - 1)])
+                str_cuts[c] = sorted(set(cuts))
         zcols = []
         for c in cols:
             if c in numeric:
@@ -1870,9 +1959,18 @@ class LogTable:
                 bucket = F.lit(0)
                 for q in qs:
                     bucket = bucket + F.when(F.col(c).cast("double") > q, 1).otherwise(0)
+            elif string_strategy == "range":
+                # order-preserving: chained-comparison fold over the
+                # sampled cut-points — tight per-file AND per-row-group
+                # raw-value min/max, so both the log's file skipping and
+                # parquet row-group pruning fire on equality and range
+                # predicates (the round-4 hash layout measured −0.7%).
+                bucket = F.lit(0)
+                for q in str_cuts.get(c, []):
+                    bucket = bucket + F.when(F.col(c) > F.lit(q), 1).otherwise(0)
             else:
-                # non-numeric: hash-bucket — equal values co-locate, which
-                # is what equality data-skipping needs
+                # opt-in: equal values co-locate but in hash order —
+                # only useful to readers pruning via dictionary/bloom
                 bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)).cast("int")
             zcols.append(bucket)
         # bit-interleave: z = Σ_j Σ_i bit_i(bucket_j) << (i*len(cols)+j)
@@ -2076,6 +2174,7 @@ class MergeBuilder:
             tuple[str, dict[str, str] | None, str | None]
         ] = []
         self.extra_params: dict = {}
+        self.extra_props: dict[str, str] = {}
         self.auto_evolve = False
 
     def with_schema_evolution(self) -> "MergeBuilder":
@@ -2090,6 +2189,15 @@ class MergeBuilder:
         MERGE commit's parameters — the idempotence hook for
         transactional foreachBatch sinks."""
         self.extra_params.update(params)
+        return self
+
+    def with_commit_props(self, **props) -> "MergeBuilder":
+        """Fold table-property updates into the MERGE commit itself —
+        the atomic change-data + watermark pattern (a separate
+        ``set_properties`` after the merge leaves a crash window where
+        the data change is committed but the watermark is not, so the
+        same source window gets re-applied on restart)."""
+        self.extra_props.update({k: str(v) for k, v in props.items()})
         return self
 
     # ---- stats-based file pruning ------------------------------------
@@ -2549,6 +2657,7 @@ class MergeBuilder:
                 {"predicate": self.condition, **self.extra_params},
                 0,
                 schema_json=evolved_json,
+                properties=self.extra_props or None,
             )
             return {"numUpdatedRows": 0, "numDeletedRows": 0, "numInsertedRows": 0}
 
@@ -2632,6 +2741,7 @@ class MergeBuilder:
             {"predicate": self.condition, **self.extra_params},
             n_updated + n_deleted + n_inserted,
             schema_json=evolved_json,
+            properties=self.extra_props or None,
         )
         # CDF: write pre/post images + inserts/deletes
         if t.properties().get(CDF_PROP) == "true":

@@ -201,12 +201,18 @@ def incremental_agg_refresh(
     current = source.version()
     hwm = gold.properties().get(IVM_HWM_PROP)
     if hwm is None:
-        full = source.read().groupBy(*key_columns).agg(
+        # pin the scan to the captured version: a concurrent source
+        # commit between version() and read() would otherwise be both
+        # included in gold AND replayed by the next incremental window
+        full = source.read(version=current).groupBy(*key_columns).agg(
             F.count(F.lit(1)).alias(count_column),
             *[F.sum(F.expr(e)).alias(c) for c, e in sum_columns.items()],
         )
-        gold.overwrite(full)
-        gold.set_properties({IVM_HWM_PROP: str(current)})
+        # HWM rides the overwrite commit itself — a crash between a
+        # data commit and a separate property commit would re-apply the
+        # same window on restart (the docstring's "resumable from the
+        # tables alone" promise requires the pair to be atomic)
+        gold.overwrite(full, extra_properties={IVM_HWM_PROP: str(current)})
         return {"mode": "full", "source_version": current}
     hwm = int(hwm)
     if current <= hwm:
@@ -238,9 +244,12 @@ def incremental_agg_refresh(
         .when_not_matched_insert(
             values=ins, condition=f"source.d_{count_column} > 0"
         )
+        # HWM advances in the SAME commit as the deltas: crash-restart
+        # re-reads the property post-merge and lands in the noop branch
+        # instead of double-counting the window
+        .with_commit_props(**{IVM_HWM_PROP: str(current)})
         .execute()
     )
-    gold.set_properties({IVM_HWM_PROP: str(current)})
     return {"mode": "incremental", "source_version": current, **res}
 
 

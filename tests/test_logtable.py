@@ -248,6 +248,83 @@ def test_zorder_clusters_and_preserves_content(spark, table):
     assert state(table) == before
 
 
+@pytest.fixture()
+def scattered(spark, tmp_path):
+    """8-file table whose string key arrives in hash-scattered order —
+    every file's [min,max] spans nearly the whole key domain, so no
+    equality/range predicate can skip anything before clustering."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    df = (
+        spark.range(20_000)
+        .select(
+            F.col("id").alias("k"),
+            F.format_string("%05d", (F.col("id") * 7919) % 20_000).alias("user_id"),
+            F.concat(F.lit("x"), F.col("id")).alias("payload"),
+        )
+        .repartition(8)  # round-robin: each file sees the full domain
+    )
+    t = LogTable.create(spark, str(tmp_path / "z"), df.schema)
+    t.append(df)
+    return t
+
+
+def test_zorder_tightens_string_stats(spark, scattered):
+    """The round-4 regression: hash-bucketed string zorder left every
+    file's raw-string [min,max] spanning the domain (measured skipping
+    −0.7%). The order-preserving path must shrink per-file stat width."""
+    t = scattered
+
+    def total_width(tbl):
+        files = tbl._replay()[0]
+        assert all(f.stats and "user_id" in f.stats for f in files)
+        return sum(
+            int(f.stats["user_id"][1][:5]) - int(f.stats["user_id"][0][:5])
+            for f in files
+        ) / len(files)
+
+    wide = total_width(t)
+    t.zorder(["user_id"], n_files=8)
+    tight = total_width(t)
+    # 8 files over a 20k-value domain: scattered ≈ full domain each,
+    # clustered ≈ domain/8 each — demand at least a 4× tightening
+    assert tight < wide / 4, (wide, tight)
+
+
+def test_prune_stats_skips_files_after_zorder(spark, scattered):
+    """Deterministic file-skip metric (VERDICT r4 #3): wall time has
+    misread clustering twice; count skipped files directly, for a
+    string AND a numeric key."""
+    t = scattered
+    before_s = t.prune_stats("user_id = '12345'")
+    before_n = t.prune_stats("k >= 19000")
+    assert before_s["files_skipped"] == 0  # scattered: nothing prunable
+    assert before_n["files_skipped"] == 0
+    t.zorder(["user_id", "k"], n_files=8)
+    after_s = t.prune_stats("user_id = '12345'")
+    after_n = t.prune_stats("k >= 19000")
+    assert after_s["files_skipped"] >= after_s["files_total"] // 4, after_s
+    assert after_n["files_skipped"] >= after_n["files_total"] // 4, after_n
+    # the metric is advisory only — results are unchanged
+    assert t.read(where="user_id = '12345'").count() == 1
+
+
+def test_zorder_hash_strategy_optin(spark, scattered):
+    """hash bucketing survives as an explicit opt-in (dictionary/bloom
+    readers); content is preserved but no min/max skipping is promised."""
+    t = scattered
+    n = t.read().count()
+    t.zorder(["user_id"], n_files=4, string_strategy="hash")
+    assert t.read().count() == n
+    with pytest.raises(ValueError, match="string_strategy"):
+        t.zorder(["user_id"], string_strategy="bogus")
+
+
 def test_vacuum_dry_run_and_delete(spark, table):
     table.delete("id = 1")  # orphans d1's original file
     dry = table.vacuum(retain_hours=0, dry_run=True)
@@ -1069,6 +1146,48 @@ def test_incremental_agg_refresh_matches_recompute(spark, table, tmp_path):
     assert not any(r.status == "GHOST" for r in gold.read().collect())
 
 
+def test_incremental_agg_refresh_commits_hwm_atomically(spark, table, tmp_path):
+    """ADVICE r5: the HWM property must ride the SAME gold commit as
+    the data change — a separate set_properties leaves a crash window
+    that re-applies (double-counts) the CDF window on restart."""
+    from databricks_delta_lake_migration_spark.tables.maintenance import (
+        IVM_HWM_PROP,
+        incremental_agg_refresh,
+    )
+
+    gold_schema = T.StructType(
+        [
+            T.StructField("status", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("total", T.DecimalType(18, 2)),
+        ]
+    )
+    gold = LogTable.create(spark, str(tmp_path / "gold"), gold_schema)
+    sums = {"total": "CAST(amount AS DECIMAL(18,2))"}
+
+    v0 = gold.version()
+    incremental_agg_refresh(table, gold, ["status"], sums, "n_rows")
+    # full refresh = exactly ONE commit, already carrying the HWM
+    assert gold.version() == v0 + 1
+    assert gold.properties()[IVM_HWM_PROP] == str(table.version())
+
+    table.append(rows_df(spark, [(9, "NEW", 5.0, "d3")]))
+    v1 = gold.version()
+    incremental_agg_refresh(table, gold, ["status"], sums, "n_rows")
+    assert gold.version() == v1 + 1  # MERGE and HWM in one commit
+    assert gold.properties()[IVM_HWM_PROP] == str(table.version())
+    # simulated crash-restart right after the commit: the window must
+    # NOT re-apply (this was the double-count bug)
+    assert (
+        incremental_agg_refresh(table, gold, ["status"], sums, "n_rows")["mode"]
+        == "noop"
+    )
+    new_total = {
+        r.status: r.n_rows for r in gold.read().collect()
+    }
+    assert new_total["NEW"] == 1
+
+
 # ---------------------------------------------------------------------------
 # Generated columns (GENERATED ALWAYS AS — delta-spark feature parity)
 # ---------------------------------------------------------------------------
@@ -1127,6 +1246,26 @@ def test_generated_column_recomputed_on_update(spark, gen_table):
     )
     gen_table.update("id = 1", {"amount": "amount * 4"})  # 100.0 → bucket 10
     assert gen_state(gen_table) == {(1, 100.0, 10), (2, 7.0, 0)}
+
+
+def test_restore_rolls_back_schema_coupled_properties(spark, gen_table):
+    """ADVICE r5: RESTORE across a rename of a generated column must
+    roll generated.*/identity.* back with the schema — else writes
+    validate a contract against a column the restored schema lacks."""
+    gen_table.append(
+        spark.createDataFrame([(1, 25.0)], "id long, amount double")
+    )
+    v_before = gen_table.version()
+    gen_table.rename_column("bucket", "decile")
+    assert "generated.decile" in gen_table.properties()
+    gen_table.restore(version=v_before)
+    props = gen_table.properties()
+    assert "generated.bucket" in props and "generated.decile" not in props
+    # writes against the restored schema still compute the column
+    gen_table.append(
+        spark.createDataFrame([(2, 42.0)], "id long, amount double")
+    )
+    assert gen_state(gen_table) == {(1, 25.0, 2), (2, 42.0, 4)}
 
 
 def test_generated_column_on_merge_insert_and_update(spark, gen_table):
@@ -1322,6 +1461,40 @@ def test_identity_column_assignment_unique_increasing(spark, tmp_path):
             .when_not_matched_insert_all()
             .execute()
         )
+
+
+def test_identity_column_rename_and_drop(spark, tmp_path):
+    """ADVICE r5: rename must re-key identity.<old> → identity.<new>
+    (else the next append allocates a phantom column and the renamed
+    column null-fills); drop must pop the spec entirely."""
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "identr"),
+        schema,
+        identity_columns={"uid": {"start": 1, "step": 1}},
+    )
+    t.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    t.rename_column("uid", "row_id")
+    assert "identity.row_id" in t.properties()
+    assert "identity.uid" not in t.properties()
+    t.append(spark.createDataFrame([("c",)], "name string"))
+    rows = {r.name: r.row_id for r in t.read().collect()}
+    assert rows["c"] == 3 and None not in rows.values()  # kept allocating
+    # GENERATED ALWAYS still enforced under the new name
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(
+            spark.createDataFrame([(99, "x")], "row_id long, name string")
+        )
+    t.drop_column("row_id")
+    assert not any(k.startswith("identity.") for k in t.properties())
+    t.append(spark.createDataFrame([("d",)], "name string"))
+    assert {r.name for r in t.read().collect()} == {"a", "b", "c", "d"}
 
 
 def test_identity_survives_multi_partition_append(spark, tmp_path):

@@ -202,6 +202,29 @@ def test_orc_roundtrip_migration(spark, tmp_path):
     assert report.passed and report.source_rows == 50
 
 
+def test_avro_gated_or_roundtrips(spark, tmp_path):
+    """S4: pyspark does not bundle the spark-avro datasource. When the
+    jar is present the format must roundtrip like ORC; when absent the
+    reader must fail up-front with actionable guidance, not deep inside
+    a job with ClassNotFoundException."""
+    import pytest
+
+    from databricks_delta_lake_migration_spark.sources.files import (
+        avro_available,
+        read_files,
+    )
+
+    if avro_available(spark):
+        src = str(tmp_path / "avro")
+        spark.range(50).selectExpr("id", "id * 2 AS v").write.format(
+            "avro"
+        ).save(src)
+        assert read_files(spark, src, file_format="avro").count() == 50
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_files(spark, str(tmp_path), file_format="avro")
+
+
 def test_running_totals_state_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: per-key totals accumulate across
     micro-batches through the state store (maxFilesPerTrigger=1 forces
