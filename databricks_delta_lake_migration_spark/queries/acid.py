@@ -759,3 +759,46 @@ def q111_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.update("o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice * 2"})
     t.delete("o_orderkey % 7 = 0")
     return t.read().withColumn("zero_copy", F.lit(zero_copy))
+
+
+@query(
+    "q112_bloom_index_skipping",
+    oracle="""
+    SELECT c_custkey, c_name,
+           TRUE AS stats_blind, TRUE AS bloom_skips_point,
+           TRUE AS bloom_skips_absent
+    FROM customer WHERE c_name = 'Customer#000000001'
+    """,
+)
+def q112_bloom_index_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sidecar index (``bloomfilter.columns`` — Delta's
+    delta.bloomFilter.* family): point/IN skipping on a
+    high-cardinality STRING key the table is NOT clustered by. The
+    fixture is round-robin scattered across 8 files so every file's
+    [min,max] straddles the probe — range stats alone prune nothing
+    (``stats_blind``) — yet the bloom path skips ≥1 file for a present
+    key (it lives in few files) and ≥half for an absent key (1% fpp,
+    blake2b-deterministic). Sidecars live OUTSIDE the commit log: at
+    1 M-row files a useful bloom is ~1 MB, and log replay must stay
+    metadata-sized; pruning loads them lazily and only for files
+    min/max skipping kept."""
+    from ..tables.logtable import BLOOM_PROP
+
+    src = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    t = LogTable.create(
+        spark, _scratch("bloom"), src.schema, properties={BLOOM_PROP: '["c_name"]'}
+    )
+    t.append(src.repartition(8))  # round-robin: overlapping min/max
+    present = "c_name = 'Customer#000000001'"
+    absent = "c_name = 'Customer#999999999'"
+    ps_p, ps_a = t.prune_stats(present), t.prune_stats(absent)
+    # verdicts (oracle pins all TRUE):
+    stats_blind = ps_a["files_total"] >= 2  # scatter really happened
+    bloom_point = ps_p["files_skipped"] >= 1
+    bloom_absent = ps_a["files_skipped"] >= ps_a["files_total"] // 2
+    return (
+        t.read(where=present)
+        .withColumn("stats_blind", F.lit(stats_blind))
+        .withColumn("bloom_skips_point", F.lit(bloom_point))
+        .withColumn("bloom_skips_absent", F.lit(bloom_absent))
+    )

@@ -32,6 +32,8 @@ commit via atomic version-file creation.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import re
@@ -53,6 +55,13 @@ LOG_DIR = "_log"
 CHANGES_DIR = "_changes"
 STAGING_DIR = "_staging"
 DV_DIR = "_deletion_vectors"
+BLOOM_DIR = "_bloom"
+# JSON list of logical column names to index with per-file bloom
+# filters (Delta's delta.bloomFilter.* index family): point/IN lookups
+# on high-cardinality columns the table is NOT clustered by
+BLOOM_PROP = "bloomfilter.columns"
+BLOOM_FPP = 0.01
+BLOOM_MAX_BITS = 1 << 23  # 1 MiB per column per file, hard cap
 
 # Merge-on-read DELETE (Delta's deletion vectors): when this table
 # property is "true", DELETE records (file, row_index) tombstones
@@ -133,6 +142,11 @@ class FileEntry:
     # root) whose (path, row_index) tombstones apply to this file; the
     # effective deleted set is their union (Delta's add.deletionVector).
     dv: list[str] | None = None
+    # bloom-filter sidecar (path under BLOOM_DIR, relative to the table
+    # root) carrying per-column membership filters for the columns in
+    # the table's bloomfilter.columns property at write time — loaded
+    # lazily and only for stats-surviving files (Delta's bloom index).
+    bloom: str | None = None
 
     def abspath(self, root: str) -> str:
         return self.path if os.path.isabs(self.path) else os.path.join(root, self.path)
@@ -145,13 +159,15 @@ class FileEntry:
             d["stats"] = self.stats
         if self.dv:
             d["dv"] = self.dv
+        if self.bloom:
+            d["bloom"] = self.bloom
         return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
         return FileEntry(
             d["path"], d["numRecords"], d["size"], d.get("base"), d.get("stats"),
-            d.get("dv"),
+            d.get("dv"), d.get("bloom"),
         )
 
 
@@ -208,11 +224,15 @@ STATS_MAX_COLS = 32
 
 
 def _parquet_file_stats(path: str) -> tuple[int, int, dict[str, list] | None]:
-    """(num_records, size_bytes, per-column [min,max]) from the parquet
-    footer — metadata only, no data read. Stats are kept for top-level
-    int/float/str/bool columns whose every row group publishes min/max
+    """(num_records, size_bytes, per-column ``[min, max]`` or
+    ``[min, max, null_count]``) from the parquet footer — metadata
+    only, no data read. min/max are kept for top-level
+    int/float/str/bool columns whose every row group publishes them
     (parquet string stats may be footer-truncated, which is still
     range-conservative: truncated min <= true min, max >= true max).
+    null_count is tracked independently — a column whose min/max is
+    unusable (e.g. DECIMAL) can still prune ``IS [NOT] NULL``
+    predicates, carried as ``[None, None, null_count]``.
 
     On a cluster these stats would be collected executor-side at write
     time and shipped in the add action (Delta's ``add.stats`` JSON); in
@@ -222,15 +242,29 @@ def _parquet_file_stats(path: str) -> tuple[int, int, dict[str, list] | None]:
     md = pq.ParquetFile(path).metadata
     lo: dict[str, Any] = {}
     hi: dict[str, Any] = {}
+    nc: dict[str, int] = {}
     dead: set[str] = set()
+    nc_dead: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for i in range(min(md.num_columns, STATS_MAX_COLS)):
             col = g.column(i)
             name = col.path_in_schema
-            if "." in name or name in dead:  # nested / already invalid
+            if "." in name:  # nested
                 continue
             st = col.statistics
+            if name not in nc_dead:
+                try:
+                    n_nulls = st.null_count if st is not None else None
+                except Exception:
+                    n_nulls = None
+                if n_nulls is None:
+                    nc_dead.add(name)
+                    nc.pop(name, None)
+                else:
+                    nc[name] = nc.get(name, 0) + int(n_nulls)
+            if name in dead:
+                continue
             try:
                 # pyarrow raises ArrowNotImplementedError *on access*
                 # for types it can't cast stats for (e.g. DECIMAL)
@@ -249,8 +283,68 @@ def _parquet_file_stats(path: str) -> tuple[int, int, dict[str, list] | None]:
                 continue
             lo[name] = st.min if name not in lo else min(lo[name], st.min)
             hi[name] = st.max if name not in hi else max(hi[name], st.max)
-    stats = {k: [lo[k], hi[k]] for k in lo} or None
-    return md.num_rows, os.path.getsize(path), stats
+    stats: dict[str, list] = {}
+    for k in lo:
+        stats[k] = [lo[k], hi[k]] + ([nc[k]] if k in nc else [])
+    for k in nc:
+        if k not in stats:
+            stats[k] = [None, None, nc[k]]
+    return md.num_rows, os.path.getsize(path), stats or None
+
+
+# ---- bloom-filter sidecar index (equality/IN skipping) --------------------
+#
+# Why sidecars and not inline stats: a useful bloom for a 1 M-row file
+# is ~1 MB — inlining it in the commit log would make log replay scan
+# gigabytes at production file counts. Delta makes the same call with
+# its index files. The log carries only the sidecar PATH; pruning loads
+# blooms lazily, only for files that min/max skipping kept, and caches
+# them (the candidate set after stats pruning is what a query actually
+# touches, so the extra reads are O(files-to-be-scanned), each ~1 MB).
+
+
+def _bloom_params(n: int, fpp: float = BLOOM_FPP) -> tuple[int, int]:
+    """(m bits, k hashes) for n values at the target false-positive
+    rate — standard Bloom sizing, capped at BLOOM_MAX_BITS."""
+    import math
+
+    n = max(n, 1)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1
+    m = max(64, min(m, BLOOM_MAX_BITS))
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Two independent 64-bit hashes (Kirsch–Mitzenmacher double
+    hashing) from a canonical string form: ints and their decimal
+    string collide deliberately — blooms tolerate false positives and
+    predicate literals arrive as either."""
+    d = hashlib.blake2b(str(value).encode("utf-8"), digest_size=16).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _bloom_build(values, n_hint: int) -> dict:
+    m, k = _bloom_params(n_hint)
+    bits = bytearray((m + 7) // 8)
+    for v in values:
+        if v is None:
+            continue
+        h1, h2 = _bloom_hashes(v)
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_contains(flt: dict, value) -> bool:
+    m, k, bits = flt["m"], flt["k"], flt["_raw"]
+    h1, h2 = _bloom_hashes(value)
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not bits[idx >> 3] & (1 << (idx & 7)):
+            return False
+    return True
 
 
 # ---- predicate ↔ file-stats evaluation (data skipping) --------------------
@@ -272,14 +366,41 @@ def _parse_sql_literal(s: str):
     return None
 
 
+_LIT = r"(?:'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d*)?)"
+_IS_NULL_RE = re.compile(r"^(\w+)\s+IS\s+NULL$", re.I)
+_IS_NOT_NULL_RE = re.compile(r"^(\w+)\s+IS\s+NOT\s+NULL$", re.I)
+_IN_RE = re.compile(rf"^(\w+)\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$", re.I)
+_BETWEEN_RE = re.compile(rf"\b(\w+)\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})", re.I)
+
+
 def _parse_conjuncts(condition: str) -> list[tuple[str, str, Any]]:
-    """``col <op> literal`` conjuncts of a pure AND-conjunction; []
-    when the predicate has OR/NOT/parens (then no conjunct is a
-    necessary condition) or yields nothing usable."""
-    if re.search(r"\bOR\b|\bNOT\b|[()]", condition, re.IGNORECASE):
+    """Necessary-condition conjuncts of a pure AND-conjunction, each
+    ``(col, op, value)`` with op in ``= == < <= > >= null notnull in``;
+    [] when the predicate has an OR (then no conjunct is necessary).
+    Parts that don't strictly match a recognized form contribute
+    nothing — ignoring a conjunct is always skip-safe."""
+    if re.search(r"\bOR\b", condition, re.IGNORECASE):
         return []
+    # BETWEEN folds to two range conjuncts BEFORE the AND split (its
+    # embedded AND would otherwise shred it into unparseable halves)
+    condition = _BETWEEN_RE.sub(r"\1 >= \2 AND \1 <= \3", condition)
     out = []
     for part in re.split(r"\bAND\b", condition, flags=re.IGNORECASE):
+        part = part.strip()
+        if m := _IS_NOT_NULL_RE.match(part):
+            out.append((m.group(1), "notnull", None))
+            continue
+        if m := _IS_NULL_RE.match(part):
+            out.append((m.group(1), "null", None))
+            continue
+        if m := _IN_RE.match(part):
+            lits = [
+                _parse_sql_literal(x)
+                for x in re.findall(_LIT, m.group(2))
+            ]
+            if lits and all(v is not None for v in lits):
+                out.append((m.group(1), "in", lits))
+            continue
         m = _CMP_RE.match(part)
         if m and (lit := _parse_sql_literal(m.group(3))) is not None:
             out.append((m.group(1), m.group(2), lit))
@@ -310,31 +431,65 @@ def _partition_values(path: str) -> dict[str, str | None]:
 
 def _stats_may_match(f: FileEntry, conjuncts: list[tuple[str, str, Any]]) -> bool:
     """False only when some conjunct PROVABLY excludes every row of the
-    file, judged from column [min,max] stats or the partition-path
-    value. Missing stats / non-comparable types keep the file."""
+    file, judged from column [min,max(,null_count)] stats or the
+    partition-path value. Missing stats / non-comparable types keep
+    the file."""
     num = (int, float)
+
+    def comparable(lo, hi, lit):
+        return (
+            isinstance(lo, num) and isinstance(hi, num) and isinstance(lit, num)
+            and not isinstance(lit, bool)
+        ) or (isinstance(lo, str) and isinstance(hi, str) and isinstance(lit, str))
+
     part_vals = _partition_values(f.path)
     for col, op, lit in conjuncts:
         if col in part_vals:
             pv = part_vals[col]
             if pv is None:
-                # NULL partition: any binary comparison with a non-NULL
-                # literal matches no rows → the file is safely prunable
+                # NULL partition: IS NULL matches everything, anything
+                # else (comparison / IN / IS NOT NULL) matches no rows
+                if op != "null":
+                    return False
+                continue
+            if op == "null":  # non-null partition value → no NULL rows
                 return False
             # path values are strings: only string equality is typed
             # soundly (numeric range compare on strings would be
             # lexicographic and wrong)
             if isinstance(lit, str) and op in ("=", "==") and pv != lit:
                 return False
+            if (
+                op == "in"
+                and all(isinstance(v, str) for v in lit)
+                and pv not in lit
+            ):
+                return False
             continue
         if not f.stats or col not in f.stats:
             continue
-        lo, hi = f.stats[col]
-        same_type = (
-            isinstance(lo, num) and isinstance(hi, num) and isinstance(lit, num)
-            and not isinstance(lit, bool)
-        ) or (isinstance(lo, str) and isinstance(hi, str) and isinstance(lit, str))
-        if not same_type:
+        s = f.stats[col]
+        lo, hi = s[0], s[1]
+        nulls = s[2] if len(s) > 2 else None
+        if op == "null":
+            if nulls == 0:
+                return False
+            continue
+        if op == "notnull":
+            if nulls is not None and nulls >= f.num_records:
+                return False
+            continue
+        # every remaining op only matches non-NULL values: a file whose
+        # indexed column is entirely NULL (no min/max) can't match
+        if nulls is not None and nulls >= f.num_records:
+            return False
+        if op == "in":
+            if all(
+                comparable(lo, hi, v) and (v < lo or v > hi) for v in lit
+            ) and lit:
+                return False
+            continue
+        if not comparable(lo, hi, lit):
             continue
         if op in ("=", "==") and (lit < lo or lit > hi):
             return False
@@ -696,25 +851,114 @@ class LogTable:
         conj = [
             (mapping.get(c, c), op, v) for c, op, v in _parse_conjuncts(where)
         ]
-        if conj:
-            files = [f for f in files if _stats_may_match(f, conj)]
+        files = self._skip_files(files, conj)
         return self._read_entries(files, schema, props=props).filter(F.expr(where))
 
     def prune_stats(self, where: str, version: int | None = None) -> dict[str, int]:
         """Deterministic data-skipping metric: how many files
         ``read(where=...)`` would skip via per-file [min,max] / partition
-        stats, without running the scan. Wall-time alone has proven too
-        blunt a gauge for clustering quality (round-3 false positive,
-        round-4 true zero) — this is the direct observable."""
+        stats / bloom sidecars, without running the scan. Wall-time
+        alone has proven too blunt a gauge for clustering quality
+        (round-3 false positive, round-4 true zero) — this is the
+        direct observable."""
         files, _, _, props, _ = self._replay(version)
         mapping = self._column_mapping(props)
         conj = [(mapping.get(c, c), op, v) for c, op, v in _parse_conjuncts(where)]
-        kept = [f for f in files if _stats_may_match(f, conj)] if conj else files
+        kept = self._skip_files(files, conj)
         return {
             "files_total": len(files),
             "files_read": len(kept),
             "files_skipped": len(files) - len(kept),
         }
+
+    # ---- bloom sidecar plumbing --------------------------------------
+
+    def _write_bloom_sidecar(
+        self, abs_path: str, rel_path: str, bloom_phys: list[str], n_rows: int
+    ) -> str | None:
+        """Build and persist the per-file bloom sidecar for the indexed
+        columns present in the file; returns its table-relative path.
+
+        Values are read back column-at-a-time from the just-written
+        parquet (footer-adjacent, no full-row decode); on a cluster
+        this would run executor-side in the write task, like stats."""
+        if not bloom_phys:
+            return None
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        pf = pq.ParquetFile(abs_path)
+        present = [c for c in bloom_phys if c in pf.schema_arrow.names]
+        ok_types = [
+            c
+            for c in present
+            # ints and strings only — float repr instability across
+            # engines would defeat canonical-string membership
+            if pat.is_integer(pf.schema_arrow.field(c).type)
+            or pat.is_string(pf.schema_arrow.field(c).type)
+            or pat.is_large_string(pf.schema_arrow.field(c).type)
+        ]
+        if not ok_types:
+            return None
+        tbl = pf.read(columns=ok_types)
+        cols = {
+            c: _bloom_build(tbl.column(c).to_pylist(), n_rows) for c in ok_types
+        }
+        rel = os.path.join(BLOOM_DIR, rel_path + ".bloom.json")
+        dst = os.path.join(self.path, rel)
+        self.fs.makedirs(os.path.dirname(dst))
+        self.fs.write_text(dst, json.dumps({"cols": cols}))
+        return rel
+
+    def _load_bloom(self, f: FileEntry) -> dict | None:
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if f.bloom in cache:
+            return cache[f.bloom]
+        try:
+            raw = json.loads(
+                self.fs.read_text(os.path.join(f.base or self.path, f.bloom))
+            )
+            for flt in raw["cols"].values():
+                flt["_raw"] = base64.b64decode(flt["bits"])
+        except Exception:
+            raw = None  # missing/corrupt sidecar → no pruning, still correct
+        if len(cache) > 1024:
+            cache.clear()
+        cache[f.bloom] = raw
+        return raw
+
+    def _skip_files(
+        self, files: list[FileEntry], conj: list[tuple[str, str, Any]]
+    ) -> list[FileEntry]:
+        """Stats skipping, then bloom skipping for = / IN conjuncts on
+        indexed columns — in that order, so sidecars are only loaded
+        for files the cheap metadata checks could not eliminate."""
+        if not conj:
+            return files
+        files = [f for f in files if _stats_may_match(f, conj)]
+        point = [
+            (c, [v] if op in ("=", "==") else v)
+            for c, op, v in conj
+            if op in ("=", "==", "in")
+        ]
+        if not point or not any(f.bloom for f in files):
+            return files
+        kept = []
+        for f in files:
+            raw = self._load_bloom(f) if f.bloom else None
+            if raw is None:
+                kept.append(f)
+                continue
+            excluded = any(
+                c in raw["cols"]
+                and not any(_bloom_contains(raw["cols"][c], v) for v in vals)
+                for c, vals in point
+            )
+            if not excluded:
+                kept.append(f)
+        return kept
 
     def read_changes(
         self,
@@ -1182,7 +1426,16 @@ class LogTable:
 
         Column mapping: data lands under PHYSICAL names (frozen at
         first write), so files stay homogeneous across renames."""
-        mapping = self._column_mapping()
+        try:
+            props = self.properties()
+        except FileNotFoundError:
+            # pre-first-commit write paths (deep-clone purge) have no
+            # log yet — no mapping, no bloom config
+            props = {}
+        mapping = self._column_mapping(props)
+        bloom_phys = [
+            mapping.get(c, c) for c in json.loads(props.get(BLOOM_PROP, "[]"))
+        ]
         if mapping:
             df = df.select(
                 *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
@@ -1213,7 +1466,10 @@ class LogTable:
             if n == 0:
                 continue
             self.fs.rename(src, dst)
-            entries.append(FileEntry(rel_path, n, size, stats=stats))
+            bloom_rel = self._write_bloom_sidecar(dst, rel_path, bloom_phys, n)
+            entries.append(
+                FileEntry(rel_path, n, size, stats=stats, bloom=bloom_rel)
+            )
         # remove ONLY this call's stage dir — the staging root is shared
         # and another writer's in-flight staged files may live beside it
         # (deleting the root was a concurrency lost-update bug)
@@ -1522,9 +1778,9 @@ class LogTable:
         if text:
             conj = self._physical_conjuncts(_parse_conjuncts(text))
             if conj:
-                candidates, excluded = [], []
-                for f in files:
-                    (candidates if _stats_may_match(f, conj) else excluded).append(f)
+                candidates = self._skip_files(files, conj)
+                kept_paths = {f.path for f in candidates}
+                excluded = [f for f in files if f.path not in kept_paths]
         if not candidates:
             return [], list(files)
         df = self._read_file_subset(candidates, with_file_path=True)
@@ -1852,10 +2108,37 @@ class LogTable:
         )
         return {"restoredVersion": v}
 
-    def optimize(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    def _partition_scope(
+        self, files: list[FileEntry], partition_by: list[str], where: str | None
+    ) -> list[FileEntry]:
+        """Restrict a maintenance op to the partitions matching
+        ``where`` (Delta's ``OPTIMIZE t WHERE part = ...``). Only
+        partition-column predicates are legal — anything else would
+        force a data scan just to decide what to rewrite, which is the
+        thing partition scoping exists to avoid at 100 TB."""
+        if where is None:
+            return files
+        conj = self._physical_conjuncts(_parse_conjuncts(where))
+        mapping = self._column_mapping()
+        phys_parts = {mapping.get(c, c) for c in partition_by}
+        if not conj or not {c for c, _, _ in conj} <= phys_parts:
+            raise ValueError(
+                "OPTIMIZE/ZORDER ... WHERE supports only partition-column "
+                f"predicates (partitions: {sorted(phys_parts)}); got {where!r}"
+            )
+        return [f for f in files if _stats_may_match(f, conj)]
+
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        where: str | None = None,
+    ) -> dict:
         """OPTIMIZE compaction (D6): bin-pack small files per partition
-        directory into ~target-size files."""
+        directory into ~target-size files. ``where`` scopes the rewrite
+        to matching partitions — incremental maintenance touches only
+        the partitions that ingested since the last run."""
         files, _, partition_by, _, _ = self._replay()
+        files = self._partition_scope(files, partition_by, where)
         by_dir: dict[str, list[FileEntry]] = {}
         for f in files:
             d = os.path.dirname(f.path)
@@ -1895,6 +2178,7 @@ class LogTable:
         n_buckets: int = 64,
         n_files: int | None = None,
         string_strategy: str = "range",
+        where: str | None = None,
     ) -> dict:
         """OPTIMIZE ZORDER BY (D7 — delta_utils.py:295-335): cluster data
         so per-file min/max ranges on ``cols`` are tight → data skipping.
@@ -1917,6 +2201,9 @@ class LogTable:
         if string_strategy not in ("range", "hash"):
             raise ValueError(f"string_strategy must be range|hash, got {string_strategy}")
         files, _, partition_by, _, _ = self._replay()
+        # partition scoping: re-cluster only the partitions named by
+        # ``where`` (files outside the scope keep their layout)
+        files = self._partition_scope(files, partition_by, where)
         if not files:
             return {"numFilesRemoved": 0, "numFilesAdded": 0}
         df = self._read_file_subset(files)
@@ -2029,6 +2316,8 @@ class LogTable:
         for v in set(protected_versions):
             for f in self._replay(v)[0]:
                 keep.add(f.abspath(self.path))
+                if f.bloom:
+                    keep.add(os.path.join(f.base or self.path, f.bloom))
                 for d in f.dv or []:
                     keep_dv_dirs.add(
                         os.path.abspath(os.path.join(self.path, d))
@@ -2041,7 +2330,7 @@ class LogTable:
                 continue
             if os.path.abspath(dirpath) in keep_dv_dirs:
                 continue  # deletion vectors referenced within retention
-            if name.endswith(".parquet"):
+            if name.endswith(".parquet") or name.endswith(".bloom.json"):
                 full = os.path.join(dirpath, name)
                 if full not in keep:
                     candidates.append(os.path.relpath(full, self.path))
@@ -2261,7 +2550,7 @@ class MergeBuilder:
                     break
                 if not f.stats or tc not in f.stats:
                     continue
-                f_lo, f_hi = f.stats[tc]
+                f_lo, f_hi = f.stats[tc][0], f.stats[tc][1]
                 if not (_comparable(f_lo, s_lo) and _comparable(f_hi, s_hi)):
                     continue
                 if f_hi < s_lo or f_lo > s_hi:

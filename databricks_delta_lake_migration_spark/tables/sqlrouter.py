@@ -28,7 +28,7 @@ Statement coverage (the forms the reference actually uses):
   the reference's schema→DDL generator emits (delta_utils.py:242-256)
 - ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
   explicit column list maps positions, unlisted columns null-fill)
-- ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+- ``OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2)]``
 - ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
 - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF 'ts'``
 - ``DELETE FROM t [WHERE pred]``
@@ -139,7 +139,9 @@ _INSERT_INTO = re.compile(
     re.I | re.S,
 )
 _OPTIMIZE = re.compile(
-    rf"^\s*OPTIMIZE\s+({_ID})(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$", re.I
+    rf"^\s*OPTIMIZE\s+({_ID})(?:\s+WHERE\s+(.+?))?"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
+    re.I,
 )
 _VACUUM = re.compile(
     rf"^\s*VACUUM\s+({_ID})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$",
@@ -494,10 +496,11 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
 
     if m := _OPTIMIZE.match(query):
         t = cat.table(m.group(1))
-        if m.group(2):
-            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
-            return _one_row(spark, t.zorder(cols))
-        return _one_row(spark, t.optimize())
+        where = m.group(2)  # partition scope (Delta's OPTIMIZE ... WHERE)
+        if m.group(3):
+            cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+            return _one_row(spark, t.zorder(cols, where=where))
+        return _one_row(spark, t.optimize(where=where))
 
     if m := _VACUUM.match(query):
         t = cat.table(m.group(1))

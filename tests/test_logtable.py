@@ -314,6 +314,116 @@ def test_prune_stats_skips_files_after_zorder(spark, scattered):
     assert t.read(where="user_id = '12345'").count() == 1
 
 
+def test_null_in_between_file_skipping(spark, tmp_path):
+    """Extended skipping forms: IS [NOT] NULL prune on footer null
+    counts, IN on min/max range, BETWEEN folded to two range
+    conjuncts. Results must equal the plain filter in every case."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "nt"), schema)
+    t.append(spark.createDataFrame([(i, None) for i in range(5)], schema).coalesce(1))
+    t.append(spark.createDataFrame([(i, i) for i in range(1, 11)], schema).coalesce(1))
+
+    cases = {
+        "v IS NOT NULL": 1,   # all-NULL file pruned
+        "v IS NULL": 1,       # no-NULL file pruned
+        "v IN (100, 200)": 2,  # out of range + all-NULL: both pruned
+        "v IN (3, 200)": 1,
+        "v BETWEEN 3 AND 5": 1,
+        "v BETWEEN 30 AND 50": 2,
+    }
+    for where, want_skipped in cases.items():
+        ps = t.prune_stats(where)
+        assert ps["files_skipped"] == want_skipped, (where, ps)
+        got = {tuple(r) for r in t.read(where=where).collect()}
+        exp = {tuple(r) for r in t.read().filter(F.expr(where)).collect()}
+        assert got == exp, where
+
+
+def test_partition_path_null_and_in_skipping(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("day", T.StringType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "pt"), schema, partition_by=["day"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "d1"), (2, "d2"), (3, None)], schema
+        ).repartition("day")
+    )
+    total = t.prune_stats("id >= 0")["files_total"]
+    for where, want_read in {
+        "day IN ('d1', 'x')": 1,      # only the d1 partition survives
+        "day IS NULL": 1,             # only the hive-NULL partition
+        "day IS NOT NULL": total - 1,  # NULL partition pruned
+        "day = 'd2'": 1,
+    }.items():
+        ps = t.prune_stats(where)
+        assert ps["files_read"] == want_read, (where, ps)
+        got = {r.id for r in t.read(where=where).collect()}
+        exp = {r.id for r in t.read().filter(F.expr(where)).collect()}
+        assert got == exp, where
+
+
+def test_bloom_filter_point_and_in_skipping(spark, tmp_path):
+    """Bloom sidecar index: equality/IN skipping on a high-cardinality
+    column whose per-file [min,max] ranges OVERLAP (so range stats
+    alone cannot prune). Deterministic: blooms hash with blake2b, so a
+    given dataset+probe always prunes the same files."""
+    from databricks_delta_lake_migration_spark.tables.logtable import BLOOM_PROP
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("p", T.LongType())]
+    )
+    t = LogTable.create(
+        spark, str(tmp_path / "b"), schema, properties={BLOOM_PROP: '["k"]'}
+    )
+    evens = [(f"u{i}", i) for i in range(0, 2000, 2)]
+    odds = [(f"u{i}", i) for i in range(1, 2000, 2)]
+    t.append(spark.createDataFrame(evens, schema).coalesce(1))
+    t.append(spark.createDataFrame(odds, schema).coalesce(1))
+
+    # lexicographic min/max of the two files overlap: stats can't
+    # prune. Probe values chosen OUTSIDE each bloom's (deterministic)
+    # ~1% false-positive set — e.g. 'u42' IS an fp in the odds bloom.
+    assert t.prune_stats("k = 'u44'")["files_skipped"] == 1   # odd file out
+    assert t.prune_stats("k = 'u45'")["files_skipped"] == 1   # even file out
+    assert t.prune_stats("k = 'absent'")["files_skipped"] == 2
+    assert t.prune_stats("k IN ('u44', 'u45')")["files_skipped"] == 0
+    assert t.prune_stats("k IN ('absent', 'gone')")["files_skipped"] == 2
+    # pruned read returns identical results
+    got = {tuple(r) for r in t.read(where="k = 'u44'").collect()}
+    assert got == {("u44", 44)}
+
+    # point DELETE leans on the same skipping
+    res = t.delete("k = 'u44'")
+    assert res["numDeletedRows"] == 1
+    assert t.read().count() == 1999
+
+
+def test_bloom_sidecars_vacuumed_with_their_files(spark, tmp_path):
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        BLOOM_DIR,
+        BLOOM_PROP,
+    )
+
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    t = LogTable.create(
+        spark, str(tmp_path / "bv"), schema, properties={BLOOM_PROP: '["k"]'}
+    )
+    t.append(spark.createDataFrame([(f"a{i}",) for i in range(100)], schema).coalesce(1))
+    bloom_dir = os.path.join(t.path, BLOOM_DIR)
+    n_before = sum(len(fs) for _, _, fs in os.walk(bloom_dir))
+    assert n_before >= 1
+    t.overwrite(spark.createDataFrame([(f"b{i}",) for i in range(100)], schema).coalesce(1))
+    gone = t.vacuum(retain_hours=0)
+    assert any(rel.endswith(".bloom.json") for rel in gone)  # orphan sidecar GC'd
+    # surviving file still prunes through its (retained) sidecar
+    assert t.prune_stats("k = 'a5'")["files_skipped"] == t.prune_stats("k = 'a5'")["files_total"]
+    assert t.prune_stats("k = 'b5'")["files_read"] >= 1
+    assert {r.k for r in t.read(where="k = 'b5'").collect()} == {"b5"}
+
+
 def test_zorder_hash_strategy_optin(spark, scattered):
     """hash bucketing survives as an explicit opt-in (dictionary/bloom
     readers); content is preserved but no min/max skipping is promised."""
@@ -323,6 +433,27 @@ def test_zorder_hash_strategy_optin(spark, scattered):
     assert t.read().count() == n
     with pytest.raises(ValueError, match="string_strategy"):
         t.zorder(["user_id"], string_strategy="bogus")
+
+
+def test_partition_scoped_optimize_and_zorder(spark, table):
+    """OPTIMIZE/ZORDER ... WHERE: rewrite only the named partitions —
+    files outside the scope keep their identity (incremental
+    maintenance; a full re-cluster is never an option at scale)."""
+    for i in range(3):  # d1 small-file debris
+        table.append(rows_df(spark, [(100 + i, "S", 1.0, "d1")]))
+    d2_before = {
+        f.path for f in table._replay()[0] if "day=d2" in f.path
+    }
+    res = table.optimize(where="day = 'd1'")
+    assert res["numFilesRemoved"] > 0
+    after = {f.path for f in table._replay()[0]}
+    assert d2_before <= after  # d2 untouched
+    before = state(table)
+    table.zorder(["id"], where="day = 'd1'")
+    assert {f.path for f in table._replay()[0]} >= d2_before  # still untouched
+    assert state(table) == before
+    with pytest.raises(ValueError, match="partition-column"):
+        table.optimize(where="id = 1")  # not a partition column
 
 
 def test_vacuum_dry_run_and_delete(spark, table):

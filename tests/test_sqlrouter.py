@@ -111,6 +111,24 @@ def test_utility_statements(spark, cat):
     assert cat.read("acid.orders").count() == n_before
 
 
+def test_optimize_where_partition_scope(spark, cat):
+    cat.sql(
+        "CREATE TABLE acid.ev (id BIGINT, day STRING) PARTITIONED BY (day)"
+    )
+    t = cat.table("acid.ev")
+    for i in range(3):  # d1 debris; d2 single file
+        t.append(spark.createDataFrame([(i, "d1")], "id long, day string"))
+    t.append(spark.createDataFrame([(9, "d2")], "id long, day string"))
+    d2 = {f.path for f in t._replay()[0] if "day=d2" in f.path}
+    r = cat.sql("OPTIMIZE acid.ev WHERE day = 'd1'")
+    assert int(r.first()["numFilesRemoved"]) >= 2
+    assert d2 <= {f.path for f in t._replay()[0]}  # d2 untouched
+    r = cat.sql("OPTIMIZE acid.ev WHERE day = 'd1' ZORDER BY (id)")
+    assert cat.read("acid.ev").count() == 4
+    with pytest.raises(ValueError, match="partition-column"):
+        cat.sql("OPTIMIZE acid.ev WHERE id = 1")
+
+
 def test_select_still_flows_to_plain_sql(spark, cat):
     got = cat.sql(
         "SELECT COUNT(*) AS n FROM acid.orders WHERE status = 'PENDING'"
