@@ -802,3 +802,41 @@ def q112_bloom_index_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bloom_skips_point", F.lit(bloom_point))
         .withColumn("bloom_skips_absent", F.lit(bloom_absent))
     )
+
+
+@query(
+    "q113_copy_into",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           TRUE AS idempotent, TRUE AS incremental
+    FROM orders WHERE o_orderkey % 4 <> 0
+    """,
+)
+def q113_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO (Delta SQL — the batch-idempotent ingestion the
+    reference's migration loops re-implement by hand,
+    migrate_from_hdfs.py's full-load path): a landing directory is
+    loaded in two arrivals. Run 1 loads batch 1; an immediate re-run
+    loads NOTHING (``idempotent`` verdict — file identity
+    path+size+mtime recovered from the commit log); batch 2 lands and
+    only its files load (``incremental`` verdict). Final table state
+    must equal one clean load of everything — the oracle's declarative
+    form."""
+    target = _orders_subset(spark, sf_dir)
+    land = _scratch("land")
+    target.filter(F.col("o_orderkey") % 2 == 1).write.parquet(f"{land}/b1")
+    t = LogTable.create(spark, _scratch("copyinto"), target.schema)
+    r1 = t.copy_into(land)
+    rerun = t.copy_into(land)
+    idempotent = rerun["numLoadedFiles"] == 0 and r1["numCopiedRows"] > 0
+    target.filter(F.col("o_orderkey") % 2 == 0).write.parquet(f"{land}/b2")
+    r3 = t.copy_into(land)
+    incremental = (
+        r3["numLoadedFiles"] > 0
+        and r1["numCopiedRows"] + r3["numCopiedRows"] == target.count()
+    )
+    return (
+        t.read()
+        .withColumn("idempotent", F.lit(idempotent))
+        .withColumn("incremental", F.lit(incremental))
+    )

@@ -59,6 +59,9 @@ class FileSystem:
             for n in names:
                 yield dirpath, n
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
     # ---- writes ------------------------------------------------------
 
     def makedirs(self, path: str) -> None:

@@ -1542,6 +1542,91 @@ class LogTable:
             self._cdf_frame(self.read_files(entries), CT_INSERT, version),
         )
 
+    _COPY_EXTS = {
+        "parquet": (".parquet",),
+        "orc": (".orc",),
+        "csv": (".csv", ".csv.gz", ".tsv"),
+        "json": (".json", ".json.gz", ".jsonl", ".ndjson"),
+    }
+
+    def copy_into(
+        self,
+        source_path: str,
+        file_format: str = "parquet",
+        options: dict[str, str] | None = None,
+        force: bool = False,
+    ) -> dict:
+        """``COPY INTO`` (Delta SQL): idempotent bulk file loading.
+
+        Each run lists the source directory and loads ONLY files not
+        recorded by a previous COPY INTO commit — identity is
+        (relative path, size, mtime), Delta's rule — so re-running
+        after a partial failure, or on a directory that keeps
+        receiving files, never duplicates rows. ``force=True`` reloads
+        everything regardless.
+
+        At scale: the loaded-set recovery is a metadata scan of the
+        commit log (file identities, never contents), the listing is
+        one driver pass, and the data move is a single executor job
+        over just the new files."""
+        if file_format not in self._COPY_EXTS:
+            raise ValueError(f"unsupported COPY INTO format {file_format!r}")
+        loaded: set[tuple] = set()
+        if not force:
+            for c in self.commits():
+                if c.operation == "COPY INTO":
+                    loaded.update(tuple(x) for x in c.parameters.get("sourceFiles", []))
+        exts = self._COPY_EXTS[file_format]
+        new: list[tuple] = []
+        for dirpath, name in self.fs.walk_files(source_path):
+            if not name.lower().endswith(exts) or name.startswith((".", "_")):
+                continue
+            full = os.path.join(dirpath, name)
+            ident = (
+                os.path.relpath(full, source_path),
+                self.fs.size(full),
+                int(self.fs.mtime(full)),
+            )
+            if ident not in loaded:
+                new.append(ident)
+        if not new:
+            return {"numLoadedFiles": 0, "numCopiedRows": 0}
+        schema = self.schema()
+        reader = self.spark.read.schema(schema).options(**(options or {}))
+        if file_format == "csv":
+            reader = reader.option("header", options.get("header", "true") if options else "true")
+        # basePath keeps hive-partition columns resolvable when loading
+        # a subset of a partitioned directory
+        reader = reader.option("basePath", source_path).format(file_format)
+        df = reader.load([os.path.join(source_path, rel) for rel, _, _ in new])
+        df, ident_props = self._apply_identity(df)
+        df = self._apply_generated(df)
+        data = self._align(df, schema)
+        self._check_constraints(data)
+        _, _, partition_by, _, _ = self._replay()
+        entries = self._write_files(data, partition_by)
+        n_rows = sum(e.num_records for e in entries)
+        version = self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="COPY INTO",
+                add=entries,
+                properties=ident_props or None,
+                parameters={
+                    "source": source_path,
+                    "fileFormat": file_format,
+                    "sourceFiles": [list(x) for x in sorted(new)],
+                },
+                metrics={"numLoadedFiles": len(new), "numCopiedRows": n_rows},
+            )
+        )
+        self._write_changes(
+            version,
+            self._cdf_frame(self.read_files(entries), CT_INSERT, version),
+        )
+        return {"numLoadedFiles": len(new), "numCopiedRows": n_rows}
+
     def overwrite(
         self,
         df: DataFrame,

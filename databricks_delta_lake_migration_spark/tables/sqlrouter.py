@@ -28,6 +28,7 @@ Statement coverage (the forms the reference actually uses):
   the reference's schema→DDL generator emits (delta_utils.py:242-256)
 - ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
   explicit column list maps positions, unlisted columns null-fill)
+- ``COPY INTO t FROM 'path' [FILEFORMAT = PARQUET|CSV|JSON|ORC]``
 - ``OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2)]``
 - ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
 - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF 'ts'``
@@ -141,6 +142,11 @@ _INSERT_INTO = re.compile(
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_ID})(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
+    re.I,
+)
+_COPY_INTO = re.compile(
+    rf"^\s*COPY\s+INTO\s+({_ID})\s+FROM\s+'([^']+)'"
+    r"(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*$",
     re.I,
 )
 _VACUUM = re.compile(
@@ -501,6 +507,11 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             cols = [c.strip().strip("`") for c in m.group(3).split(",")]
             return _one_row(spark, t.zorder(cols, where=where))
         return _one_row(spark, t.optimize(where=where))
+
+    if m := _COPY_INTO.match(query):
+        t = cat.table(m.group(1))
+        fmt = (m.group(3) or "parquet").lower()
+        return _one_row(spark, t.copy_into(m.group(2), file_format=fmt))
 
     if m := _VACUUM.match(query):
         t = cat.table(m.group(1))

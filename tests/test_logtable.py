@@ -435,6 +435,51 @@ def test_zorder_hash_strategy_optin(spark, scattered):
         t.zorder(["user_id"], string_strategy="bogus")
 
 
+def test_copy_into_idempotent_and_incremental(spark, tmp_path):
+    """COPY INTO: re-runs load nothing; new source files load exactly
+    once; identity = (path, size, mtime) recovered from the log."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    src = str(tmp_path / "landing")
+    spark.createDataFrame([(i, f"v{i}") for i in range(10)], schema).coalesce(
+        1
+    ).write.parquet(src + "/batch1")
+    t = LogTable.create(spark, str(tmp_path / "t"), schema)
+    r1 = t.copy_into(src)
+    assert r1["numCopiedRows"] == 10 and r1["numLoadedFiles"] >= 1
+    # idempotent re-run — and a fresh handle proves the loaded set is
+    # recovered from the log, not driver memory
+    assert t.copy_into(src)["numLoadedFiles"] == 0
+    assert LogTable(spark, t.path).copy_into(src)["numLoadedFiles"] == 0
+    assert t.read().count() == 10
+    # a new file arrives: only it loads
+    spark.createDataFrame([(100, "new")], schema).coalesce(1).write.parquet(
+        src + "/batch2"
+    )
+    r3 = t.copy_into(src)
+    assert r3["numCopiedRows"] == 1
+    assert t.read().count() == 11
+    with pytest.raises(ValueError, match="COPY INTO format"):
+        t.copy_into(src, file_format="xml")
+
+
+def test_copy_into_csv_with_schema_enforcement(spark, tmp_path):
+    import os as _os
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    src = str(tmp_path / "csvland")
+    _os.makedirs(src)
+    with open(src + "/a.csv", "w") as fh:
+        fh.write("id,v\n1,x\n2,y\n")
+    t = LogTable.create(spark, str(tmp_path / "tc"), schema)
+    assert t.copy_into(src, file_format="csv")["numCopiedRows"] == 2
+    assert t.copy_into(src, file_format="csv")["numLoadedFiles"] == 0
+    assert {tuple(r) for r in t.read().collect()} == {(1, "x"), (2, "y")}
+
+
 def test_partition_scoped_optimize_and_zorder(spark, table):
     """OPTIMIZE/ZORDER ... WHERE: rewrite only the named partitions —
     files outside the scope keep their identity (incremental

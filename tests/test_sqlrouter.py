@@ -111,6 +111,17 @@ def test_utility_statements(spark, cat):
     assert cat.read("acid.orders").count() == n_before
 
 
+def test_copy_into_sql(spark, cat, tmp_path):
+    src = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(50, "L", 5.0), (51, "L", 6.0)], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    r = cat.sql(f"COPY INTO acid.orders FROM '{src}' FILEFORMAT = PARQUET")
+    assert int(r.first()["numCopiedRows"]) == 2
+    r = cat.sql(f"COPY INTO acid.orders FROM '{src}'")  # idempotent re-run
+    assert int(r.first()["numLoadedFiles"]) == 0
+
+
 def test_optimize_where_partition_scope(spark, cat):
     cat.sql(
         "CREATE TABLE acid.ev (id BIGINT, day STRING) PARTITIONED BY (day)"
