@@ -112,25 +112,23 @@ def minhash_signature(
     return F.aggregate(hashes, zero, merge_xx)
 
 
-def lsh_candidate_pairs(
+def minhash_band_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the MinHash signature become
-    candidate pairs. Returns distinct (id_a, id_b) with id_a < id_b.
+    """Long-format LSH band buckets ``(id, band_idx, bkt)`` — the
+    PERSISTABLE per-document index rows (materialize them to a table
+    and new batches probe with one equi-join instead of re-hashing the
+    corpus; see ``incremental_lsh_pairs``).
 
-    The per-band self-equi-join is the scale path: shuffle keyed on the
-    band bucket, never an all-pairs product.
-    """
+    One pass: explode the signature struct into rows behind a
+    generator barrier, so the shingle+digest fold runs exactly once
+    per input row — per-band self-joins would re-run it once per band
+    per join side (measured 8× cost for 4 bands)."""
     n_bands = num_hashes // band_size
-    # Long format in ONE pass: explode the signature struct into
-    # (id, band_idx, bucket) rows. The explode is a generator barrier,
-    # so the shingle+digest fold runs exactly once per input row —
-    # per-band self-joins would re-run it once per band per join side
-    # (measured 8× cost for 4 bands).
     sigs = df.select(
         F.col(id_col),
         F.explode(F.array(minhash_signature(F.col(text_col), num_hashes))).alias("sig"),
@@ -149,9 +147,25 @@ def lsh_candidate_pairs(
             ]
         )
     )
-    banded = sigs.select(F.col(id_col), bands.alias("b")).select(
+    return sigs.select(F.col(id_col), bands.alias("b")).select(
         id_col, "b.band_idx", "b.bkt"
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become
+    candidate pairs. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The per-band self-equi-join is the scale path: shuffle keyed on the
+    band bucket, never an all-pairs product.
+    """
+    banded = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
     # Bucket-group, then expand pairs WITHIN each bucket — the LSH
     # reduction with exactly ONE shuffle keyed on the bucket and ONE
     # evaluation of the shingle+digest pipeline. A self-equi-join would
@@ -186,6 +200,67 @@ def lsh_candidate_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental near-dup: candidate pairs INVOLVING a new batch,
+    probing a persisted band-bucket ``index`` (the output of
+    ``minhash_band_buckets``, typically materialized as a table that
+    grows with the corpus).
+
+    This is the production corpus-dedup shape: at 100 TB you index
+    once and each arriving batch re-hashes ONLY ITSELF — one
+    equi-join on (band_idx, bkt) against the index for new↔corpus
+    pairs, plus the in-bucket fold over the (small) batch for
+    new↔new pairs. Never an all-pairs product, never a corpus
+    re-hash. Results equal the from-scratch ``lsh_candidate_pairs``
+    over corpus∪batch restricted to pairs touching the batch —
+    signatures are deterministic, so the equivalence is exact.
+    """
+    new_bands = minhash_band_buckets(
+        new_docs, text_col, id_col, num_hashes, band_size
+    )
+    # new ↔ indexed corpus: one shuffle keyed on the bucket. The index
+    # may contain the new docs themselves (growing-table pattern) —
+    # the inequality filter drops self-matches either way.
+    cross = (
+        new_bands.alias("n")
+        .join(index.alias("x"), ["band_idx", "bkt"])
+        .filter(F.col(f"n.{id_col}") != F.col(f"x.{id_col}"))
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"x.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"x.{id_col}")).alias("id_b"),
+        )
+    )
+    # new ↔ new: in-bucket combinations fold over the batch only
+    ids = F.sort_array(F.collect_list(id_col))
+    within = (
+        new_bands.groupBy("band_idx", "bkt")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    return cross.unionByName(within).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -214,6 +214,62 @@ def q36_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q114_incremental_lsh",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {_sql_minhash(0)} AS mh0, {_sql_minhash(1)} AS mh1,
+               {_sql_minhash(2)} AS mh2, {_sql_minhash(3)} AS mh3,
+               {_sql_minhash(4)} AS mh4, {_sql_minhash(5)} AS mh5,
+               {_sql_minhash(6)} AS mh6, {_sql_minhash(7)} AS mh7
+        FROM documents
+    ), banded AS (
+        SELECT doc_id,
+               mh0 || '#' || mh1 AS band0, mh2 || '#' || mh3 AS band1,
+               mh4 || '#' || mh5 AS band2, mh6 || '#' || mh7 AS band3
+        FROM sigs
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a JOIN banded b ON a.band0 = b.band0 WHERE a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b ON a.band1 = b.band1 WHERE a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b ON a.band2 = b.band2 WHERE a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b ON a.band3 = b.band3 WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b FROM pairs
+    WHERE id_a % 3 = 0 OR id_b % 3 = 0
+    """,
+)
+def q114_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a PERSISTED MinHash index
+    (``dedup.minhash_band_buckets`` + ``incremental_lsh_pairs``) — the
+    production corpus-dedup shape: the standing corpus (doc_id % 3 ≠ 0)
+    is indexed ONCE, its band buckets materialized through a log table
+    and read back; the arriving batch (doc_id % 3 = 0) re-hashes only
+    itself and probes the index with one bucket equi-join. The oracle
+    is the FROM-SCRATCH LSH over the whole corpus restricted to pairs
+    touching the batch — deterministic signatures make the incremental
+    path exactly equal, which is the invariant that lets an index
+    accumulate for months without drifting from a full re-dedup."""
+    import tempfile
+
+    from ..tables import LogTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    bands = dedup.minhash_band_buckets(corpus, num_hashes=8, band_size=2)
+    idx = LogTable.create(
+        spark, tempfile.mkdtemp(prefix="lsh-index-") + "/t", bands.schema
+    )
+    idx.append(bands)
+    return dedup.incremental_lsh_pairs(
+        batch, idx.read(), num_hashes=8, band_size=2
+    )
+
+
 # Portable simhash oracle: token hash = first 8 hex chars of sha256 as a
 # 32-bit int (same slicing as the minhash family); per-bit ±1 votes folded
 # into the fingerprint. COALESCE(…, 0) matches Spark's empty-fold init of 0

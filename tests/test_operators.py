@@ -82,6 +82,47 @@ def test_lsh_candidate_pairs_finds_planted_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_incremental_lsh_equals_full_restricted(spark):
+    """Probing a persisted band-bucket index with a new batch must
+    yield exactly the from-scratch LSH pairs that touch the batch —
+    the invariant that lets a corpus index accumulate without
+    drifting from a full re-dedup."""
+    base = "word" + " word".join(str(i) for i in range(40))
+    alt = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " extra"),
+            (2, alt),
+            (3, alt + " more"),
+            (4, base + " tail"),
+            (5, " ".join(f"only{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter("doc_id < 4")
+    batch = docs.filter("doc_id >= 4")
+    idx = dedup.minhash_band_buckets(corpus)
+    inc = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_lsh_pairs(batch, idx).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+        if r.id_a >= 4 or r.id_b >= 4
+    }
+    assert inc == full and (1, 4) in inc  # planted cross near-dup found
+    # growing-table pattern: index already contains the batch → same
+    # answer (self-matches dropped, within-batch pairs not doubled)
+    idx_all = dedup.minhash_band_buckets(docs)
+    inc2 = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_lsh_pairs(batch, idx_all).collect()
+    }
+    assert inc2 == full
+
+
 def test_cosine_near_dup_exact_and_lsh_recall(spark):
     """q46/q47 semantics: the exact blocked pair set is symmetric-free
     and threshold-filtered; the LSH-blocked variant recovers most of the
