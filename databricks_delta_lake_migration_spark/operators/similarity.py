@@ -399,6 +399,87 @@ def ivf_topk(
 # Product quantization (PQ) — the compressed-codes ANN scale path
 # ---------------------------------------------------------------------------
 
+def build_ivf_index(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Materialize a PERSISTED IVF index: the corpus with its assigned
+    cell, stored as a log table partitioned by ``cell``, centroids
+    serialized into table properties (n_cells × dims floats —
+    metadata). The production build/serve split: train once here,
+    and every later probe (:func:`ivf_index_topk`) reads properties +
+    nprobe partition-pruned cells — it never retrains, never touches
+    the other cells, and survives process restarts.
+    """
+    import json
+
+    from ..tables import LogTable
+
+    cents = ivf_train(
+        embeddings, n_cells=n_cells, n_iters=n_iters, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+    t = LogTable.create(
+        spark,
+        index_path,
+        assigned.schema,
+        partition_by=["cell"],
+        properties={
+            "ann.centroids": json.dumps(cents.tolist()),
+            "ann.id_col": id_col,
+            "ann.vec_col": vec_col,
+        },
+    )
+    # one-ish file per cell (K10): the probe's unit of I/O is the cell
+    t.append(assigned.repartition("cell"))
+    return t
+
+
+def ivf_index_topk(
+    index,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`build_ivf_index`): rank
+    cells against the query on DRIVER-side centroids from table
+    properties, then scan only the ``nprobe`` matching partitions via
+    ``read(where="cell IN (...)")`` — file-pruned by partition-path
+    stats, so probe I/O is nprobe/n_cells of the index at any scale.
+    Deterministic: equals :func:`ivf_topk` re-trained with the same
+    seed on the same corpus."""
+    import json
+
+    import numpy as np
+
+    props = index.properties()
+    cents = np.array(json.loads(props["ann.centroids"]), dtype="float64")
+    id_col, vec_col = props["ann.id_col"], props["ann.vec_col"]
+    qv = np.array(
+        index.read(where=f"{id_col} = {query_vec_id}")
+        .select(vec_col)
+        .collect()[0][0],
+        dtype="float64",
+    )
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    probes = sorted(int(c) for c in np.argsort(-(cn @ qn))[:nprobe])
+    cands = index.read(
+        where=f"cell IN ({', '.join(str(c) for c in probes)})"
+    ).drop("cell")
+    return cosine_topk(
+        cands, query_vec_id, k=k, id_col=id_col, vec_col=vec_col, dims=dims
+    )
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = 16,

@@ -347,3 +347,53 @@ def q107_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors long, n_false_positives long, recall_ok boolean, "
         "partition_ok boolean, every_removed_paired boolean",
     )
+
+
+@query(
+    "q115_persisted_ivf_index",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok, TRUE AS equals_retrained, TRUE AS partition_pruned
+    """,
+)
+def q115_persisted_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index — the build/serve split
+    (``similarity.build_ivf_index`` / ``ivf_index_topk``): the corpus
+    is trained + assigned ONCE and materialized as a log table
+    partitioned by cell with centroids in table properties; the probe
+    (opened through a FRESH table handle, as a restarted service
+    would) ranks cells driver-side and scans only the nprobe matching
+    partitions. Verdicts: probe result identical to a from-scratch
+    ``ivf_topk`` with the same seed (determinism of the persisted
+    artifact), recall ≥0.4 vs exact, and the probe's file-skip count
+    proves partition pruning actually happened (cell IN (...) →
+    numeric partition-path pruning)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..tables import LogTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf-index-") + "/t"
+    similarity.build_ivf_index(spark, emb, path, n_cells=16)
+    index = LogTable(spark, path)  # fresh handle: restart simulation
+    ann = similarity.ivf_index_topk(index, query_vec_id=0, k=10, nprobe=4)
+    retrained = similarity.ivf_topk(emb, query_vec_id=0, k=10, n_cells=16, nprobe=4)
+    exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
+    sym_diff = ann.select("vec_id", "cosine").exceptAll(
+        retrained.select("vec_id", "cosine")
+    ).unionAll(
+        retrained.select("vec_id", "cosine").exceptAll(ann.select("vec_id", "cosine"))
+    )
+    equals_retrained = sym_diff.agg(F.count(F.lit(1)).alias("n"))
+    ps = index.prune_stats("cell IN (0, 1)")
+    pruned = ps["files_skipped"] > 0
+    base = _recall_verdict(ann, exact, k=10, threshold=0.4)
+    return base.crossJoin(equals_retrained).select(
+        "query_id",
+        "n_results",
+        "recall_ok",
+        (F.col("n") == 0).alias("equals_retrained"),
+        F.lit(bool(pruned)).alias("partition_pruned"),
+    )

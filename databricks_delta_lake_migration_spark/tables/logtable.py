@@ -454,17 +454,40 @@ def _stats_may_match(f: FileEntry, conjuncts: list[tuple[str, str, Any]]) -> boo
                 continue
             if op == "null":  # non-null partition value → no NULL rows
                 return False
-            # path values are strings: only string equality is typed
-            # soundly (numeric range compare on strings would be
-            # lexicographic and wrong)
-            if isinstance(lit, str) and op in ("=", "==") and pv != lit:
-                return False
-            if (
-                op == "in"
-                and all(isinstance(v, str) for v in lit)
-                and pv not in lit
-            ):
-                return False
+            # path values are strings; numeric literals compare through
+            # a numeric parse of the path value (lexicographic string
+            # compare of numbers would be wrong — "10" < "9")
+            def pv_num():
+                try:
+                    return float(pv)
+                except ValueError:
+                    return None
+
+            is_num = isinstance(lit, num) and not isinstance(lit, bool)
+            if op in ("=", "=="):
+                if isinstance(lit, str) and pv != lit:
+                    return False
+                if is_num and pv_num() is not None and pv_num() != lit:
+                    return False
+            elif op == "in":
+                if all(isinstance(v, str) for v in lit) and pv not in lit:
+                    return False
+                if (
+                    all(isinstance(v, num) and not isinstance(v, bool) for v in lit)
+                    and pv_num() is not None
+                    and pv_num() not in [float(v) for v in lit]
+                ):
+                    return False
+            elif is_num and pv_num() is not None:
+                n = pv_num()
+                if op == "<" and not n < lit:
+                    return False
+                if op == "<=" and not n <= lit:
+                    return False
+                if op == ">" and not n > lit:
+                    return False
+                if op == ">=" and not n >= lit:
+                    return False
             continue
         if not f.stats or col not in f.stats:
             continue

@@ -250,6 +250,29 @@ def test_bucket_expr_bit_identical_to_unrolled_and_bounded_plan(spark):
     assert df.count() == 2  # and it executes
 
 
+def test_persisted_ivf_index_probe(spark, tmp_path):
+    """build once, probe through a fresh handle: result equals the
+    retrained ivf_topk, and the probe file-prunes to nprobe cells."""
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    t = similarity.build_ivf_index(
+        spark, emb, str(tmp_path / "idx"), n_cells=4
+    )
+    index = LogTable(spark, t.path)  # fresh handle
+    got = {
+        (r.vec_id, r.cosine)
+        for r in similarity.ivf_index_topk(index, 0, k=5, nprobe=2).collect()
+    }
+    want = {
+        (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk(emb, 0, k=5, n_cells=4, nprobe=2).collect()
+    }
+    assert got == want and len(got) == 5
+    ps = index.prune_stats("cell IN (0, 1)")
+    assert ps["files_skipped"] > 0  # numeric partition-path pruning
+
+
 def test_pq_topk_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     exact = {
