@@ -145,3 +145,95 @@ def test_scd2_matches_python_model(spark, snaps):
         assert got.filter("NOT is_current").count() == n_closed
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping property: for arbitrary AND/OR predicates over a table
+# with partitions (incl. hive-NULL), nullable columns, and a
+# bloom-indexed column, the skip-aware read path must equal the plain
+# filter, and the prune accounting must be internally consistent.
+# Pins the conjunct parser + min/max + null-count + numeric-partition
+# + bloom pruning against the one semantics that matters: same rows.
+# ---------------------------------------------------------------------------
+
+_SKIP_TBL: dict = {}
+
+
+def _skip_table(spark):
+    if "t" not in _SKIP_TBL:
+        from pyspark.sql import types as T2
+
+        from databricks_delta_lake_migration_spark.tables.logtable import BLOOM_PROP
+
+        schema = T2.StructType(
+            [
+                T2.StructField("k", T2.LongType()),
+                T2.StructField("s", T2.StringType()),
+                T2.StructField("b", T2.StringType()),
+                T2.StructField("day", T2.StringType()),
+            ]
+        )
+        root = tempfile.mkdtemp(prefix="skip-prop-")
+        t = LogTable.create(
+            spark,
+            f"{root}/t",
+            schema,
+            partition_by=["day"],
+            properties={BLOOM_PROP: '["b"]'},
+        )
+        rows = []
+        for i in range(60):
+            day = [None, "d1", "d2"][i % 3]
+            s = None if i % 5 == 0 else f"s{i % 7}"
+            rows.append((i, s, f"b{i}", day))
+        df = spark.createDataFrame(rows, schema)
+        # three appends → multiple files per partition, varied ranges
+        t.append(df.filter("k < 20").repartition(2))
+        t.append(df.filter("k >= 20 AND k < 40").repartition(2))
+        t.append(df.filter("k >= 40").repartition(2))
+        _SKIP_TBL["t"] = t
+    return _SKIP_TBL["t"]
+
+
+_atoms = st.sampled_from(
+    [
+        lambda n, m: f"k = {n}",
+        lambda n, m: f"k > {n}",
+        lambda n, m: f"k <= {n}",
+        lambda n, m: f"k BETWEEN {min(n, m)} AND {max(n, m)}",
+        lambda n, m: f"k IN ({n}, {m}, {n + m})",
+        lambda n, m: f"s = 's{n % 9}'",
+        lambda n, m: "s IS NULL",
+        lambda n, m: "s IS NOT NULL",
+        lambda n, m: f"b = 'b{n}'",
+        lambda n, m: f"b IN ('b{n}', 'b{m}', 'nope')",
+        lambda n, m: f"day = 'd{1 + n % 3}'",
+        lambda n, m: f"day IN ('d1', 'd{1 + m % 4}')",
+        lambda n, m: "day IS NULL",
+        lambda n, m: "day IS NOT NULL",
+    ]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    atoms=st.lists(st.tuples(_atoms, st.integers(0, 70), st.integers(0, 70)),
+                   min_size=1, max_size=3),
+    use_or=st.booleans(),
+)
+def test_skipping_equals_plain_filter(spark, atoms, use_or):
+    from pyspark.sql import functions as F2
+
+    t = _skip_table(spark)
+    parts = [a(n, m) for a, n, m in atoms]
+    joiner = " OR " if use_or and len(parts) > 1 else " AND "
+    pred = joiner.join(parts)
+    got = {tuple(r) for r in t.read(where=pred).collect()}
+    want = {tuple(r) for r in t.read().filter(F2.expr(pred)).collect()}
+    assert got == want, pred
+    ps = t.prune_stats(pred)
+    assert ps["files_read"] + ps["files_skipped"] == ps["files_total"], pred
