@@ -259,6 +259,7 @@ def incremental_agg_refresh(
 # ---------------------------------------------------------------------------
 
 LAST_RUN_PROP = "maintenance.last_run_epoch"
+LAST_RUN_VERSION_PROP = "maintenance.last_run_version"
 
 
 @dataclass(frozen=True)
@@ -270,6 +271,11 @@ class MaintenanceConfig:
     vacuum_retain_hours: float = 168.0
     target_file_mb: int = 128
     analyze_columns: tuple[str, ...] | None = None  # () = skip, None = all
+    # incremental=True scopes OPTIMIZE/ZORDER to partitions that
+    # received files since the previous run (derived from the commit
+    # log — no data scan). At 100 TB a nightly tick must never rewrite
+    # the whole table to compact yesterday's ingest.
+    incremental: bool = False
 
 
 def run_maintenance(
@@ -290,7 +296,8 @@ def run_maintenance(
     import time as _time
 
     now = _time.time() if now_epoch is None else now_epoch
-    last = float(table.properties().get(LAST_RUN_PROP, "0") or 0)
+    props = table.properties()
+    last = float(props.get(LAST_RUN_PROP, "0") or 0)
     due = force or (now - last) >= config.optimize_interval_hours * 3600
     if not due:
         return {
@@ -298,11 +305,18 @@ def run_maintenance(
             "next_due_epoch": last + config.optimize_interval_hours * 3600,
         }
     out: dict = {"skipped": False}
-    if config.zorder_columns:
-        out["zorder"] = table.zorder(list(config.zorder_columns))
+    where, rewrite = None, True
+    if config.incremental:
+        last_v = int(props.get(LAST_RUN_VERSION_PROP, "-1"))
+        where, rewrite = _touched_partition_scope(table, last_v)
+        out["scope"] = where or ("all" if rewrite else "none-touched")
+    if not rewrite:
+        pass  # nothing ingested since last run: no rewrite at all
+    elif config.zorder_columns:
+        out["zorder"] = table.zorder(list(config.zorder_columns), where=where)
     else:
         out["optimize"] = table.optimize(
-            target_file_bytes=config.target_file_mb * MB
+            target_file_bytes=config.target_file_mb * MB, where=where
         )
     if config.analyze_columns is None or config.analyze_columns:
         out["analyze"] = compute_stats(
@@ -312,8 +326,42 @@ def run_maintenance(
     out["vacuum_removed"] = len(
         table.vacuum(retain_hours=config.vacuum_retain_hours)
     )
-    table.set_properties({LAST_RUN_PROP: repr(now)})
+    # version recorded AFTER the rewrites, so this run's own OPTIMIZE
+    # commits don't count as "touched" next time
+    table.set_properties(
+        {LAST_RUN_PROP: repr(now), LAST_RUN_VERSION_PROP: str(table.version())}
+    )
     return out
+
+
+def _touched_partition_scope(
+    table: LogTable, since_version: int
+) -> tuple[str | None, bool]:
+    """(where, rewrite): the partition predicate covering every
+    partition that received files after ``since_version`` — a pure
+    commit-log scan, metadata-sized. ``(None, True)`` = can't scope
+    (unpartitioned, NULL-partition ingest, or multi-column partitioning
+    beyond the first column's discriminating power falls back to a
+    first-column superset); ``(None, False)`` = nothing touched."""
+    from .logtable import _partition_values
+
+    parts = table.partition_columns()
+    if not parts:
+        return None, True
+    touched: set[str | None] = set()
+    for c in table.commits():
+        if c.version <= since_version:
+            continue
+        for f in c.add:
+            touched.add(_partition_values(f.path).get(parts[0]))
+    if not touched:
+        return None, False
+    if None in touched or any("'" in v for v in touched):
+        # IN() can't name the hive-NULL partition, and a quoted value
+        # would defeat the conjunct parser; conservative full run
+        return None, True
+    vals = ", ".join(f"'{v}'" for v in sorted(touched))
+    return f"{parts[0]} IN ({vals})", True
 
 
 def run_maintenance_batch(

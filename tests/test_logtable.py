@@ -1221,6 +1221,43 @@ def test_maintenance_scheduler(spark, tmp_path):
     assert not out["b"]["skipped"]
 
 
+def test_incremental_maintenance_scopes_to_touched_partitions(spark, tmp_path):
+    """incremental=True: each tick compacts ONLY partitions that
+    ingested since the previous tick (commit-log derivation — the
+    nightly job on a 100 TB table must not rewrite cold partitions)."""
+    from databricks_delta_lake_migration_spark.tables import (
+        MaintenanceConfig,
+        run_maintenance,
+    )
+
+    t = LogTable.create(spark, str(tmp_path / "im"), SCHEMA, partition_by=["day"])
+    for i in range(3):  # debris in d1 AND d2
+        t.append(rows_df(spark, [(i, "S", 1.0, "d1"), (10 + i, "S", 1.0, "d2")]))
+    cfg = MaintenanceConfig(
+        optimize_interval_hours=24, vacuum_retain_hours=0, incremental=True
+    )
+    t0 = 1_700_000_000.0
+    r1 = run_maintenance(t, cfg, now_epoch=t0)
+    # first run has no prior version stamp: everything counts as touched
+    assert r1["scope"] == "day IN ('d1', 'd2')"
+    assert r1["optimize"]["numFilesRemoved"] > 0
+
+    # only d2 ingests before the next tick
+    for i in range(3):
+        t.append(rows_df(spark, [(20 + i, "S", 1.0, "d2")]))
+    d1_files = {f.path for f in t._replay()[0] if "day=d1" in f.path}
+    r2 = run_maintenance(t, cfg, now_epoch=t0 + 25 * 3600)
+    assert r2["scope"] == "day IN ('d2')"
+    assert r2["optimize"]["numFilesRemoved"] > 0
+    # d1's compacted file survived untouched
+    assert d1_files <= {f.path for f in t._replay()[0]}
+
+    # nothing ingests: next tick does no rewrite at all
+    r3 = run_maintenance(t, cfg, now_epoch=t0 + 50 * 3600)
+    assert r3["scope"] == "none-touched" and "optimize" not in r3
+    assert t.read().count() == 9
+
+
 def test_concurrent_appends_retry_loop_loses_nothing(spark, tmp_path):
     """OCC stress: N threads racing appends with a retry-on-conflict
     loop. Every append must land exactly once (no lost updates, no
