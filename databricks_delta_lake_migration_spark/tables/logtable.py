@@ -62,6 +62,13 @@ BLOOM_DIR = "_bloom"
 BLOOM_PROP = "bloomfilter.columns"
 BLOOM_FPP = 0.01
 BLOOM_MAX_BITS = 1 << 23  # 1 MiB per column per file, hard cap
+# Delta's write-tuning pair: optimizeWrite pre-shuffles each write to
+# the partition layout (one-ish file per partition instead of
+# tasks×partitions debris); autoCompact bin-packs a partition inline
+# right after a write leaves it over the small-file threshold.
+OPTWRITE_PROP = "autoOptimize.optimizeWrite"
+AUTOCOMPACT_PROP = "autoOptimize.autoCompact"
+AUTOCOMPACT_MIN_FILES_PROP = "autoOptimize.autoCompact.minNumFiles"
 
 # Merge-on-read DELETE (Delta's deletion vectors): when this table
 # property is "true", DELETE records (file, row_index) tombstones
@@ -1543,7 +1550,8 @@ class LogTable:
         schema = self._evolve_schema(df, merge_schema)
         data = self._align(df, schema)
         self._check_constraints(data)
-        _, _, partition_by, _, _ = self._replay()
+        _, _, partition_by, props, _ = self._replay()
+        data = self._maybe_optimize_write(data, partition_by, props)
         entries = self._write_files(data, partition_by)
         version = self._commit_tx(
             Commit(
@@ -1564,6 +1572,56 @@ class LogTable:
             version,
             self._cdf_frame(self.read_files(entries), CT_INSERT, version),
         )
+        self._maybe_autocompact(entries)
+
+    def _maybe_optimize_write(
+        self, data: DataFrame, partition_by: list[str], props: dict[str, str]
+    ) -> DataFrame:
+        """optimizeWrite: shuffle the batch to the partition layout
+        before writing, so a wide write lands one-ish file per
+        partition instead of tasks×partitions small files. Applied only
+        on ingest paths — OPTIMIZE/ZORDER already control their own
+        layout (a blind repartition here would shuffle away zorder's
+        within-partition sort)."""
+        if partition_by and props.get(OPTWRITE_PROP, "false") == "true":
+            return data.repartition(*partition_by)
+        return data
+
+    def _maybe_autocompact(self, new_entries: list[FileEntry]) -> None:
+        """autoCompact: if a write leaves any of its target partition
+        directories holding ≥ minNumFiles small files, bin-pack exactly
+        those directories inline (a scoped OPTIMIZE commit). Bounded
+        work: only the directories this write touched are examined."""
+        props = self.properties()
+        if props.get(AUTOCOMPACT_PROP, "false") != "true":
+            return
+        min_files = int(props.get(AUTOCOMPACT_MIN_FILES_PROP, "8"))
+        touched_dirs = {os.path.dirname(e.path) for e in new_entries}
+        files, _, partition_by, _, _ = self._replay()
+        by_dir: dict[str, int] = {}
+        for f in files:
+            d = os.path.dirname(f.path)
+            if d in touched_dirs and f.size_bytes < 128 * 1024 * 1024:
+                by_dir[d] = by_dir.get(d, 0) + 1
+        hot = [d for d, n in by_dir.items() if n >= min_files]
+        if not hot:
+            return
+        if not partition_by:
+            self.optimize()
+            return
+        phys = [self._column_mapping().get(c, c) for c in partition_by]
+        for d in hot:
+            pv = _partition_values(os.path.join(d, "x"))
+            conj = [
+                f"{c} = '{pv[c]}'"
+                for c in phys
+                if pv.get(c) is not None and "'" not in pv[c]
+            ]
+            if len(conj) == len(phys):
+                self.optimize(where=" AND ".join(conj))
+            else:  # hive-NULL or quoted partition value: full pass
+                self.optimize()
+                return
 
     _COPY_EXTS = {
         "parquet": (".parquet",),
@@ -1626,7 +1684,8 @@ class LogTable:
         df = self._apply_generated(df)
         data = self._align(df, schema)
         self._check_constraints(data)
-        _, _, partition_by, _, _ = self._replay()
+        _, _, partition_by, props, _ = self._replay()
+        data = self._maybe_optimize_write(data, partition_by, props)
         entries = self._write_files(data, partition_by)
         n_rows = sum(e.num_records for e in entries)
         version = self._commit_tx(
@@ -1648,6 +1707,7 @@ class LogTable:
             version,
             self._cdf_frame(self.read_files(entries), CT_INSERT, version),
         )
+        self._maybe_autocompact(entries)
         return {"numLoadedFiles": len(new), "numCopiedRows": n_rows}
 
     def overwrite(

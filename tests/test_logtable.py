@@ -435,6 +435,51 @@ def test_zorder_hash_strategy_optin(spark, scattered):
         t.zorder(["user_id"], string_strategy="bogus")
 
 
+def test_optimize_write_and_autocompact(spark, tmp_path):
+    """Delta's write-tuning pair: optimizeWrite lands one-ish file per
+    partition per append; autoCompact bin-packs a partition inline once
+    a write leaves it over the small-file threshold — only the touched
+    partition, and the file count stays bounded under repeated
+    small appends."""
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        AUTOCOMPACT_MIN_FILES_PROP,
+        AUTOCOMPACT_PROP,
+        OPTWRITE_PROP,
+    )
+
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "wt"),
+        SCHEMA,
+        partition_by=["day"],
+        properties={
+            OPTWRITE_PROP: "true",
+            AUTOCOMPACT_PROP: "true",
+            AUTOCOMPACT_MIN_FILES_PROP: "4",
+        },
+    )
+    # a wide (8-partition) frame over 2 days: optimizeWrite collapses
+    # it to one file per day instead of up to 16
+    wide = rows_df(
+        spark, [(i, "S", float(i), f"d{1 + i % 2}") for i in range(16)]
+    ).repartition(8)
+    t.append(wide)
+    assert t.detail()["numFiles"] == 2
+
+    # repeated single-row appends into d1 only: once d1 crosses 4
+    # files, autoCompact folds it back; d2's file is never rewritten
+    d2_file = {f.path for f in t._replay()[0] if "day=d2" in f.path}
+    for i in range(100, 110):
+        t.append(rows_df(spark, [(i, "S", 1.0, "d1")]))
+        d1_files = sum(1 for f in t._replay()[0] if "day=d1" in f.path)
+        assert d1_files <= 4, d1_files
+    assert d2_file <= {f.path for f in t._replay()[0]}
+    assert t.read().count() == 26
+    assert any(
+        c.operation == "OPTIMIZE" for c in t.commits()
+    )  # compactions really happened
+
+
 def test_copy_into_idempotent_and_incremental(spark, tmp_path):
     """COPY INTO: re-runs load nothing; new source files load exactly
     once; identity = (path, size, mtime) recovered from the log."""
