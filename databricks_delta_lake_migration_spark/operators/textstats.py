@@ -348,3 +348,44 @@ def corpus_filter(
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / training-corpus
+    segmentation step: each document becomes windows of
+    ``chunk_tokens`` tokens starting every ``chunk_tokens −
+    overlap_tokens`` tokens (the final window may be short; empty docs
+    yield no chunks).
+
+    Row-local and shuffle-free: one tokenization per row referenced a
+    constant number of times, window starts from ``sequence``, chunk
+    text from ``slice`` — at 100 TB this is a pure map stage whose
+    output lands partition-aligned with its input. Deterministic ids:
+    ``chunk_id`` is the window ordinal.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),  # materialized once; sliced per chunk
+        F.posexplode(starts).alias("chunk_id", "__s"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__s") + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

@@ -715,3 +715,30 @@ def q91_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_top_bigram_frac=0.04,
         min_distinct_ratio=0.55,
     )
+
+
+@query(
+    "q116_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(st / 48 AS BIGINT) AS chunk_id,
+           array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text,
+           CAST(LEAST(64, len(toks) - st) AS INT) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def q116_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16-token
+    overlap → stride 48) — the RAG/training segmentation map stage
+    (``textstats.chunk_documents``). Row-local, shuffle-free; the
+    oracle re-derives every window bound and chunk text exactly."""
+    return textstats.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=64,
+        overlap_tokens=16,
+    )

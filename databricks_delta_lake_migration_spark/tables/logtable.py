@@ -227,10 +227,15 @@ class Commit:
 
 # max columns to carry min/max stats for (Delta's
 # dataSkippingNumIndexedCols default) — bounds commit-log size.
+# Override per table via the dataSkippingNumIndexedCols property
+# (0 disables stats collection entirely for write-heavy tables).
 STATS_MAX_COLS = 32
+STATS_COLS_PROP = "dataSkippingNumIndexedCols"
 
 
-def _parquet_file_stats(path: str) -> tuple[int, int, dict[str, list] | None]:
+def _parquet_file_stats(
+    path: str, max_cols: int = STATS_MAX_COLS
+) -> tuple[int, int, dict[str, list] | None]:
     """(num_records, size_bytes, per-column ``[min, max]`` or
     ``[min, max, null_count]``) from the parquet footer — metadata
     only, no data read. min/max are kept for top-level
@@ -254,7 +259,7 @@ def _parquet_file_stats(path: str) -> tuple[int, int, dict[str, list] | None]:
     nc_dead: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
-        for i in range(min(md.num_columns, STATS_MAX_COLS)):
+        for i in range(min(md.num_columns, max_cols)):
             col = g.column(i)
             name = col.path_in_schema
             if "." in name:  # nested
@@ -1492,7 +1497,9 @@ class LogTable:
             dst = os.path.join(self.path, rel_path)
             self.fs.makedirs(os.path.dirname(dst))
             src = os.path.join(dirpath, name)
-            n, size, stats = _parquet_file_stats(src)
+            n, size, stats = _parquet_file_stats(
+                src, max_cols=int(props.get(STATS_COLS_PROP, STATS_MAX_COLS))
+            )
             if n == 0:
                 continue
             self.fs.rename(src, dst)

@@ -264,3 +264,31 @@ def test_expectations_metrics_single_pass(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("FileScan parquet") == 1
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks → 2 chunks
+            (2, "short doc"),                            # 1 chunk
+            (3, ""),                                     # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.chunk_documents(docs, chunk_tokens=8, overlap_tokens=4)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens) for r in out.collect()}
+    assert rows[(1, 0)] == (" ".join(f"w{i}" for i in range(8)), 8)
+    # stride 4: second window starts at w4, runs to the end (6 tokens)
+    assert rows[(1, 1)] == (" ".join(f"w{i}" for i in range(4, 10)), 6)
+    # window 2 would start at w8 < 10 → a third, short chunk
+    assert rows[(1, 2)] == ("w8 w9", 2)
+    assert rows[(2, 0)] == ("short doc", 2)
+    # empty text follows the codebase token convention (split('') →
+    # ['']): one empty chunk, same as the DuckDB oracle twin
+    assert rows[(3, 0)] == ("", 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        textstats.chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)

@@ -435,6 +435,29 @@ def test_zorder_hash_strategy_optin(spark, scattered):
         t.zorder(["user_id"], string_strategy="bogus")
 
 
+def test_data_skipping_num_indexed_cols_property(spark, tmp_path):
+    """dataSkippingNumIndexedCols: 0 disables stats collection (write-
+    heavy tables that never point-query), N indexes only the first N
+    schema columns — Delta's knob for bounding commit-log size."""
+    from databricks_delta_lake_migration_spark.tables.logtable import STATS_COLS_PROP
+
+    t0 = LogTable.create(
+        spark, str(tmp_path / "s0"), SCHEMA, properties={STATS_COLS_PROP: "0"}
+    )
+    t0.append(rows_df(spark, [(1, "A", 1.0, "d1")]).coalesce(1))
+    assert all(f.stats is None for f in t0._replay()[0])
+
+    t1 = LogTable.create(
+        spark, str(tmp_path / "s1"), SCHEMA, properties={STATS_COLS_PROP: "1"}
+    )
+    t1.append(rows_df(spark, [(1, "A", 1.0, "d1")]).coalesce(1))
+    stats = t1._replay()[0][0].stats
+    assert "id" in stats and "status" not in stats
+    # stats-less files stay un-prunable but fully readable
+    assert t0.read(where="id = 99").count() == 0
+    assert t0.prune_stats("id = 99")["files_skipped"] == 0
+
+
 def test_optimize_write_and_autocompact(spark, tmp_path):
     """Delta's write-tuning pair: optimizeWrite lands one-ish file per
     partition per append; autoCompact bin-packs a partition inline once
