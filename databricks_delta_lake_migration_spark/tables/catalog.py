@@ -255,6 +255,33 @@ class Catalog:
                 return view
 
             rewritten = tt_pat.sub(_tt_sub, rewritten)
+        # Delta's CDF table-valued function: table_changes('name',
+        # start [, end]) binds the change feed as a view (the name is a
+        # masked string literal — recover it from the stash).
+        tc_pat = re.compile(
+            r"\bTABLE_CHANGES\s*\(\s*\x00(\d+)\x00\s*,\s*(\d+)\s*"
+            r"(?:,\s*(\d+)\s*)?\)",
+            re.I,
+        )
+
+        def _tc_sub(m: re.Match) -> str:
+            name = stash[int(m.group(1))].strip("'\"")
+            fq = lookup.get(name)
+            if fq is None:
+                raise KeyError(f"table_changes: table not found: {name}")
+            start = int(m.group(2))
+            end = int(m.group(3)) if m.group(3) is not None else None
+            ch = LogTable(self.spark, reg[fq]).read_changes(
+                starting_version=start, ending_version=end
+            )
+            view = (
+                f"__tc_{fq.split('.')[-1]}_"
+                f"{hashlib.md5(f'{fq}@{start}-{end}'.encode()).hexdigest()[:8]}"
+            )
+            tt_views[view] = ch
+            return view
+
+        rewritten = tc_pat.sub(_tc_sub, rewritten)
         for view, snap in tt_views.items():
             snap.createOrReplaceTempView(view)
         aliases: dict[str, str] = {}

@@ -30,6 +30,9 @@ Statement coverage (the forms the reference actually uses):
   explicit column list maps positions, unlisted columns null-fill)
 - ``COPY INTO t FROM 'path' [FILEFORMAT = PARQUET|CSV|JSON|ORC]``
 - ``OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2)]``
+- ``REORG TABLE t APPLY (PURGE)`` (rewrite deletion-vector files)
+- ``SELECT ... FROM table_changes('t', start [, end])`` (CDF TVF,
+  bound in :meth:`Catalog.sql`)
 - ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
 - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF 'ts'``
 - ``DELETE FROM t [WHERE pred]``
@@ -143,6 +146,9 @@ _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_ID})(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
     re.I,
+)
+_REORG = re.compile(
+    rf"^\s*REORG\s+TABLE\s+({_ID})\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$", re.I
 )
 _COPY_INTO = re.compile(
     rf"^\s*COPY\s+INTO\s+({_ID})\s+FROM\s+'([^']+)'"
@@ -507,6 +513,11 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             cols = [c.strip().strip("`") for c in m.group(3).split(",")]
             return _one_row(spark, t.zorder(cols, where=where))
         return _one_row(spark, t.optimize(where=where))
+
+    if m := _REORG.match(query):
+        # rewrite files carrying deletion vectors (optimize() always
+        # compacts DV-carrying files regardless of size — the PURGE)
+        return _one_row(spark, cat.table(m.group(1)).optimize())
 
     if m := _COPY_INTO.match(query):
         t = cat.table(m.group(1))

@@ -111,6 +111,36 @@ def test_utility_statements(spark, cat):
     assert cat.read("acid.orders").count() == n_before
 
 
+def test_table_changes_tvf_and_reorg(spark, cat):
+    cat.sql(
+        "CREATE TABLE acid.cdf (id BIGINT, v STRING) "
+        "TBLPROPERTIES ('enableChangeDataFeed' = 'true', "
+        "'enableDeletionVectors' = 'true')"
+    )
+    t = cat.table("acid.cdf")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    cat.sql("UPDATE acid.cdf SET v = 'B' WHERE id = 2")
+    got = {
+        (r.id, r.v, r._change_type)
+        for r in cat.sql(
+            "SELECT id, v, _change_type FROM table_changes('acid.cdf', 2)"
+        ).collect()
+    }
+    assert got == {(2, "b", "update_preimage"), (2, "B", "update_postimage")}
+    # windowed form + join with a current-snapshot reference
+    n = cat.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('acid.cdf', 1, 1) c "
+        "JOIN acid.cdf t ON c.id = t.id"
+    ).first()["n"]
+    assert n == 2
+    # REORG purges deletion vectors
+    cat.sql("DELETE FROM acid.cdf WHERE id = 1")
+    assert t.detail()["numDeletionVectorFiles"] > 0
+    cat.sql("REORG TABLE acid.cdf APPLY (PURGE)")
+    assert t.detail()["numDeletionVectorFiles"] == 0
+    assert {r.id for r in cat.read("acid.cdf").collect()} == {2}
+
+
 def test_copy_into_sql(spark, cat, tmp_path):
     src = str(tmp_path / "land")
     spark.createDataFrame(
