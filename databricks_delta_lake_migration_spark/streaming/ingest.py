@@ -484,3 +484,119 @@ def stream_windowed_agg_to_table(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+def stream_near_dup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    index_path: str,
+    schema: T.StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    file_format: str = "json",
+    stream_id: str = "neardup",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """[EXT] streaming corpus ingestion with near-dup suppression — the
+    online form of the batch index probe
+    (``dedup.incremental_lsh_pairs``): each micro-batch MinHashes ONLY
+    ITSELF, probes the accumulated band-bucket index for collisions
+    with everything ingested so far, drops colliding docs (within a
+    batch the lowest id survives), appends survivors to the corpus
+    table and their bands to the index — so the next batch dedups
+    against them too.
+
+    Exactly-once on BOTH tables independently: corpus and index appends
+    each carry (streamId, batchId); a crash between the two re-runs the
+    batch, the already-committed side no-ops, and the other catches up
+    (the pair probe is deterministic, so the recomputed survivor set is
+    identical). At 100 TB the per-batch cost is the batch hash + one
+    bucket equi-join against the index — the corpus is never re-hashed.
+    """
+    from ..operators.dedup import incremental_lsh_pairs, minhash_band_buckets
+    from ..tables.logtable import Commit
+
+    LogTable.create(spark, table_path, schema)
+    band_schema = T.StructType(
+        [
+            next(f for f in schema.fields if f.name == id_col),
+            T.StructField("band_idx", T.IntegerType(), False),
+            T.StructField("bkt", T.StringType(), False),
+        ]
+    )
+    LogTable.create(spark, index_path, band_schema)
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(file_format)
+        .load(source_path)
+    )
+
+    def _append_batch(tbl: LogTable, df: DataFrame, batch_id: int, op: str) -> None:
+        import time as _time
+
+        aligned = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in tbl.schema().fields]
+        )
+        entries = tbl._write_files(aligned, tbl.partition_columns())
+        tbl._commit(
+            Commit(
+                version=tbl._next_version(),
+                timestamp=_time.time(),
+                operation=op,
+                add=entries,
+                parameters={"streamId": stream_id, "batchId": int(batch_id)},
+                metrics={"numOutputRows": sum(e.num_records for e in entries)},
+            )
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        corpus = LogTable(spark, table_path)
+        index = LogTable(spark, index_path)
+        corpus_done = batch_id <= _last_committed_batch(corpus, stream_id)
+        index_done = batch_id <= _last_committed_batch(index, stream_id)
+        if corpus_done and index_done:
+            return
+        pairs = incremental_lsh_pairs(
+            batch_df, index.read(), text_col, id_col, num_hashes, band_size
+        )
+        batch_ids = batch_df.select(F.col(id_col).alias("__bid")).distinct()
+        # drop a batch doc when it pairs with an INDEXED doc (either
+        # pair side), or when it's the GREATER side of a batch-batch
+        # pair (lowest id in a within-batch dup cluster survives)
+        a_in = pairs.join(
+            batch_ids, pairs.id_a == batch_ids.__bid, "left_semi"
+        ).select(F.col("id_a").alias("pid"), F.col("id_b").alias("other"))
+        b_any = pairs.select(F.col("id_b").alias("pid"), F.col("id_a").alias("other"))
+        # id_b is always the greater of a normalized pair: it drops
+        # whether its partner is indexed or in-batch; id_a (the lesser)
+        # drops only when its partner is indexed (not in the batch)
+        a_drop = a_in.join(
+            batch_ids, a_in.other == batch_ids.__bid, "left_anti"
+        ).select("pid")
+        drops = a_drop.unionByName(b_any.select("pid")).distinct()
+        survivors = batch_df.join(
+            drops, F.col(id_col) == F.col("pid"), "left_anti"
+        )
+        if not corpus_done:
+            _append_batch(corpus, survivors, batch_id, "STREAMING UPDATE")
+        if not index_done:
+            bands = minhash_band_buckets(
+                survivors, text_col, id_col, num_hashes, band_size
+            )
+            _append_batch(index, bands, batch_id, "STREAMING INDEX")
+
+    writer = reader.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

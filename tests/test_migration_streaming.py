@@ -551,3 +551,56 @@ def test_stream_windowed_agg_drops_late_rows(spark, tmp_path):
         ("2024-01-05 00:00:00", "click"): (1, 4.0),
         ("2024-01-06 00:00:00", "view"): (1, 5.0),
     }
+
+
+def test_stream_near_dup_ingest(spark, tmp_path):
+    """Streaming near-dup suppression against the accumulated index:
+    within-batch dups keep the lowest id, cross-batch dups are dropped
+    against everything ingested before, and the index grows with the
+    survivors only."""
+    from databricks_delta_lake_migration_spark.streaming.ingest import (
+        stream_near_dup_ingest,
+    )
+
+    base = "tok" + " tok".join(str(i) for i in range(40))
+    other = " ".join(f"w{i}" for i in range(40))
+    src = str(tmp_path / "src")
+    # batch 1: doc 0 + its in-batch near-dup 5 (5 drops) + unrelated 1
+    _write_json(src + "/f1.json", [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 5, "text": base + " extra"},
+        {"doc_id": 1, "text": other},
+    ])
+    # batch 2: near-dup of doc 0 (drops) + genuinely new doc 3
+    _write_json(src + "/f2.json", [
+        {"doc_id": 2, "text": base + " tail"},
+        {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(40))},
+    ])
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    table = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    q = stream_near_dup_ingest(
+        spark, src, table, index, schema,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    corpus = LogTable(spark, table)
+    assert {r.doc_id for r in corpus.read().collect()} == {0, 1, 3}
+    idx = LogTable(spark, index)
+    assert {r.doc_id for r in idx.read().collect()} == {0, 1, 3}
+
+    # late batch: re-delivered dup of 0 (drops) + new doc 4 → survives
+    _write_json(src + "/f3.json", [
+        {"doc_id": 6, "text": base + " more"},
+        {"doc_id": 4, "text": " ".join(f"q{i}" for i in range(40))},
+    ])
+    q2 = stream_near_dup_ingest(
+        spark, src, table, index, schema,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    assert {r.doc_id for r in corpus.read().collect()} == {0, 1, 3, 4}
+    assert {r.doc_id for r in idx.read().collect()} == {0, 1, 3, 4}
