@@ -185,3 +185,34 @@ def test_identity_assignment_broadcasts_offsets_no_sort_merge(spark, tmp_path):
     plan = explain(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_lsh_never_rehashes_index(spark, tmp_path):
+    """The index probe's whole point: the corpus side must be a plain
+    scan. sha2 (the signature hash family) may appear exactly twice —
+    once per batch branch (cross-probe + within-batch) — and never on
+    the index side; no Python in the plan."""
+    from databricks_delta_lake_migration_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} body") for i in range(30)], "doc_id long, text string"
+    )
+    dedup.minhash_band_buckets(docs.filter("doc_id < 20")).write.parquet(
+        str(tmp_path / "idx")
+    )
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    inc = dedup.incremental_lsh_pairs(docs.filter("doc_id >= 20"), idx)
+    plan = inc._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("sha2") == 2, plan.count("sha2")
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_shuffle_free(spark):
+    """Chunking is a pure map stage: zero exchanges at any corpus size."""
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    plan = textstats.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
