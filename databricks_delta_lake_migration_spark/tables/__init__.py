@@ -3,6 +3,7 @@
 from .catalog import Catalog  # noqa: F401
 from .logtable import (  # noqa: F401
     ConcurrentDeleteError,
+    ConcurrentTransactionError,
     ConcurrentWriteError,
     ConstraintViolationError,
     LogTable,

@@ -130,6 +130,13 @@ class ConcurrentDeleteError(ConcurrentWriteError):
     ConcurrentDeleteReadException / ConcurrentDeleteDeleteException)."""
 
 
+class ConcurrentTransactionError(ConcurrentWriteError):
+    """A concurrent commit already performed this idempotent
+    transaction's work (e.g. two COPY INTOs of the same source racing:
+    the loser's file set was loaded by the winner; rebasing would
+    double-load). Delta's ConcurrentTransactionException."""
+
+
 class ConstraintViolationError(ValueError):
     pass
 
@@ -671,6 +678,23 @@ class LogTable:
                 f"{self.path}: {ours.operation} changes table metadata and "
                 f"lost the race to {[c.operation for c in theirs]}"
             )
+        # idempotent-transaction conflict: a racing COPY INTO of the
+        # same source already loaded (some of) our files — rebasing
+        # would duplicate their rows (Delta's txn-version check)
+        if ours.operation == "COPY INTO":
+            ours_files = {tuple(x) for x in ours.parameters.get("sourceFiles", [])}
+            for c in theirs:
+                if (
+                    c.operation == "COPY INTO"
+                    and c.parameters.get("source") == ours.parameters.get("source")
+                    and ours_files
+                    & {tuple(x) for x in c.parameters.get("sourceFiles", [])}
+                ):
+                    raise ConcurrentTransactionError(
+                        f"{self.path}: concurrent COPY INTO from "
+                        f"{ours.parameters.get('source')!r} already loaded "
+                        "overlapping files; re-run to pick up the remainder"
+                    )
         their_removed = {p for c in theirs for p in c.remove}
         overlap = set(ours.remove) & their_removed
         if overlap:

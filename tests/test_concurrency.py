@@ -194,3 +194,41 @@ def test_cdf_version_follows_rebase(spark, tmp_path):
     )
     got = {(r.id, r._commit_version) for r in cdf.collect()}
     assert (2, landed) in got
+
+
+def test_racing_copy_into_same_source_conflicts_not_duplicates(spark, tmp_path):
+    """Two COPY INTOs of the same landing dir racing: the loser must
+    raise ConcurrentTransactionError (rebasing would double-load the
+    winner's files) and a re-run then loads nothing."""
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        ConcurrentTransactionError,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    src = str(tmp_path / "land")
+    spark.createDataFrame([(i, f"v{i}") for i in range(5)], schema).coalesce(
+        1
+    ).write.parquet(src)
+    t1 = LogTable.create(spark, str(tmp_path / "t"), schema)
+    t2 = LogTable(spark, t1.path)
+
+    orig = LogTable._commit
+    fired = {"done": False}
+
+    def racing(self, commit):
+        if not fired["done"] and commit.operation == "COPY INTO":
+            fired["done"] = True
+            t2.copy_into(src)  # the winner lands first
+        return orig(self, commit)
+
+    LogTable._commit = racing
+    try:
+        with pytest.raises(ConcurrentTransactionError, match="COPY INTO"):
+            t1.copy_into(src)
+    finally:
+        LogTable._commit = orig
+    # no duplicates; the loser's re-run is a clean no-op
+    assert t1.read().count() == 5
+    assert t1.copy_into(src)["numLoadedFiles"] == 0
