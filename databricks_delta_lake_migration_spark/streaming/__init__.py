@@ -6,6 +6,7 @@ from .ingest import (  # noqa: F401
     session_windowed_counts,
     stream_dedup_to_table,
     stream_files_to_table,
+    stream_near_dup_ingest,
     stream_upsert_to_table,
     stream_windowed_agg_to_table,
     windowed_counts,
