@@ -1918,3 +1918,79 @@ def test_convert_sql_spelling_and_register(spark, tmp_path):
     r = c.sql(f"CONVERT TO DELTA parquet.`{src}` AS lake.bronze.adopted")
     assert r.first()["converted"] == "True"
     assert c.read("bronze.adopted").count() == 1
+
+
+def test_kitchen_sink_lifecycle_cross_feature(spark, tmp_path):
+    """Cross-feature interaction sweep: a bloom-indexed, CDF- and
+    DV-enabled table goes through append → MERGE → DV delete → zorder →
+    restore → vacuum, asserting content, pruning, and change feed stay
+    coherent at every step (single features are covered elsewhere —
+    this pins the seams)."""
+    from databricks_delta_lake_migration_spark.tables.logtable import BLOOM_PROP
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "ks"),
+        schema,
+        properties={
+            BLOOM_PROP: '["name"]',
+            "enableChangeDataFeed": "true",
+            "enableDeletionVectors": "true",
+        },
+    )
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"n{i:04d}", float(i)) for i in range(lo, hi)], schema
+        ).coalesce(1)
+
+    t.append(rows(0, 500))
+    t.append(rows(500, 1000))
+    expected = {i: float(i) for i in range(1000)}
+
+    # MERGE doubles a slice
+    src = spark.createDataFrame([(i, f"n{i:04d}", float(i) * 2) for i in range(100, 200)], schema)
+    t.upsert(src, ["k"])
+    for i in range(100, 200):
+        expected[i] = float(i) * 2
+    v_before_delete = t.version()
+
+    # DV (merge-on-read) delete
+    t.delete("k >= 900")
+    for i in range(900, 1000):
+        del expected[i]
+    assert t.detail()["numDeletionVectorFiles"] > 0
+
+    # zorder the DV'd, bloom-indexed table: purges DVs, rebuilds blooms
+    t.zorder(["name"], n_files=4)
+    assert t.detail()["numDeletionVectorFiles"] == 0
+    got = {r.k: r.amount for r in t.read().collect()}
+    assert got == expected
+    # bloom + clustered stats both prune a point probe
+    ps = t.prune_stats("name = 'n0042'")
+    assert ps["files_skipped"] > 0
+    assert {r.k for r in t.read(where="name = 'n0042'").collect()} == {42}
+
+    # restore to before the DV delete: deleted rows resurface
+    t.restore(version=v_before_delete)
+    assert t.read().count() == 1000
+    assert t.read().filter(F.col("k") == 950).count() == 1
+
+    # CDF window over MERGE + DELETE survives the whole history
+    ch = t.read_changes(starting_version=1)
+    kinds = {r["_change_type"] for r in ch.select("_change_type").distinct().collect()}
+    assert {"insert", "update_preimage", "update_postimage", "delete"} <= kinds
+
+    # vacuum with zero retention: current snapshot intact, orphans gone
+    removed = t.vacuum(retain_hours=0)
+    assert removed  # zorder/restore left unreferenced files + sidecars
+    assert t.read().count() == 1000
+    final = {r.k: r.amount for r in t.read().collect()}
+    assert final[150] == 300.0 and final[950] == 950.0
