@@ -31,6 +31,7 @@ Statement coverage (the forms the reference actually uses):
 - ``COPY INTO t FROM 'path' [FILEFORMAT = PARQUET|CSV|JSON|ORC]``
 - ``OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2)]``
 - ``REORG TABLE t APPLY (PURGE)`` (rewrite deletion-vector files)
+- ``SHOW PARTITIONS t`` (metadata-only, from active file paths)
 - ``SELECT ... FROM table_changes('t', start [, end])`` (CDF TVF,
   bound in :meth:`Catalog.sql`)
 - ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
@@ -146,6 +147,9 @@ _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_ID})(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
     re.I,
+)
+_SHOW_PARTITIONS = re.compile(
+    rf"^\s*SHOW\s+PARTITIONS\s+({_ID})\s*;?\s*$", re.I
 )
 _REORG = re.compile(
     rf"^\s*REORG\s+TABLE\s+({_ID})\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$", re.I
@@ -513,6 +517,27 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             cols = [c.strip().strip("`") for c in m.group(3).split(",")]
             return _one_row(spark, t.zorder(cols, where=where))
         return _one_row(spark, t.optimize(where=where))
+
+    if m := _SHOW_PARTITIONS.match(query):
+        t = cat.table(m.group(1))
+        parts = t.partition_columns()
+        if not parts:
+            raise ValueError(f"{m.group(1)} is not a partitioned table")
+        from .logtable import _partition_values
+
+        mapping = t._column_mapping()
+        phys = [mapping.get(c, c) for c in parts]
+        # metadata-only: values come from the active file paths, no scan
+        vals = sorted(
+            {
+                tuple(_partition_values(f.path).get(p) for p in phys)
+                for f in t._replay()[0]
+            },
+            key=lambda v: tuple((x is None, x or "") for x in v),  # NULLs last
+        )
+        return spark.createDataFrame(
+            [tuple(v) for v in vals], ", ".join(f"`{c}` string" for c in parts)
+        )
 
     if m := _REORG.match(query):
         # rewrite files carrying deletion vectors (optimize() always

@@ -111,6 +111,22 @@ def test_utility_statements(spark, cat):
     assert cat.read("acid.orders").count() == n_before
 
 
+def test_show_partitions(spark, cat):
+    cat.sql(
+        "CREATE TABLE acid.pt (id BIGINT, day STRING) PARTITIONED BY (day)"
+    )
+    t = cat.table("acid.pt")
+    t.append(
+        spark.createDataFrame(
+            [(1, "d1"), (2, "d2"), (3, None)], "id long, day string"
+        ).repartition("day")
+    )
+    got = [r.day for r in cat.sql("SHOW PARTITIONS acid.pt").collect()]
+    assert got == ["d1", "d2", None]
+    with pytest.raises(ValueError, match="not a partitioned"):
+        cat.sql("SHOW PARTITIONS acid.orders")
+
+
 def test_table_changes_tvf_and_reorg(spark, cat):
     cat.sql(
         "CREATE TABLE acid.cdf (id BIGINT, v STRING) "
