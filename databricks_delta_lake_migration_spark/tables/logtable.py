@@ -1622,7 +1622,13 @@ class LogTable:
         """autoCompact: if a write leaves any of its target partition
         directories holding ≥ minNumFiles small files, bin-pack exactly
         those directories inline (a scoped OPTIMIZE commit). Bounded
-        work: only the directories this write touched are examined."""
+        work: only the directories this write touched are examined.
+
+        Note (Delta-parity): the inline compaction bin-packs WITHOUT
+        re-sorting, so on a Z-ORDERed table it gradually dilutes
+        clustering in hot partitions — schedule a periodic scoped
+        ``zorder(..., where=)`` (see ``MaintenanceConfig.incremental``)
+        to restore it, exactly as Delta users re-OPTIMIZE ZORDER."""
         props = self.properties()
         if props.get(AUTOCOMPACT_PROP, "false") != "true":
             return
