@@ -214,3 +214,57 @@ def stratified_sample(
     return df.filter(
         portable_hash_bucket(F.col(id_col)) < F.floor(frac * 10_000)
     )
+
+
+def contamination_scores(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft contamination scoring — the graded counterpart of
+    :func:`decontaminate`'s exact-chunk drop: for every training
+    document, the fraction of its DISTINCT word 3-gram shingles that
+    appear anywhere in the evaluation split (``n_shingles``,
+    ``n_hits``, ``score``). Pipelines drop above a threshold (e.g.
+    score > 0.8 ≈ near-verbatim leak) instead of only on exact chunk
+    identity — catching paraphrase-adjacent partial overlap.
+
+    Scale shape mirrors decontaminate: the eval split's distinct
+    shingle set is broadcast (eval sets are small by construction)
+    into a left-semi probe; the corpus is scanned once, and the only
+    corpus-keyed shuffle is the final per-doc count aggregate (partial
+    map-side combined). If the eval set outgrows broadcast, the same
+    plan degrades to a skew-free hash join on the shingle.
+    """
+    from .textstats import shingles
+
+    ev = (
+        test.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("sh")
+        )
+        .distinct()
+    )
+    corp = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("sh"),
+    )
+    hits = (
+        corp.join(F.broadcast(ev), "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = train.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(F.col(text_col)))).alias("n_shingles"),
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("score"),
+        )
+    )

@@ -336,3 +336,48 @@ def q100_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sampled_price"),
         )
     )
+
+
+# DuckDB twin of textstats.shingles(k=3) — same as queries/text.py
+_SQL_SHINGLES_C = (
+    f"CASE WHEN len({_SQL_TOKS}) >= 3 THEN "
+    f"list_transform(range(1, len({_SQL_TOKS}) - 1), "
+    f"i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]) "
+    f"ELSE [array_to_string({_SQL_TOKS}, ' ')] END"
+)
+
+
+@query(
+    "q117_contamination_scores",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest(list_distinct({_SQL_SHINGLES_C})) AS sh
+        FROM documents WHERE doc_id % 10 = 0
+    ), corp AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES_C})) AS sh
+        FROM documents WHERE doc_id % 10 <> 0
+    ), tot AS (
+        SELECT doc_id, len(list_distinct({_SQL_SHINGLES_C})) AS n_shingles
+        FROM documents WHERE doc_id % 10 <> 0
+    ), h AS (
+        SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN ev USING (sh)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / t.n_shingles, 6) AS score
+    FROM tot t LEFT JOIN h ON t.doc_id = h.doc_id
+    """,
+)
+def q117_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft contamination scoring (``curation.contamination_scores``):
+    per-training-doc fraction of distinct 3-gram shingles that appear
+    anywhere in the eval split (doc_id % 10 = 0 plays the eval set) —
+    the graded companion to q95's exact-chunk decontamination, for
+    thresholded drops of paraphrase-adjacent partial leakage. Eval
+    shingles broadcast into a left-semi probe; one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.contamination_scores(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
