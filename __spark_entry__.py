@@ -45,10 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # sentinels; the remaining 23 slots re-confirm rows whose only green
 # driver row is from rounds 1–3. pytest's local DuckDB oracle-parity
 # twin still exercises all 116 every round. Round 6 should rotate in
-# the five round-5 registrations (q112 bloom index, q113 COPY INTO,
+# the six round-5 registrations (q112 bloom index, q113 COPY INTO,
 # q114 incremental LSH, q115 persisted IVF index, q116 chunking,
-# q117 contamination scoring) —
-# all green under the local sf0.01 driver simulation this round.
+# q117 contamination scoring) — all green under the local sf0.01
+# driver simulation this round.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",
