@@ -1763,7 +1763,7 @@ class LogTable:
         — the incoming data itself names the partitions. One
         metadata-sized distinct over the partition columns; file
         selection is pure path matching (no data read)."""
-        files, schema_json, partition_by, _, _ = self._replay()
+        files, schema_json, partition_by, props, _ = self._replay()
         df, ident_props = self._apply_identity(df)
         df = self._apply_generated(df)
         schema = (
@@ -1771,6 +1771,7 @@ class LogTable:
         )
         data = self._align(df, schema)
         self._check_constraints(data)
+        data = self._maybe_optimize_write(data, partition_by, props)
 
         removed: list[str]
         carried: list[FileEntry] = []

@@ -502,6 +502,10 @@ def test_optimize_write_and_autocompact(spark, tmp_path):
         c.operation == "OPTIMIZE" for c in t.commits()
     )  # compactions really happened
 
+    # optimizeWrite also governs overwrites (medallion gold path)
+    t.overwrite(wide)
+    assert t.detail()["numFiles"] == 2
+
 
 def test_copy_into_idempotent_and_incremental(spark, tmp_path):
     """COPY INTO: re-runs load nothing; new source files load exactly
