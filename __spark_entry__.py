@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 116 queries (q69 is an unused number)
+# The driver hash-checks the first 50 registrations; with 118 queries (q69 is an unused number)
 # registered, ordering is coverage policy. Rounds 1–4 accumulated green
 # driver rows for 91 distinct queries; round 5 rotates in the LAST 19
 # never-checked registrations (q93–q111: curation, PQ/IVF-PQ,
@@ -44,10 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # agg, star join) — stay in-window as cross-round regression
 # sentinels; the remaining 23 slots re-confirm rows whose only green
 # driver row is from rounds 1–3. pytest's local DuckDB oracle-parity
-# twin still exercises all 116 every round. Round 6 should rotate in
-# the six round-5 registrations (q112 bloom index, q113 COPY INTO,
+# twin still exercises all 118 every round. Round 6 should rotate in
+# the eight round-5 registrations (q112 bloom index, q113 COPY INTO,
 # q114 incremental LSH, q115 persisted IVF index, q116 chunking,
-# q117 contamination scoring) — all green under the local sf0.01
+# q117 contamination scoring, q118 SHOW PARTITIONS, q119 write
+# tuning) — all green under the local sf0.01
 # driver simulation this round.
 _PRIORITY = [
     # never-checked: curation tier

@@ -840,3 +840,75 @@ def q113_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("idempotent", F.lit(idempotent))
         .withColumn("incremental", F.lit(incremental))
     )
+
+
+@query(
+    "q118_show_partitions",
+    oracle="""
+    SELECT o_orderstatus AS day FROM orders WHERE o_orderkey % 4 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q118_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS through the SQL router: metadata-only — the
+    partition list comes from active file paths, no data scan. The
+    oracle is the declarative DISTINCT over the partition source
+    column (same values, proving path-derived metadata ≡ data)."""
+    from ..tables import Catalog
+
+    target = _orders_subset(spark, sf_dir).withColumnRenamed(
+        "o_orderstatus", "day"
+    )
+    cat = Catalog(spark, _scratch("showparts-cat"))
+    t = cat.create_table("lake.acid.parts", target.schema, partition_by=["day"])
+    t.append(target.repartition("day"))
+    return cat.sql("SHOW PARTITIONS acid.parts").select(
+        F.col("day").alias("day")
+    )
+
+
+@query(
+    "q119_write_tuning",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           TRUE AS files_bounded, TRUE AS compacted
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 50 < 12
+    """,
+)
+def q119_write_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """optimizeWrite + autoCompact under a small-append ingest loop:
+    12 appends into a 2-partition table; optimizeWrite lands one file
+    per touched partition per append, autoCompact (minNumFiles=4)
+    folds partitions back inline — ``files_bounded`` pins the live
+    file count under the threshold bound after the storm (without the
+    pair it would be ≥ 12), ``compacted`` pins that inline OPTIMIZE
+    commits actually happened. Content equals the declarative union of
+    everything appended."""
+    from ..tables.logtable import (
+        AUTOCOMPACT_MIN_FILES_PROP,
+        AUTOCOMPACT_PROP,
+        OPTWRITE_PROP,
+    )
+
+    target = _orders_subset(spark, sf_dir).filter(F.col("o_orderkey") % 50 < 12)
+    t = LogTable.create(
+        spark,
+        _scratch("writetune"),
+        target.schema,
+        partition_by=["o_orderstatus"],
+        properties={
+            OPTWRITE_PROP: "true",
+            AUTOCOMPACT_PROP: "true",
+            AUTOCOMPACT_MIN_FILES_PROP: "4",
+        },
+    )
+    for i in range(12):
+        t.append(target.filter(F.col("o_orderkey") % 50 == i))
+    n_parts = target.select("o_orderstatus").distinct().count()
+    files_bounded = t.detail()["numFiles"] <= 4 * n_parts
+    compacted = any(c.operation == "OPTIMIZE" for c in t.commits())
+    return (
+        t.read()
+        .withColumn("files_bounded", F.lit(bool(files_bounded)))
+        .withColumn("compacted", F.lit(bool(compacted)))
+    )
