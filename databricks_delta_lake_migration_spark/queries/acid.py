@@ -912,3 +912,58 @@ def q119_write_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_bounded", F.lit(bool(files_bounded)))
         .withColumn("compacted", F.lit(bool(compacted)))
     )
+
+
+@query(
+    "q120_schema_metadata",
+    oracle="""
+    SELECT column_name AS col_name, TRUE AS roundtrip_ok, TRUE AS describe_ok
+    FROM (DESCRIBE SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+    ORDER BY col_name
+    """,
+)
+def q120_schema_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-metadata SQL surface (delta_utils.py:242-256 emits CREATE
+    DDL; notebook users read DESCRIBE): SHOW COLUMNS supplies the
+    column inventory — cross-checked against DuckDB's DESCRIBE of the
+    same parquet — while two in-query verdicts pin (a) SHOW CREATE
+    TABLE output re-executing through the router into a metadata-equal
+    table (schema, partitioning, properties), and (b) DESCRIBE TABLE
+    agreeing with the table's schema, including the partition-info
+    section. All metadata-only: no data scan behind any of the three
+    statements."""
+    from ..tables import Catalog
+
+    target = _orders_subset(spark, sf_dir)
+    cat = Catalog(spark, _scratch("schemameta-cat"))
+    t = cat.create_table(
+        "lake.acid.meta", target.schema, partition_by=["o_orderstatus"]
+    )
+    t.set_properties({"delta.enableChangeDataFeed": "true"})
+    t.append(target.repartition("o_orderstatus"))
+
+    stmt = cat.sql("SHOW CREATE TABLE acid.meta").first()["createtab_stmt"]
+    cat.sql(stmt.replace("lake.acid.meta", "lake.acid.meta_rt"))
+    t2 = cat.table("acid.meta_rt")
+    roundtrip_ok = (
+        [(f.name, f.dataType) for f in t2.schema().fields]
+        == [(f.name, f.dataType) for f in t.schema().fields]
+        and t2.partition_columns() == t.partition_columns()
+        and t2.properties() == t.properties()
+    )
+
+    desc = cat.sql("DESCRIBE TABLE acid.meta").collect()
+    n = len(t.schema().fields)
+    describe_ok = (
+        [(r.col_name, r.data_type) for r in desc[:n]]
+        == [(f.name, f.dataType.simpleString()) for f in t.schema().fields]
+        and desc[n].col_name == "# Partition Information"
+        and desc[-1].col_name == "o_orderstatus"
+    )
+
+    return (
+        cat.sql("SHOW COLUMNS IN acid.meta")
+        .withColumn("roundtrip_ok", F.lit(bool(roundtrip_ok)))
+        .withColumn("describe_ok", F.lit(bool(describe_ok)))
+        .orderBy("col_name")
+    )

@@ -32,6 +32,10 @@ Statement coverage (the forms the reference actually uses):
 - ``OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2)]``
 - ``REORG TABLE t APPLY (PURGE)`` (rewrite deletion-vector files)
 - ``SHOW PARTITIONS t`` (metadata-only, from active file paths)
+- ``DESCRIBE [TABLE] [EXTENDED] t`` / ``SHOW COLUMNS IN|FROM t`` /
+  ``SHOW CREATE TABLE t`` (schema metadata; unregistered names fall
+  through to Spark so temp views keep native behavior; the emitted
+  CREATE statement round-trips through this router)
 - ``SELECT ... FROM table_changes('t', start [, end])`` (CDF TVF,
   bound in :meth:`Catalog.sql`)
 - ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
@@ -107,9 +111,22 @@ _DROP_CONSTRAINT = re.compile(
     re.I,
 )
 _COL_DEF = re.compile(
-    r"^\s*`?(\w+)`?\s+([A-Za-z0-9_<>,()\s]+?)(?:\s+COMMENT\s+'([^']*)')?\s*$",
+    r"^\s*`?(\w+)`?\s+([A-Za-z0-9_<>,()\s]+?)"
+    r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?\s*$",
     re.I | re.S,
 )
+
+
+def _unquote(s: str) -> str:
+    """Strip one layer of SQL quoting and unescape doubled quotes
+    (``'team''s'`` → ``team's``) so SHOW CREATE TABLE output parses
+    back to the original metadata."""
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1].replace(s[0] * 2, s[0])
+    return s
+
+
 _CLONE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})\s+"
     rf"(SHALLOW\s+|DEEP\s+)?CLONE\s+({_ID})"
@@ -150,6 +167,17 @@ _OPTIMIZE = re.compile(
 )
 _SHOW_PARTITIONS = re.compile(
     rf"^\s*SHOW\s+PARTITIONS\s+({_ID})\s*;?\s*$", re.I
+)
+# DESCRIBE HISTORY/DETAIL never reach this: "HISTORY t" is two words,
+# a single _ID cannot span them, and route() tries those first anyway.
+_DESCRIBE_TABLE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(EXTENDED\s+)?({_ID})\s*;?\s*$", re.I
+)
+_SHOW_COLUMNS = re.compile(
+    rf"^\s*SHOW\s+COLUMNS\s+(?:IN|FROM)\s+({_ID})\s*;?\s*$", re.I
+)
+_SHOW_CREATE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+({_ID})\s*;?\s*$", re.I
 )
 _REORG = re.compile(
     rf"^\s*REORG\s+TABLE\s+({_ID})\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$", re.I
@@ -269,7 +297,7 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             k, sep, v = part.partition("=")
             if not sep:
                 raise ValueError(f"bad TBLPROPERTIES entry: {part!r}")
-            props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            props[_unquote(k)] = _unquote(v)
         cat.table(m.group(1)).set_properties(props)
         return _one_row(spark, {"propertiesSet": props})
 
@@ -282,7 +310,7 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             cm = _COL_DEF.match(part)
             if not cm:
                 raise ValueError(f"bad column definition: {part!r}")
-            meta = {"comment": cm.group(3)} if cm.group(3) else None
+            meta = {"comment": cm.group(3).replace("''", "'")} if cm.group(3) else None
             fields.append(
                 StructField(
                     cm.group(1), _parse_datatype_string(cm.group(2)), True,
@@ -317,7 +345,7 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         return _one_row(spark, {"columnDropped": m.group(2)})
 
     if m := _ALTER_UNSET_PROPS.match(query):
-        keys = [p.strip().strip("'\"") for p in _split_top(m.group(2))]
+        keys = [_unquote(p) for p in _split_top(m.group(2))]
         cat.table(m.group(1)).unset_properties(keys)
         return _one_row(spark, {"propertiesUnset": keys})
 
@@ -451,7 +479,7 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             cm = _COL_DEF.match(part_def)
             if not cm:
                 raise ValueError(f"bad column definition: {part_def!r}")
-            meta = {"comment": cm.group(3)} if cm.group(3) else None
+            meta = {"comment": cm.group(3).replace("''", "'")} if cm.group(3) else None
             fields.append(
                 StructField(
                     cm.group(1), _parse_datatype_string(cm.group(2)), True,
@@ -469,7 +497,7 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
                 k, sep, v = entry.partition("=")
                 if not sep:
                     raise ValueError(f"bad TBLPROPERTIES entry: {entry!r}")
-                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+                props[_unquote(k)] = _unquote(v)
         cat.create_table(
             name, StructType(fields), partition_by=part, properties=props or None
         )
@@ -538,6 +566,92 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         return spark.createDataFrame(
             [tuple(v) for v in vals], ", ".join(f"`{c}` string" for c in parts)
         )
+
+    if m := _DESCRIBE_TABLE.match(query):
+        if cat._fq(m.group(2)) not in cat._load():
+            return None  # temp view / plain name → Spark's own DESCRIBE
+        t = cat.table(m.group(2))
+        schema, parts = t.schema(), t.partition_columns()
+
+        def _row(f):
+            return (
+                f.name,
+                f.dataType.simpleString(),
+                (f.metadata or {}).get("comment"),
+            )
+
+        by_name = {f.name: f for f in schema.fields}
+        rows = [_row(f) for f in schema.fields]
+        if parts:
+            # Delta's sectioned shape: partition columns repeated below
+            rows += [
+                ("# Partition Information", "", ""),
+                ("# col_name", "data_type", "comment"),
+            ]
+            rows += [_row(by_name[c]) for c in parts]
+        if m.group(1):
+            d = t.detail()
+            rows += [
+                ("", "", ""),
+                ("# Detailed Table Information", "", ""),
+                ("Name", cat._fq(m.group(2)), ""),
+                ("Location", t.path, ""),
+                ("Provider", "delta", ""),
+                ("numFiles", str(d["numFiles"]), ""),
+                ("sizeInBytes", str(d["sizeInBytes"]), ""),
+            ]
+            props = t.properties()
+            if props:
+                rows.append((
+                    "Table Properties",
+                    "[" + ",".join(f"{k}={v}" for k, v in sorted(props.items())) + "]",
+                    "",
+                ))
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    if m := _SHOW_COLUMNS.match(query):
+        if cat._fq(m.group(1)) not in cat._load():
+            return None
+        return spark.createDataFrame(
+            [(f.name,) for f in cat.table(m.group(1)).schema().fields],
+            "col_name string",
+        )
+
+    if m := _SHOW_CREATE.match(query):
+        if cat._fq(m.group(1)) not in cat._load():
+            return None
+        t = cat.table(m.group(1))
+
+        def _q(s: str) -> str:
+            return s.replace("'", "''")
+
+        col_lines = []
+        for f in t.schema().fields:
+            line = f"  `{f.name}` {f.dataType.simpleString()}"
+            c = (f.metadata or {}).get("comment")
+            if c:
+                line += f" COMMENT '{_q(c)}'"
+            col_lines.append(line)
+        stmt = (
+            f"CREATE TABLE {cat._fq(m.group(1))} (\n"
+            + ",\n".join(col_lines)
+            + "\n) USING DELTA"
+        )
+        parts = t.partition_columns()
+        if parts:
+            stmt += "\nPARTITIONED BY (" + ", ".join(f"`{c}`" for c in parts) + ")"
+        props = t.properties()
+        if props:
+            stmt += (
+                "\nTBLPROPERTIES (\n  "
+                + ",\n  ".join(
+                    f"'{_q(k)}' = '{_q(v)}'" for k, v in sorted(props.items())
+                )
+                + "\n)"
+            )
+        return _one_row(spark, {"createtab_stmt": stmt})
 
     if m := _REORG.match(query):
         # rewrite files carrying deletion vectors (optimize() always

@@ -428,3 +428,48 @@ def test_create_table_column_defs_sql(spark, cat):
     # CTAS still routes to its own handler, not the column-def one
     r = cat.sql("CREATE TABLE acid.items2 AS SELECT * FROM acid.items")
     assert r.first()["numOutputRows"] == "1"
+
+
+def test_describe_show_columns_show_create(spark, cat):
+    cat.sql(
+        """CREATE TABLE acid.meta (
+               id BIGINT COMMENT 'it''s the key',
+               day STRING,
+               amt DECIMAL(12,2)
+           ) PARTITIONED BY (day)
+           TBLPROPERTIES ('enableChangeDataFeed' = 'true', 'owner' = 'team''s data')"""
+    )
+    rows = cat.sql("DESCRIBE TABLE acid.meta").collect()
+    assert [(r.col_name, r.data_type) for r in rows[:3]] == [
+        ("id", "bigint"),
+        ("day", "string"),
+        ("amt", "decimal(12,2)"),
+    ]
+    assert rows[0].comment == "it's the key"
+    # partition section: marker rows then the partition column repeated
+    assert rows[3].col_name == "# Partition Information"
+    assert rows[5].col_name == "day"
+
+    ext = {r.col_name: r.data_type for r in cat.sql("DESC EXTENDED acid.meta").collect()}
+    assert ext["Provider"] == "delta"
+    assert ext["Name"] == "lake.acid.meta"
+    assert "enableChangeDataFeed=true" in ext["Table Properties"]
+
+    cols = [r.col_name for r in cat.sql("SHOW COLUMNS IN acid.meta").collect()]
+    assert cols == ["id", "day", "amt"]
+
+    # SHOW CREATE TABLE round-trips through this router: same schema,
+    # comments, partitioning, and properties under a new name
+    stmt = cat.sql("SHOW CREATE TABLE acid.meta").first()["createtab_stmt"]
+    cat.sql(stmt.replace("lake.acid.meta", "lake.acid.meta_rt"))
+    t, t2 = cat.table("acid.meta"), cat.table("acid.meta_rt")
+    assert [(f.name, f.dataType) for f in t2.schema().fields] == [
+        (f.name, f.dataType) for f in t.schema().fields
+    ]
+    assert t2.partition_columns() == t.partition_columns()
+    assert t2.properties() == t.properties()
+    assert (t2.schema()["id"].metadata or {}).get("comment") == "it's the key"
+
+    # unregistered names fall through to Spark's native DESCRIBE
+    spark.range(3).createOrReplaceTempView("plainview")
+    assert cat.sql("DESCRIBE plainview").count() >= 1
