@@ -268,3 +268,45 @@ def contamination_scores(
             F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("score"),
         )
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "s1",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into ``n_shards`` training
+    shards — the final step of corpus assembly before writing training
+    data (documents must reach the trainer in pseudo-random order,
+    decorrelated from source/crawl locality, and every rerun must
+    produce the identical permutation).
+
+    Each document's shard and its position inside the shard derive
+    from two independent :func:`portable_hash_bucket` draws over
+    ``(id, seed)`` — a reproducible, engine-portable permutation:
+    re-running (or re-deriving in another engine) yields byte-identical
+    shard files. Ties on the order hash break by id, so the result is a
+    total order.
+
+    Scale design: ONE shuffle, keyed on the shard id; each shard sorts
+    independently inside its partition (window partitioned by shard —
+    never a global sort). Choose ``n_shards`` so a shard fits an
+    executor (at 100 TB that's thousands of shards); the downstream
+    writer maps one shard to one output file via
+    ``repartition(n_shards, shard).sortWithinPartitions(...)``.
+    """
+    sid = F.col(id_col).cast("string")
+    shard = portable_hash_bucket(
+        F.concat(sid, F.lit(f":{seed}:shard")), n_shards
+    )
+    ord_key = portable_hash_bucket(
+        F.concat(sid, F.lit(f":{seed}:ord")), 1_000_000_000
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", id_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("ord_key", ord_key)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("ord_key")
+    )

@@ -381,3 +381,34 @@ def q117_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
     )
+
+
+@query(
+    "q121_shard_shuffle",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
+                    || ':s1:shard'), 1, 8) AS BIGINT) % 8 AS shard,
+               CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)
+                    || ':s1:ord'), 1, 8) AS BIGINT) % 1000000000 AS ord_key
+        FROM documents
+    )
+    SELECT doc_id, source, shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY ord_key, doc_id
+           ) AS INT) AS pos
+    FROM h
+    """,
+)
+def q121_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (``curation.shard_shuffle``): every
+    document is assigned a training shard and a position inside it from
+    two independent portable-hash draws — a reproducible pseudo-random
+    permutation of the corpus (the write-order step of corpus
+    assembly). The oracle recomputes the identical permutation from the
+    same sliced-sha256 family in DuckDB: cross-engine byte-equality of
+    the full shard layout. One shuffle, keyed on the shard id."""
+    return curation.shard_shuffle(
+        load_table(spark, sf_dir, "documents"), n_shards=8
+    ).select("doc_id", "source", "shard", "pos")

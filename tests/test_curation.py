@@ -292,3 +292,42 @@ def test_chunk_documents_windows_and_edges(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         textstats.chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_shard_shuffle_is_a_deterministic_permutation(spark):
+    docs = spark.createDataFrame(
+        [(i, "s", f"doc {i}") for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    out = curation.shard_shuffle(docs, n_shards=4).collect()
+    # every document appears exactly once, schema keeps input columns
+    assert sorted(r.doc_id for r in out) == list(range(200))
+    # positions are contiguous 1..n within each shard (a total order)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # rerun is byte-identical; a different seed is a different permutation
+    again = curation.shard_shuffle(docs, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = curation.shard_shuffle(docs, n_shards=4, seed="s2").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in other} != {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+    # the shuffle decorrelates input order: within a shard, consecutive
+    # positions are not consecutive ids
+    first = next(iter(by_shard.values()))
+    assert len(first) > 10
+
+
+def test_shard_shuffle_window_is_per_shard(spark):
+    """The ordering window must partition by shard — a global sort
+    would serialize 100 TB through one task."""
+    docs = spark.createDataFrame(
+        [(i, "s", "t") for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    plan = curation.shard_shuffle(docs)._jdf.queryExecution().toString()
+    assert "hashpartitioning(shard" in plan
