@@ -190,6 +190,22 @@ def acid_bench(spark, sf_dir: str) -> dict[str, float]:
         )
         out["pruning_speedup_pct"] = round((full - pruned) / full * 100, 1)
 
+        # OPTIMIZE compaction impact (reference benchmarks:345-394;
+        # BASELINE.md publishes the file-reduction % shape): a small-file
+        # ingest state — 8 appends of a 10% slice — then one compaction
+        opt = LogTable.create(spark, f"{root}/o", li.schema)
+        tenth = li.filter(F.col("id") < n_rows // 10)
+        for i in range(8):
+            opt.append(tenth.filter(F.col("id") % 8 == i))
+        files_before = opt.detail()["numFiles"]
+        t0 = time.perf_counter()
+        opt.optimize()
+        out["optimize_duration_s"] = round(time.perf_counter() - t0, 3)
+        files_after = opt.detail()["numFiles"]
+        out["optimize_file_reduction_pct"] = round(
+            (files_before - files_after) / files_before * 100, 1
+        )
+
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
