@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 120 queries (q69 is an unused number)
+# The driver hash-checks the first 50 registrations; with 121 queries (q69 is an unused number)
 # registered, ordering is coverage policy. Rounds 1–4 accumulated green
 # driver rows for 91 distinct queries; round 5 rotates in the LAST 19
 # never-checked registrations (q93–q111: curation, PQ/IVF-PQ,
@@ -48,8 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the eight round-5 registrations (q112 bloom index, q113 COPY INTO,
 # q114 incremental LSH, q115 persisted IVF index, q116 chunking,
 # q117 contamination scoring, q118 SHOW PARTITIONS, q119 write
-# tuning, q120 schema metadata, q121 shard shuffle) — all green under
-# the local sf0.01 driver simulation this round.
+# tuning, q120 schema metadata, q121 shard shuffle, q122 quality
+# top-fraction) — all green under the local sf0.01 driver simulation
+# this round.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -310,3 +310,41 @@ def shard_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("ord_key")
     )
+
+
+def quality_top_fraction(
+    df: DataFrame,
+    pct: int = 70,
+    by_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Percentile-style quality gate: score every document by
+    word-distribution entropy (:func:`textstats.word_entropy` — the
+    repetition/degeneracy signal) and keep the top ``pct`` percent of
+    documents *within each source* (rank by entropy descending, id
+    tiebreak; a document survives when ``rank*100 <= pct*n`` — integer
+    arithmetic, so the cut is engine-exact with no float-threshold
+    wobble). Per-source ranking keeps a high-quality niche source from
+    being drowned by a large low-quality one — the thresholding step
+    between scoring and mixture assembly.
+
+    Scale design: the entropy subplan shuffles on content keys
+    ((doc, word) then doc); the ranking window partitions by source —
+    never a global sort. Documents with no tokens score no entropy row
+    and are dropped (they'd fail any quality gate anyway)."""
+    from .textstats import word_entropy
+
+    scored = word_entropy(df, text_col=text_col, id_col=id_col).join(
+        df.select(id_col, by_col), id_col
+    )
+    w = Window.partitionBy(by_col)
+    ranked = scored.withColumn(
+        "quality_rank",
+        F.row_number().over(w.orderBy(F.col("entropy").desc(), id_col)),
+    ).withColumn("n_in_source", F.count(F.lit(1)).over(w))
+    return (
+        ranked.filter(F.col("quality_rank") * 100 <= pct * F.col("n_in_source"))
+        .drop("n_in_source")
+        .select(by_col, id_col, "entropy", "n_tokens", "quality_rank")
+    )

@@ -412,3 +412,43 @@ def q121_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.shard_shuffle(
         load_table(spark, sf_dir, "documents"), n_shards=8
     ).select("doc_id", "source", "shard", "pos")
+
+
+@query(
+    "q122_quality_top_fraction",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    ), totals AS (
+        SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id
+    ), ent AS (
+        SELECT wc.doc_id,
+               ROUND(CAST(SUM(CAST(-(c * 1.0 / n) * log2(c * 1.0 / n)
+                    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy,
+               CAST(MAX(n) AS BIGINT) AS n_tokens
+        FROM wc JOIN totals ON wc.doc_id = totals.doc_id
+        GROUP BY wc.doc_id
+    ), ranked AS (
+        SELECT d.source, e.doc_id, e.entropy, e.n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source ORDER BY e.entropy DESC, e.doc_id
+               ) AS quality_rank,
+               COUNT(*) OVER (PARTITION BY d.source) AS n_in_source
+        FROM ent e JOIN documents d ON e.doc_id = d.doc_id
+    )
+    SELECT source, doc_id, entropy, n_tokens,
+           CAST(quality_rank AS INT) AS quality_rank
+    FROM ranked WHERE quality_rank * 100 <= 70 * n_in_source
+    """,
+)
+def q122_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-style quality gate (``curation.quality_top_fraction``):
+    keep the top 70% of documents per source by word-entropy — the
+    integer-exact rank cut (``rank*100 <= pct*n``) makes the survivor
+    set engine-identical, with the decimal-snapped entropy from q77 as
+    the score. Per-source window, never a global sort."""
+    return curation.quality_top_fraction(
+        load_table(spark, sf_dir, "documents"), pct=70
+    )

@@ -331,3 +331,27 @@ def test_shard_shuffle_window_is_per_shard(spark):
     )
     plan = curation.shard_shuffle(docs)._jdf.queryExecution().toString()
     assert "hashpartitioning(shard" in plan
+
+
+def test_quality_top_fraction_rank_cut_and_per_source(spark):
+    # source A: 10 docs with increasing repetition (decreasing entropy);
+    # source B: 2 docs — the cut applies within each source separately
+    rows = [(i, "A", " ".join(f"w{j}" for j in range(10 - i)) + " x" * i)
+            for i in range(10)]
+    rows += [(100, "B", "a b c d"), (101, "B", "a a a a")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curation.quality_top_fraction(docs, pct=70).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, set()).add(r.doc_id)
+    # floor semantics: 70% of 10 = 7 docs, 70% of 2 = 1 doc
+    assert len(by_source["A"]) == 7
+    assert len(by_source["B"]) == 1
+    # survivors are the highest-entropy docs; ranks are 1..k
+    ranks = sorted(r.quality_rank for r in out if r.source == "A")
+    assert ranks == list(range(1, 8))
+    # the all-repetition doc (zero entropy) never survives
+    assert 9 not in by_source["A"]
+    # window must partition by source, not global
+    plan = curation.quality_top_fraction(docs)._jdf.queryExecution().toString()
+    assert "hashpartitioning(source" in plan
