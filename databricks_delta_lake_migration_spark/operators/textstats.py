@@ -389,3 +389,67 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    separator: str = ". ",
+) -> DataFrame:
+    """Corpus-wide boilerplate removal [EXT]: a text segment (sentence
+    /line, split on ``separator``) that appears verbatim in at least
+    ``min_docs`` distinct documents is template chrome — navigation,
+    cookie banners, footers — and is stripped from every document
+    (the CCNet/C4-style cleanup that runs before dedup, because
+    boilerplate inflates near-dup similarity between unrelated pages).
+
+    Returns one row per input document: ``clean_text`` (surviving
+    segments rejoined in original order), ``n_kept``, ``n_stripped``.
+    Documents that were pure boilerplate survive with empty text so
+    the output stays row-aligned with the input.
+
+    Scale design: segments shuffle once on the segment value for the
+    frequency count (map-side combined) and the verdict joins back on
+    the same key — no broadcast of the (unbounded) segment dictionary;
+    reassembly aggregates per document with an in-group sort, bounded
+    by document size. Exact-match semantics: normalization (case,
+    whitespace) is the caller's pre-step, keeping the operator
+    oracle-exact."""
+    import re as _re
+
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(separator))).alias(
+            "pos", "seg"
+        ),
+    )
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    kept = segs.join(
+        freq.filter(F.col("nd") >= min_docs).select("seg"), "seg", "left_anti"
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            separator,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_seg"))
+    return (
+        totals.join(clean, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_seg") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_stripped"
+            ),
+        )
+    )

@@ -742,3 +742,62 @@ def q116_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=64,
         overlap_tokens=16,
     )
+
+
+@query(
+    "q123_boilerplate_strip",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text || '. Subscribe to our newsletter'
+                    WHEN doc_id % 7 = 0
+                    THEN text || '. All rights reserved. Subscribe to our newsletter'
+                    ELSE text END AS text
+        FROM documents
+    ), seg AS (
+        SELECT doc_id, unnest(segs) AS seg,
+               unnest(range(1, len(segs)+1)) AS pos
+        FROM (SELECT doc_id, string_split(text, '. ') AS segs FROM seeded)
+    ), freq AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY seg
+    ), kept AS (
+        SELECT s.doc_id, s.seg, s.pos FROM seg s
+        WHERE s.seg NOT IN (SELECT seg FROM freq WHERE nd >= 3)
+    ), agg AS (
+        SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM seg GROUP BY doc_id)
+    SELECT t.doc_id AS doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_seg - COALESCE(a.n_kept, 0) AS BIGINT) AS n_stripped
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def q123_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal
+    (``textstats.strip_boilerplate_lines``): newsletter/footer chrome
+    is seeded into a quarter of the corpus (the fixture text has no
+    repeated segments of its own, so the seeding is the testable
+    surface — q79's PII pattern), then any segment appearing in ≥3
+    distinct documents is stripped from all of them. One segment-keyed
+    shuffle for the frequency count; verdicts join back on the same
+    key — no driver-side segment dictionary."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(". Subscribe to our newsletter")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(". All rights reserved. Subscribe to our newsletter"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return textstats.strip_boilerplate_lines(seeded, min_docs=3)

@@ -308,3 +308,32 @@ def test_ivfpq_topk_recall_vs_brute_force(spark):
     }
     assert len(approx) == 10
     assert len(exact & approx) / 10 >= 0.4
+
+
+def test_strip_boilerplate_lines_removes_repeated_segments(spark):
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one. Subscribe now. tail one"),
+            (2, "unique two. Subscribe now"),
+            (3, "Subscribe now. unique three"),
+            (4, "only unique content here"),
+            (5, "Subscribe now"),  # pure boilerplate → empty survivor
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.strip_boilerplate_lines(
+        docs, min_docs=3).collect()}
+    assert len(out) == 5  # row-aligned: every input doc comes back
+    assert out[1].clean_text == "unique one. tail one"
+    assert out[1].n_stripped == 1 and out[1].n_kept == 2
+    assert out[2].clean_text == "unique two"
+    assert out[3].clean_text == "unique three"
+    assert out[4].clean_text == "only unique content here"
+    assert out[4].n_stripped == 0
+    assert out[5].clean_text == "" and out[5].n_kept == 0
+    # above the frequency ("Subscribe now" is in 4 docs) nothing strips
+    none = {r.doc_id: r.n_stripped for r in textstats.strip_boilerplate_lines(
+        docs, min_docs=5).collect()}
+    assert set(none.values()) == {0}
