@@ -337,3 +337,96 @@ def test_strip_boilerplate_lines_removes_repeated_segments(spark):
     none = {r.doc_id: r.n_stripped for r in textstats.strip_boilerplate_lines(
         docs, min_docs=5).collect()}
     assert set(none.values()) == {0}
+
+
+def test_strip_boilerplate_lines_matches_python_model(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    segs = ["alpha", "beta", "gamma", "chrome", "footer"]
+    docs_strategy = st.lists(
+        st.lists(st.sampled_from(segs), min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs_strategy, st.integers(min_value=2, max_value=4))
+    def inner(doc_segs, min_docs):
+        rows = [(i, ". ".join(s)) for i, s in enumerate(doc_segs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_kept, r.n_stripped)
+            for r in textstats.strip_boilerplate_lines(
+                df, min_docs=min_docs
+            ).collect()
+        }
+        from collections import Counter
+
+        nd = Counter()
+        for s in doc_segs:
+            for seg in set(s):
+                nd[seg] += 1
+        expected = {}
+        for i, s in enumerate(doc_segs):
+            kept = [seg for seg in s if nd[seg] < min_docs]
+            expected[i] = (". ".join(kept), len(kept), len(s) - len(kept))
+        assert got == expected
+
+    inner()
+
+
+def test_quality_top_fraction_matches_python_model(spark):
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators import curation
+
+    words = ["a", "b", "c", "d"]
+    docs_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.lists(st.sampled_from(words), min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs_strategy, st.integers(min_value=10, max_value=100))
+    def inner(docs, pct):
+        df = spark.createDataFrame(
+            [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(docs)],
+            "doc_id long, source string, text string",
+        )
+        got = {
+            (r.source, r.doc_id) for r in curation.quality_top_fraction(
+                df, pct=pct
+            ).collect()
+        }
+        from collections import Counter
+
+        def entropy(ws):
+            n = len(ws)
+            h = 0.0
+            for c in Counter(ws).values():
+                p = c / n
+                # mirror the operator's per-term decimal(28,12) snap
+                h += round(-p * math.log2(p), 12)
+            return round(h, 6)
+
+        by_src = {}
+        for i, (src, ws) in enumerate(docs):
+            by_src.setdefault(src, []).append((i, entropy(ws)))
+        expected = set()
+        for src, members in by_src.items():
+            ranked = sorted(members, key=lambda t: (-t[1], t[0]))
+            n = len(ranked)
+            for rank, (i, _) in enumerate(ranked, start=1):
+                if rank * 100 <= pct * n:
+                    expected.add((src, i))
+        assert got == expected
+
+    inner()
