@@ -967,3 +967,53 @@ def q120_schema_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("describe_ok", F.lit(bool(describe_ok)))
         .orderBy("col_name")
     )
+
+
+@query(
+    "q124_type_widening",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS id,
+           CAST(o_orderkey % 100 AS DOUBLE) AS qty,
+           TRUE AS narrow_before
+    FROM orders WHERE o_orderkey % 4 <> 0
+    UNION ALL
+    SELECT o_orderkey + 3000000000,
+           o_orderkey % 100 + 0.5,
+           TRUE
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 50 = 3
+    """,
+)
+def q124_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (D29 — Delta's ALTER COLUMN TYPE, metadata-only):
+    a table born with int/int columns is widened to bigint/double with
+    no data rewrite, then an append lands values only the wide types
+    can hold (ids beyond int range, fractional qty). The final state —
+    narrow-era files upcast at scan time, wide-era files native — must
+    equal the declarative union; ``narrow_before`` pins that the
+    pre-widening snapshot still time-travels back under the narrow
+    schema."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 != 0)
+        .select(
+            F.col("o_orderkey").cast("int").alias("id"),
+            (F.col("o_orderkey") % 100).cast("int").alias("qty"),
+        )
+    )
+    t = LogTable.create(spark, _scratch("widen"), base.schema)
+    t.append(base)
+    v_narrow = t.version()
+    from pyspark.sql import types as T
+
+    t.alter_column_type("id", T.LongType())
+    t.alter_column_type("qty", T.DoubleType())
+    t.append(
+        base.filter(F.col("id") % 50 == 3).select(
+            (F.col("id").cast("long") + 3_000_000_000).alias("id"),
+            (F.col("qty").cast("double") + 0.5).alias("qty"),
+        )
+    )
+    narrow_before = dict(t.read(version=v_narrow).dtypes) == {
+        "id": "int", "qty": "int",
+    }
+    return t.read().withColumn("narrow_before", F.lit(bool(narrow_before)))

@@ -1262,6 +1262,89 @@ class LogTable:
             )
         )
 
+    # digits needed for each integral type's full range — an integral
+    # column may widen to decimal(p, s) only when p - s covers it
+    # (empirically, Spark's parquet reader rejects anything narrower)
+    _INTEGRAL_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+    @classmethod
+    def _is_type_widening(cls, old: T.DataType, new: T.DataType) -> bool:
+        """Delta 4.x type-widening matrix, restricted to what Spark's
+        parquet vectorized reader upcasts natively (verified in
+        tests/test_logtable.py): integral up-chain, integral→double,
+        float→double, integral→decimal with enough integer digits,
+        decimal precision/scale growth that never shrinks the integer
+        part. Everything else (e.g. decimal→double, anything→string)
+        would need a data rewrite and is refused."""
+        o, n = old.typeName(), new.typeName()
+        chain = ["byte", "short", "integer", "long"]
+        if o in chain:
+            if n in chain:
+                return chain.index(n) > chain.index(o)
+            if n == "double":
+                return True
+            if isinstance(new, T.DecimalType):
+                return (
+                    new.precision - new.scale >= cls._INTEGRAL_DIGITS[o]
+                )
+        if o == "float" and n == "double":
+            return True
+        if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+            return (
+                new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale
+                and (new.precision, new.scale)
+                != (old.precision, old.scale)
+            )
+        return False
+
+    def alter_column_type(self, name: str, new_type: T.DataType) -> None:
+        """ALTER TABLE ALTER COLUMN ... TYPE — type widening as a
+        metadata-only commit (Delta's type-widening feature): existing
+        files keep their narrow physical type and every read path scans
+        them under the widened logical schema (Spark's parquet reader
+        upcasts int32→int64/double/decimal etc. natively — no rewrite
+        at any table size); rewrites after the change (UPDATE, MERGE,
+        OPTIMIZE) naturally land the wide type. Identity and generated
+        columns keep their declared contract types and are refused."""
+        files, schema_json, partition_by, props, _ = self._replay()
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise ValueError(f"no such column: {name}")
+        if f"identity.{name}" in props or f"generated.{name}" in props:
+            raise ValueError(
+                f"cannot change the type of identity/generated column {name!r}"
+            )
+        old_type = by_name[name].dataType
+        if not self._is_type_widening(old_type, new_type):
+            raise ValueError(
+                f"not a supported type widening: {old_type.simpleString()} "
+                f"-> {new_type.simpleString()}"
+            )
+        fields = [
+            T.StructField(
+                f.name,
+                new_type if f.name == name else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ALTER COLUMN",
+                schema_json=T.StructType(fields).json(),
+                parameters={
+                    "column": name,
+                    "from": old_type.simpleString(),
+                    "to": new_type.simpleString(),
+                },
+            )
+        )
+
     def _physical_conjuncts(
         self, conjuncts: list[tuple[str, str, Any]]
     ) -> list[tuple[str, str, Any]]:

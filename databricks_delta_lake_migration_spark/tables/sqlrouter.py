@@ -22,6 +22,8 @@ Statement coverage (the forms the reference actually uses):
   validated first) / ``DROP CONSTRAINT [IF EXISTS] name``
 - ``ALTER TABLE t RENAME COLUMN old TO new`` / ``DROP COLUMN name``
   (metadata-only via column mapping — no data rewrite)
+- ``ALTER TABLE t ALTER COLUMN c TYPE newtype`` (type widening,
+  metadata-only; old files upcast at scan time)
 - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
 - ``CREATE TABLE [IF NOT EXISTS] t (col TYPE [COMMENT '...'], ...)
   [USING fmt] [PARTITIONED BY (...)] [TBLPROPERTIES (...)]`` — the DDL
@@ -93,6 +95,11 @@ _RENAME_COL = re.compile(
 )
 _DROP_COL = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+DROP\s+COLUMNS?\s+`?(\w+)`?\s*;?\s*$",
+    re.I,
+)
+_ALTER_COL_TYPE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+TYPE\s+"
+    r"([A-Za-z0-9_<>,()\s]+?)\s*;?\s*$",
     re.I,
 )
 _ALTER_UNSET_PROPS = re.compile(
@@ -343,6 +350,16 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
     if m := _DROP_COL.match(query):
         cat.table(m.group(1)).drop_column(m.group(2))
         return _one_row(spark, {"columnDropped": m.group(2)})
+
+    if m := _ALTER_COL_TYPE.match(query):
+        from pyspark.sql.types import _parse_datatype_string
+
+        cat.table(m.group(1)).alter_column_type(
+            m.group(2), _parse_datatype_string(m.group(3))
+        )
+        return _one_row(
+            spark, {"column": m.group(2), "type": m.group(3).strip()}
+        )
 
     if m := _ALTER_UNSET_PROPS.match(query):
         keys = [_unquote(p) for p in _split_top(m.group(2))]

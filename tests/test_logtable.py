@@ -1998,3 +1998,105 @@ def test_kitchen_sink_lifecycle_cross_feature(spark, tmp_path):
     assert t.read().count() == 1000
     final = {r.k: r.amount for r in t.read().collect()}
     assert final[150] == 300.0 and final[950] == 950.0
+
+
+def test_alter_column_type_widening(spark, tmp_path):
+    sch = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("score", T.FloatType()),
+            T.StructField("amt", T.DecimalType(10, 2)),
+        ]
+    )
+    t = LogTable.create(spark, str(tmp_path / "wide"), sch)
+    t.append(
+        spark.createDataFrame([(1, 1.5, "12.34"), (2, 2.5, "56.78")], "id int, score float, amt string")
+        .withColumn("amt", F.col("amt").cast("decimal(10,2)"))
+    )
+    v_narrow = t.version()
+
+    t.alter_column_type("id", T.LongType())
+    t.alter_column_type("score", T.DoubleType())
+    t.alter_column_type("amt", T.DecimalType(14, 4))
+
+    # old files scan under the widened logical schema — no rewrite
+    got = {r.id: (r.score, str(r.amt)) for r in t.read().collect()}
+    assert got == {1: (1.5, "12.3400"), 2: (2.5, "56.7800")}
+    assert dict(t.read().dtypes) == {
+        "id": "bigint", "score": "double", "amt": "decimal(14,4)",
+    }
+
+    # new appends land wide; mixed narrow/wide files read together
+    t.append(
+        spark.createDataFrame([(3_000_000_000, 3.5, "1.0000")],
+                              "id long, score double, amt string")
+        .withColumn("amt", F.col("amt").cast("decimal(14,4)"))
+    )
+    assert t.read().count() == 3
+    # rewrite paths work over mixed files
+    t.update("id = 1", {"score": "score * 2"})
+    assert t.read().filter("id = 1").first().score == 3.0
+
+    # time travel shows the pre-widening schema
+    assert dict(t.read(version=v_narrow).dtypes)["id"] == "int"
+
+    # refusals: narrowing, unsupported, unknown column
+    with pytest.raises(ValueError, match="not a supported type widening"):
+        t.alter_column_type("id", T.IntegerType())
+    with pytest.raises(ValueError, match="not a supported type widening"):
+        t.alter_column_type("amt", T.DoubleType())
+    with pytest.raises(ValueError, match="not a supported type widening"):
+        t.alter_column_type("amt", T.DecimalType(12, 6))  # shrinks int part
+    with pytest.raises(ValueError, match="no such column"):
+        t.alter_column_type("nope", T.LongType())
+
+    # identity columns keep their contract type
+    t2 = LogTable.create(
+        spark,
+        str(tmp_path / "ident"),
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.IntegerType())]),
+        properties={"identity.k": '{"start": 1, "step": 1}'},
+    )
+    with pytest.raises(ValueError, match="identity/generated"):
+        t2.alter_column_type("k", T.DecimalType(22, 0))
+
+    # data skipping still prunes with the widened predicate type
+    stats = t.prune_stats("id = 2")
+    assert stats["files_total"] >= 2 and stats["files_skipped"] >= 1
+
+
+def test_alter_column_type_sql_spelling(spark, tmp_path):
+    from databricks_delta_lake_migration_spark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.sql("CREATE TABLE acid.w (id INT, amt DECIMAL(10,2))")
+    t = cat.table("acid.w")
+    t.append(spark.createDataFrame([(7, None)], "id int, amt decimal(10,2)"))
+    r = cat.sql("ALTER TABLE acid.w ALTER COLUMN id TYPE BIGINT")
+    assert r.first()["type"] == "BIGINT"
+    assert dict(t.read().dtypes)["id"] == "bigint"
+    # widened column round-trips through SHOW CREATE TABLE
+    stmt = cat.sql("SHOW CREATE TABLE acid.w").first()["createtab_stmt"]
+    assert "`id` bigint" in stmt
+
+
+def test_alter_column_type_composes_with_mapping_optimize_restore(spark, tmp_path):
+    """Widening after a rename targets the logical name (mapping-aware),
+    OPTIMIZE rewrites mixed narrow/wide files under the wide schema, and
+    RESTORE travels back to the pre-rename pre-widening state."""
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "mix"),
+        T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]),
+    )
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string"))
+    t.rename_column("a", "a2")
+    t.alter_column_type("a2", T.LongType())
+    t.append(spark.createDataFrame([(5_000_000_000, "z")], "a2 long, b string"))
+    want = {(1, "x"), (2, "y"), (5_000_000_000, "z")}
+    assert {(r.a2, r.b) for r in t.read().collect()} == want
+    t.optimize()
+    assert {(r.a2, r.b) for r in t.read().collect()} == want
+    t.restore(version=1)
+    assert dict(t.read().dtypes) == {"a": "int", "b": "string"}
+    assert {(r.a, r.b) for r in t.read().collect()} == {(1, "x"), (2, "y")}
