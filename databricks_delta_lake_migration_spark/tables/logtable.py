@@ -1262,6 +1262,22 @@ class LogTable:
             )
         )
 
+    def _retention_hours(self) -> float:
+        """Parse ``delta.deletedFileRetentionDuration`` (``interval N
+        hours|days|weeks``, case-insensitive); Delta's 7-day default
+        when absent or malformed (never fail a VACUUM on a bad prop —
+        the conservative default wins)."""
+        raw = self.properties().get("delta.deletedFileRetentionDuration", "")
+        m = re.match(
+            r"^\s*interval\s+(\d+(?:\.\d+)?)\s+(hour|day|week|minute)s?\s*$",
+            raw,
+            re.I,
+        )
+        if not m:
+            return 168.0
+        per_hour = {"minute": 1 / 60, "hour": 1.0, "day": 24.0, "week": 168.0}
+        return float(m.group(1)) * per_hour[m.group(2).lower()]
+
     # digits needed for each integral type's full range — an integral
     # column may widen to decimal(p, s) only when p - s covers it
     # (empirically, Spark's parquet reader rejects anything narrower)
@@ -2579,10 +2595,18 @@ class LogTable:
         )
         return {"numFilesRemoved": len(removed), "numFilesAdded": len(added)}
 
-    def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self, retain_hours: float | None = None, dry_run: bool = False
+    ) -> list[str]:
         """VACUUM [DRY RUN] (D8 — delta_utils.py:337-370): delete data
         files not referenced by any commit within the retention window
         (all versions ≥ the retention horizon keep their files).
+
+        When ``retain_hours`` is not given, the retention comes from the
+        ``delta.deletedFileRetentionDuration`` table property
+        (``interval N hours|days|weeks``), defaulting to Delta's 7
+        days — so per-table retention policy travels with the table,
+        not the caller.
 
         Also garbage-collects the two auxiliary file families that
         would otherwise grow without bound at scale:
@@ -2594,6 +2618,8 @@ class LogTable:
           zero-retention VACUUM racing an in-flight writer can collect
           its staged (not yet committed) files — keep retention above
           the longest write when vacuuming live tables."""
+        if retain_hours is None:
+            retain_hours = self._retention_hours()
         horizon = time.time() - retain_hours * 3600
         keep: set[str] = set()
         cs = self.commits()

@@ -683,7 +683,8 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
     if m := _VACUUM.match(query):
         t = cat.table(m.group(1))
         removed = t.vacuum(
-            retain_hours=float(m.group(2)) if m.group(2) else 168.0,
+            # no RETAIN clause → the table's retention property decides
+            retain_hours=float(m.group(2)) if m.group(2) else None,
             dry_run=bool(m.group(3)),
         )
         return _one_row(

@@ -2100,3 +2100,27 @@ def test_alter_column_type_composes_with_mapping_optimize_restore(spark, tmp_pat
     t.restore(version=1)
     assert dict(t.read().dtypes) == {"a": "int", "b": "string"}
     assert {(r.a, r.b) for r in t.read().collect()} == {(1, "x"), (2, "y")}
+
+
+def test_vacuum_retention_from_table_property(spark, tmp_path):
+    t = LogTable.create(
+        spark, str(tmp_path / "ret"),
+        T.StructType([T.StructField("a", T.IntegerType())]),
+        properties={"delta.deletedFileRetentionDuration": "interval 0 hours"},
+    )
+    t.append(spark.createDataFrame([(1,)], "a int"))
+    t.overwrite(spark.createDataFrame([(2,)], "a int"))
+    # property-driven retention (0 hours) → the overwritten file is
+    # collectible without any RETAIN argument
+    assert len(t.vacuum(dry_run=True)) >= 1
+    # default (no property) keeps everything inside the 7-day window
+    t2 = LogTable.create(
+        spark, str(tmp_path / "ret2"),
+        T.StructType([T.StructField("a", T.IntegerType())]),
+    )
+    t2.append(spark.createDataFrame([(1,)], "a int"))
+    t2.overwrite(spark.createDataFrame([(2,)], "a int"))
+    assert t2.vacuum(dry_run=True) == []
+    # malformed property → conservative default, not a crash
+    t2.set_properties({"delta.deletedFileRetentionDuration": "bogus"})
+    assert t2.vacuum(dry_run=True) == []
