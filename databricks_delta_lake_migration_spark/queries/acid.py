@@ -1017,3 +1017,43 @@ def q124_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id": "int", "qty": "int",
     }
     return t.read().withColumn("narrow_before", F.lit(bool(narrow_before)))
+
+
+@query(
+    "q125_liquid_clustering",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           TRUE AS clustered, TRUE AS reclustered
+    FROM orders WHERE o_orderkey % 4 <> 0
+    """,
+)
+def q125_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY (D30 — liquid-clustering contract): the table
+    declares its clustering key once; six interleaved ingest batches
+    land key-sorted (cluster-on-write via optimizeWrite), and a bare
+    OPTIMIZE — no ZORDER clause — re-clusters the accumulated state.
+    ``clustered`` pins that a point predicate on the key skips files
+    after the bare OPTIMIZE (the whole point of clustering);
+    ``reclustered`` pins that OPTIMIZE actually committed a rewrite.
+    Content equals the declarative union of everything ingested."""
+    from ..tables.logtable import OPTWRITE_PROP
+
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(
+        spark,
+        _scratch("liquid"),
+        target.schema,
+        cluster_by=["o_orderkey"],
+        properties={OPTWRITE_PROP: "true"},
+    )
+    for i in range(6):
+        t.append(target.filter(F.col("o_orderkey") % 6 == i))
+    res = t.optimize()
+    probe_key = target.agg(F.min("o_orderkey")).first()[0]
+    stats = t.prune_stats(f"o_orderkey = {probe_key}")
+    clustered = stats["files_total"] > 1 and stats["files_skipped"] >= 1
+    return (
+        t.read()
+        .withColumn("clustered", F.lit(bool(clustered)))
+        .withColumn("reclustered", F.lit(res["numFilesAdded"] >= 1))
+    )

@@ -70,6 +70,12 @@ OPTWRITE_PROP = "autoOptimize.optimizeWrite"
 AUTOCOMPACT_PROP = "autoOptimize.autoCompact"
 AUTOCOMPACT_MIN_FILES_PROP = "autoOptimize.autoCompact.minNumFiles"
 
+# Liquid-clustering-style CLUSTER BY: the table declares its clustering
+# key once; a bare OPTIMIZE re-clusters on it (no ZORDER clause needed)
+# and, with optimizeWrite on, ingest writes pre-sort each batch by the
+# key so new files are born with tight min/max ranges.
+CLUSTERING_PROP = "clustering.columns"
+
 # Merge-on-read DELETE (Delta's deletion vectors): when this table
 # property is "true", DELETE records (file, row_index) tombstones
 # instead of rewriting data files; reads anti-join the tombstones via
@@ -1107,6 +1113,7 @@ class LogTable:
         if_not_exists: bool = True,
         generated_columns: dict[str, str] | None = None,
         identity_columns: dict[str, dict] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> "LogTable":
         """Create-if-absent empty table (K4 — delta_utils.py:27-77).
 
@@ -1124,6 +1131,16 @@ class LogTable:
             raise FileExistsError(path)
         props = dict(properties or {})
         names = {f.name for f in schema.fields}
+        if cluster_by:
+            bad = [c for c in cluster_by if c not in names]
+            if bad:
+                raise ValueError(f"clustering column(s) not in schema: {bad}")
+            overlap = set(cluster_by) & set(partition_by or [])
+            if overlap:
+                raise ValueError(
+                    f"CLUSTER BY and PARTITIONED BY overlap: {sorted(overlap)}"
+                )
+            props[CLUSTERING_PROP] = ",".join(cluster_by)
         for c, e in (generated_columns or {}).items():
             if c not in names:
                 raise ValueError(f"generated column {c!r} not in schema")
@@ -1211,6 +1228,11 @@ class LogTable:
         # null-fills: a GENERATED ALWAYS column would go NULL
         if f"identity.{old}" in new_props:
             new_props[f"identity.{new}"] = new_props.pop(f"identity.{old}")
+        if CLUSTERING_PROP in new_props:
+            new_props[CLUSTERING_PROP] = ",".join(
+                new if c == old else c
+                for c in new_props[CLUSTERING_PROP].split(",")
+            )
         fields = [
             T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
             for f in schema.fields
@@ -1237,6 +1259,11 @@ class LogTable:
             raise ValueError(f"no such column: {name}")
         if name in partition_by:
             raise ValueError(f"cannot drop partition column {name!r}")
+        if name in props.get(CLUSTERING_PROP, "").split(","):
+            raise ValueError(
+                f"cannot drop clustering column {name!r} — ALTER the "
+                f"{CLUSTERING_PROP} property first"
+            )
         self._check_prop_references(name, props)
         mapping = self._column_mapping(props)
         physical = mapping.pop(name, name)
@@ -1713,8 +1740,27 @@ class LogTable:
         on ingest paths — OPTIMIZE/ZORDER already control their own
         layout (a blind repartition here would shuffle away zorder's
         within-partition sort)."""
-        if partition_by and props.get(OPTWRITE_PROP, "false") == "true":
-            return data.repartition(*partition_by)
+        if props.get(OPTWRITE_PROP, "false") != "true":
+            return data
+        cluster = [
+            c
+            for c in props.get(CLUSTERING_PROP, "").split(",")
+            if c and c in data.columns
+        ]
+        if partition_by:
+            out = data.repartition(*partition_by)
+            # cluster-on-write: inside each hive partition the batch
+            # lands sorted by the clustering key, so newborn files have
+            # tight min/max ranges before any OPTIMIZE runs
+            if cluster:
+                out = out.sortWithinPartitions(*partition_by, *cluster)
+            return out
+        if cluster:
+            # range layout on the key (partition count = session shuffle
+            # setting — AQE coalesces) + in-file sort
+            return data.repartitionByRange(*cluster).sortWithinPartitions(
+                *cluster
+            )
         return data
 
     def _maybe_autocompact(self, new_entries: list[FileEntry]) -> None:
@@ -2433,6 +2479,11 @@ class LogTable:
             )
         return [f for f in files if _stats_may_match(f, conj)]
 
+    def cluster_columns(self) -> list[str]:
+        """CLUSTER BY key from the ``clustering.columns`` property."""
+        raw = self.properties().get(CLUSTERING_PROP, "")
+        return [c for c in raw.split(",") if c]
+
     def optimize(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
@@ -2441,8 +2492,19 @@ class LogTable:
         """OPTIMIZE compaction (D6): bin-pack small files per partition
         directory into ~target-size files. ``where`` scopes the rewrite
         to matching partitions — incremental maintenance touches only
-        the partitions that ingested since the last run."""
+        the partitions that ingested since the last run.
+
+        On a CLUSTER BY table a bare OPTIMIZE re-clusters on the
+        declared key instead (Delta's liquid-clustering contract: the
+        user never names ZORDER columns again). Keep the rewrite
+        bounded the same way liquid clustering does — run it with a
+        ``where=`` scope (the maintenance scheduler's incremental mode
+        already passes exactly the partitions touched since its last
+        tick)."""
         files, _, partition_by, _, _ = self._replay()
+        clustered_on = self.cluster_columns()
+        if clustered_on and files:
+            return self.zorder(clustered_on, where=where)
         files = self._partition_scope(files, partition_by, where)
         by_dir: dict[str, list[FileEntry]] = {}
         for f in files:

@@ -26,8 +26,10 @@ Statement coverage (the forms the reference actually uses):
   metadata-only; old files upcast at scan time)
 - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
 - ``CREATE TABLE [IF NOT EXISTS] t (col TYPE [COMMENT '...'], ...)
-  [USING fmt] [PARTITIONED BY (...)] [TBLPROPERTIES (...)]`` — the DDL
-  the reference's schema→DDL generator emits (delta_utils.py:242-256)
+  [USING fmt] [PARTITIONED BY (...)] [CLUSTER BY (...)]
+  [TBLPROPERTIES (...)]`` — the DDL the reference's schema→DDL
+  generator emits (delta_utils.py:242-256), plus the
+  liquid-clustering CLUSTER BY key
 - ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
   explicit column list maps positions, unlisted columns null-fill)
 - ``COPY INTO t FROM 'path' [FILEFORMAT = PARQUET|CSV|JSON|ORC]``
@@ -155,6 +157,7 @@ _CREATE_COLS = re.compile(
     r"\((.*?)\)\s*"
     rf"(?:USING\s+\w+\s*)?"
     r"(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?"
+    r"(?:CLUSTER\s+BY\s*\(([^)]+)\)\s*)?"
     r"(?:TBLPROPERTIES\s*\((.*)\)\s*)?;?\s*$",
     re.I | re.S,
 )
@@ -509,12 +512,19 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             else None
         )
         props = {}
-        if m.group(5):
-            for entry in _split_top(m.group(5)):
+        if m.group(6):
+            for entry in _split_top(m.group(6)):
                 k, sep, v = entry.partition("=")
                 if not sep:
                     raise ValueError(f"bad TBLPROPERTIES entry: {entry!r}")
                 props[_unquote(k)] = _unquote(v)
+        if m.group(5):
+            # CLUSTER BY — liquid-clustering key as the clustering prop
+            from .logtable import CLUSTERING_PROP
+
+            props[CLUSTERING_PROP] = ",".join(
+                c.strip().strip("`") for c in m.group(5).split(",")
+            )
         cat.create_table(
             name, StructType(fields), partition_by=part, properties=props or None
         )
@@ -659,7 +669,12 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         parts = t.partition_columns()
         if parts:
             stmt += "\nPARTITIONED BY (" + ", ".join(f"`{c}`" for c in parts) + ")"
-        props = t.properties()
+        from .logtable import CLUSTERING_PROP
+
+        props = dict(t.properties())
+        cluster = [c for c in props.pop(CLUSTERING_PROP, "").split(",") if c]
+        if cluster:
+            stmt += "\nCLUSTER BY (" + ", ".join(f"`{c}`" for c in cluster) + ")"
         if props:
             stmt += (
                 "\nTBLPROPERTIES (\n  "

@@ -2124,3 +2124,80 @@ def test_vacuum_retention_from_table_property(spark, tmp_path):
     # malformed property → conservative default, not a crash
     t2.set_properties({"delta.deletedFileRetentionDuration": "bogus"})
     assert t2.vacuum(dry_run=True) == []
+
+
+def test_cluster_by_liquid_clustering(spark, tmp_path):
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        CLUSTERING_PROP,
+        OPTWRITE_PROP,
+    )
+
+    sch = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "liquid"),
+        sch,
+        cluster_by=["k"],
+        properties={OPTWRITE_PROP: "true"},
+    )
+    assert t.cluster_columns() == ["k"]
+    # cluster-on-write: an interleaved batch lands key-sorted (AQE
+    # coalesces this small batch to one file — at production sizes the
+    # range layout spreads across many, each covering a narrow slice)
+    import pyarrow.parquet as pq
+
+    rows = [(i % 64, f"v{i}") for i in range(4096)]
+    t.append(spark.createDataFrame(rows, sch).repartition(8))
+    for f in t._replay()[0]:
+        ks = pq.read_table(f.abspath(t.path), columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
+    # a bare OPTIMIZE re-clusters on the declared key (no ZORDER
+    # clause): many interleaved small appends, then one OPTIMIZE
+    for j in range(4):
+        t.append(
+            spark.createDataFrame(rows[j::4], sch).repartition(4)
+        )
+    res = t.optimize()
+    assert res["numFilesAdded"] >= 1
+    after = t.prune_stats("k = 3")
+    assert after["files_total"] > 1 and after["files_skipped"] >= 1
+    got = [tuple(r) for r in t.read().collect()]
+    assert sorted(got) == sorted(rows + rows)
+
+    # rename migrates the clustering key; drop of it is refused
+    t.rename_column("k", "key")
+    assert t.cluster_columns() == ["key"]
+    with pytest.raises(ValueError, match="clustering column"):
+        t.drop_column("key")
+
+    # validation at create time
+    with pytest.raises(ValueError, match="not in schema"):
+        LogTable.create(spark, str(tmp_path / "x1"), sch, cluster_by=["nope"])
+    with pytest.raises(ValueError, match="overlap"):
+        LogTable.create(
+            spark, str(tmp_path / "x2"), sch,
+            partition_by=["k"], cluster_by=["k"],
+        )
+
+
+def test_cluster_by_sql_spelling_and_show_create(spark, tmp_path):
+    from databricks_delta_lake_migration_spark.tables import Catalog
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        CLUSTERING_PROP,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.sql(
+        "CREATE TABLE acid.lc (id BIGINT, ts STRING, v DOUBLE) "
+        "CLUSTER BY (id, ts) TBLPROPERTIES ('owner' = 'me')"
+    )
+    t = cat.table("acid.lc")
+    assert t.cluster_columns() == ["id", "ts"]
+    assert t.properties()["owner"] == "me"
+    stmt = cat.sql("SHOW CREATE TABLE acid.lc").first()["createtab_stmt"]
+    assert "CLUSTER BY (`id`, `ts`)" in stmt
+    assert CLUSTERING_PROP not in stmt  # clause, not a raw property
+    cat.sql(stmt.replace("lake.acid.lc", "lake.acid.lc_rt"))
+    assert cat.table("acid.lc_rt").cluster_columns() == ["id", "ts"]
