@@ -1048,7 +1048,10 @@ def q125_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(6):
         t.append(target.filter(F.col("o_orderkey") % 6 == i))
-    res = t.optimize()
+    # small target file size so the fixture-scale table still lands a
+    # multi-file clustered layout (the skip verdict needs >1 file;
+    # production uses the 128 MB default)
+    res = t.optimize(target_file_bytes=4096)
     probe_key = target.agg(F.min("o_orderkey")).first()[0]
     stats = t.prune_stats(f"o_orderkey = {probe_key}")
     clustered = stats["files_total"] > 1 and stats["files_skipped"] >= 1

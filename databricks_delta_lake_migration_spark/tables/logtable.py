@@ -2504,7 +2504,12 @@ class LogTable:
         files, _, partition_by, _, _ = self._replay()
         clustered_on = self.cluster_columns()
         if clustered_on and files:
-            return self.zorder(clustered_on, where=where)
+            # size the rewrite like compaction would: clustered OPTIMIZE
+            # both re-clusters AND bin-packs toward the target file size
+            scoped = self._partition_scope(files, partition_by, where)
+            total = sum(f.size_bytes for f in scoped)
+            n_out = max(1, int(total // target_file_bytes) or 1)
+            return self.zorder(clustered_on, n_files=n_out, where=where)
         files = self._partition_scope(files, partition_by, where)
         by_dir: dict[str, list[FileEntry]] = {}
         for f in files:

@@ -2159,7 +2159,9 @@ def test_cluster_by_liquid_clustering(spark, tmp_path):
         t.append(
             spark.createDataFrame(rows[j::4], sch).repartition(4)
         )
-    res = t.optimize()
+    # small target so this tiny fixture still yields a multi-file
+    # layout to observe skipping on (default target = 128 MB → 1 file)
+    res = t.optimize(target_file_bytes=16 * 1024)
     assert res["numFilesAdded"] >= 1
     after = t.prune_stats("k = 3")
     assert after["files_total"] > 1 and after["files_skipped"] >= 1
@@ -2201,3 +2203,19 @@ def test_cluster_by_sql_spelling_and_show_create(spark, tmp_path):
     assert CLUSTERING_PROP not in stmt  # clause, not a raw property
     cat.sql(stmt.replace("lake.acid.lc", "lake.acid.lc_rt"))
     assert cat.table("acid.lc_rt").cluster_columns() == ["id", "ts"]
+
+
+def test_clustered_optimize_also_compacts(spark, tmp_path):
+    sch = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    t = LogTable.create(spark, str(tmp_path / "lc2"), sch, cluster_by=["k"])
+    for j in range(12):
+        t.append(
+            spark.createDataFrame([(i % 16, f"v{i}") for i in range(j, 512, 12)], sch)
+        )
+    before = t.detail()["numFiles"]
+    t.optimize()  # re-cluster AND bin-pack (small files, large target)
+    after = t.detail()["numFiles"]
+    assert after < before and after <= 2
+    assert t.read().count() == sum(len(range(j, 512, 12)) for j in range(12))
