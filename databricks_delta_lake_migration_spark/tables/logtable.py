@@ -612,9 +612,20 @@ class LogTable:
             )
         if self._commits is not None:
             self._commits.append(commit)
-        if commit.version > 0 and commit.version % CHECKPOINT_INTERVAL == 0:
+        try:
+            # interval from delta.checkpointInterval when set (per-table
+            # tuning for high-commit-rate workloads), Delta's 10 default
+            interval = int(
+                self._replay(commit.version)[3].get(
+                    "delta.checkpointInterval", CHECKPOINT_INTERVAL
+                )
+            )
+        except Exception:
+            interval = CHECKPOINT_INTERVAL
+        if commit.version > 0 and commit.version % max(1, interval) == 0:
             try:
                 self._write_checkpoint(commit.version)
+                self._prune_log()
             except Exception:
                 pass  # optimization only — never fail a landed commit
 
@@ -753,15 +764,61 @@ class LogTable:
         target = os.path.join(self._log_path, f"{version:020d}.checkpoint")
         self.fs.write_text(target, json.dumps(state))  # idempotent content
 
+    def _prune_log(self) -> list[str]:
+        """Delta's log cleanup (``delta.logRetentionDuration``, 30-day
+        default): at checkpoint time, delete commit JSONs that are (a)
+        older than the retention horizon AND (b) strictly below the
+        SECOND-newest checkpoint — so even a damaged newest checkpoint
+        still reconstructs from the older one plus its tail, and time
+        travel within retention always works. Checkpoints below the
+        kept pair are deleted with their commits. Bounds log growth on
+        a long-lived table (a year of minutely commits is ~0.5 M log
+        files without this); time travel beyond retention reports
+        'version not found', exactly like Delta."""
+        cps = self._checkpoint_versions()
+        if len(cps) < 2:
+            return []
+        hours = self._parse_interval_hours(
+            self.properties().get("delta.logRetentionDuration", ""), 720.0
+        )
+        horizon = time.time() - hours * 3600
+        ts = {c.version: c.timestamp for c in self.commits()}
+        # prune at checkpoint granularity: everything strictly below the
+        # newest checkpoint that itself predates the horizon — so every
+        # surviving version has a checkpoint at or below it with a
+        # complete commit tail (never a silently-partial replay). The
+        # newest checkpoint is never the cut, preserving the
+        # damaged-checkpoint fallback to an older one.
+        eligible = [v for v in cps[:-1] if ts.get(v, time.time()) <= horizon]
+        if not eligible:
+            return []
+        cut = eligible[-1]
+        removed = []
+        for c in list(self.commits()):
+            if c.version < cut:
+                p = os.path.join(self._log_path, f"{c.version:020d}.json")
+                self.fs.delete(p)
+                removed.append(p)
+        if removed:
+            self._commits = None  # force re-list: the prefix is gone
+            for v in cps:
+                if v < cut:
+                    self.fs.delete(
+                        os.path.join(self._log_path, f"{v:020d}.checkpoint")
+                    )
+        return removed
+
     def _load_checkpoint(self, max_version: int) -> dict | None:
         best = [v for v in self._checkpoint_versions() if v <= max_version]
-        if not best:
-            return None
-        path = os.path.join(self._log_path, f"{best[-1]:020d}.checkpoint")
-        try:
-            return self.fs.read_json(path)
-        except (OSError, json.JSONDecodeError):
-            return None  # damaged checkpoint → fall back to full replay
+        # newest first; a damaged checkpoint falls back to the next-older
+        # one (a pruned log keeps two exactly for this)
+        for v in reversed(best):
+            path = os.path.join(self._log_path, f"{v:020d}.checkpoint")
+            try:
+                return self.fs.read_json(path)
+            except (OSError, json.JSONDecodeError):
+                continue
+        return None  # no readable checkpoint → full replay
 
     # ---- snapshot state ------------------------------------------------
 
@@ -1289,21 +1346,27 @@ class LogTable:
             )
         )
 
-    def _retention_hours(self) -> float:
-        """Parse ``delta.deletedFileRetentionDuration`` (``interval N
-        hours|days|weeks``, case-insensitive); Delta's 7-day default
-        when absent or malformed (never fail a VACUUM on a bad prop —
-        the conservative default wins)."""
-        raw = self.properties().get("delta.deletedFileRetentionDuration", "")
+    @staticmethod
+    def _parse_interval_hours(raw: str, default: float) -> float:
+        """Parse an ``interval N hours|days|weeks`` property value;
+        the conservative default wins when absent or malformed (never
+        fail maintenance on a bad prop)."""
         m = re.match(
             r"^\s*interval\s+(\d+(?:\.\d+)?)\s+(hour|day|week|minute)s?\s*$",
             raw,
             re.I,
         )
         if not m:
-            return 168.0
+            return default
         per_hour = {"minute": 1 / 60, "hour": 1.0, "day": 24.0, "week": 168.0}
         return float(m.group(1)) * per_hour[m.group(2).lower()]
+
+    def _retention_hours(self) -> float:
+        """``delta.deletedFileRetentionDuration`` → hours (7-day default)."""
+        return self._parse_interval_hours(
+            self.properties().get("delta.deletedFileRetentionDuration", ""),
+            168.0,
+        )
 
     # digits needed for each integral type's full range — an integral
     # column may widen to decimal(p, s) only when p - s covers it

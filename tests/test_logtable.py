@@ -2219,3 +2219,61 @@ def test_clustered_optimize_also_compacts(spark, tmp_path):
     after = t.detail()["numFiles"]
     assert after < before and after <= 2
     assert t.read().count() == sum(len(range(j, 512, 12)) for j in range(12))
+
+
+def test_checkpoint_interval_property(spark, tmp_path):
+    t = LogTable.create(
+        spark, str(tmp_path / "ci"),
+        T.StructType([T.StructField("a", T.IntegerType())]),
+        properties={"delta.checkpointInterval": "3"},
+    )
+    for i in range(7):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+    assert t._checkpoint_versions() == [3, 6]
+
+
+def test_log_retention_prunes_at_checkpoint_granularity(spark, tmp_path):
+    t = LogTable.create(
+        spark, str(tmp_path / "lr"),
+        T.StructType([T.StructField("a", T.IntegerType())]),
+        properties={
+            "delta.checkpointInterval": "3",
+            "delta.logRetentionDuration": "interval 0 hours",
+        },
+    )
+    for i in range(10):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+    # zero retention: the prune at checkpoint 9 cut everything below
+    # checkpoint 6 (newest is never the cut)
+    versions = sorted(c.version for c in t.commits())
+    assert versions[0] == 6 and versions[-1] == 10
+    # current state is intact (checkpoint + tail replay)
+    assert t.read().count() == 10
+    assert t.version() == 10
+    # time travel at/after the cut works; before it reports not-found
+    assert t.read(version=7).count() == 7
+    with pytest.raises(ValueError, match="not found"):
+        t.read(version=2)
+    # a fresh handle (no warm cache) sees the same state
+    t2 = LogTable(spark, str(tmp_path / "lr"))
+    assert t2.read().count() == 10
+    # damaged newest checkpoint → falls back to the older kept one
+    import os as _os
+    cps = t._checkpoint_versions()
+    with open(_os.path.join(t._log_path, f"{cps[-1]:020d}.checkpoint"), "w") as fh:
+        fh.write("garbage")
+    t3 = LogTable(spark, str(tmp_path / "lr"))
+    assert t3.read().count() == 10
+
+
+def test_log_retention_default_keeps_everything(spark, tmp_path):
+    t = LogTable.create(
+        spark, str(tmp_path / "lr2"),
+        T.StructType([T.StructField("a", T.IntegerType())]),
+        properties={"delta.checkpointInterval": "3"},
+    )
+    for i in range(10):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+    # 30-day default: nothing pruned, full history intact
+    assert sorted(c.version for c in t.commits())[0] == 0
+    assert t.read(version=1).count() == 1
