@@ -1060,3 +1060,50 @@ def q125_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("clustered", F.lit(bool(clustered)))
         .withColumn("reclustered", F.lit(res["numFilesAdded"] >= 1))
     )
+
+
+@query(
+    "q126_log_retention",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           TRUE AS pruned, TRUE AS tail_travels, TRUE AS pre_cut_gone
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 < 5
+    """,
+)
+def q126_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log retention (D31 — Delta's log cleanup): ten appends on a
+    3-commit checkpoint cadence with zero log retention; the commit
+    prefix below the newest horizon-covered checkpoint is deleted at
+    checkpoint granularity. ``pruned`` pins that the prefix is gone,
+    ``tail_travels`` that time travel at the cut still replays
+    (checkpoint + complete tail), ``pre_cut_gone`` that pre-cut
+    versions report not-found instead of silently replaying partial
+    state. Content equals the declarative union of all appends."""
+    target = _orders_subset(spark, sf_dir).filter(F.col("o_orderkey") % 10 < 5)
+    t = LogTable.create(
+        spark,
+        _scratch("logret"),
+        target.schema,
+        properties={
+            "delta.checkpointInterval": "3",
+            "delta.logRetentionDuration": "interval 0 hours",
+        },
+    )
+    for i in range(10):
+        t.append(target.filter(F.col("o_orderkey") % 10 == i % 5).filter(
+            (F.col("o_orderkey") % 2 == 0) if i >= 5 else (F.col("o_orderkey") % 2 == 1)
+        ))
+    versions = sorted(c.version for c in t.commits())
+    pruned = versions[0] == 6 and versions[-1] == 10
+    tail_travels = t.read(version=7).count() > 0
+    try:
+        t.read(version=2)
+        pre_cut_gone = False
+    except ValueError:
+        pre_cut_gone = True
+    return (
+        t.read()
+        .withColumn("pruned", F.lit(bool(pruned)))
+        .withColumn("tail_travels", F.lit(bool(tail_travels)))
+        .withColumn("pre_cut_gone", F.lit(bool(pre_cut_gone)))
+    )
