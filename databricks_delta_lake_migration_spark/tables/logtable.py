@@ -616,7 +616,7 @@ class LogTable:
             # interval from delta.checkpointInterval when set (per-table
             # tuning for high-commit-rate workloads), Delta's 10 default
             interval = int(
-                self._replay(commit.version)[3].get(
+                self._properties_at(commit.version).get(
                     "delta.checkpointInterval", CHECKPOINT_INTERVAL
                 )
             )
@@ -763,6 +763,27 @@ class LogTable:
         }
         target = os.path.join(self._log_path, f"{version:020d}.checkpoint")
         self.fs.write_text(target, json.dumps(state))  # idempotent content
+
+    def _properties_at(self, version: int) -> dict[str, str]:
+        """Properties as of ``version`` by folding the cached commit
+        list only — no checkpoint read, no active-file dict. The cheap
+        path for per-commit property lookups (the hot write path). A
+        prefix-pruned log (first commit > 0) falls back to the
+        checkpoint-backed replay, whose state carries the properties
+        the pruned commits established."""
+        cs = self.commits()
+        if not cs or cs[0].version != 0:
+            return self._replay(version)[3]
+        props: dict[str, str] = {}
+        for c in cs:
+            if c.version > version:
+                break
+            if c.properties is not None:
+                if c.operation in _PROPS_REPLACE_OPS:
+                    props = dict(c.properties)
+                else:
+                    props.update(c.properties)
+        return props
 
     def _prune_log(self) -> list[str]:
         """Delta's log cleanup (``delta.logRetentionDuration``, 30-day
