@@ -163,7 +163,8 @@ _CREATE_COLS = re.compile(
 )
 _CTAS = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_ID})"
-    rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.*)$",
+    rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?"
+    rf"(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.*)$",
     re.I | re.S,
 )
 _INSERT_INTO = re.compile(
@@ -474,13 +475,24 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             if if_not_exists:
                 return _one_row(spark, {"numOutputRows": 0, "skipped": True})
             raise ValueError(f"table already exists: {cat._fq(name)}")
-        df = cat.sql(m.group(4).rstrip().rstrip(";"))
+        df = cat.sql(m.group(5).rstrip().rstrip(";"))
         part = (
             [c.strip().strip("`") for c in m.group(3).split(",")]
             if m.group(3)
             else None
         )
-        t = cat.create_table(name, df.schema, partition_by=part)
+        props = None
+        if m.group(4):
+            from .logtable import CLUSTERING_PROP
+
+            props = {
+                CLUSTERING_PROP: ",".join(
+                    c.strip().strip("`") for c in m.group(4).split(",")
+                )
+            }
+        t = cat.create_table(
+            name, df.schema, partition_by=part, properties=props
+        )
         t.append(df)
         return _one_row(spark, {"numOutputRows": t.read().count()})
 

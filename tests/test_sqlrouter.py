@@ -473,3 +473,15 @@ def test_describe_show_columns_show_create(spark, cat):
     # unregistered names fall through to Spark's native DESCRIBE
     spark.range(3).createOrReplaceTempView("plainview")
     assert cat.sql("DESCRIBE plainview").count() >= 1
+
+
+def test_ctas_cluster_by(spark, cat):
+    cat.sql(
+        "CREATE TABLE acid.ctas_lc CLUSTER BY (id) AS "
+        "SELECT id, amount FROM acid.orders"
+    )
+    t = cat.table("acid.ctas_lc")
+    assert t.cluster_columns() == ["id"]
+    assert t.read().count() == 3
+    stmt = cat.sql("SHOW CREATE TABLE acid.ctas_lc").first()["createtab_stmt"]
+    assert "CLUSTER BY (`id`)" in stmt
