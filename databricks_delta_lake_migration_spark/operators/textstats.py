@@ -453,3 +453,44 @@ def strip_boilerplate_lines(
             ),
         )
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram log-probability scoring [EXT]: each document's
+    mean per-token log2 probability under the corpus's own unigram
+    distribution — the classic cheap LM-perplexity proxy for data
+    filtering (documents full of corpus-rare tokens score very
+    negative: OCR noise, codes, other-language spill; documents of
+    pure high-frequency glue score near the top and can be capped
+    from the other side). Complements per-doc entropy, which sees
+    only the document's internal distribution.
+
+    Per-token terms are snapped to DECIMAL(28,12) before the sum, so
+    partial-aggregation order can't perturb the score (same posture
+    as :func:`word_entropy`).
+
+    Scale design: one (token)-keyed shuffle for the corpus counts
+    (map-side combined), one (doc, token-join) shuffle to price the
+    tokens, one (doc)-keyed rollup. The unigram table is never
+    driver-side or broadcast — at web scale the vocabulary is
+    billions of keys and stays distributed."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    priced = toks.join(counts, "w").crossJoin(F.broadcast(total))
+    term = F.log2(F.col("c") / F.col("total")).cast("decimal(28,12)")
+    return (
+        priced.groupBy(id_col)
+        .agg(
+            # decimal-exact sum → ONE double division (decimal/decimal
+            # division rules differ between engines; double/long don't)
+            F.round(
+                F.sum(term).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -801,3 +801,31 @@ def q123_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return textstats.strip_boilerplate_lines(seeded, min_docs=3)
+
+
+@query(
+    "q127_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), counts AS (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ), t AS (SELECT SUM(c) AS total FROM counts)
+    SELECT toks.doc_id,
+           ROUND(CAST(SUM(CAST(log2(c * 1.0 / total) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN counts USING (w), t
+    GROUP BY toks.doc_id
+    """,
+)
+def q127_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-probability scoring
+    (``textstats.unigram_logprob_scores``): each document's mean
+    per-token log2 probability under the corpus's own unigram
+    distribution — the cheap LM-perplexity proxy for quality
+    filtering. Decimal-snapped terms, one double division at the end,
+    so the two engines agree bit-for-bit."""
+    return textstats.unigram_logprob_scores(
+        load_table(spark, sf_dir, "documents")
+    )

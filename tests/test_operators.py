@@ -430,3 +430,25 @@ def test_quality_top_fraction_matches_python_model(spark):
         assert got == expected
 
     inner()
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # all high-frequency
+            (2, "the the zzqx the"),         # one corpus-rare token
+            (3, "the of and to in"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_logprob for r in
+           textstats.unigram_logprob_scores(docs).collect()}
+    assert out[2] < out[1]  # rare token drags the mean down
+    # frequency ordering is the corpus's own: every score <= 0
+    assert all(v <= 0 for v in out.values())
+    # deterministic across partitionings (decimal-snapped terms)
+    again = {r.doc_id: r.avg_logprob for r in
+             textstats.unigram_logprob_scores(docs.repartition(7)).collect()}
+    assert out == again
