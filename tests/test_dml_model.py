@@ -99,24 +99,34 @@ _ddl_op = st.one_of(
     st.tuples(st.just("update"), st.integers(0, 50)),
     st.tuples(st.just("delete"), st.integers(0, 50)),
     st.tuples(st.just("rename"), st.just(0)),
+    st.tuples(st.just("widen"), st.just(0)),
     st.tuples(st.just("restore"), st.integers(0, 100)),
     st.tuples(st.just("optimize"), st.just(0)),
 )
+
+# strictly-widening chain for the value column (each step is a legal
+# ALTER COLUMN TYPE; equal types are refused, so widen is a no-op at
+# the end of the chain)
+_WIDEN_CHAIN = ["long", "decimal(22,0)", "decimal(24,0)", "decimal(28,0)"]
 
 
 @settings(max_examples=5, deadline=None)
 @given(st.lists(_ddl_op, min_size=2, max_size=8))
 def test_random_ddl_dml_program_matches_model(spark, ops):
-    """Column-mapping serializability: RENAME COLUMN interleaved with an
-    arbitrary DML program must never change any row's VALUES, and time
-    travel must reproduce each version under the schema it had then."""
+    """Column-mapping + type-widening serializability: RENAME COLUMN
+    and ALTER COLUMN TYPE interleaved with an arbitrary DML program
+    must never change any row's VALUES, and time travel must reproduce
+    each version under the schema (name AND type) it had then."""
     path = tempfile.mkdtemp(prefix="ddlmodel-") + "/t"
     t = LogTable.create(spark, path, SCHEMA)
     model: dict[int, tuple[str, int]] = {}
     next_id = 0
     val_col = "amount"
+    type_idx = 0
     other = {"amount": "amt", "amt": "amount"}
-    history: dict[int, tuple[dict, str]] = {t.version(): (dict(model), val_col)}
+    history: dict[int, tuple[dict, str, int]] = {
+        t.version(): (dict(model), val_col, type_idx)
+    }
 
     for kind, arg in ops:
         if kind == "append":
@@ -139,17 +149,35 @@ def test_random_ddl_dml_program_matches_model(spark, ops):
         elif kind == "rename":
             t.rename_column(val_col, other[val_col])
             val_col = other[val_col]
+        elif kind == "widen":
+            if type_idx + 1 < len(_WIDEN_CHAIN):
+                t.alter_column_type(
+                    val_col,
+                    T._parse_datatype_string(_WIDEN_CHAIN[type_idx + 1]),
+                )
+                type_idx += 1
         elif kind == "restore":
             versions = sorted(history)
             target = versions[arg % len(versions)]
             t.restore(version=target)
-            model, val_col = dict(history[target][0]), history[target][1]
+            model, val_col, type_idx = (
+                dict(history[target][0]),
+                history[target][1],
+                history[target][2],
+            )
         else:
             t.optimize()
-        history[t.version()] = (dict(model), val_col)
+        history[t.version()] = (dict(model), val_col, type_idx)
 
-    got = {r["id"]: (r["status"], r[val_col]) for r in t.read().collect()}
+    got = {r["id"]: (r["status"], int(r[val_col])) for r in t.read().collect()}
     assert got == model
-    for v, (snap, col) in history.items():
-        old = {r["id"]: (r["status"], r[col]) for r in t.read(version=v).collect()}
+    assert dict(t.read().dtypes)[val_col] == {
+        "long": "bigint"
+    }.get(_WIDEN_CHAIN[type_idx], _WIDEN_CHAIN[type_idx])
+    for v, (snap, col, ti) in history.items():
+        tv = t.read(version=v)
+        old = {r["id"]: (r["status"], int(r[col])) for r in tv.collect()}
         assert old == snap, f"version {v} drifted"
+        assert dict(tv.dtypes)[col] == {"long": "bigint"}.get(
+            _WIDEN_CHAIN[ti], _WIDEN_CHAIN[ti]
+        ), f"version {v} type drifted"
