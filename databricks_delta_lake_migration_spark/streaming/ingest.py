@@ -146,6 +146,12 @@ def stream_files_to_table(
         data = batch_df
         schema_now = tbl.schema()
         aligned = data.select(*[F.col(f.name).cast(f.dataType) for f in schema_now.fields])
+        # same write-tuning seam as batch appends: optimizeWrite lands
+        # one-ish file per partition, and a CLUSTER BY key pre-sorts
+        # the micro-batch (cluster-on-write)
+        aligned = tbl._maybe_optimize_write(
+            aligned, tbl.partition_columns(), tbl.properties()
+        )
         entries = tbl._write_files(aligned, tbl.partition_columns())
         from ..tables.logtable import Commit
         import time as _time

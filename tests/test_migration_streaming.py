@@ -604,3 +604,37 @@ def test_stream_near_dup_ingest(spark, tmp_path):
     q2.awaitTermination(120)
     assert {r.doc_id for r in corpus.read().collect()} == {0, 1, 3, 4}
     assert {r.doc_id for r in idx.read().collect()} == {0, 1, 3, 4}
+
+
+def test_stream_into_clustered_table(spark, tmp_path):
+    """Streaming ingest composes with CLUSTER BY + optimizeWrite: each
+    micro-batch lands pre-sorted by the clustering key, exactly-once
+    semantics intact."""
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        OPTWRITE_PROP,
+    )
+
+    src, tgt, ckpt = (str(tmp_path / n) for n in ("src", "t", "ckpt"))
+    LogTable.create(
+        spark,
+        tgt,
+        STREAM_SCHEMA,
+        cluster_by=["id"],
+        properties={OPTWRITE_PROP: "true"},
+    )
+    _write_json(
+        src + "/f1.json", [{"id": i, "v": float(i)} for i in (5, 1, 9, 3, 7)]
+    )
+    q = stream_files_to_table(
+        spark, src, tgt, STREAM_SCHEMA, stream_id="lc", checkpoint=ckpt
+    )
+    q.awaitTermination(60)
+    t = LogTable(spark, tgt)
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 5, 7, 9]
+    import pyarrow.parquet as pq
+
+    for f in t._replay()[0]:
+        ids = pq.read_table(f.abspath(t.path), columns=["id"])["id"].to_pylist()
+        assert ids == sorted(ids)  # cluster-on-write ordered the batch
