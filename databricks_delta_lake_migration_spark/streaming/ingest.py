@@ -377,6 +377,9 @@ def stream_dedup_to_table(
         aligned = batch_df.select(
             *[F.col(f.name).cast(f.dataType) for f in schema_now.fields]
         )
+        aligned = tbl._maybe_optimize_write(
+            aligned, tbl.partition_columns(), tbl.properties()
+        )
         entries = tbl._write_files(aligned, tbl.partition_columns())
         from ..tables.logtable import Commit
         import time as _time
@@ -549,6 +552,9 @@ def stream_near_dup_ingest(
 
         aligned = df.select(
             *[F.col(f.name).cast(f.dataType) for f in tbl.schema().fields]
+        )
+        aligned = tbl._maybe_optimize_write(
+            aligned, tbl.partition_columns(), tbl.properties()
         )
         entries = tbl._write_files(aligned, tbl.partition_columns())
         tbl._commit(
