@@ -485,11 +485,11 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         if m.group(4):
             from .logtable import CLUSTERING_PROP
 
-            props = {
-                CLUSTERING_PROP: ",".join(
-                    c.strip().strip("`") for c in m.group(4).split(",")
-                )
-            }
+            cluster = [c.strip().strip("`") for c in m.group(4).split(",")]
+            bad = [c for c in cluster if c not in df.columns]
+            if bad:
+                raise ValueError(f"CLUSTER BY column(s) not in schema: {bad}")
+            props = {CLUSTERING_PROP: ",".join(cluster)}
         t = cat.create_table(
             name, df.schema, partition_by=part, properties=props
         )
@@ -534,9 +534,12 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             # CLUSTER BY — liquid-clustering key as the clustering prop
             from .logtable import CLUSTERING_PROP
 
-            props[CLUSTERING_PROP] = ",".join(
-                c.strip().strip("`") for c in m.group(5).split(",")
-            )
+            cluster = [c.strip().strip("`") for c in m.group(5).split(",")]
+            known = {f.name for f in fields}
+            bad = [c for c in cluster if c not in known]
+            if bad:
+                raise ValueError(f"CLUSTER BY column(s) not in schema: {bad}")
+            props[CLUSTERING_PROP] = ",".join(cluster)
         cat.create_table(
             name, StructType(fields), partition_by=part, properties=props or None
         )

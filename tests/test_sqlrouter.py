@@ -485,3 +485,16 @@ def test_ctas_cluster_by(spark, cat):
     assert t.read().count() == 3
     stmt = cat.sql("SHOW CREATE TABLE acid.ctas_lc").first()["createtab_stmt"]
     assert "CLUSTER BY (`id`)" in stmt
+
+
+def test_cluster_by_unknown_column_rejected(spark, cat):
+    with pytest.raises(ValueError, match="CLUSTER BY column"):
+        cat.sql("CREATE TABLE acid.bad1 (id BIGINT) CLUSTER BY (nope)")
+    with pytest.raises(ValueError, match="CLUSTER BY column"):
+        cat.sql(
+            "CREATE TABLE acid.bad2 CLUSTER BY (nope) AS "
+            "SELECT id FROM acid.orders"
+        )
+    # neither half-created a table
+    names = {r.tableName for r in cat.sql("SHOW TABLES IN acid").collect()}
+    assert "bad1" not in names and "bad2" not in names
