@@ -100,6 +100,9 @@ class FileSystem:
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
 
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
     def delete(self, path: str) -> None:
         os.unlink(path)
 

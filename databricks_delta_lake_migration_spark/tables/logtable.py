@@ -2747,7 +2747,10 @@ class LogTable:
         return {"numFilesRemoved": len(removed), "numFilesAdded": len(added)}
 
     def vacuum(
-        self, retain_hours: float | None = None, dry_run: bool = False
+        self,
+        retain_hours: float | None = None,
+        dry_run: bool = False,
+        lite: bool = False,
     ) -> list[str]:
         """VACUUM [DRY RUN] (D8 — delta_utils.py:337-370): delete data
         files not referenced by any commit within the retention window
@@ -2788,6 +2791,32 @@ class LogTable:
                     keep_dv_dirs.add(
                         os.path.abspath(os.path.join(self.path, d))
                     )
+        if lite:
+            # VACUUM LITE (Delta 3.3): candidates come from the commit
+            # log — every data file the log ever added that no protected
+            # snapshot references — instead of walking the table tree.
+            # At 100 TB a recursive listing is the expensive part of
+            # VACUUM; the log is metadata. Tradeoffs (same as Delta's):
+            # crashed-write staging orphans and untracked debris are not
+            # found (run a full VACUUM occasionally), and a
+            # retention-pruned log only knows its surviving commits.
+            candidates = []
+            seen_rel: set[str] = set()
+            for c in cs:
+                for f in c.add:
+                    if f.base:  # shallow-clone foreign file — not ours
+                        continue
+                    for rel in filter(None, [f.path, f.bloom]):
+                        if rel in seen_rel:
+                            continue
+                        seen_rel.add(rel)
+                        full = os.path.join(self.path, rel)
+                        if full not in keep and self.fs.exists(full):
+                            candidates.append(rel)
+            if not dry_run:
+                for rel in candidates:
+                    self.fs.delete(os.path.join(self.path, rel))
+            return sorted(candidates)
         skip = (LOG_DIR, CHANGES_DIR, STAGING_DIR)
         candidates = []
         for dirpath, name in self.fs.walk_files(self.path):

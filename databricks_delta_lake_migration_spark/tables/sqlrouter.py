@@ -42,7 +42,10 @@ Statement coverage (the forms the reference actually uses):
   CREATE statement round-trips through this router)
 - ``SELECT ... FROM table_changes('t', start [, end])`` (CDF TVF,
   bound in :meth:`Catalog.sql`)
-- ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
+- ``VACUUM t [RETAIN n HOURS] [LITE] [DRY RUN]`` (LITE = log-driven
+  candidates, no tree walk)
+- ``OPTIMIZE t [FULL]`` (FULL re-clusters everything — the default
+  rewrite semantics here)
 - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF 'ts'``
 - ``DELETE FROM t [WHERE pred]``
 - ``UPDATE t SET a = e1, b = e2 [WHERE pred]``
@@ -172,7 +175,7 @@ _INSERT_INTO = re.compile(
     re.I | re.S,
 )
 _OPTIMIZE = re.compile(
-    rf"^\s*OPTIMIZE\s+({_ID})(?:\s+WHERE\s+(.+?))?"
+    rf"^\s*OPTIMIZE\s+({_ID})(?:\s+FULL)?(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
     re.I,
 )
@@ -199,7 +202,8 @@ _COPY_INTO = re.compile(
     re.I,
 )
 _VACUUM = re.compile(
-    rf"^\s*VACUUM\s+({_ID})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$",
+    rf"^\s*VACUUM\s+({_ID})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+    r"(\s+LITE)?(\s+DRY\s+RUN)?\s*;?\s*$",
     re.I,
 )
 _RESTORE = re.compile(
@@ -715,10 +719,11 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         removed = t.vacuum(
             # no RETAIN clause → the table's retention property decides
             retain_hours=float(m.group(2)) if m.group(2) else None,
-            dry_run=bool(m.group(3)),
+            dry_run=bool(m.group(4)),
+            lite=bool(m.group(3)),
         )
         return _one_row(
-            spark, {"numFilesRemoved": len(removed), "dryRun": bool(m.group(3))}
+            spark, {"numFilesRemoved": len(removed), "dryRun": bool(m.group(4))}
         )
 
     if m := _RESTORE.match(query):

@@ -2277,3 +2277,33 @@ def test_log_retention_default_keeps_everything(spark, tmp_path):
     # 30-day default: nothing pruned, full history intact
     assert sorted(c.version for c in t.commits())[0] == 0
     assert t.read(version=1).count() == 1
+
+
+def test_vacuum_lite_log_driven(spark, tmp_path):
+    """VACUUM LITE finds collectible files from the commit log alone
+    (no tree walk) — same removable set as the full walk for
+    log-tracked data files; staging orphans are the documented
+    full-VACUUM-only difference."""
+    import os as _os
+
+    t = LogTable.create(
+        spark, str(tmp_path / "vl"),
+        T.StructType([T.StructField("a", T.IntegerType())]),
+    )
+    t.append(spark.createDataFrame([(1,)], "a int"))
+    t.overwrite(spark.createDataFrame([(2,)], "a int"))
+    full = set(t.vacuum(retain_hours=0, dry_run=True))
+    lit = set(t.vacuum(retain_hours=0, dry_run=True, lite=True))
+    assert lit == full and len(lit) >= 1
+    # plant a stale staging orphan: full sees it, LITE doesn't
+    stag = _os.path.join(t.path, "_staging", "orphan.parquet")
+    _os.makedirs(_os.path.dirname(stag), exist_ok=True)
+    open(stag, "w").write("x")
+    _os.utime(stag, (0, 0))
+    assert any("orphan" in p for p in t.vacuum(retain_hours=0, dry_run=True))
+    assert not any(
+        "orphan" in p for p in t.vacuum(retain_hours=0, dry_run=True, lite=True)
+    )
+    # LITE actually deletes, and the current snapshot is untouched
+    removed = t.vacuum(retain_hours=0, lite=True)
+    assert removed and t.read().count() == 1

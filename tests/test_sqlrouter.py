@@ -498,3 +498,17 @@ def test_cluster_by_unknown_column_rejected(spark, cat):
     # neither half-created a table
     names = {r.tableName for r in cat.sql("SHOW TABLES IN acid").collect()}
     assert "bad1" not in names and "bad2" not in names
+
+
+def test_vacuum_lite_and_optimize_full_sql(spark, cat):
+    t = cat.table("acid.orders")
+    t.overwrite(spark.createDataFrame([(1, "X", 1.0)], SCHEMA))
+    r = cat.sql("VACUUM acid.orders RETAIN 0 HOURS LITE DRY RUN")
+    assert int(r.first()["numFilesRemoved"]) >= 1
+    assert r.first()["dryRun"] == "True"
+    r = cat.sql("VACUUM acid.orders RETAIN 0 HOURS LITE")
+    assert int(r.first()["numFilesRemoved"]) >= 1
+    assert t.read().count() == 1
+    # OPTIMIZE ... FULL parses (same rewrite as bare OPTIMIZE)
+    r = cat.sql("OPTIMIZE acid.orders FULL")
+    assert "numFilesAdded" in r.columns
