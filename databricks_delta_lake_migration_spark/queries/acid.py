@@ -1107,3 +1107,39 @@ def q126_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tail_travels", F.lit(bool(tail_travels)))
         .withColumn("pre_cut_gone", F.lit(bool(pre_cut_gone)))
     )
+
+
+@query(
+    "q128_vacuum_lite",
+    oracle="""
+    SELECT o_orderkey, 'FINAL' AS o_orderstatus, o_totalprice,
+           TRUE AS lite_equals_walk, TRUE AS collected, TRUE AS snapshot_intact
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+    """,
+)
+def q128_vacuum_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM LITE (D8 — Delta 3.3's log-driven variant): after an
+    overwrite storm leaves unreferenced files, the LITE candidate set
+    (derived from the commit log alone, no tree walk) must equal the
+    full-walk candidate set for log-tracked files
+    (``lite_equals_walk``), actually collect them (``collected``), and
+    leave the current snapshot byte-intact (``snapshot_intact``).
+    At 100 TB the recursive listing IS the cost of VACUUM — the log is
+    metadata."""
+    target = _orders_subset(spark, sf_dir).filter(F.col("o_orderkey") % 7 == 0)
+    t = LogTable.create(spark, _scratch("vlite"), target.schema)
+    t.append(target)
+    t.overwrite(target.withColumn("o_orderstatus", F.lit("MID")))
+    t.overwrite(target.withColumn("o_orderstatus", F.lit("FINAL")))
+    full = set(t.vacuum(retain_hours=0, dry_run=True))
+    lite = set(t.vacuum(retain_hours=0, dry_run=True, lite=True))
+    lite_equals_walk = full == lite and len(lite) >= 2
+    removed = t.vacuum(retain_hours=0, lite=True)
+    collected = set(removed) == lite
+    snapshot_intact = t.read().count() == target.count()
+    return (
+        t.read()
+        .withColumn("lite_equals_walk", F.lit(bool(lite_equals_walk)))
+        .withColumn("collected", F.lit(bool(collected)))
+        .withColumn("snapshot_intact", F.lit(bool(snapshot_intact)))
+    )
