@@ -74,7 +74,7 @@ _HISTORY = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*;?\s*$", re.I)
 _DETAIL = re.compile(rf"^\s*DESCRIBE\s+DETAIL\s+({_ID})\s*;?\s*$", re.I)
 _ANALYZE = re.compile(
     rf"^\s*ANALYZE\s+TABLE\s+({_ID})\s+COMPUTE\s+STATISTICS"
-    r"(?:\s+FOR\s+COLUMNS\s+([^;]+))?\s*;?\s*$",
+    r"(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([^;]+)))?\s*;?\s*$",
     re.I,
 )
 _SHOW_PROPS = re.compile(
@@ -297,9 +297,11 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
     if m := _ANALYZE.match(query):
         from .maintenance import compute_stats
 
+        # FOR ALL COLUMNS and a bare COMPUTE STATISTICS both mean every
+        # column (compute_stats' None); an explicit list narrows it
         cols = (
-            [c.strip().strip("`") for c in m.group(2).split(",")]
-            if m.group(2)
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3)
             else None
         )
         return _one_row(spark, compute_stats(cat.table(m.group(1)), columns=cols))

@@ -512,3 +512,16 @@ def test_vacuum_lite_and_optimize_full_sql(spark, cat):
     # OPTIMIZE ... FULL parses (same rewrite as bare OPTIMIZE)
     r = cat.sql("OPTIMIZE acid.orders FULL")
     assert "numFilesAdded" in r.columns
+
+
+def test_analyze_for_all_columns(spark, cat):
+    r = cat.sql("ANALYZE TABLE acid.orders COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert r.count() == 1
+    # stats persisted for every column
+    import json as _json
+
+    stats = _json.loads(cat.table("acid.orders").properties()["stats"])
+    assert {"id", "status", "amount"} <= set(stats["columns"])
+    # explicit list still narrows
+    r = cat.sql("ANALYZE TABLE acid.orders COMPUTE STATISTICS FOR COLUMNS id")
+    assert r.count() == 1
