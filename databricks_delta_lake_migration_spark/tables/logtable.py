@@ -100,7 +100,14 @@ RESERVED_PROP = "columnmapping.reserved"
 # Commits whose `properties` payload REPLACES the table's property map
 # wholesale (they carry the full post-op map, and merging would
 # resurrect removed keys). All other property-bearing commits merge.
-_PROPS_REPLACE_OPS = {"UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN", "RESTORE"}
+# "ALTER COLUMN" is here for DROP NOT NULL, which must REMOVE its
+# notnull.* key — merge semantics would resurrect it. Its other users
+# (TYPE / COMMENT) carry no properties, and SET NOT NULL passes the
+# full current map, so replace semantics are correct for all of them.
+_PROPS_REPLACE_OPS = {
+    "UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN", "RESTORE",
+    "ALTER COLUMN",
+}
 
 # Below this total table size, MERGE rewrites every file instead of
 # running the pruning probe job — at small scale the probe costs more
@@ -1311,6 +1318,8 @@ class LogTable:
                 new if c == old else c
                 for c in new_props[CLUSTERING_PROP].split(",")
             )
+        if f"notnull.{old}" in new_props:
+            new_props[f"notnull.{new}"] = new_props.pop(f"notnull.{old}")
         fields = [
             T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
             for f in schema.fields
@@ -1354,6 +1363,7 @@ class LogTable:
         # append would compute a phantom column and commit orphan
         # watermark updates)
         new_props.pop(f"identity.{name}", None)
+        new_props.pop(f"notnull.{name}", None)
         self._commit_tx(
             Commit(
                 version=self._next_version(),
@@ -1469,6 +1479,90 @@ class LogTable:
                     "from": old_type.simpleString(),
                     "to": new_type.simpleString(),
                 },
+            )
+        )
+
+    def set_not_null(self, name: str) -> None:
+        """ALTER COLUMN ... SET NOT NULL: existing rows must already
+        satisfy the contract (a constraint is never born violated),
+        then every subsequent write enforces it. The schema field flips
+        to non-nullable so DESCRIBE/SHOW CREATE reflect the contract."""
+        schema = self.schema()
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name}")
+        n_bad = self.read().filter(F.col(name).isNull()).count()
+        if n_bad:
+            raise ValueError(
+                f"cannot SET NOT NULL on {name!r}: {n_bad} existing NULL rows"
+            )
+        fields = [
+            T.StructField(
+                f.name, f.dataType, False if f.name == name else f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ALTER COLUMN",
+                schema_json=T.StructType(fields).json(),
+                properties={**self.properties(), f"notnull.{name}": "true"},
+                parameters={"column": name, "notNull": "set"},
+            )
+        )
+
+    def drop_not_null(self, name: str) -> None:
+        """ALTER COLUMN ... DROP NOT NULL: stop enforcing; the schema
+        field goes back to nullable."""
+        schema = self.schema()
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name}")
+        props = dict(self.properties())
+        props.pop(f"notnull.{name}", None)
+        fields = [
+            T.StructField(
+                f.name, f.dataType, True if f.name == name else f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ALTER COLUMN",
+                schema_json=T.StructType(fields).json(),
+                properties=props,
+                parameters={"column": name, "notNull": "dropped"},
+            )
+        )
+
+    def alter_column_comment(self, name: str, comment: str | None) -> None:
+        """ALTER COLUMN ... COMMENT — metadata-only commit updating the
+        field's comment (``None`` clears it)."""
+        schema = self.schema()
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name}")
+        fields = []
+        for f in schema.fields:
+            meta = dict(f.metadata or {})
+            if f.name == name:
+                if comment is None:
+                    meta.pop("comment", None)
+                else:
+                    meta["comment"] = comment
+            fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, meta or None)
+            )
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ALTER COLUMN",
+                schema_json=T.StructType(fields).json(),
+                parameters={"column": name, "comment": comment or ""},
             )
         )
 
@@ -1601,6 +1695,18 @@ class LogTable:
                     f"{k.removeprefix('generated.')} <=> ({v})"
                 for k, v in props.items()
                 if k.startswith("generated.")
+            }
+        )
+        # NOT NULL contracts declared via SET NOT NULL (tracked as
+        # properties, not inferred from schema nullable flags — an
+        # accidentally non-nullable source schema must never start
+        # rejecting writes retroactively)
+        checks.update(
+            {
+                f"notnull_{k.removeprefix('notnull.')}":
+                    f"{k.removeprefix('notnull.')} IS NOT NULL"
+                for k, v in props.items()
+                if k.startswith("notnull.") and v == "true"
             }
         )
         return checks

@@ -23,7 +23,9 @@ Statement coverage (the forms the reference actually uses):
 - ``ALTER TABLE t RENAME COLUMN old TO new`` / ``DROP COLUMN name``
   (metadata-only via column mapping — no data rewrite)
 - ``ALTER TABLE t ALTER COLUMN c TYPE newtype`` (type widening,
-  metadata-only; old files upcast at scan time)
+  metadata-only; old files upcast at scan time) / ``SET NOT NULL`` /
+  ``DROP NOT NULL`` (existing rows validated first; enforced on every
+  write) / ``COMMENT '...'``; column defs accept ``NOT NULL``
 - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...``
 - ``CREATE TABLE [IF NOT EXISTS] t (col TYPE [COMMENT '...'], ...)
   [USING fmt] [PARTITIONED BY (...)] [CLUSTER BY (...)]
@@ -107,6 +109,16 @@ _ALTER_COL_TYPE = re.compile(
     r"([A-Za-z0-9_<>,()\s]+?)\s*;?\s*$",
     re.I,
 )
+_ALTER_COL_NOTNULL = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+"
+    r"(SET|DROP)\s+NOT\s+NULL\s*;?\s*$",
+    re.I,
+)
+_ALTER_COL_COMMENT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+"
+    r"COMMENT\s+'((?:[^']|'')*)'\s*;?\s*$",
+    re.I,
+)
 _ALTER_UNSET_PROPS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+UNSET\s+TBLPROPERTIES\s*"
     r"(?:IF\s+EXISTS\s*)?\((.*)\)\s*;?\s*$",
@@ -124,6 +136,7 @@ _DROP_CONSTRAINT = re.compile(
 )
 _COL_DEF = re.compile(
     r"^\s*`?(\w+)`?\s+([A-Za-z0-9_<>,()\s]+?)"
+    r"(?:\s+(NOT\s+NULL))?"
     r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?\s*$",
     re.I | re.S,
 )
@@ -327,7 +340,15 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             cm = _COL_DEF.match(part)
             if not cm:
                 raise ValueError(f"bad column definition: {part!r}")
-            meta = {"comment": cm.group(3).replace("''", "'")} if cm.group(3) else None
+            if cm.group(3):
+                # Delta semantics: existing rows would null-fill the new
+                # column, so a NOT NULL addition is born violated
+                raise ValueError(
+                    f"cannot ADD a NOT NULL column ({cm.group(1)}): "
+                    "existing rows would violate it — add nullable, "
+                    "backfill, then ALTER COLUMN SET NOT NULL"
+                )
+            meta = {"comment": cm.group(4).replace("''", "'")} if cm.group(4) else None
             fields.append(
                 StructField(
                     cm.group(1), _parse_datatype_string(cm.group(2)), True,
@@ -360,6 +381,22 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
     if m := _DROP_COL.match(query):
         cat.table(m.group(1)).drop_column(m.group(2))
         return _one_row(spark, {"columnDropped": m.group(2)})
+
+    if m := _ALTER_COL_NOTNULL.match(query):
+        t = cat.table(m.group(1))
+        if m.group(3).upper() == "SET":
+            t.set_not_null(m.group(2))
+        else:
+            t.drop_not_null(m.group(2))
+        return _one_row(
+            spark, {"column": m.group(2), "notNull": m.group(3).upper() == "SET"}
+        )
+
+    if m := _ALTER_COL_COMMENT.match(query):
+        cat.table(m.group(1)).alter_column_comment(
+            m.group(2), m.group(3).replace("''", "'")
+        )
+        return _one_row(spark, {"column": m.group(2), "commented": True})
 
     if m := _ALTER_COL_TYPE.match(query):
         from pyspark.sql.types import _parse_datatype_string
@@ -513,14 +550,18 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
                 return _one_row(spark, {"created": False, "skipped": True})
             raise ValueError(f"table already exists: {cat._fq(name)}")
         fields = []
+        notnull_cols = []
         for part_def in _split_top(m.group(3)):
             cm = _COL_DEF.match(part_def)
             if not cm:
                 raise ValueError(f"bad column definition: {part_def!r}")
-            meta = {"comment": cm.group(3).replace("''", "'")} if cm.group(3) else None
+            meta = {"comment": cm.group(4).replace("''", "'")} if cm.group(4) else None
+            if cm.group(3):
+                notnull_cols.append(cm.group(1))
             fields.append(
                 StructField(
-                    cm.group(1), _parse_datatype_string(cm.group(2)), True,
+                    cm.group(1), _parse_datatype_string(cm.group(2)),
+                    not cm.group(3),
                     metadata=meta,
                 )
             )
@@ -546,6 +587,8 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             if bad:
                 raise ValueError(f"CLUSTER BY column(s) not in schema: {bad}")
             props[CLUSTERING_PROP] = ",".join(cluster)
+        for c in notnull_cols:
+            props[f"notnull.{c}"] = "true"
         cat.create_table(
             name, StructType(fields), partition_by=part, properties=props or None
         )
@@ -678,6 +721,8 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         col_lines = []
         for f in t.schema().fields:
             line = f"  `{f.name}` {f.dataType.simpleString()}"
+            if not f.nullable:
+                line += " NOT NULL"
             c = (f.metadata or {}).get("comment")
             if c:
                 line += f" COMMENT '{_q(c)}'"
@@ -693,6 +738,8 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         from .logtable import CLUSTERING_PROP
 
         props = dict(t.properties())
+        # NOT NULL is emitted as a column clause, not a raw property
+        props = {k: v for k, v in props.items() if not k.startswith("notnull.")}
         cluster = [c for c in props.pop(CLUSTERING_PROP, "").split(",") if c]
         if cluster:
             stmt += "\nCLUSTER BY (" + ", ".join(f"`{c}`" for c in cluster) + ")"

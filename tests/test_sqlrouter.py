@@ -525,3 +525,43 @@ def test_analyze_for_all_columns(spark, cat):
     # explicit list still narrows
     r = cat.sql("ANALYZE TABLE acid.orders COMPUTE STATISTICS FOR COLUMNS id")
     assert r.count() == 1
+
+
+def test_not_null_and_column_comment(spark, cat):
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        ConstraintViolationError,
+    )
+
+    cat.sql(
+        "CREATE TABLE acid.nn (id BIGINT NOT NULL, v STRING COMMENT 'val')"
+    )
+    t = cat.table("acid.nn")
+    assert t.schema()["id"].nullable is False
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(None, "b")], "id long, v string"))
+    # DROP NOT NULL → nulls flow again; SET NOT NULL then refused (nulls)
+    cat.sql("ALTER TABLE acid.nn ALTER COLUMN id DROP NOT NULL")
+    t.append(spark.createDataFrame([(None, "b")], "id long, v string"))
+    with pytest.raises(ValueError, match="existing NULL rows"):
+        cat.sql("ALTER TABLE acid.nn ALTER COLUMN id SET NOT NULL")
+    cat.sql("DELETE FROM acid.nn WHERE id IS NULL")
+    r = cat.sql("ALTER TABLE acid.nn ALTER COLUMN id SET NOT NULL")
+    assert r.first()["notNull"] == "True"
+    # the contract follows a rename
+    cat.sql("ALTER TABLE acid.nn RENAME COLUMN id TO id2")
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(None, "c")], "id2 long, v string"))
+    # SHOW CREATE round-trips NOT NULL as a clause, not a raw property
+    stmt = cat.sql("SHOW CREATE TABLE acid.nn").first()["createtab_stmt"]
+    assert "`id2` bigint NOT NULL" in stmt and "notnull." not in stmt
+    cat.sql(stmt.replace("lake.acid.nn", "lake.acid.nn_rt"))
+    t2 = cat.table("acid.nn_rt")
+    assert t2.schema()["id2"].nullable is False
+    assert t2.properties() == t.properties()
+    # column comments are ALTERable
+    cat.sql("ALTER TABLE acid.nn ALTER COLUMN v COMMENT 'it''s new'")
+    assert (cat.table("acid.nn").schema()["v"].metadata or {})["comment"] == "it's new"
+    # adding a NOT NULL column to a non-empty table is refused
+    with pytest.raises(ValueError, match="NOT NULL column"):
+        cat.sql("ALTER TABLE acid.nn ADD COLUMNS (w STRING NOT NULL)")
