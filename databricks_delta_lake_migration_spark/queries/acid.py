@@ -1143,3 +1143,65 @@ def q128_vacuum_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("collected", F.lit(bool(collected)))
         .withColumn("snapshot_intact", F.lit(bool(snapshot_intact)))
     )
+
+
+@query(
+    "q129_column_defaults",
+    oracle="""
+    SELECT o_orderkey,
+           'BACKFILL' AS o_orderstatus,
+           CAST(-1.0 AS DOUBLE) AS o_totalprice,
+           TRUE AS roundtrip_ok
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, -1.0, TRUE
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 = 2
+    UNION ALL
+    SELECT o_orderkey, 'BACKFILL', 99.5, TRUE
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 = 4
+    """,
+)
+def q129_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULTs (D32 — Delta's ``ALTER COLUMN SET DEFAULT`` /
+    ``delta.feature.allowColumnDefaults``): a table declares literal
+    defaults at CREATE; ingest batches that omit columns fill them with
+    the declared value instead of NULL, a later ``SET DEFAULT`` changes
+    the fill for FUTURE writes only (batch C lands 99.5 while batch A's
+    rows keep -1.0 — metadata-only, no rewrite at any table size), and
+    full-width batches are untouched. ``roundtrip_ok`` pins that SHOW
+    CREATE emits DEFAULT as a column clause that parses back to an
+    identical table. Reference anchor: delta_utils.py's DDL generator
+    (delta_utils.py:242-256) — the spelling its SQL users feed back."""
+    from ..tables import Catalog
+
+    base = _orders_subset(spark, sf_dir)
+    cat = Catalog(spark, _scratch("dflt-cat"))
+    t = cat.create_table(
+        "lake.dml.dflt",
+        base.schema,
+        properties={
+            "default.o_orderstatus": "'BACKFILL'",
+            "default.o_totalprice": "-1.0",
+        },
+    )
+    t.append(base.filter(F.col("o_orderkey") % 10 == 1).select("o_orderkey"))
+    t.append(
+        base.filter(F.col("o_orderkey") % 10 == 2).select(
+            "o_orderkey", "o_orderstatus"
+        )
+    )
+    cat.sql("ALTER TABLE dml.dflt ALTER COLUMN o_totalprice SET DEFAULT 99.5")
+    t.append(base.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey"))
+    t.append(base.filter(F.col("o_orderkey") % 10 == 4))
+    stmt = cat.sql("SHOW CREATE TABLE dml.dflt").first()["createtab_stmt"]
+    cat.sql(stmt.replace("lake.dml.dflt", "lake.dml.dflt_rt"))
+    t2 = cat.table("dml.dflt_rt")
+    roundtrip_ok = (
+        t2.properties() == t.properties()
+        and [(f.name, f.dataType) for f in t2.schema().fields]
+        == [(f.name, f.dataType) for f in t.schema().fields]
+    )
+    return t.read().withColumn("roundtrip_ok", F.lit(bool(roundtrip_ok)))

@@ -1199,6 +1199,7 @@ class LogTable:
         generated_columns: dict[str, str] | None = None,
         identity_columns: dict[str, dict] | None = None,
         cluster_by: list[str] | None = None,
+        column_defaults: dict[str, str] | None = None,
     ) -> "LogTable":
         """Create-if-absent empty table (K4 — delta_utils.py:27-77).
 
@@ -1230,6 +1231,18 @@ class LogTable:
             if c not in names:
                 raise ValueError(f"generated column {c!r} not in schema")
             props[f"generated.{c}"] = e
+        for c, e in (column_defaults or {}).items():
+            props[f"default.{c}"] = e
+        # default.* may arrive via the properties dict too (SHOW CREATE
+        # round-trip) — validate every spelling at create time
+        by_name = {f.name: f for f in schema.fields}
+        for k, e in list(props.items()):
+            if not k.startswith("default."):
+                continue
+            c = k.removeprefix("default.")
+            if c not in by_name:
+                raise ValueError(f"DEFAULT column {c!r} not in schema")
+            LogTable._validate_default(spark, c, e, by_name[c].dataType)
         for c, spec in (identity_columns or {}).items():
             if c not in names:
                 raise ValueError(f"identity column {c!r} not in schema")
@@ -1320,6 +1333,8 @@ class LogTable:
             )
         if f"notnull.{old}" in new_props:
             new_props[f"notnull.{new}"] = new_props.pop(f"notnull.{old}")
+        if f"default.{old}" in new_props:
+            new_props[f"default.{new}"] = new_props.pop(f"default.{old}")
         fields = [
             T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
             for f in schema.fields
@@ -1364,6 +1379,7 @@ class LogTable:
         # watermark updates)
         new_props.pop(f"identity.{name}", None)
         new_props.pop(f"notnull.{name}", None)
+        new_props.pop(f"default.{name}", None)
         self._commit_tx(
             Commit(
                 version=self._next_version(),
@@ -1539,6 +1555,51 @@ class LogTable:
             )
         )
 
+    def set_column_default(self, name: str, expr: str) -> None:
+        """ALTER COLUMN ... SET DEFAULT <expr> (Delta column defaults,
+        ``delta.feature.allowColumnDefaults``): a metadata-only commit;
+        from now on ingest writes (append / overwrite / INSERT / COPY
+        INTO) that omit the column fill it with the expression instead
+        of NULL. Existing rows are untouched (no rewrite at any table
+        size) — exactly Delta's semantics, where ALTER ... SET DEFAULT
+        affects only future writes."""
+        schema = self.schema()
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: {name}")
+        if f"identity.{name}" in self.properties() or f"generated.{name}" in self.properties():
+            raise ValueError(
+                f"column {name!r} is identity/generated — it already has "
+                "a value contract; DEFAULT would conflict"
+            )
+        self._validate_default(self.spark, name, expr, field.dataType)
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ALTER COLUMN",
+                properties={**self.properties(), f"default.{name}": expr},
+                parameters={"column": name, "default": expr},
+            )
+        )
+
+    def drop_column_default(self, name: str) -> None:
+        """ALTER COLUMN ... DROP DEFAULT: omitted values go back to
+        NULL on future writes."""
+        if name not in [f.name for f in self.schema().fields]:
+            raise ValueError(f"no such column: {name}")
+        props = dict(self.properties())
+        props.pop(f"default.{name}", None)
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="ALTER COLUMN",
+                properties=props,
+                parameters={"column": name, "default": "dropped"},
+            )
+        )
+
     def alter_column_comment(self, name: str, comment: str | None) -> None:
         """ALTER COLUMN ... COMMENT — metadata-only commit updating the
         field's comment (``None`` clears it)."""
@@ -1671,6 +1732,32 @@ class LogTable:
             for k, v in self.properties().items()
             if k.startswith("generated.")
         }
+
+    @staticmethod
+    def _column_defaults(props: dict[str, str]) -> dict[str, str]:
+        """``default.<col>`` properties → {col: sql literal expr}."""
+        return {
+            k.removeprefix("default."): v
+            for k, v in props.items()
+            if k.startswith("default.")
+        }
+
+    @staticmethod
+    def _validate_default(
+        spark: SparkSession, col: str, expr: str, dtype: T.DataType
+    ) -> None:
+        """A DEFAULT must be a self-contained (literal/foldable)
+        expression castable to the column type — column references have
+        nothing to bind against on the probe frame and fail here, at
+        declaration time, instead of at some future insert."""
+        try:
+            spark.range(1).withColumnRenamed("id", "__default_probe__").select(
+                F.expr(expr).cast(dtype)
+            ).collect()
+        except Exception as e:  # noqa: BLE001 — surface as a ValueError
+            raise ValueError(
+                f"invalid DEFAULT for column {col!r}: {expr!r} ({e})"
+            ) from None
 
     def _apply_generated(self, df: DataFrame) -> DataFrame:
         """Compute generated columns the incoming frame omits; columns
@@ -1868,13 +1955,29 @@ class LogTable:
         d = os.path.join(self.path, CHANGES_DIR, f"v={version:020d}")
         change_df.write.mode("overwrite").parquet(d)
 
-    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
-        """Project ``df`` onto ``schema`` (order + missing-as-null)."""
+    def _align(
+        self,
+        df: DataFrame,
+        schema: T.StructType,
+        defaults: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Project ``df`` onto ``schema`` (order + missing-as-null).
+
+        ``defaults`` maps column → SQL literal expression: a missing
+        column fills with its DEFAULT instead of NULL (Delta column
+        defaults — applied on the ingest paths only; rewrite paths like
+        MERGE/UPDATE project survivors that already carry every
+        column, so passing no defaults there is both correct and
+        cheaper)."""
         cols = []
         have = {f.name for f in df.schema.fields}
         for f in schema.fields:
             if f.name in have:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif defaults and f.name in defaults:
+                cols.append(
+                    F.expr(defaults[f.name]).cast(f.dataType).alias(f.name)
+                )
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
@@ -1895,9 +1998,9 @@ class LogTable:
         df, ident_props = self._apply_identity(df)
         df = self._apply_generated(df)
         schema = self._evolve_schema(df, merge_schema)
-        data = self._align(df, schema)
-        self._check_constraints(data)
         _, _, partition_by, props, _ = self._replay()
+        data = self._align(df, schema, defaults=self._column_defaults(props))
+        self._check_constraints(data)
         data = self._maybe_optimize_write(data, partition_by, props)
         entries = self._write_files(data, partition_by)
         version = self._commit_tx(
@@ -2054,9 +2157,9 @@ class LogTable:
         df = reader.load([os.path.join(source_path, rel) for rel, _, _ in new])
         df, ident_props = self._apply_identity(df)
         df = self._apply_generated(df)
-        data = self._align(df, schema)
-        self._check_constraints(data)
         _, _, partition_by, props, _ = self._replay()
+        data = self._align(df, schema, defaults=self._column_defaults(props))
+        self._check_constraints(data)
         data = self._maybe_optimize_write(data, partition_by, props)
         entries = self._write_files(data, partition_by)
         n_rows = sum(e.num_records for e in entries)
@@ -2104,7 +2207,7 @@ class LogTable:
         schema = (
             df.schema if overwrite_schema else T.StructType.fromJson(json.loads(schema_json))
         )
-        data = self._align(df, schema)
+        data = self._align(df, schema, defaults=self._column_defaults(props))
         self._check_constraints(data)
         data = self._maybe_optimize_write(data, partition_by, props)
 
@@ -2604,7 +2707,12 @@ class LogTable:
         # are the union of both epochs (superset-conservative — a
         # restore must never un-reserve a physical name that files from
         # either epoch still carry).
-        coupled = ("generated.", "identity.", "constraint.")
+        # notnull./default. are schema-coupled too: the restored schema
+        # carries the target epoch's nullable flags and column set, so
+        # keeping the CURRENT contracts would either stop enforcing a
+        # restored NOT NULL or enforce one against restored data that
+        # legally contains NULLs.
+        coupled = ("generated.", "identity.", "constraint.", "notnull.", "default.")
         props_patch = {
             k: val
             for k, val in cur_props.items()

@@ -119,6 +119,11 @@ _ALTER_COL_COMMENT = re.compile(
     r"COMMENT\s+'((?:[^']|'')*)'\s*;?\s*$",
     re.I,
 )
+_ALTER_COL_DEFAULT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+"
+    r"(?:SET\s+DEFAULT\s+(.+?)|DROP\s+DEFAULT)\s*;?\s*$",
+    re.I | re.S,
+)
 _ALTER_UNSET_PROPS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+UNSET\s+TBLPROPERTIES\s*"
     r"(?:IF\s+EXISTS\s*)?\((.*)\)\s*;?\s*$",
@@ -136,6 +141,9 @@ _DROP_CONSTRAINT = re.compile(
 )
 _COL_DEF = re.compile(
     r"^\s*`?(\w+)`?\s+([A-Za-z0-9_<>,()\s]+?)"
+    # DEFAULT literal: quoted string, call like current_date(), or a
+    # bare token (number / boolean / NULL)
+    r"(?:\s+DEFAULT\s+('(?:[^']|'')*'|\w+\s*\([^)]*\)|[^\s]+?))?"
     r"(?:\s+(NOT\s+NULL))?"
     r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?\s*$",
     re.I | re.S,
@@ -340,7 +348,7 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             cm = _COL_DEF.match(part)
             if not cm:
                 raise ValueError(f"bad column definition: {part!r}")
-            if cm.group(3):
+            if cm.group(4):
                 # Delta semantics: existing rows would null-fill the new
                 # column, so a NOT NULL addition is born violated
                 raise ValueError(
@@ -348,7 +356,16 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
                     "existing rows would violate it — add nullable, "
                     "backfill, then ALTER COLUMN SET NOT NULL"
                 )
-            meta = {"comment": cm.group(4).replace("''", "'")} if cm.group(4) else None
+            if cm.group(3):
+                # Delta's rule too: ADD COLUMN cannot carry a DEFAULT
+                # (existing rows read NULL, which the default would
+                # silently contradict) — add, then SET DEFAULT
+                raise ValueError(
+                    f"cannot ADD a column with DEFAULT ({cm.group(1)}): "
+                    "add it, then ALTER COLUMN SET DEFAULT (affects "
+                    "future writes only)"
+                )
+            meta = {"comment": cm.group(5).replace("''", "'")} if cm.group(5) else None
             fields.append(
                 StructField(
                     cm.group(1), _parse_datatype_string(cm.group(2)), True,
@@ -391,6 +408,16 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         return _one_row(
             spark, {"column": m.group(2), "notNull": m.group(3).upper() == "SET"}
         )
+
+    if m := _ALTER_COL_DEFAULT.match(query):
+        t = cat.table(m.group(1))
+        if m.group(3) is not None:
+            t.set_column_default(m.group(2), m.group(3).strip())
+            return _one_row(
+                spark, {"column": m.group(2), "default": m.group(3).strip()}
+            )
+        t.drop_column_default(m.group(2))
+        return _one_row(spark, {"column": m.group(2), "default": None})
 
     if m := _ALTER_COL_COMMENT.match(query):
         cat.table(m.group(1)).alter_column_comment(
@@ -551,17 +578,20 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             raise ValueError(f"table already exists: {cat._fq(name)}")
         fields = []
         notnull_cols = []
+        default_exprs = {}
         for part_def in _split_top(m.group(3)):
             cm = _COL_DEF.match(part_def)
             if not cm:
                 raise ValueError(f"bad column definition: {part_def!r}")
-            meta = {"comment": cm.group(4).replace("''", "'")} if cm.group(4) else None
-            if cm.group(3):
+            meta = {"comment": cm.group(5).replace("''", "'")} if cm.group(5) else None
+            if cm.group(4):
                 notnull_cols.append(cm.group(1))
+            if cm.group(3):
+                default_exprs[cm.group(1)] = cm.group(3)
             fields.append(
                 StructField(
                     cm.group(1), _parse_datatype_string(cm.group(2)),
-                    not cm.group(3),
+                    not cm.group(4),
                     metadata=meta,
                 )
             )
@@ -589,6 +619,8 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             props[CLUSTERING_PROP] = ",".join(cluster)
         for c in notnull_cols:
             props[f"notnull.{c}"] = "true"
+        for c, e in default_exprs.items():
+            props[f"default.{c}"] = e
         cat.create_table(
             name, StructType(fields), partition_by=part, properties=props or None
         )
@@ -718,9 +750,16 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         def _q(s: str) -> str:
             return s.replace("'", "''")
 
+        defaults = {
+            k.removeprefix("default."): v
+            for k, v in t.properties().items()
+            if k.startswith("default.")
+        }
         col_lines = []
         for f in t.schema().fields:
             line = f"  `{f.name}` {f.dataType.simpleString()}"
+            if f.name in defaults:
+                line += f" DEFAULT {defaults[f.name]}"
             if not f.nullable:
                 line += " NOT NULL"
             c = (f.metadata or {}).get("comment")
@@ -738,8 +777,12 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         from .logtable import CLUSTERING_PROP
 
         props = dict(t.properties())
-        # NOT NULL is emitted as a column clause, not a raw property
-        props = {k: v for k, v in props.items() if not k.startswith("notnull.")}
+        # NOT NULL / DEFAULT are emitted as column clauses, not raw props
+        props = {
+            k: v
+            for k, v in props.items()
+            if not k.startswith(("notnull.", "default."))
+        }
         cluster = [c for c in props.pop(CLUSTERING_PROP, "").split(",") if c]
         if cluster:
             stmt += "\nCLUSTER BY (" + ", ".join(f"`{c}`" for c in cluster) + ")"

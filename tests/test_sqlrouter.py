@@ -565,3 +565,57 @@ def test_not_null_and_column_comment(spark, cat):
     # adding a NOT NULL column to a non-empty table is refused
     with pytest.raises(ValueError, match="NOT NULL column"):
         cat.sql("ALTER TABLE acid.nn ADD COLUMNS (w STRING NOT NULL)")
+
+
+def test_column_defaults(spark, cat):
+    # CREATE with DEFAULT clauses (Delta column defaults,
+    # delta.feature.allowColumnDefaults)
+    cat.sql(
+        "CREATE TABLE acid.dflt (id BIGINT, status STRING DEFAULT 'pending', "
+        "qty INT DEFAULT 0, note STRING DEFAULT 'n/a' COMMENT 'memo')"
+    )
+    t = cat.table("acid.dflt")
+    # INSERT with a column list: omitted columns take their DEFAULT
+    cat.sql("INSERT INTO acid.dflt (id) VALUES (1)")
+    cat.sql("INSERT INTO acid.dflt (id, status) VALUES (2, 'done')")
+    rows = {tuple(r) for r in t.read().collect()}
+    assert rows == {(1, "pending", 0, "n/a"), (2, "done", 0, "n/a")}
+    # DataFrame append: missing columns take the DEFAULT too
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    assert (3, "pending", 0, "n/a") in {tuple(r) for r in t.read().collect()}
+    # explicit NULL stays NULL — DEFAULT is only for ABSENT columns
+    t.append(spark.createDataFrame([(4, None)], "id long, status string"))
+    assert (4, None, 0, "n/a") in {tuple(r) for r in t.read().collect()}
+    # ALTER ... SET DEFAULT affects future writes only
+    cat.sql("ALTER TABLE acid.dflt ALTER COLUMN qty SET DEFAULT 7")
+    cat.sql("INSERT INTO acid.dflt (id) VALUES (5)")
+    by_id = {r["id"]: r for r in t.read().collect()}
+    assert by_id[5]["qty"] == 7 and by_id[1]["qty"] == 0
+    # DROP DEFAULT → back to NULL fill
+    cat.sql("ALTER TABLE acid.dflt ALTER COLUMN qty DROP DEFAULT")
+    cat.sql("INSERT INTO acid.dflt (id) VALUES (6)")
+    assert {r["id"]: r for r in t.read().collect()}[6]["qty"] is None
+    # the default follows a RENAME, dies with DROP COLUMN
+    cat.sql("ALTER TABLE acid.dflt RENAME COLUMN status TO state")
+    cat.sql("INSERT INTO acid.dflt (id) VALUES (7)")
+    assert {r["id"]: r for r in t.read().collect()}[7]["state"] == "pending"
+    cat.sql("ALTER TABLE acid.dflt DROP COLUMN note")
+    assert "default.note" not in t.properties()
+    # SHOW CREATE emits DEFAULT as a column clause and round-trips
+    stmt = cat.sql("SHOW CREATE TABLE acid.dflt").first()["createtab_stmt"]
+    assert "`state` string DEFAULT 'pending'" in stmt
+    assert "default." not in stmt
+    cat.sql(stmt.replace("lake.acid.dflt", "lake.acid.dflt_rt"))
+    assert cat.table("acid.dflt_rt").properties() == t.properties()
+    # a DEFAULT referencing a column is rejected at declaration time
+    with pytest.raises(ValueError, match="invalid DEFAULT"):
+        cat.sql("ALTER TABLE acid.dflt ALTER COLUMN qty SET DEFAULT id + 1")
+    # unknown column in a CREATE-supplied default property is rejected
+    with pytest.raises(ValueError, match="not in schema"):
+        cat.sql(
+            "CREATE TABLE acid.dflt_bad (id BIGINT) "
+            "TBLPROPERTIES ('default.ghost' = '1')"
+        )
+    # ADD COLUMNS with an inline DEFAULT is refused (add, then SET)
+    with pytest.raises(ValueError, match="DEFAULT"):
+        cat.sql("ALTER TABLE acid.dflt ADD COLUMNS (w STRING DEFAULT 'x')")
