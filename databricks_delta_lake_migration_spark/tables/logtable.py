@@ -212,6 +212,8 @@ class Commit:
     metrics: dict[str, Any] = field(default_factory=dict)
     # merge-on-read deletes: data-file path → DV files added for it
     dvs: dict[str, list[str]] = field(default_factory=dict)
+    # free-form commit annotation (Delta's commitInfo.userMetadata)
+    user_metadata: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -226,6 +228,11 @@ class Commit:
             "operationParameters": self.parameters,
             "operationMetrics": self.metrics,
             **({"deletionVectors": self.dvs} if self.dvs else {}),
+            **(
+                {"userMetadata": self.user_metadata}
+                if self.user_metadata is not None
+                else {}
+            ),
         }
 
     @staticmethod
@@ -242,6 +249,7 @@ class Commit:
             parameters=d.get("operationParameters", {}),
             metrics=d.get("operationMetrics", {}),
             dvs=d.get("deletionVectors", {}),
+            user_metadata=d.get("userMetadata"),
         )
 
 
@@ -569,6 +577,8 @@ class LogTable:
         self.path = os.path.abspath(path)
         self.fs = fs  # driver-side metadata I/O seam (see fsio.py)
         self._commits: list[Commit] | None = None  # lazy log cache
+        # one-shot commit annotation queued by with_user_metadata()
+        self._pending_user_metadata: str | None = None
 
     # ------------------------------------------------------------------
     # log plumbing (driver-side metadata only)
@@ -665,6 +675,19 @@ class LogTable:
         stamp the version into follow-on artifacts (CDF files) must use
         the return value, not the version they proposed.
         """
+        if commit.user_metadata is None:
+            # Delta precedence: per-write annotation beats the session
+            # conf; the conf annotates every commit while it is set
+            um = self._pending_user_metadata
+            if um is None:
+                um = (
+                    self.spark.conf.get(
+                        "spark.databricks.delta.commitInfo.userMetadata", None
+                    )
+                    or None
+                )
+            commit.user_metadata = um
+        self._pending_user_metadata = None
         for _ in range(attempts):
             try:
                 self._commit(commit)
@@ -1149,6 +1172,15 @@ class LogTable:
             ]
         )
 
+    def with_user_metadata(self, message: str) -> "LogTable":
+        """Queue a free-form annotation for the NEXT commit (Delta's
+        ``.option("userMetadata", ...)``): one-shot, recorded in the
+        commit log and surfaced by DESCRIBE HISTORY. The session-conf
+        spelling ``spark.databricks.delta.commitInfo.userMetadata``
+        is honored too (per-write annotation wins)."""
+        self._pending_user_metadata = message
+        return self
+
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY (D10 — delta_utils.py:168-174)."""
         rows = [
@@ -1159,10 +1191,15 @@ class LogTable:
                 c.operation,
                 json.dumps(c.parameters, sort_keys=True, default=str),
                 json.dumps(c.metrics, sort_keys=True, default=str),
+                c.user_metadata,
             )
             for c in reversed(self.commits())
         ]
-        schema = "version long, timestamp double, operation string, operationParameters string, operationMetrics string"
+        schema = (
+            "version long, timestamp double, operation string, "
+            "operationParameters string, operationMetrics string, "
+            "userMetadata string"
+        )
         return self.spark.createDataFrame(rows, schema).withColumn(
             "timestamp", F.timestamp_seconds("timestamp")
         )

@@ -2307,3 +2307,34 @@ def test_vacuum_lite_log_driven(spark, tmp_path):
     # LITE actually deletes, and the current snapshot is untouched
     removed = t.vacuum(retain_hours=0, lite=True)
     assert removed and t.read().count() == 1
+
+
+def test_user_metadata_commit_annotation(spark, table):
+    # per-write annotation (Delta's .option("userMetadata", ...)): one-shot
+    table.with_user_metadata("nightly backfill").append(
+        rows_df(spark, [(10, "NEW", 1.0, "d3"), (11, "NEW", 2.0, "d3")])
+    )
+    h = {r["version"]: r["userMetadata"] for r in table.history().collect()}
+    v = max(h)
+    assert h[v] == "nightly backfill"
+    # one-shot: the next commit is unannotated
+    table.delete("id = 10")
+    h = {r["version"]: r["userMetadata"] for r in table.history().collect()}
+    assert h[max(h)] is None
+    # session-conf spelling annotates every commit while set; the
+    # per-write annotation wins when both are present
+    spark.conf.set(
+        "spark.databricks.delta.commitInfo.userMetadata", "audit=JIRA-42"
+    )
+    try:
+        table.delete("id = 1")
+        table.with_user_metadata("explicit wins").delete("id = 2")
+    finally:
+        spark.conf.unset("spark.databricks.delta.commitInfo.userMetadata")
+    anns = [
+        r["userMetadata"]
+        for r in table.history().orderBy("version").collect()
+    ]
+    assert anns[-2:] == ["audit=JIRA-42", "explicit wins"]
+    table.delete("id = 3")
+    assert table.history().first()["userMetadata"] is None
