@@ -1205,3 +1205,126 @@ def q129_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         == [(f.name, f.dataType) for f in t.schema().fields]
     )
     return t.read().withColumn("roundtrip_ok", F.lit(bool(roundtrip_ok)))
+
+
+@query(
+    "q130_row_tracking",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 20 = 1 THEN 'TOUCHED' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 20 = 1 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           TRUE AS ids_unique, TRUE AS optimize_stable,
+           TRUE AS update_tracked, TRUE AS merge_tracked
+    FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 < 5
+    UNION ALL
+    SELECT o_orderkey + 6000000, 'NEWROW', 1.5,
+           TRUE, TRUE, TRUE, TRUE
+    FROM orders
+    WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 < 5 AND o_orderkey % 30 = 2
+    """,
+)
+def q130_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (D34 — Delta's ``delta.enableRowTracking``): stable
+    row ids + row commit versions with Delta's exact two-tier layout
+    (lazy ``baseRowId + row_index`` for fresh files — zero extra ingest
+    jobs — materialized hidden columns through rewrites). The program
+    ingests two batches, OPTIMIZE-compacts (``optimize_stable`` pins
+    that every (key, row id, commit version) triple survives byte-equal
+    — compaction must not look like modification), UPDATEs a slice
+    (``update_tracked``: touched rows keep their id and advance to the
+    UPDATE's version; untouched rows in the SAME rewritten files keep
+    their old version), and MERGEs updates+inserts (``merge_tracked``:
+    updated rows keep ids, inserts mint fresh ones, everything stays
+    unique). Content equals the declarative final state."""
+    from ..tables.logtable import LogTable as _LT
+
+    target = _orders_subset(spark, sf_dir).filter(F.col("o_orderkey") % 10 < 5)
+    t = _LT.create(
+        spark,
+        _scratch("rowtrack"),
+        target.schema,
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t.append(target.filter(F.col("o_orderkey") % 2 == 1))
+    t.append(target.filter(F.col("o_orderkey") % 2 == 0))
+
+    def snap():
+        return t.read(row_tracking=True).select(
+            "o_orderkey", "_row_id", "_row_commit_version"
+        )
+
+    n = target.count()
+    s0 = snap()
+    ids_unique = (
+        s0.select("_row_id").distinct().count() == n and s0.count() == n
+    )
+    t.optimize(target_file_bytes=1 << 30)
+    s1 = snap()
+    optimize_stable = s1.exceptAll(s0).count() == 0 and s1.count() == n
+
+    t.update("o_orderkey % 20 = 1", {"o_totalprice": "o_totalprice + 100"})
+    v_upd = t.version()
+    s2 = snap()
+    moved = (
+        s2.alias("a")
+        .join(s1.alias("b"), "o_orderkey")
+        .filter(F.col("a._row_id") != F.col("b._row_id"))
+        .count()
+    )
+    bumped = s2.filter(
+        (F.col("o_orderkey") % 20 == 1)
+        & (F.col("_row_commit_version") == v_upd)
+    ).count()
+    kept = s2.filter(
+        (F.col("o_orderkey") % 20 != 1)
+        & (F.col("_row_commit_version") == v_upd)
+    ).count()
+    expect_upd = target.filter(F.col("o_orderkey") % 20 == 1).count()
+    update_tracked = moved == 0 and bumped == expect_upd and kept == 0
+
+    src = target.filter(F.col("o_orderkey") % 30 == 2).select(
+        (F.col("o_orderkey") + 6_000_000).alias("o_orderkey"),
+        F.lit("NEWROW").alias("o_orderstatus"),
+        F.lit(1.5).alias("o_totalprice"),
+    ).unionByName(
+        target.filter(F.col("o_orderkey") % 20 == 1).select(
+            "o_orderkey",
+            F.lit("TOUCHED").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        )
+    )
+    t.upsert(src, ["o_orderkey"])
+    v_merge = t.version()
+    s3 = snap()
+    n_new = target.filter(F.col("o_orderkey") % 30 == 2).count()
+    merged_keep = (
+        s3.alias("a")
+        .join(s2.alias("b"), "o_orderkey")
+        .filter(F.col("a._row_id") != F.col("b._row_id"))
+        .count()
+    )
+    inserted_fresh = (
+        s3.filter(F.col("o_orderkey") > 6_000_000)
+        .join(s2, "_row_id", "left_semi")
+        .count()
+    )
+    merge_tracked = (
+        merged_keep == 0
+        and inserted_fresh == 0
+        and s3.select("_row_id").distinct().count() == n + n_new
+        and s3.filter(
+            (F.col("o_orderkey") % 20 == 1)
+            & (F.col("o_orderkey") < 6_000_000)
+            & (F.col("_row_commit_version") == v_merge)
+        ).count()
+        == expect_upd
+    )
+    return (
+        t.read()
+        .withColumn("ids_unique", F.lit(bool(ids_unique)))
+        .withColumn("optimize_stable", F.lit(bool(optimize_stable)))
+        .withColumn("update_tracked", F.lit(bool(update_tracked)))
+        .withColumn("merge_tracked", F.lit(bool(merge_tracked)))
+    )

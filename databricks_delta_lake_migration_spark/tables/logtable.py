@@ -86,6 +86,34 @@ DV_PROP = "enableDeletionVectors"
 
 CDF_PROP = "enableChangeDataFeed"
 
+# Row tracking (Delta's delta.enableRowTracking): every ingested row
+# gets a STABLE 64-bit row id that survives OPTIMIZE / ZORDER /
+# UPDATE / DELETE-rewrite / MERGE-carry (fresh ids only for genuinely
+# new rows), plus a row commit version that answers "when was this row
+# last modified" without replaying CDF. Delta's exact two-tier layout:
+#
+# - FRESH rows are never materialized — their id is
+#   ``baseRowId + _metadata.row_index`` (FileEntry.brid, allocated
+#   driver-side at commit time from rowtracking.highWatermark: zero
+#   extra jobs on the ingest path) and their commit version is the
+#   version that added their file (FileEntry.rcv, Delta's
+#   defaultRowCommitVersion).
+# - REWRITES (OPTIMIZE / ZORDER / UPDATE / DELETE / MERGE) carry the
+#   hidden ``__row_id`` / ``__row_commit`` columns forward
+#   materialized; modified rows reset ``__row_commit`` to NULL so they
+#   pick up the rewrite's version, carried rows keep theirs.
+#
+# Reads materialize ``coalesce(__row_id, brid + row_index)`` /
+# ``coalesce(__row_commit, rcv)`` via one metadata-sized broadcast
+# join against the file list. A concurrent commit whose only property
+# change is the high watermark commutes (rebase re-allocates base row
+# ids from the new head), so blind row-tracked appends stay
+# conflict-free — Delta's row-id allocation semantics.
+RT_PROP = "delta.enableRowTracking"
+RT_WATERMARK_PROP = "rowtracking.highWatermark"
+ROW_ID_COL = "__row_id"
+ROW_COMMIT_COL = "__row_commit"
+
 # Column mapping (Delta's name-mode column mapping): logical schema
 # names are decoupled from the physical parquet column names, making
 # RENAME COLUMN and DROP COLUMN metadata-only commits — no data-file
@@ -174,6 +202,18 @@ class FileEntry:
     # the table's bloomfilter.columns property at write time — loaded
     # lazily and only for stats-surviving files (Delta's bloom index).
     bloom: str | None = None
+    # default row commit version (Delta's defaultRowCommitVersion,
+    # row-tracking tables only): rows whose __row_commit is NULL were
+    # last modified by the commit that added this file. Stamped with
+    # the FINAL commit version by _commit_tx (rebase-safe); preserved
+    # verbatim when an entry is replayed (RESTORE) or DV-replaced.
+    rcv: int | None = None
+    # base row id (Delta's baseRowId): rows whose __row_id is NULL get
+    # id = brid + _metadata.row_index — fresh ingest never materializes
+    # ids (zero extra jobs); rewrites carry materialized ids forward.
+    # Allocated driver-side at commit time from the table's
+    # rowtracking.highWatermark property.
+    brid: int | None = None
 
     def abspath(self, root: str) -> str:
         return self.path if os.path.isabs(self.path) else os.path.join(root, self.path)
@@ -188,13 +228,17 @@ class FileEntry:
             d["dv"] = self.dv
         if self.bloom:
             d["bloom"] = self.bloom
+        if self.rcv is not None:
+            d["rcv"] = self.rcv
+        if self.brid is not None:
+            d["brid"] = self.brid
         return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
         return FileEntry(
             d["path"], d["numRecords"], d["size"], d.get("base"), d.get("stats"),
-            d.get("dv"), d.get("bloom"),
+            d.get("dv"), d.get("bloom"), d.get("rcv"), d.get("brid"),
         )
 
 
@@ -688,7 +732,36 @@ class LogTable:
                 )
             commit.user_metadata = um
         self._pending_user_metadata = None
+        # row tracking: stamp fresh add entries with their default row
+        # commit version (the version this commit actually lands at)
+        # and allocate their base-row-id ranges from the high
+        # watermark — re-done on every rebase attempt so a lost race
+        # can't leave stale versions or double-allocated id ranges.
+        # Entries arriving with rcv/brid set (RESTORE replays, clones)
+        # are preserved verbatim.
+        rt_fresh: list[FileEntry] = []
+        if commit.add:
+            try:
+                rt_now = self.properties().get(RT_PROP) == "true" or (
+                    # the commit itself may be the one enabling row
+                    # tracking (SET TBLPROPERTIES backfill)
+                    (commit.properties or {}).get(RT_PROP) == "true"
+                )
+                if rt_now:
+                    rt_fresh = [f for f in commit.add if f.rcv is None]
+            except FileNotFoundError:
+                pass
         for _ in range(attempts):
+            if rt_fresh:
+                wm = int(self.properties().get(RT_WATERMARK_PROP, "0"))
+                for f in rt_fresh:
+                    f.rcv = commit.version
+                    f.brid = wm + 1
+                    wm += f.num_records
+                commit.properties = {
+                    **(commit.properties or {}),
+                    RT_WATERMARK_PROP: str(wm),
+                }
             try:
                 self._commit(commit)
                 return commit.version
@@ -708,10 +781,17 @@ class LogTable:
         on top of ``theirs`` (see :meth:`_commit_tx`)."""
 
         def _is_meta(c: Commit) -> bool:
+            # a properties payload whose ONLY key is the row-tracking
+            # high watermark is allocation bookkeeping, not a metadata
+            # change: both sides commute because the rebase loop
+            # re-allocates base row ids from the new head's watermark
             return (
                 c.schema_json is not None
                 or c.partition_by is not None
-                or c.properties is not None
+                or (
+                    c.properties is not None
+                    and set(c.properties) != {RT_WATERMARK_PROP}
+                )
             )
 
         meta_theirs = [c.operation for c in theirs if _is_meta(c)]
@@ -983,13 +1063,25 @@ class LogTable:
         )
 
     def set_properties(self, props: dict[str, str]) -> None:
-        """ALTER TABLE SET TBLPROPERTIES (delta_utils.py:149-166)."""
-        merged = {**self.properties(), **props}
+        """ALTER TABLE SET TBLPROPERTIES (delta_utils.py:149-166).
+
+        Enabling row tracking on an EXISTING table backfills base row
+        ids for every active file in the same commit (Delta's enable
+        backfill) — metadata-only: ids derive from brid + row_index, no
+        file is rewritten at any table size."""
+        cur = self.properties()
+        merged = {**cur, **props}
+        backfill: list[FileEntry] = []
+        if props.get(RT_PROP) == "true" and cur.get(RT_PROP) != "true":
+            # re-add every unstamped active entry; _commit_tx assigns
+            # brid ranges + rcv with the version the commit lands at
+            backfill = [f for f in self._replay()[0] if f.brid is None]
         self._commit_tx(
             Commit(
                 version=self._next_version(),
                 timestamp=time.time(),
                 operation="SET TBLPROPERTIES",
+                add=backfill,
                 properties=merged,
                 parameters={"properties": props},
             )
@@ -1004,6 +1096,7 @@ class LogTable:
         version: int | None = None,
         timestamp: float | None = None,
         where: str | None = None,
+        row_tracking: bool = False,
     ) -> DataFrame:
         """Snapshot read; ``version``/``timestamp`` give time travel
         (S8 — 05_time_travel_demo.py:103-109,211-213).
@@ -1015,17 +1108,31 @@ class LogTable:
         applied as a normal filter, so results are identical to
         ``read().filter(where)``; only the I/O differs. Catalyst's
         parquet row-group pruning still applies within surviving files.
+
+        ``row_tracking=True`` (row-tracked tables) appends ``_row_id``
+        (stable across rewrites) and ``_row_commit_version`` (the
+        version that last MODIFIED the row — compaction doesn't bump
+        it) — Delta's row-tracking metadata columns. Rows ingested
+        before row tracking was enabled surface NULL ids.
         """
         files, schema_json, partition_by, props, _ = self._replay(version, timestamp)
         schema = T.StructType.fromJson(json.loads(schema_json))
-        if where is None:
-            return self._read_entries(files, schema, props=props)
-        mapping = self._column_mapping(props)
-        conj = [
-            (mapping.get(c, c), op, v) for c, op, v in _parse_conjuncts(where)
-        ]
-        files = self._skip_files(files, conj)
-        return self._read_entries(files, schema, props=props).filter(F.expr(where))
+        if where is not None:
+            mapping = self._column_mapping(props)
+            conj = [
+                (mapping.get(c, c), op, v) for c, op, v in _parse_conjuncts(where)
+            ]
+            files = self._skip_files(files, conj)
+        df = self._read_entries(
+            files, schema, props=props, with_row_tracking=row_tracking
+        )
+        if row_tracking:
+            df = df.withColumnRenamed(ROW_ID_COL, "_row_id").withColumnRenamed(
+                ROW_COMMIT_COL, "_row_commit_version"
+            )
+        if where is not None:
+            df = df.filter(F.expr(where))
+        return df
 
     def prune_stats(self, where: str, version: int | None = None) -> dict[str, int]:
         """Deterministic data-skipping metric: how many files
@@ -1997,6 +2104,7 @@ class LogTable:
         df: DataFrame,
         schema: T.StructType,
         defaults: dict[str, str] | None = None,
+        keep: tuple[str, ...] = (),
     ) -> DataFrame:
         """Project ``df`` onto ``schema`` (order + missing-as-null).
 
@@ -2017,6 +2125,11 @@ class LogTable:
                 )
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        # hidden physical columns a rewrite carries forward (row
+        # tracking) ride along untouched
+        for c in keep:
+            if c in df.columns:
+                cols.append(F.col(c))
         return df.select(*cols)
 
     def _evolve_schema(self, df: DataFrame, merge_schema: bool) -> T.StructType:
@@ -2296,9 +2409,17 @@ class LogTable:
             carried = untouched
             # rows in touched files that do NOT match the predicate survive
             if touched:
-                survivors = self._read_file_subset(touched).filter(~pred)
+                rt_on = props.get(RT_PROP) == "true"
+                survivors = self._read_file_subset(
+                    touched, with_row_tracking=rt_on
+                ).filter(~pred)
                 extra_add = self._write_files(
-                    self._align(survivors, schema), partition_by
+                    self._align(
+                        survivors,
+                        schema,
+                        keep=(ROW_ID_COL, ROW_COMMIT_COL),
+                    ),
+                    partition_by,
                 )
         entries = self._write_files(data, partition_by) + extra_add
         self._commit_tx(
@@ -2329,9 +2450,17 @@ class LogTable:
         return self._read_file_subset(entries)
 
     def _read_file_subset(
-        self, entries: list[FileEntry], with_file_path: bool = False
+        self,
+        entries: list[FileEntry],
+        with_file_path: bool = False,
+        with_row_tracking: bool = False,
     ) -> DataFrame:
-        return self._read_entries(entries, self.schema(), with_file_path)
+        return self._read_entries(
+            entries,
+            self.schema(),
+            with_file_path,
+            with_row_tracking=with_row_tracking,
+        )
 
     def _read_entries(
         self,
@@ -2340,6 +2469,7 @@ class LogTable:
         with_file_path: bool = False,
         with_dv_key: bool = False,
         props: dict[str, str] | None = None,
+        with_row_tracking: bool = False,
     ) -> DataFrame:
         """Scan a file set with the declared schema. Files written before
         a schema evolution surface NULL for later columns; partition
@@ -2369,12 +2499,27 @@ class LogTable:
             ]
         )
         cols = [F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        if with_row_tracking:
+            # hidden physical columns; files written before row tracking
+            # was enabled lack them and surface NULLs (explicit schema)
+            read_schema = T.StructType(
+                list(read_schema.fields)
+                + [
+                    T.StructField(ROW_ID_COL, T.LongType()),
+                    T.StructField(ROW_COMMIT_COL, T.LongType()),
+                ]
+            )
+            cols = cols + [F.col(ROW_ID_COL), F.col(ROW_COMMIT_COL)]
         if with_file_path:
             # _metadata is a scan-time pseudo-column; materialize it here
             # because it doesn't survive projections/joins downstream.
             cols = cols + [F.col("_metadata.file_path").alias("__file_path")]
         if not entries:
             df = self.spark.createDataFrame([], schema)
+            if with_row_tracking:
+                df = df.withColumn(
+                    ROW_ID_COL, F.lit(None).cast("long")
+                ).withColumn(ROW_COMMIT_COL, F.lit(None).cast("long"))
             if with_file_path:
                 df = df.withColumn("__file_path", F.lit(None).cast("string"))
             if with_dv_key:
@@ -2393,6 +2538,15 @@ class LogTable:
                 gcols += [
                     F.expr(self._dv_key_sql(base)).alias("__dv_key"),
                     F.col("_metadata.row_index").alias("__dv_ridx"),
+                ]
+            if with_row_tracking:
+                # per-row file key → the file's base row id + default
+                # commit version (joined below; the map is
+                # metadata-sized), plus the physical row index that
+                # anchors un-materialized ids
+                gcols += [
+                    F.expr(self._dv_key_sql(base)).alias("__rt_key"),
+                    F.col("_metadata.row_index").alias("__rt_ridx"),
                 ]
             part = (
                 self.spark.read.schema(read_schema)
@@ -2420,6 +2574,40 @@ class LogTable:
                 part = part.join(tomb, ["__dv_key", "__dv_ridx"], "left_anti")
             parts.append(part)
         out = reduce(DataFrame.unionByName, parts)
+        if with_row_tracking:
+            # materialize each row's tracking pair: explicit __row_id /
+            # __row_commit (carried through a rewrite) else the add
+            # entry's defaults — brid + physical row index, and rcv.
+            # Broadcast join against the file list: driver metadata,
+            # same order as the scan's own file listing. DV tombstones
+            # are anti-joined BEFORE this point, and survivors keep
+            # their original row_index — so merge-on-read deletes never
+            # shift ids.
+            rt_rows = [
+                (
+                    os.path.relpath(e.abspath(self.path), e.base or self.path),
+                    e.rcv,
+                    e.brid,
+                )
+                for e in entries
+            ]
+            rt_df = self.spark.createDataFrame(
+                rt_rows, "__rt_key string, __rcv long, __brid long"
+            )
+            out = (
+                out.join(F.broadcast(rt_df), "__rt_key", "left")
+                .withColumn(
+                    ROW_ID_COL,
+                    F.coalesce(
+                        F.col(ROW_ID_COL), F.col("__brid") + F.col("__rt_ridx")
+                    ),
+                )
+                .withColumn(
+                    ROW_COMMIT_COL,
+                    F.coalesce(F.col(ROW_COMMIT_COL), F.col("__rcv")),
+                )
+                .drop("__rt_key", "__rt_ridx", "__rcv", "__brid")
+            )
         if need_key and not with_dv_key:
             out = out.drop("__dv_key", "__dv_ridx")
         return out
@@ -2533,7 +2721,8 @@ class LogTable:
             self._commit_dml("UPDATE", [], [], {"predicate": condition}, 0)
             return {"numUpdatedRows": 0}
         schema = self.schema()
-        old = self._read_file_subset(touched)
+        rt_on = self.properties().get(RT_PROP) == "true"
+        old = self._read_file_subset(touched, with_row_tracking=rt_on)
         # one pass: count matched rows via Observation during the write
         from pyspark.sql import Observation
 
@@ -2550,9 +2739,23 @@ class LogTable:
                 c: F.when(F.col("__hit"), F.expr(e)).otherwise(F.col(c))
                 for c, e in gen_recompute.items()
             }
-        ).drop("__hit")
+        )
+        if rt_on:
+            # updated rows: keep the stable row id, reset the commit
+            # version (NULL → the new file's default = this UPDATE);
+            # carried rows keep their materialized version
+            updated = updated.withColumn(
+                ROW_COMMIT_COL,
+                F.when(F.col("__hit"), F.lit(None).cast("long")).otherwise(
+                    F.col(ROW_COMMIT_COL)
+                ),
+            )
+        updated = updated.drop("__hit")
         self._check_constraints(updated)
-        entries = self._write_files(self._align(updated, schema), partition_by)
+        entries = self._write_files(
+            self._align(updated, schema, keep=(ROW_ID_COL, ROW_COMMIT_COL)),
+            partition_by,
+        )
         n_updated = obs.get["n"]
         version = self._commit_dml(
             "UPDATE",
@@ -2564,7 +2767,7 @@ class LogTable:
         if self.properties().get(CDF_PROP) == "true":
             # filter BEFORE applying set-exprs: the update may rewrite
             # the very columns the predicate tests.
-            matched_old = old.filter(pred)
+            matched_old = old.drop(ROW_ID_COL, ROW_COMMIT_COL).filter(pred)
             pre = self._cdf_frame(matched_old, CT_UPDATE_PRE, version)
             post = self._cdf_frame(
                 matched_old.withColumns(
@@ -2587,7 +2790,8 @@ class LogTable:
         if self.properties().get(DV_PROP) == "true":
             return self._delete_with_dvs(condition, pred, touched)
         schema = self.schema()
-        old = self._read_file_subset(touched)
+        rt_on = self.properties().get(RT_PROP) == "true"
+        old = self._read_file_subset(touched, with_row_tracking=rt_on)
         # one pass: deleted rows are counted by the observe node, then
         # filtered out before the sink.
         from pyspark.sql import Observation
@@ -2602,7 +2806,10 @@ class LogTable:
             .filter(~F.col("__del") | F.col("__del").isNull())
             .drop("__del")
         )
-        entries = self._write_files(self._align(survivors, schema), partition_by)
+        entries = self._write_files(
+            self._align(survivors, schema, keep=(ROW_ID_COL, ROW_COMMIT_COL)),
+            partition_by,
+        )
         n_deleted = obs.get["n"]
         version = self._commit_dml(
             "DELETE",
@@ -2613,7 +2820,12 @@ class LogTable:
         )
         if self.properties().get(CDF_PROP) == "true":
             self._write_changes(
-                version, self._cdf_frame(old.filter(pred), CT_DELETE, version)
+                version,
+                self._cdf_frame(
+                    old.drop(ROW_ID_COL, ROW_COMMIT_COL).filter(pred),
+                    CT_DELETE,
+                    version,
+                ),
             )
         return {"numDeletedRows": n_deleted}
 
@@ -2861,8 +3073,12 @@ class LogTable:
             return {"numFilesRemoved": 0, "numFilesAdded": 0}
         removed: list[str] = []
         added: list[FileEntry] = []
+        rt_on = self.properties().get(RT_PROP) == "true"
         for group in to_compact:
-            df = self._read_file_subset(group)
+            # row tracking: the rewrite carries the materialized row id
+            # and commit version forward — compaction never changes
+            # either (Delta's row-tracking preservation contract)
+            df = self._read_file_subset(group, with_row_tracking=rt_on)
             total = sum(f.size_bytes for f in group)
             n_out = max(1, total // target_file_bytes)
             added += self._write_files(df.coalesce(int(n_out)), partition_by)
@@ -2913,7 +3129,10 @@ class LogTable:
         files = self._partition_scope(files, partition_by, where)
         if not files:
             return {"numFilesRemoved": 0, "numFilesAdded": 0}
-        df = self._read_file_subset(files)
+        df = self._read_file_subset(
+            files,
+            with_row_tracking=self.properties().get(RT_PROP) == "true",
+        )
         bits = max(1, (n_buckets - 1).bit_length())
         numeric = {
             f.name
@@ -3142,6 +3361,8 @@ class LogTable:
                         ]
                         if f.dv
                         else None,
+                        rcv=f.rcv,  # row-tracking ids/versions stay stable
+                        brid=f.brid,
                     )
                 )
             elif f.dv:
@@ -3155,7 +3376,11 @@ class LogTable:
                 dst = os.path.join(t.path, rel)
                 t.fs.makedirs(os.path.dirname(dst))
                 t.fs.copy(f.abspath(self.path), dst)
-                entries.append(FileEntry(rel, f.num_records, f.size_bytes))
+                entries.append(
+                    FileEntry(
+                        rel, f.num_records, f.size_bytes, rcv=f.rcv, brid=f.brid
+                    )
+                )
         if purge:
             # deep clone purges deletion vectors: tombstone keys are
             # source-rooted paths that would dangle after a byte copy,
@@ -3374,8 +3599,9 @@ class MergeBuilder:
                     "ALWAYS — MERGE UPDATE cannot assign them (UPDATE SET * "
                     "with the column in the source counts as assignment)"
                 )
-        files, schema_json0, partition_by, _, _ = t._replay()
+        files, schema_json0, partition_by, tprops, _ = t._replay()
         schema = T.StructType.fromJson(json.loads(schema_json0))
+        rt_on = tprops.get(RT_PROP) == "true"
         # schema evolution is folded into the MERGE commit itself (one
         # atomic commit), never a separate ADD COLUMNS commit upfront —
         # a failed/rolled-back merge must leave the schema untouched.
@@ -3446,7 +3672,9 @@ class MergeBuilder:
             touched = [f for f in candidates if f.path in hit]
 
         tgt = (
-            t._read_entries(touched, schema).withColumn("__tgt", F.lit(1)).alias("target")
+            t._read_entries(touched, schema, with_row_tracking=rt_on)
+            .withColumn("__tgt", F.lit(1))
+            .alias("target")
             if touched
             else None
         )
@@ -3508,7 +3736,17 @@ class MergeBuilder:
         TAG = "__merge_action"
 
         def _tag(df: DataFrame, tag: str) -> DataFrame:
-            return t._align(df, schema).withColumn(TAG, F.lit(tag))
+            out = t._align(
+                df, schema, keep=(ROW_ID_COL, ROW_COMMIT_COL)
+            ).withColumn(TAG, F.lit(tag))
+            if rt_on:
+                # insert rows carry NULL tracking columns: their id and
+                # commit version default to the new file's brid/rcv —
+                # fresh ids for genuinely new rows, no allocation job
+                for c in (ROW_ID_COL, ROW_COMMIT_COL):
+                    if c not in out.columns:
+                        out = out.withColumn(c, F.lit(None).cast("long"))
+            return out
 
         def _insert_value(cname: str, values: dict[str, str] | None):
             if values is None:  # INSERT ALL
@@ -3632,7 +3870,20 @@ class MergeBuilder:
                 .when(matched, F.lit("k"))
                 .otherwise(F.lit("t"))
             )
-            out_parts.append(j.select(*proj, tag.alias(TAG)))
+            rt_cols = (
+                [
+                    # stable id rides the rewrite; updated rows reset
+                    # their commit version (→ the MERGE's version via
+                    # the new file's rcv), carried rows keep theirs
+                    F.col(f"target.{ROW_ID_COL}").alias(ROW_ID_COL),
+                    F.when(tag == "u", F.lit(None).cast("long"))
+                    .otherwise(F.col(f"target.{ROW_COMMIT_COL}"))
+                    .alias(ROW_COMMIT_COL),
+                ]
+                if rt_on
+                else []
+            )
+            out_parts.append(j.select(*proj, tag.alias(TAG), *rt_cols))
             if self.not_matched:
                 # a source row unmatched in the touched files is
                 # unmatched in the whole table: pruning only drops files
@@ -3649,7 +3900,9 @@ class MergeBuilder:
             # target into matched (kept verbatim, semi join) and
             # unmatched (clauses apply, anti join). Both joins hash on
             # the same keys → AQE/exchange reuse shares the shuffle.
-            tgt_all = t._read_entries(touched, schema).alias("target")
+            tgt_all = t._read_entries(
+                touched, schema, with_row_tracking=rt_on
+            ).alias("target")
             out_parts.append(_tag(tgt_all.join(src, cond, "left_semi"), "k"))
             unm = tgt_all.join(src, cond, "left_anti").withColumn(
                 "__nmbs", _nmbs_idx()
@@ -3664,7 +3917,17 @@ class MergeBuilder:
                 F.when(F.col("__nmbs").isNotNull(), _nmbs_kind_tag())
                 .otherwise(F.lit("t"))
             )
-            out_parts.append(unm.select(*proj, tag.alias(TAG)))
+            rt_cols = (
+                [
+                    F.col(f"target.{ROW_ID_COL}").alias(ROW_ID_COL),
+                    F.when(tag == "u", F.lit(None).cast("long"))
+                    .otherwise(F.col(f"target.{ROW_COMMIT_COL}"))
+                    .alias(ROW_COMMIT_COL),
+                ]
+                if rt_on
+                else []
+            )
+            out_parts.append(unm.select(*proj, tag.alias(TAG), *rt_cols))
             if self.not_matched:
                 unmatched_src = src.join(tgt_all, cond, "left_anti")
                 parts = _build_insert_parts(unmatched_src)

@@ -2338,3 +2338,117 @@ def test_user_metadata_commit_annotation(spark, table):
     assert anns[-2:] == ["audit=JIRA-42", "explicit wins"]
     table.delete("id = 3")
     assert table.history().first()["userMetadata"] is None
+
+
+# ---- row tracking (stable row ids + row commit versions) -------------
+
+
+@pytest.fixture()
+def rt_table(spark, tmp_path):
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "rt"),
+        SCHEMA,
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t.append(rows_df(spark, [(1, "A", 1.0, "d1"), (2, "A", 2.0, "d1")]))
+    t.append(rows_df(spark, [(3, "B", 3.0, "d2"), (4, "B", 4.0, "d2")]))
+    return t
+
+
+def _rt_state(t):
+    return {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in t.read(row_tracking=True).collect()
+    }
+
+
+def test_row_tracking_fresh_ids_and_versions(spark, rt_table):
+    s = _rt_state(rt_table)
+    ids = [rid for rid, _ in s.values()]
+    assert sorted(ids) == [1, 2, 3, 4]  # contiguous from the watermark
+    assert s[1][1] == 1 and s[2][1] == 1  # first append = version 1
+    assert s[3][1] == 2 and s[4][1] == 2
+
+
+def test_row_tracking_survives_optimize_and_zorder(spark, rt_table):
+    before = _rt_state(rt_table)
+    rt_table.optimize()
+    assert _rt_state(rt_table) == before  # ids AND versions stable
+    rt_table.zorder(["id"], n_files=1)
+    assert _rt_state(rt_table) == before
+
+
+def test_row_tracking_update_delete(spark, rt_table):
+    before = _rt_state(rt_table)
+    rt_table.update("id = 2", {"amount": "amount + 100"})
+    v_upd = rt_table.version()
+    s = _rt_state(rt_table)
+    assert s[2][0] == before[2][0]  # stable id
+    assert s[2][1] == v_upd  # modified → new commit version
+    assert s[1] == before[1] and s[3] == before[3]  # carried rows untouched
+    rt_table.delete("id = 3")
+    s2 = _rt_state(rt_table)
+    assert 3 not in s2
+    assert s2[4] == s[4]  # survivor in the rewritten file keeps both
+
+
+def test_row_tracking_merge(spark, rt_table):
+    before = _rt_state(rt_table)
+    src = rows_df(spark, [(2, "U", 20.0, "d1"), (9, "N", 90.0, "d3")])
+    rt_table.upsert(src, ["id"])
+    v = rt_table.version()
+    s = _rt_state(rt_table)
+    assert s[2][0] == before[2][0] and s[2][1] == v  # update: stable id, new ver
+    assert s[1] == before[1]  # carried row untouched
+    assert s[9][1] == v  # insert stamped with the merge version
+    assert s[9][0] not in {rid for rid, _ in before.values()}  # fresh id
+    assert len({rid for rid, _ in s.values()}) == len(s)  # ids unique
+
+
+def test_row_tracking_dv_delete_keeps_ids(spark, tmp_path):
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "rtdv"),
+        SCHEMA,
+        properties={
+            "delta.enableRowTracking": "true",
+            "enableDeletionVectors": "true",
+        },
+    )
+    t.append(
+        rows_df(
+            spark,
+            [(i, "A", float(i), "d1") for i in range(1, 6)],
+        )
+    )
+    before = _rt_state(t)
+    t.delete("id = 3")  # merge-on-read: no rewrite
+    s = _rt_state(t)
+    assert 3 not in s
+    assert s == {k: v for k, v in before.items() if k != 3}
+
+
+def test_row_tracking_enable_later_backfills(spark, table):
+    # `table` fixture is NOT row-tracked; enabling backfills active files
+    table.set_properties({"delta.enableRowTracking": "true"})
+    v_enable = table.version()
+    s = _rt_state(table)
+    assert sorted(rid for rid, _ in s.values()) == [1, 2, 3]
+    assert all(ver == v_enable for _, ver in s.values())
+    # fresh appends allocate beyond the backfilled range
+    table.append(rows_df(spark, [(7, "C", 7.0, "d3")]))
+    s2 = _rt_state(table)
+    assert s2[7][0] == 4 and s2[7][1] == table.version()
+
+
+def test_row_tracking_replace_where_carries_survivors(spark, rt_table):
+    before = _rt_state(rt_table)
+    rt_table.overwrite(
+        rows_df(spark, [(10, "A", 10.0, "d1")]), replace_where="day = 'd1'"
+    )
+    s = _rt_state(rt_table)
+    # d2 rows carried untouched; d1 rows replaced by one fresh row
+    assert s[3] == before[3] and s[4] == before[4]
+    assert 1 not in s and 2 not in s
+    assert s[10][0] not in {rid for rid, _ in before.values()}
