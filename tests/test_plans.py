@@ -216,3 +216,33 @@ def test_chunk_documents_shuffle_free(spark):
     )
     plan = textstats.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_row_tracking_read_broadcasts_file_map(spark, tmp_path):
+    """The row-tracking read materializes ids via ONE broadcast join
+    against the driver-side file map — never a shuffled join, never
+    Python evaluation. At 100 TB the map is the file listing the scan
+    already holds; a sort-merge here would shuffle the whole table to
+    join against metadata."""
+    from pyspark.sql import functions as F, types as T
+
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "rtplan"),
+        schema,
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t.append(spark.range(1000).select(F.col("id"), F.rand(7).alias("v")))
+    t.append(spark.range(1000, 2000).select(F.col("id"), F.rand(8).alias("v")))
+    plan = explain(t.read(row_tracking=True))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
