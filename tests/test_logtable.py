@@ -2452,3 +2452,26 @@ def test_row_tracking_replace_where_carries_survivors(spark, rt_table):
     assert s[3] == before[3] and s[4] == before[4]
     assert 1 not in s and 2 not in s
     assert s[10][0] not in {rid for rid, _ in before.values()}
+
+
+def test_row_tracking_survives_log_pruning(spark, tmp_path):
+    """brid/rcv live in the add entries and therefore in checkpoints —
+    pruning the commit prefix must not lose or shift any row id."""
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "rtlog"),
+        SCHEMA,
+        properties={
+            "delta.enableRowTracking": "true",
+            "delta.checkpointInterval": "2",
+            "delta.logRetentionDuration": "interval 0 hours",
+        },
+    )
+    for i in range(6):
+        t.append(rows_df(spark, [(i, "A", float(i), "d1")]))
+    before = _rt_state(t)
+    t.append(rows_df(spark, [(99, "Z", 99.0, "d1")]))  # triggers prune
+    assert min(c.version for c in t.commits()) > 1  # prefix actually gone
+    s = _rt_state(t)
+    assert {k: v for k, v in s.items() if k != 99} == before
+    assert s[99][0] == 7  # watermark continued, no reuse
