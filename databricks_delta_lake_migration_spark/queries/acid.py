@@ -1328,3 +1328,48 @@ def q130_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("update_tracked", F.lit(bool(update_tracked)))
         .withColumn("merge_tracked", F.lit(bool(merge_tracked)))
     )
+
+
+@query(
+    "q131_commit_annotations",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 'CREATE TABLE', NULL),
+        (1, 'WRITE', 'backfill 2024-01'),
+        (2, 'UPDATE', 'audit=JIRA-42'),
+        (3, 'DELETE', 'audit=JIRA-42'),
+        (4, 'MERGE', 'manual hotfix'),
+        (5, 'DELETE', NULL)
+    ) AS t(version, operation, user_metadata)
+    """,
+)
+def q131_commit_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """userMetadata commit annotations (D33 — Delta's
+    ``commitInfo.userMetadata``): a per-write annotation
+    (``with_user_metadata``, the ``.option("userMetadata", ...)``
+    analog) stamps exactly its own commit; the session conf
+    ``spark.databricks.delta.commitInfo.userMetadata`` annotates every
+    commit while set (versions 2–3); an explicit annotation wins over
+    the conf (version 4); clearing the conf stops annotating (version
+    5). The audit log — version, operation, annotation — is fully
+    deterministic and oracle-checkable as literals."""
+    target = _orders_subset(spark, sf_dir).filter(F.col("o_orderkey") % 9 == 1)
+    t = LogTable.create(spark, _scratch("annot"), target.schema)
+    t.with_user_metadata("backfill 2024-01").append(target)
+    spark.conf.set(
+        "spark.databricks.delta.commitInfo.userMetadata", "audit=JIRA-42"
+    )
+    try:
+        t.update("o_orderkey % 2 = 0", {"o_totalprice": "o_totalprice * 2"})
+        t.delete("o_orderkey % 5 = 0")
+        t.with_user_metadata("manual hotfix").upsert(
+            target.limit(0), ["o_orderkey"]
+        )
+    finally:
+        spark.conf.unset("spark.databricks.delta.commitInfo.userMetadata")
+    t.delete("o_orderkey % 7 = 0")
+    return t.history().select(
+        F.col("version").cast("int").alias("version"),
+        "operation",
+        F.col("userMetadata").alias("user_metadata"),
+    )
