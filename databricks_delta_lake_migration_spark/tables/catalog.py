@@ -282,6 +282,28 @@ class Catalog:
             return view
 
         rewritten = tc_pat.sub(_tc_sub, rewritten)
+        # row-tracking TVF: table_with_row_ids('name') binds the
+        # snapshot WITH _row_id / _row_commit_version (the SQL spelling
+        # of read(row_tracking=True) — Databricks exposes the same
+        # metadata on row-tracked tables).
+        rt_pat = re.compile(
+            r"\bTABLE_WITH_ROW_IDS\s*\(\s*\x00(\d+)\x00\s*\)", re.I
+        )
+
+        def _rt_sub(m: re.Match) -> str:
+            name = stash[int(m.group(1))].strip("'\"")
+            fq = lookup.get(name)
+            if fq is None:
+                raise KeyError(f"table_with_row_ids: table not found: {name}")
+            snap = LogTable(self.spark, reg[fq]).read(row_tracking=True)
+            view = (
+                f"__rt_{fq.split('.')[-1]}_"
+                f"{hashlib.md5(fq.encode()).hexdigest()[:8]}"
+            )
+            tt_views[view] = snap
+            return view
+
+        rewritten = rt_pat.sub(_rt_sub, rewritten)
         for view, snap in tt_views.items():
             snap.createOrReplaceTempView(view)
         aliases: dict[str, str] = {}

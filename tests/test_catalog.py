@@ -232,3 +232,34 @@ def test_sql_time_travel_timestamp_as_of(spark, cat):
         f"SELECT COUNT(*) AS n FROM silver.users TIMESTAMP AS OF '{iso}'"
     ).first().n
     assert old == 3
+
+
+def test_table_with_row_ids_tvf(spark, tmp_path):
+    from pyspark.sql import functions as F, types as T
+
+    from databricks_delta_lake_migration_spark.tables import Catalog
+
+    c = Catalog(spark, str(tmp_path / "rtcat"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = c.create_table(
+        "lake.s.rt", schema, properties={"delta.enableRowTracking": "true"}
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema))
+    t.update("id = 2", {"v": "'B'"})
+    rows = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in c.sql(
+            "SELECT id, _row_id, _row_commit_version "
+            "FROM table_with_row_ids('s.rt')"
+        ).collect()
+    }
+    assert sorted(rid for rid, _ in rows.values()) == [1, 2, 3]
+    assert rows[2][1] == 2 and rows[1][1] == 1  # update bumped only id=2
+    # composes with plain SQL (join against the snapshot spelling)
+    n = c.sql(
+        "SELECT count(*) AS n FROM table_with_row_ids('s.rt') r "
+        "JOIN s.rt t ON r.id = t.id WHERE r._row_commit_version = 2"
+    ).first()["n"]
+    assert n == 1

@@ -2475,3 +2475,18 @@ def test_row_tracking_survives_log_pruning(spark, tmp_path):
     s = _rt_state(t)
     assert {k: v for k, v in s.items() if k != 99} == before
     assert s[99][0] == 7  # watermark continued, no reuse
+
+
+def test_row_tracking_restore_reverts_row_versions(spark, rt_table):
+    before = _rt_state(rt_table)
+    v0 = rt_table.version()
+    rt_table.update("id = 1", {"amount": "amount + 1"})
+    rt_table.delete("id = 4")
+    assert _rt_state(rt_table) != before
+    rt_table.restore(version=v0)
+    # the restored snapshot carries the target epoch's ids AND versions
+    assert _rt_state(rt_table) == before
+    # the watermark never rewinds: new rows allocate past the old range
+    rt_table.append(rows_df(spark, [(8, "C", 8.0, "d3")]))
+    s = _rt_state(rt_table)
+    assert s[8][0] > max(rid for rid, _ in before.values())
