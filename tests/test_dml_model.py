@@ -181,3 +181,112 @@ def test_random_ddl_dml_program_matches_model(spark, ops):
         assert dict(tv.dtypes)[col] == {"long": "bigint"}.get(
             _WIDEN_CHAIN[ti], _WIDEN_CHAIN[ti]
         ), f"version {v} type drifted"
+
+
+_rt_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 4)),
+    st.tuples(st.just("update"), st.integers(0, 50)),
+    st.tuples(st.just("delete"), st.integers(0, 50)),
+    st.tuples(st.just("upsert"), st.integers(1, 4)),
+    st.tuples(st.just("restore"), st.integers(0, 100)),
+    st.tuples(st.just("optimize"), st.just(0)),
+    st.tuples(st.just("zorder"), st.just(0)),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_rt_op, min_size=2, max_size=8))
+def test_random_rt_program_tracks_rows(spark, ops):
+    """Row-tracking serializability: under an arbitrary DML program,
+    every live row's (_row_id, _row_commit_version) pair must follow
+    the contract — ids are unique and never recycled, pure rewrites
+    (OPTIMIZE / ZORDER) change neither, modifications keep the id and
+    advance the version to exactly the modifying commit, inserts mint
+    ids never seen before, and RESTORE reproduces the target epoch's
+    pairs byte-for-byte."""
+    path = tempfile.mkdtemp(prefix="rtmodel-") + "/t"
+    t = LogTable.create(
+        spark, path, SCHEMA, properties={"delta.enableRowTracking": "true"}
+    )
+    # model: key -> (status, amount, row_id, row_commit_version);
+    # row_id None = assigned by the engine, learned after the op
+    model: dict[int, list] = {}
+    seen_ids: set[int] = set()
+    next_id = 0
+    history = {t.version(): {k: tuple(v) for k, v in model.items()}}
+
+    def actual():
+        return {
+            r.id: (r.status, r.amount, r._row_id, r._row_commit_version)
+            for r in t.read(row_tracking=True).collect()
+        }
+
+    def learn_and_check():
+        v = t.version()
+        act = actual()
+        assert set(act) == set(model)
+        ids = [a[2] for a in act.values()]
+        assert len(ids) == len(set(ids)), "duplicate row ids"
+        for k, (s, a, rid, ver) in model.items():
+            st_, am_, rid_, ver_ = act[k]
+            assert (st_, am_) == (s, a), f"content drift key {k}"
+            if rid is None:  # engine-assigned: must be brand new
+                assert rid_ not in seen_ids, f"recycled id {rid_}"
+                model[k][2] = rid_
+                model[k][3] = ver_
+                assert ver_ == v, f"fresh row {k} stamped {ver_} != {v}"
+            else:
+                assert rid_ == rid, f"row {k} id moved {rid}->{rid_}"
+                assert ver_ == ver, f"row {k} ver moved {ver}->{ver_}"
+        seen_ids.update(a[2] for a in act.values())
+        history[v] = {k: tuple(v2) for k, v2 in model.items()}
+
+    for kind, arg in ops:
+        v_next = t.version() + 1
+        if kind == "append":
+            batch = {next_id + i: ("NEW", (next_id + i) * 7 % 100) for i in range(arg)}
+            next_id += arg
+            t.append(_df(spark, batch))
+            for k, (s, a) in batch.items():
+                model[k] = [s, a, None, None]
+        elif kind == "update":
+            t.update(f"amount < {arg}", {"status": "'LOW'"})
+            for k, row in model.items():
+                if row[1] < arg:
+                    row[0] = "LOW"
+                    row[3] = t.version()
+        elif kind == "delete":
+            t.delete(f"amount > {arg}")
+            model = {k: r for k, r in model.items() if not r[1] > arg}
+        elif kind == "upsert":
+            existing = sorted(model)[:arg]
+            batch = {i: ("UPS", model[i][1] + 1) for i in existing}
+            batch.update(
+                {next_id + i: ("UPS", (next_id + i) * 3 % 100) for i in range(arg)}
+            )
+            next_id += arg
+            t.upsert(_df(spark, batch), ["id"])
+            for k, (s, a) in batch.items():
+                if k in model:
+                    model[k][0], model[k][1] = s, a
+                    model[k][3] = t.version()
+                else:
+                    model[k] = [s, a, None, None]
+        elif kind == "restore":
+            versions = sorted(history)
+            target = versions[arg % len(versions)]
+            t.restore(version=target)
+            model = {k: list(v) for k, v in history[target].items()}
+        elif kind == "optimize":
+            t.optimize()
+        else:
+            t.zorder(["amount"], n_files=1)
+        learn_and_check()
+
+    # time travel reproduces the full tracked state at every commit
+    for v, snap in history.items():
+        tt = {
+            r.id: (r.status, r.amount, r._row_id, r._row_commit_version)
+            for r in t.read(version=v, row_tracking=True).collect()
+        }
+        assert tt == snap, f"version {v} drifted"
