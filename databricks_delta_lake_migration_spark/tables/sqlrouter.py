@@ -631,11 +631,6 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
     if m := _INSERT_INTO.match(query):
         t = cat.table(m.group(1))
         body = m.group(3).rstrip().rstrip(";")
-        df = (
-            spark.sql(f"SELECT * FROM {body}")
-            if body.upper().startswith("VALUES")
-            else cat.sql(body)
-        )
         # SQL INSERT is positional: VALUES rows arrive named col1..colN
         # and a SELECT's output names need not match the target's, but
         # LogTable._align projects by name with missing-as-null — so an
@@ -651,6 +646,36 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             dest = listed
         else:
             dest = target_names
+        is_values = body.upper().startswith("VALUES")
+        if is_values and re.search(r"\bDEFAULT\b", body, re.I):
+            # the DEFAULT keyword in a VALUES tuple takes the target
+            # column's declared default (NULL when none) — substituted
+            # positionally before Spark parses the literal rows. Only a
+            # whole top-level element spells the keyword, so string
+            # literals containing the word are untouched.
+            defaults = {
+                k.removeprefix("default."): v
+                for k, v in t.properties().items()
+                if k.startswith("default.")
+            }
+            rows = []
+            for tup in _split_top(body[6:].strip()):
+                inner = tup.strip()
+                if not (inner.startswith("(") and inner.endswith(")")):
+                    raise ValueError(f"bad VALUES tuple: {tup!r}")
+                elems = _split_top(inner[1:-1])
+                out_elems = []
+                for i, el in enumerate(elems):
+                    if el.strip().upper() == "DEFAULT":
+                        col = dest[i] if i < len(dest) else None
+                        out_elems.append(
+                            f"({defaults[col]})" if col in defaults else "NULL"
+                        )
+                    else:
+                        out_elems.append(el)
+                rows.append("(" + ", ".join(out_elems) + ")")
+            body = "VALUES " + ", ".join(rows)
+        df = spark.sql(f"SELECT * FROM {body}") if is_values else cat.sql(body)
         if len(df.columns) != len(dest):
             raise ValueError(
                 f"INSERT arity mismatch: query produces {len(df.columns)} "

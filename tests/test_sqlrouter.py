@@ -619,3 +619,23 @@ def test_column_defaults(spark, cat):
     # ADD COLUMNS with an inline DEFAULT is refused (add, then SET)
     with pytest.raises(ValueError, match="DEFAULT"):
         cat.sql("ALTER TABLE acid.dflt ADD COLUMNS (w STRING DEFAULT 'x')")
+
+
+def test_insert_default_keyword(spark, cat):
+    cat.sql(
+        "CREATE TABLE acid.dk (id BIGINT, status STRING DEFAULT 'pending', "
+        "qty INT)"
+    )
+    t = cat.table("acid.dk")
+    # DEFAULT resolves the declared default; columns without one → NULL
+    cat.sql("INSERT INTO acid.dk VALUES (1, DEFAULT, DEFAULT)")
+    cat.sql("INSERT INTO acid.dk (id, status) VALUES (2, DEFAULT), (3, 'x')")
+    # the word inside a string literal is NOT the keyword
+    cat.sql("INSERT INTO acid.dk VALUES (4, 'DEFAULT rate', 9)")
+    rows = {tuple(r) for r in t.read().collect()}
+    assert rows == {
+        (1, "pending", None),
+        (2, "pending", None),
+        (3, "x", None),
+        (4, "DEFAULT rate", 9),
+    }
