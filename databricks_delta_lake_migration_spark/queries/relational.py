@@ -1489,3 +1489,53 @@ def q99_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("violations") * 100.0 / F.greatest(F.col("n_rows"), F.lit(1)), 4
         ),
     )
+
+
+@query(
+    "q134_catalog_views",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_big_customers,
+           CAST(ROUND(SUM(CAST(spend AS DECIMAL(18,4))), 4) AS DOUBLE) AS big_spend
+    FROM per_cust WHERE n_orders >= 3
+    """,
+)
+def q134_catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named SQL views (CREATE VIEW / nested views — metastore-view
+    semantics over log tables): a per-customer rollup view, a second
+    view filtering it, both created and queried through ``Catalog.sql``.
+    Views store SELECT text and re-bind against the tables' CURRENT
+    snapshot at each reference — the query also appends a row between
+    definition and use so live-view semantics are what the oracle
+    actually checks (the appended row pushes one customer over the
+    threshold only if views are live, and the oracle sees the same
+    final table state)."""
+    import tempfile
+
+    from ..tables import Catalog
+
+    o = load_table(spark, sf_dir, "orders")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="catalog-views-"))
+    t = cat.create_table("lake.silver.orders_t", o.schema)
+    # define views BEFORE the data lands: live views must see it anyway
+    cat.sql(
+        "CREATE VIEW silver.cust_orders AS "
+        "SELECT o_custkey, COUNT(*) AS n_orders, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS spend "
+        "FROM silver.orders_t GROUP BY o_custkey"
+    )
+    cat.sql(
+        "CREATE VIEW silver.big_customers AS "
+        "SELECT * FROM silver.cust_orders WHERE n_orders >= 3"
+    )
+    t.append(o)
+    return cat.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_big_customers, "
+        "CAST(ROUND(SUM(CAST(spend AS DECIMAL(18,4))), 4) AS DOUBLE) AS big_spend "
+        "FROM silver.big_customers"
+    )

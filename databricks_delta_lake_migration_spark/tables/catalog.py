@@ -140,6 +140,8 @@ class Catalog:
         reg = self._load()
         if fq in reg:
             return LogTable(self.spark, reg[fq])
+        if fq in self._load_views():
+            raise ValueError(f"cannot CREATE TABLE {fq}: a view has that name")
         location = path or os.path.join(self.root, *fq.split("."))
         t = LogTable.create(
             self.spark, location, schema, partition_by=partition_by,
@@ -154,8 +156,11 @@ class Catalog:
         t = LogTable(self.spark, path)
         if not t.exists():
             raise FileNotFoundError(f"no log table at {path}")
+        fq = self._fq(name)
+        if fq in self._load_views():
+            raise ValueError(f"cannot register table {fq}: a view has that name")
         reg = self._load()
-        reg[self._fq(name)] = t.path
+        reg[fq] = t.path
         self._save(reg)
 
     def drop(self, name: str) -> None:
@@ -175,6 +180,63 @@ class Catalog:
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
         return self.table(name).read(version=version)
+
+    # ---- named views --------------------------------------------------
+
+    @property
+    def _views_path(self) -> str:
+        return os.path.join(self.root, "views.json")
+
+    def _load_views(self) -> dict[str, str]:
+        if not os.path.exists(self._views_path):
+            return {}
+        with open(self._views_path) as fh:
+            return json.load(fh)
+
+    def _save_views(self, reg: dict[str, str]) -> None:
+        tmp = self._views_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(reg, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._views_path)
+
+    def create_view(
+        self, name: str, body: str, or_replace: bool = False
+    ) -> None:
+        """CREATE [OR REPLACE] VIEW name AS <select>: stores the SELECT
+        text; every later reference re-binds it against the CURRENT
+        snapshot of the tables it names (live-view semantics, like a
+        metastore view over Delta tables). The body is analyzed now so
+        a broken view fails at definition time, not first use."""
+        fq = self._fq(name)
+        if fq in self._load():
+            raise ValueError(f"cannot CREATE VIEW {fq}: a table has that name")
+        views = self._load_views()
+        if fq in views and not or_replace:
+            raise ValueError(f"view already exists: {fq} (use OR REPLACE)")
+        probe = dict(views)
+        probe[fq] = body
+        # analyze through the stored registry state so self-references
+        # (a view redefined in terms of itself) are caught as cycles
+        old, self._views_override = getattr(self, "_views_override", None), probe
+        try:
+            self.sql(body).schema  # analysis only — no job
+        finally:
+            self._views_override = old
+        views[fq] = body
+        self._save_views(views)
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        fq = self._fq(name)
+        views = self._load_views()
+        if fq not in views:
+            if if_exists:
+                return
+            raise KeyError(f"view not found: {fq}")
+        views.pop(fq)
+        self._save_views(views)
+
+    def views(self) -> list[str]:
+        return sorted(self._load_views())
 
     # ---- SQL over registered names -----------------------------------
 
@@ -201,6 +263,44 @@ class Catalog:
         # injective via a short fq-hash — plain underscore-joining maps
         # a.b_c.d and a_b.c.d to the same view (ADVICE r3).
         rewritten, stash = _mask_literals(query)
+        # Named views: substitute each referenced view with a temp view
+        # bound to its (recursively expanded) SELECT body — live-view
+        # semantics against the tables' current snapshots. Expansion
+        # happens before table binding so view bodies go through the
+        # full pipeline (time travel, TVFs, nested views) themselves.
+        views = getattr(self, "_views_override", None)
+        if views is None:
+            views = self._load_views()
+        if views:
+            expanding: set[str] = getattr(self, "_expanding_views", set())
+            vlookup: dict[str, str] = {}
+            for fq in views:
+                vcat, vsch, vtbl = fq.split(".")
+                vlookup[fq] = fq
+                if vcat == self.default_catalog:
+                    vlookup.setdefault(f"{vsch}.{vtbl}", fq)
+                    if vsch == "default":
+                        vlookup.setdefault(vtbl, fq)
+            for ref in sorted(vlookup, key=len, reverse=True):
+                fq = vlookup[ref]
+                pat = re.compile(
+                    r"(?<![\w.`])" + re.escape(ref) + r"(?![\w.`])"
+                )
+                if not pat.search(rewritten):
+                    continue
+                if fq in expanding:
+                    raise ValueError(f"view cycle detected at {fq}")
+                view_name = (
+                    f"__vw_{fq.split('.')[-1]}_"
+                    f"{hashlib.md5(fq.encode()).hexdigest()[:8]}"
+                )
+                self._expanding_views = expanding | {fq}
+                try:
+                    vdf = self.sql(views[fq])
+                finally:
+                    self._expanding_views = expanding
+                vdf.createOrReplaceTempView(view_name)
+                rewritten = pat.sub(view_name, rewritten)
         # Delta SQL time travel: `name VERSION AS OF n` / `name
         # TIMESTAMP AS OF '<ts>'` binds a snapshot view of that version
         # (the literal is already masked — recover it from the stash).

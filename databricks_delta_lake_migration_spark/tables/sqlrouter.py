@@ -139,6 +139,14 @@ _DROP_CONSTRAINT = re.compile(
     r"(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
     re.I,
 )
+_CREATE_VIEW = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_ID})\s+AS\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_VIEW = re.compile(
+    rf"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_ID})\s*;?\s*$", re.I
+)
+_SHOW_VIEWS = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.I)
 _COL_DEF = re.compile(
     r"^\s*`?(\w+)`?\s+([A-Za-z0-9_<>,()\s]+?)"
     # DEFAULT literal: quoted string, call like current_date(), or a
@@ -309,6 +317,28 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
 
     if m := _HISTORY.match(query):
         return cat.table(m.group(1)).history()
+
+    if m := _CREATE_VIEW.match(query):
+        cat.create_view(
+            m.group(2), m.group(3), or_replace=m.group(1) is not None
+        )
+        return _one_row(spark, {"viewCreated": cat._fq(m.group(2))})
+
+    if m := _DROP_VIEW.match(query):
+        cat.drop_view(m.group(2), if_exists=m.group(1) is not None)
+        return _one_row(spark, {"viewDropped": cat._fq(m.group(2))})
+
+    if _SHOW_VIEWS.match(query):
+        views = cat._load_views()
+        if not views:
+            return spark.createDataFrame(
+                [], "namespace string, viewName string, body string"
+            )
+        rows = [tuple(fq.rsplit(".", 1)) + (body,) for fq, body in
+                sorted(views.items())]
+        return spark.createDataFrame(
+            rows, ["namespace", "viewName", "body"]
+        )
 
     if m := _DETAIL.match(query):
         # delta_utils.py:267 / data_processor.py:319 read .first() off

@@ -263,3 +263,56 @@ def test_table_with_row_ids_tvf(spark, tmp_path):
         "JOIN s.rt t ON r.id = t.id WHERE r._row_commit_version = 2"
     ).first()["n"]
     assert n == 1
+
+
+def test_create_view_live_drop_and_show(spark, cat):
+    cat.sql(
+        "CREATE VIEW silver.user_days AS "
+        "SELECT day, COUNT(*) AS n FROM silver.users GROUP BY day"
+    )
+    assert cat.views() == ["lake.silver.user_days"]
+    got = {(r.day, r.n) for r in cat.sql("SELECT * FROM silver.user_days").collect()}
+    assert got == {("d1", 2), ("d2", 1)}
+    # live-view semantics: new table data is visible without redefining
+    cat.table("silver.users").append(
+        spark.createDataFrame([(4, 4.0, "d2")], SCHEMA)
+    )
+    got = {(r.day, r.n) for r in cat.sql("SELECT * FROM silver.user_days").collect()}
+    assert got == {("d1", 2), ("d2", 2)}
+    # views compose: a view over a view
+    cat.sql(
+        "CREATE VIEW silver.total AS "
+        "SELECT SUM(n) AS total FROM silver.user_days"
+    )
+    assert cat.sql("SELECT total FROM silver.total").first().total == 4
+    # SHOW VIEWS lists both
+    shown = cat.sql("SHOW VIEWS").collect()
+    assert {r.viewName for r in shown} == {"user_days", "total"}
+    assert all(r.namespace.startswith("lake.silver") for r in shown)
+    # OR REPLACE redefines; bare CREATE on an existing view refuses
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE VIEW silver.total AS SELECT 1 AS total")
+    cat.sql("CREATE OR REPLACE VIEW silver.total AS SELECT 99 AS total")
+    assert cat.sql("SELECT total FROM silver.total").first().total == 99
+    # DROP VIEW removes it; IF EXISTS tolerates absence
+    cat.sql("DROP VIEW silver.total")
+    assert cat.views() == ["lake.silver.user_days"]
+    with pytest.raises(KeyError):
+        cat.sql("DROP VIEW silver.total")
+    cat.sql("DROP VIEW IF EXISTS silver.total")
+
+
+def test_view_name_collisions_and_validation(spark, cat):
+    # a view may not shadow a table, nor a table a view
+    with pytest.raises(ValueError, match="a table has that name"):
+        cat.sql("CREATE VIEW silver.users AS SELECT 1 AS x")
+    cat.sql("CREATE VIEW silver.v1 AS SELECT id FROM silver.users")
+    with pytest.raises(ValueError, match="a view has that name"):
+        cat.create_table("silver.v1", SCHEMA)
+    # broken bodies fail at definition time
+    with pytest.raises(Exception):
+        cat.sql("CREATE VIEW silver.bad AS SELECT nope FROM silver.users")
+    assert "lake.silver.bad" not in cat.views()
+    # self-referential redefinition is a cycle, caught at create time
+    with pytest.raises(ValueError, match="cycle"):
+        cat.sql("CREATE OR REPLACE VIEW silver.v1 AS SELECT id FROM silver.v1")
