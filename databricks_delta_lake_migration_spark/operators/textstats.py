@@ -494,3 +494,70 @@ def unigram_logprob_scores(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """TF-IDF keyword extraction [EXT]: the top-``k`` terms per document
+    by smoothed tf-idf (``tf * (log2((N + 1) / (df + 1)) + 1)``) — the
+    standard cheap distinguishing-term signal for corpus exploration,
+    topic tagging, and near-dup triage on the terms that actually
+    separate a document from the rest of the corpus.
+
+    Determinism: the idf factor is snapped to DECIMAL(28,12) and the
+    score accumulated exactly in decimal (same posture as
+    :func:`word_entropy` / :func:`unigram_logprob_scores`), so ranking
+    compares exact decimals, never raw doubles; ties break by term
+    string ascending.
+
+    Scale design: ONE (doc, token) groupBy for tf (map-side combined
+    explode), document frequencies derived from that same relation by a
+    token-keyed groupBy (no second corpus scan), a token-keyed join to
+    price terms, and a doc-partitioned window for top-k. The term
+    dictionary stays distributed — never collected or broadcast.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log2((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1)))
+        + F.lit(1.0),
+        12,
+    ).cast("decimal(28,12)")
+    scored = (
+        tf.join(docfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "w",
+            "tf",
+            "df",
+            (F.col("tf").cast("decimal(10,0)") * idf).alias("score_exact"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("score_exact").desc(), F.col("w").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank"),
+            F.col("w").alias("term"),
+            F.col("tf"),
+            F.col("df"),
+            F.round(F.col("score_exact").cast("double"), 6).alias("tfidf"),
+        )
+    )

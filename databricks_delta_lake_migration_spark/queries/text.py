@@ -829,3 +829,41 @@ def q127_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob_scores(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@query(
+    "q132_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w
+    ), dfreq AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+               CAST(tf.tf AS DECIMAL(10,0))
+               * CAST(ROUND(log2((n.n_docs + 1.0) / (dfreq.df + 1)) + 1.0, 12)
+                      AS DECIMAL(28,12)) AS score_exact
+        FROM tf JOIN dfreq USING (w) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, w, tf, df, score_exact,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score_exact DESC, w ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, rnk AS "rank", w AS term, tf, df,
+           CAST(ROUND(CAST(score_exact AS DOUBLE), 6) AS DOUBLE) AS tfidf
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q132_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (``textstats.tfidf_top_terms``): top-5
+    distinguishing terms per document under smoothed tf-idf. Ranking
+    compares DECIMAL-exact scores (idf snapped at scale 12), term-string
+    tiebreak, so both engines produce the identical top-k set."""
+    return textstats.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), k=5
+    )

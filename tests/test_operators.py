@@ -452,3 +452,61 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
     again = {r.doc_id: r.avg_logprob for r in
              textstats.unigram_logprob_scores(docs.repartition(7)).collect()}
     assert out == again
+
+
+def test_tfidf_top_terms_ranks_distinguishing_terms(spark):
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "the cat and the dog"),
+            (4, "quantum quantum entanglement the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # per-doc top-k is capped and ranks are 1..k
+    assert len(rows) == 8
+    # doc 4's repeated corpus-unique term dominates everything else
+    assert rows[(4, 1)].term == "quantum"
+    assert rows[(4, 1)].tf == 2 and rows[(4, 1)].df == 1
+    # 'the' appears in every doc -> lowest idf; never outranks a
+    # distinguishing term for docs that have one
+    for doc in (1, 2, 3):
+        assert rows[(doc, 1)].term != "the"
+    # deterministic across partitionings (decimal-exact ranking)
+    again = {(r.doc_id, r.rank): r.term
+             for r in textstats.tfidf_top_terms(docs.repartition(5), k=2).collect()}
+    assert again == {k: v.term for k, v in rows.items()}
+
+
+def test_sq8_quantization_roundtrip_and_topk_recall(spark):
+    import random
+
+    from databricks_delta_lake_migration_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+    mins, spans = similarity.sq8_train(emb, dims=8)
+    assert len(mins) == len(spans) == 8
+    coded = similarity.sq8_encode(emb, mins, spans)
+    first = coded.orderBy("vec_id").first()
+    # codes are bytes and dequantize to within half a step of the input
+    assert all(0 <= c <= 255 for c in first.sq_codes)
+    for x, c, mn, sp in zip(first.embedding, first.sq_codes, mins, spans):
+        assert abs((mn + c * sp / 255.0) - x) <= sp / 255.0
+    # encode stays JVM-side: no Python eval in the plan
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    ann = {r.vec_id for r in similarity.sq8_topk(emb, query_vec_id=0, k=5, dims=8).collect()}
+    exact = {r.vec_id for r in similarity.cosine_topk(emb, query_vec_id=0, k=5, dims=8).collect()}
+    assert len(ann) == 5
+    assert len(ann & exact) >= 3  # 8-bit error well below neighbor separation
