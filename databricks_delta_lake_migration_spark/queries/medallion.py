@@ -757,3 +757,104 @@ def q109_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return LogTable(spark, table_path).read().select(*cols)
+
+
+@query(
+    "q135_stream_enrich",
+    oracle="""
+    WITH rated AS (
+        SELECT event_type, value,
+               CASE event_type
+                    WHEN 'click' THEN 1.5
+                    WHEN 'error' THEN 0.0
+                    WHEN 'purchase' THEN
+                         (CASE WHEN event_id % 2 = 0 THEN 10.0 ELSE 20.0 END)
+                    WHEN 'signup' THEN 5.0
+                    ELSE 1.0 END AS rate
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)) * CAST(rate AS DECIMAL(8,4))), 4)
+                AS DOUBLE) AS total_weighted
+    FROM rated GROUP BY event_type
+    """,
+)
+def q135_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream–static enrichment join hash-checked against an
+    oracle: events replayed as JSON chunks through
+    ``stream_enrich_to_table``, each micro-batch left-joining the
+    CURRENT snapshot of a ``rates`` dimension log table (Delta
+    stream-static semantics — the static side re-reads per batch).
+    Between the two availableNow runs the dimension is UPDATEd
+    (purchase 10.0 → 20.0), so even-id rows (run 1) carry the old rate
+    and odd-id rows (run 2) the new one — the oracle encodes exactly
+    that stamped-at-ingest split, so both a stale-dim cache and a
+    retroactive re-join fail the hash."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming import stream_enrich_to_table
+    from ..tables import LogTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream-enrich-")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+
+    dim_path = os.path.join(root, "rates")
+    dim_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("rate", T.DoubleType()),
+        ]
+    )
+    dim = LogTable.create(spark, dim_path, dim_schema)
+    dim.append(
+        spark.createDataFrame(
+            [("click", 1.5), ("error", 0.0), ("purchase", 10.0),
+             ("signup", 5.0), ("view", 1.0)],
+            dim_schema,
+        )
+    )
+
+    def emit(chunk_df, tag: str) -> None:
+        stage = os.path.join(root, f"stage-{tag}")
+        chunk_df.coalesce(1).write.json(stage)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.json"))):
+            shutil.move(f, os.path.join(src, f"chunk-{tag}-{i}.json"))
+
+    table_path = os.path.join(root, "enriched")
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain() -> None:
+        q = stream_enrich_to_table(
+            spark, src, table_path, e.schema, dim_path,
+            join_key="event_type", checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    emit(e.filter(F.col("event_id") % 2 == 0), "a")
+    drain()  # run 1: even ids stamped with dim v1
+    dim.update("event_type = 'purchase'", {"rate": "20.0"})
+    emit(e.filter(F.col("event_id") % 2 == 1), "b")
+    drain()  # run 2: odd ids stamped with dim v2
+
+    enriched = LogTable(spark, table_path).read()
+    return enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(
+                F.col("value").cast("decimal(18,4)")
+                * F.col("rate").cast("decimal(8,4)")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("total_weighted"),
+    )

@@ -5,6 +5,7 @@ from .ingest import (  # noqa: F401
     interval_join,
     session_windowed_counts,
     stream_dedup_to_table,
+    stream_enrich_to_table,
     stream_files_to_table,
     stream_near_dup_ingest,
     stream_upsert_to_table,

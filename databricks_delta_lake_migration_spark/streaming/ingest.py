@@ -274,6 +274,85 @@ def stream_upsert_to_table(
     return writer.start()
 
 
+def stream_enrich_to_table(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    schema: T.StructType,
+    dim_path: str,
+    join_key: str,
+    file_format: str = "json",
+    stream_id: str = "enrich",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """[EXT] Stream–static enrichment join: each micro-batch left-joins
+    the CURRENT snapshot of a dimension log table and appends the
+    enriched rows. This is Delta's stream-static join semantics — the
+    static side is re-evaluated at every micro-batch, so dimension
+    updates committed between batches flow into all LATER batches while
+    already-landed rows keep the attributes they were enriched with
+    (a fact table stamped at ingest time).
+
+    At scale: the dimension is broadcast (dims are metadata-sized next
+    to the fact stream); the fact batch never shuffles. Batch-id
+    idempotence rides on the commit parameters like every other sink
+    here, so crash-replayed batches are no-ops.
+    """
+    dim_schema = LogTable(spark, dim_path).schema()
+    enriched_fields = list(schema.fields) + [
+        T.StructField(f.name, f.dataType, True)
+        for f in dim_schema.fields
+        if f.name != join_key
+    ]
+    LogTable.create(spark, table_path, T.StructType(enriched_fields))
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(file_format)
+        .load(source_path)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = LogTable(spark, table_path)
+        if batch_id <= _last_committed_batch(tbl, stream_id):
+            return
+        dim = LogTable(spark, dim_path).read()  # CURRENT snapshot
+        enriched = batch_df.join(F.broadcast(dim), join_key, "left")
+        schema_now = tbl.schema()
+        aligned = enriched.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema_now.fields]
+        )
+        aligned = tbl._maybe_optimize_write(
+            aligned, tbl.partition_columns(), tbl.properties()
+        )
+        entries = tbl._write_files(aligned, tbl.partition_columns())
+        import time as _time
+
+        from ..tables.logtable import Commit
+
+        tbl._commit(
+            Commit(
+                version=tbl._next_version(),
+                timestamp=_time.time(),
+                operation="STREAMING UPDATE",
+                add=entries,
+                parameters={"streamId": stream_id, "batchId": int(batch_id)},
+                metrics={"numOutputRows": sum(e.num_records for e in entries)},
+            )
+        )
+
+    writer = reader.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
 def session_windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

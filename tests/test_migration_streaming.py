@@ -638,3 +638,60 @@ def test_stream_into_clustered_table(spark, tmp_path):
     for f in t._replay()[0]:
         ids = pq.read_table(f.abspath(t.path), columns=["id"])["id"].to_pylist()
         assert ids == sorted(ids)  # cluster-on-write ordered the batch
+
+
+def test_stream_enrich_static_side_reread_per_run(spark, tmp_path):
+    """Stream-static join semantics: the dimension snapshot is re-read
+    every micro-batch, so rows ingested after a dim UPDATE carry the
+    new attribute while already-landed rows keep the stamped one."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        stream_enrich_to_table,
+    )
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dim_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+    dim = LogTable.create(spark, str(tmp_path / "dim"), dim_schema)
+    dim.append(spark.createDataFrame([("a", "v1"), ("b", "v1")], dim_schema))
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+    table_path = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_enrich_to_table(
+            spark, str(src), table_path, schema, str(tmp_path / "dim"),
+            join_key="k", checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    (src / "c1.json").write_text(
+        "\n".join(json.dumps(r) for r in [{"id": 1, "k": "a"}, {"id": 2, "k": "b"}])
+    )
+    drain()
+    dim.update("k = 'a'", {"attr": "'v2'"})
+    (src / "c2.json").write_text(json.dumps({"id": 3, "k": "a"}))
+    drain()
+
+    rows = {r.id: r.attr for r in LogTable(spark, table_path).read().collect()}
+    assert rows == {1: "v1", 2: "v1", 3: "v2"}
+    # unmatched keys survive as NULL (left join), and replays are no-ops
+    (src / "c3.json").write_text(json.dumps({"id": 4, "k": "zz"}))
+    drain()
+    rows = {r.id: r.attr for r in LogTable(spark, table_path).read().collect()}
+    assert rows[4] is None and len(rows) == 4
