@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # cross-round regression sentinels; the remaining 23 slots re-confirm
 # rows whose only green driver row is from rounds 1–3. pytest's local
 # DuckDB oracle-parity twin still exercises all 131 every round.
-# ROUND 6 MUST rotate in the 20 round-5 registrations, all green under
+# ROUND 6 MUST rotate in the 24 round-5 registrations, all green under
 # the local sf0.01 driver simulation this round: q112 bloom index,
 # q113 COPY INTO, q114 incremental LSH, q115 persisted IVF index,
 # q116 chunking, q117 contamination scoring, q118 SHOW PARTITIONS,
@@ -53,7 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q122 quality top-fraction, q123 boilerplate strip, q124 type
 # widening, q125 liquid clustering, q126 log retention, q127 unigram
 # logprob, q128 VACUUM LITE, q129 column DEFAULTs, q130 row tracking,
-# q131 commit annotations.
+# q131 commit annotations, q132 tf-idf top terms, q133 SQ8 ANN,
+# q134 catalog views, q135 stream-static enrichment.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",
