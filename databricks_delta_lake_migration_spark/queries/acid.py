@@ -1373,3 +1373,70 @@ def q131_commit_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "operation",
         F.col("userMetadata").alias("user_metadata"),
     )
+
+
+@query(
+    "q136_protocol_features",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('1_create',      1, 2, '',                               TRUE),
+        ('2_cdf_on',      1, 7, 'changeDataFeed',                 TRUE),
+        ('3_dv_delete',   3, 7, 'changeDataFeed,deletionVectors', TRUE),
+        ('4_dv_dropped',  1, 7, 'changeDataFeed',                 TRUE),
+        ('5_downgraded',  1, 2, '',                               TRUE)
+    ) AS t(step, min_reader, min_writer, features, rows_ok)
+    ORDER BY step
+    """,
+)
+def q136_protocol_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol / table-features lifecycle (D34 — Delta's table-features
+    model, the protocol layer every feature-gated API in the
+    reference's ``src/delta_utils.py`` relies on): a fresh table starts
+    on the legacy protocol (1, 2); enabling CDF stamps
+    ``delta.feature.changeDataFeed`` into that same commit (writer
+    feature → minWriter 7); the first deletion-vector DELETE upgrades
+    the reader version (3, 7); ``ALTER TABLE DROP FEATURE`` after
+    disabling + REORG-purging the DVs removes the feature; dropping the
+    last feature restores the legacy protocol. ``rows_ok`` is an
+    in-query verdict that every protocol state stays readable with
+    exactly the expected rows (base count before the DV delete, the
+    %6-filtered count after) — SF-independent, so the literal oracle
+    holds at every fixture scale."""
+    target = _orders_subset(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    n_base = target.count()
+    n_after = target.filter(F.col("o_orderkey") % 6 != 1).count()
+    t = LogTable.create(spark, _scratch("proto"), target.schema)
+    t.append(target)
+
+    steps: list[tuple[str, int, int, str, bool]] = []
+
+    def snap(step: str, expect_rows: int) -> None:
+        d = t.detail()
+        steps.append(
+            (
+                step,
+                d["minReaderVersion"],
+                d["minWriterVersion"],
+                ",".join(d["tableFeatures"]),
+                t.read().count() == expect_rows,
+            )
+        )
+
+    snap("1_create", n_base)
+    t.set_properties({"enableChangeDataFeed": "true"})
+    snap("2_cdf_on", n_base)
+    t.set_properties({"enableDeletionVectors": "true"})
+    t.delete("o_orderkey % 6 = 1")
+    snap("3_dv_delete", n_after)
+    t.set_properties({"enableDeletionVectors": "false"})
+    t.optimize()  # REORG ... APPLY (PURGE): rewrites DV-carrying files
+    t.drop_feature("deletionVectors")
+    snap("4_dv_dropped", n_after)
+    t.set_properties({"enableChangeDataFeed": "false"})
+    t.drop_feature("changeDataFeed")
+    snap("5_downgraded", n_after)
+
+    return spark.createDataFrame(
+        steps,
+        "step string, min_reader int, min_writer int, features string, rows_ok boolean",
+    ).orderBy("step")

@@ -125,6 +125,39 @@ ROW_COMMIT_COL = "__row_commit"
 MAPPING_PROP = "columnmapping.map"
 RESERVED_PROP = "columnmapping.reserved"
 
+# Protocol / table features (Delta's table-features model,
+# delta.io protocol spec "Table Features" + delta_utils.py's reliance
+# on feature-gated behaviors like CDF and column mapping): every
+# capability that changes how the table must be read or written is
+# recorded as a ``delta.feature.<name> = supported`` property, stamped
+# AUTOMATICALLY into the same commit that first uses the capability
+# (Delta's implicit protocol upgrade). Readers refuse tables that
+# require a feature this engine does not implement — the forward-
+# compatibility contract that lets an old engine fail loudly instead
+# of corrupting or misreading a newer table. minReader/minWriter
+# versions mirror Delta's numbering (1/2 legacy, 3/7 = table-features).
+FEATURE_PROP_PREFIX = "delta.feature."
+MIN_READER_PROP = "delta.minReaderVersion"
+MIN_WRITER_PROP = "delta.minWriterVersion"
+# features that change READ semantics (reader+writer features)
+READER_FEATURES = {"deletionVectors", "columnMapping", "typeWidening"}
+# features that only constrain writers
+WRITER_ONLY_FEATURES = {
+    "rowTracking", "identityColumns", "generatedColumns",
+    "changeDataFeed", "checkConstraints", "invariants",
+    "defaultColumns", "clustering",
+}
+WRITER_FEATURES = READER_FEATURES | WRITER_ONLY_FEATURES
+
+
+def _enabled_features(props: dict[str, str]) -> set[str]:
+    return {
+        k.removeprefix(FEATURE_PROP_PREFIX)
+        for k, v in props.items()
+        if k.startswith(FEATURE_PROP_PREFIX) and v == "supported"
+    }
+
+
 # Commits whose `properties` payload REPLACES the table's property map
 # wholesale (they carry the full post-op map, and merging would
 # resurrect removed keys). All other property-bearing commits merge.
@@ -134,7 +167,7 @@ RESERVED_PROP = "columnmapping.reserved"
 # full current map, so replace semantics are correct for all of them.
 _PROPS_REPLACE_OPS = {
     "UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN", "RESTORE",
-    "ALTER COLUMN",
+    "ALTER COLUMN", "DROP FEATURE",
 }
 
 # Below this total table size, MERGE rewrites every file instead of
@@ -180,6 +213,13 @@ class ConcurrentTransactionError(ConcurrentWriteError):
 
 class ConstraintViolationError(ValueError):
     pass
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The table requires a protocol feature this engine does not
+    implement (Delta's InvalidProtocolVersionException /
+    unsupported-table-feature errors): refuse loudly rather than
+    misread or corrupt a newer table."""
 
 
 @dataclass
@@ -660,8 +700,75 @@ class LogTable:
             raise FileNotFoundError(f"not a log table: {self.path}")
         return cs[-1].version
 
+    def _required_features(self, commit: Commit, eff: dict[str, str]) -> set[str]:
+        """Features the table state after ``commit`` relies on — derived
+        from the capability markers, so enabling a capability anywhere
+        (DDL, property, first DV delete) upgrades the protocol in that
+        same commit."""
+        need: set[str] = set()
+        if commit.dvs or eff.get(DV_PROP) == "true":
+            need.add("deletionVectors")
+        if eff.get(CDF_PROP) == "true":
+            need.add("changeDataFeed")
+        if eff.get(RT_PROP) == "true":
+            need.add("rowTracking")
+        if eff.get(MAPPING_PROP) or eff.get(RESERVED_PROP):
+            need.add("columnMapping")
+        if eff.get(CLUSTERING_PROP):
+            need.add("clustering")
+        for k in eff:
+            if k.startswith("identity."):
+                need.add("identityColumns")
+            elif k.startswith("generated."):
+                need.add("generatedColumns")
+            elif k.startswith("constraint."):
+                need.add("checkConstraints")
+            elif k.startswith("notnull."):
+                need.add("invariants")
+            elif k.startswith("default."):
+                need.add("defaultColumns")
+        return need
+
+    def _stamp_protocol(self, commit: Commit) -> None:
+        """Write gate + implicit protocol upgrade (Delta table
+        features): refuse to write a table whose enabled features this
+        engine does not implement, and stamp ``delta.feature.*`` /
+        min-version properties into the SAME commit that first uses a
+        capability. Steady-state commits see no missing features and
+        are left untouched — only the first enabling commit becomes a
+        metadata commit (matching Delta's one-time protocol upgrade)."""
+        try:
+            cur = (
+                self._properties_at(commit.version - 1)
+                if commit.version > 0
+                else {}
+            )
+        except Exception:
+            cur = {}
+        if commit.properties is not None and commit.operation in _PROPS_REPLACE_OPS:
+            eff = dict(commit.properties)
+        else:
+            eff = {**cur, **(commit.properties or {})}
+        enabled = _enabled_features(eff)
+        unknown = enabled - WRITER_FEATURES
+        if unknown:
+            raise UnsupportedTableFeatureError(
+                f"{self.path} requires table feature(s) {sorted(unknown)} "
+                "this engine does not implement — refusing to write"
+            )
+        missing = self._required_features(commit, eff) - enabled
+        if missing:
+            add = {FEATURE_PROP_PREFIX + f: "supported" for f in missing}
+            allf = enabled | missing
+            add[MIN_READER_PROP] = (
+                "3" if (allf & READER_FEATURES) else eff.get(MIN_READER_PROP, "1")
+            )
+            add[MIN_WRITER_PROP] = "7"
+            commit.properties = {**(commit.properties or {}), **add}
+
     def _commit(self, commit: Commit) -> None:
         """Atomic optimistic commit: create-exclusive the version file."""
+        self._stamp_protocol(commit)
         self.fs.makedirs(self._log_path)
         target = os.path.join(self._log_path, f"{commit.version:020d}.json")
         # put-if-absent is the whole commit protocol: optimistic
@@ -1062,6 +1169,67 @@ class LogTable:
             )
         )
 
+    def drop_feature(self, name: str) -> None:
+        """ALTER TABLE DROP FEATURE (Delta 3.x protocol downgrade):
+        remove a table feature once nothing in the table relies on it —
+        e.g. deletionVectors after disabling the property and purging
+        every DV via ``REORG TABLE ... APPLY (PURGE)``. Refuses while
+        the capability is still in use; min reader/writer versions are
+        recomputed from the remaining feature set."""
+        props = self.properties()
+        key = FEATURE_PROP_PREFIX + name
+        if key not in props:
+            raise KeyError(f"feature not enabled on {self.path}: {name}")
+        in_use = {
+            "deletionVectors": lambda: props.get(DV_PROP) == "true"
+            or any(f.dv for f in self._replay()[0]),
+            "changeDataFeed": lambda: props.get(CDF_PROP) == "true",
+            "rowTracking": lambda: props.get(RT_PROP) == "true",
+            "columnMapping": lambda: bool(
+                props.get(MAPPING_PROP) or props.get(RESERVED_PROP)
+            ),
+            "clustering": lambda: bool(props.get(CLUSTERING_PROP)),
+            "identityColumns": lambda: any(
+                k.startswith("identity.") for k in props
+            ),
+            "generatedColumns": lambda: any(
+                k.startswith("generated.") for k in props
+            ),
+            "checkConstraints": lambda: any(
+                k.startswith("constraint.") for k in props
+            ),
+            "invariants": lambda: any(k.startswith("notnull.") for k in props),
+            "defaultColumns": lambda: any(
+                k.startswith("default.") for k in props
+            ),
+        }
+        if name not in in_use:
+            # typeWidening & friends: files written before the widening
+            # still carry the narrow type — the feature can never be
+            # proven unused without a full rewrite
+            raise ValueError(
+                f"feature {name!r} cannot be dropped (files may still "
+                "depend on it)"
+            )
+        if in_use[name]():
+            raise ValueError(
+                f"feature {name!r} is still in use on {self.path} — "
+                "disable the property / remove its uses first"
+            )
+        remaining = {k: v for k, v in props.items() if k != key}
+        enabled = _enabled_features(remaining)
+        remaining[MIN_READER_PROP] = "3" if (enabled & READER_FEATURES) else "1"
+        remaining[MIN_WRITER_PROP] = "7" if enabled else "2"
+        self._commit_tx(
+            Commit(
+                version=self._next_version(),
+                timestamp=time.time(),
+                operation="DROP FEATURE",
+                properties=remaining,
+                parameters={"feature": name},
+            )
+        )
+
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE SET TBLPROPERTIES (delta_utils.py:149-166).
 
@@ -1116,6 +1284,14 @@ class LogTable:
         before row tracking was enabled surface NULL ids.
         """
         files, schema_json, partition_by, props, _ = self._replay(version, timestamp)
+        unknown = _enabled_features(props) - WRITER_FEATURES
+        if unknown:
+            # reader gate: an unknown feature may change read semantics
+            # (we cannot know it is writer-only) — refuse, don't misread
+            raise UnsupportedTableFeatureError(
+                f"{self.path} requires table feature(s) {sorted(unknown)} "
+                "this engine does not implement — refusing to read"
+            )
         schema = T.StructType.fromJson(json.loads(schema_json))
         if where is not None:
             mapping = self._column_mapping(props)
@@ -1326,6 +1502,10 @@ class LogTable:
             "partitionColumns": partition_by,
             "properties": props,
             "version": v,
+            # protocol surface (Delta DESCRIBE DETAIL parity)
+            "minReaderVersion": int(props.get(MIN_READER_PROP, "1")),
+            "minWriterVersion": int(props.get(MIN_WRITER_PROP, "2")),
+            "tableFeatures": sorted(_enabled_features(props)),
         }
 
     # ------------------------------------------------------------------
@@ -1634,6 +1814,17 @@ class LogTable:
                 timestamp=time.time(),
                 operation="ALTER COLUMN",
                 schema_json=T.StructType(fields).json(),
+                # widening leaves narrow-typed files behind forever —
+                # a reader must upcast at scan time, so the protocol
+                # gains the reader-required typeWidening feature in
+                # this same commit (undetectable from properties alone,
+                # hence stamped at the site, not in _stamp_protocol)
+                properties={
+                    **self.properties(),
+                    FEATURE_PROP_PREFIX + "typeWidening": "supported",
+                    MIN_READER_PROP: "3",
+                    MIN_WRITER_PROP: "7",
+                },
                 parameters={
                     "column": name,
                     "from": old_type.simpleString(),

@@ -139,6 +139,10 @@ _DROP_CONSTRAINT = re.compile(
     r"(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
     re.I,
 )
+_DROP_FEATURE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+DROP\s+FEATURE\s+`?(\w+)`?\s*;?\s*$",
+    re.I,
+)
 _CREATE_VIEW = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_ID})\s+AS\s+(.+?)\s*;?\s*$",
     re.I | re.S,
@@ -420,6 +424,10 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
              "numRecords": d["numRecords"],
              **({"registered": m.group(2)} if m.group(2) else {})},
         )
+
+    if m := _DROP_FEATURE.match(query):
+        cat.table(m.group(1)).drop_feature(m.group(2))
+        return _one_row(spark, {"featureDropped": m.group(2)})
 
     if m := _RENAME_COL.match(query):
         cat.table(m.group(1)).rename_column(m.group(2), m.group(3))
