@@ -54,7 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # widening, q125 liquid clustering, q126 log retention, q127 unigram
 # logprob, q128 VACUUM LITE, q129 column DEFAULTs, q130 row tracking,
 # q131 commit annotations, q132 tf-idf top terms, q133 SQ8 ANN,
-# q134 catalog views, q135 stream-static enrichment.
+# q134 catalog views, q135 stream-static enrichment, q136 protocol
+# table-features lifecycle, q137 intra-document repetition removal.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -455,6 +455,49 @@ def strip_boilerplate_lines(
     )
 
 
+def dedup_intradoc_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    separator: str = ". ",
+) -> DataFrame:
+    """Intra-document repetition removal [EXT]: within each document,
+    keep only the FIRST occurrence of every text segment (sentence /
+    line, split on ``separator``) — the C4-style cleanup for scraped
+    pages that repeat their own headline, nav block, or a templated
+    sentence several times in one page. Complements
+    ``strip_boilerplate_lines`` (cross-document chrome): this one
+    never looks outside the row.
+
+    Returns one row per input document: ``clean_text`` (first
+    occurrences rejoined in original order), ``n_kept``,
+    ``n_stripped``.
+
+    Scale design: the entire cleanup is a row-local Catalyst
+    ``aggregate`` fold over the split array — ZERO shuffles, no
+    explode, no window, no Python; at 100 TB it is a pure map stage
+    fused into whatever scan feeds it. Per-row cost is
+    O(segments**2) membership checks, bounded by document size.
+    Exact-match semantics: normalization is the caller's pre-step
+    (same contract as ``strip_boilerplate_lines``)."""
+    import re as _re
+
+    segs = F.split(F.col(text_col), _re.escape(separator))
+    kept = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            F.exists(acc, lambda x: x == s), acc
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, separator).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(segs) - F.size(kept)).cast("long").alias("n_stripped"),
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

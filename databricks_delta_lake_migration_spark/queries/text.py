@@ -867,3 +867,54 @@ def q132_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_top_terms(
         load_table(spark, sf_dir, "documents"), k=5
     )
+
+
+@query(
+    "q137_intradoc_dedup",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || '. ' || split_part(text, '. ', 1)
+                              || '. ' || split_part(text, '. ', 1)
+                    ELSE text || '. ' || split_part(text, '. ', 1) END AS text
+        FROM documents
+    ), seg AS (
+        SELECT doc_id, unnest(segs) AS seg,
+               unnest(range(1, len(segs)+1)) AS pos
+        FROM (SELECT doc_id, string_split(text, '. ') AS segs FROM seeded)
+    ), firsts AS (
+        SELECT doc_id, seg, MIN(pos) AS pos FROM seg GROUP BY doc_id, seg
+    ), agg AS (
+        SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM firsts GROUP BY doc_id
+    ), tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM seg GROUP BY doc_id)
+    SELECT t.doc_id AS doc_id, a.clean_text AS clean_text,
+           CAST(a.n_kept AS BIGINT) AS n_kept,
+           CAST(t.n_seg - a.n_kept AS BIGINT) AS n_stripped
+    FROM tot t JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def q137_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal
+    (``textstats.dedup_intradoc_segments``): every document gets its
+    own first sentence re-appended (twice for ``doc_id % 5 = 0``) —
+    the fixture text has no repeated sentences of its own, so the
+    seeding is the testable surface (q123's pattern) — then only the
+    first occurrence of each segment survives, in original order.
+    Row-local Catalyst fold: ZERO shuffles, a pure map stage at any
+    scale; the oracle reproduces keep-first via MIN(pos) per
+    (doc, segment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = F.element_at(F.split(F.col("text"), r"\. "), 1)
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(". "), first, F.lit(". "), first
+            ),
+        ).otherwise(F.concat(F.col("text"), F.lit(". "), first)),
+    )
+    return textstats.dedup_intradoc_segments(seeded)

@@ -510,3 +510,57 @@ def test_sq8_quantization_roundtrip_and_topk_recall(spark):
     exact = {r.vec_id for r in similarity.cosine_topk(emb, query_vec_id=0, k=5, dims=8).collect()}
     assert len(ann) == 5
     assert len(ann & exact) >= 3  # 8-bit error well below neighbor separation
+
+
+def test_dedup_intradoc_segments_keeps_first_occurrence(spark):
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha. beta. alpha. gamma. beta"),
+            (2, "same. same. same"),
+            (3, "no repeats at all"),
+            (4, "x. y. x. y. x. y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           textstats.dedup_intradoc_segments(docs).collect()}
+    assert out[1].clean_text == "alpha. beta. gamma"
+    assert (out[1].n_kept, out[1].n_stripped) == (3, 2)
+    assert out[2].clean_text == "same"
+    assert (out[2].n_kept, out[2].n_stripped) == (1, 2)
+    assert out[3].clean_text == "no repeats at all"
+    assert out[3].n_stripped == 0
+    assert out[4].clean_text == "x. y"
+    assert (out[4].n_kept, out[4].n_stripped) == (2, 4)
+
+
+def test_dedup_intradoc_segments_matches_python_model(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    segs = ["alpha", "beta", "gamma", "delta"]
+    docs_strategy = st.lists(
+        st.lists(st.sampled_from(segs), min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs_strategy)
+    def inner(doc_segs):
+        rows = [(i, ". ".join(s)) for i, s in enumerate(doc_segs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_kept, r.n_stripped)
+            for r in textstats.dedup_intradoc_segments(df).collect()
+        }
+        for i, s in enumerate(doc_segs):
+            kept = list(dict.fromkeys(s))
+            assert got[i] == (
+                ". ".join(kept), len(kept), len(s) - len(kept)
+            )
+
+    inner()
