@@ -498,6 +498,89 @@ def dedup_intradoc_segments(
     )
 
 
+def hashed_classifier_scores(
+    df: DataFrame,
+    weights_micro: list[int],
+    threshold_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_join: bool = False,
+) -> DataFrame:
+    """Hashed linear classifier inference [EXT] — the fastText-style
+    quality-classifier filtering stage (FineWeb-Edu / CCNet posture):
+    each token hashes into one of ``len(weights_micro)`` buckets with
+    the engine-portable sliced-sha256 family
+    (:func:`curation.portable_hash_bucket`), the document's score is
+    the exact integer sum of its tokens' bucket weights (micro-units:
+    the weight vector is pre-scaled to int(w * 1e6), so scoring is
+    integer-exact and identical in any engine — no float summation
+    order hazard), and ``keep`` thresholds the mean weight via the
+    cross-multiplied integer comparison
+    ``sum_w_micro > threshold_micro * n_tokens``.
+
+    Two physical strategies, identical results (tested against each
+    other):
+
+    - ``use_join=False`` (default; model fits the plan): the weight
+      vector rides along as a literal array; scoring is a row-local
+      ``aggregate`` fold — ZERO shuffles, a pure map stage fused into
+      the scan. Right whenever D is classifier-sized (2**6..2**12).
+    - ``use_join=True`` (big-D path): tokens explode once and
+      broadcast-join the D-row bucket→weight relation (map-side), then
+      re-aggregate per document — ONE doc-keyed shuffle with partial
+      aggregation. Right when D is too large to inline in the plan
+      (2**20-bucket production models).
+    """
+    d = len(weights_micro)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+
+    def bucket(tok):
+        h = F.conv(F.substring(F.sha2(tok.cast("string"), 256), 1, 8), 16, 10)
+        return h.cast("long") % d
+
+    if use_join:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(i, int(w)) for i, w in enumerate(weights_micro)],
+            "bucket long, w_micro long",
+        )
+        ex = df.select(
+            F.col(id_col), F.explode(toks).alias("tok")
+        ).select(id_col, bucket(F.col("tok")).alias("bucket"))
+        scored = (
+            ex.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("w_micro").alias("sum_w_micro"),
+            )
+        )
+    else:
+        arr = F.array(*[F.lit(int(w)).cast("long") for w in weights_micro])
+        summed = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(arr, (bucket(t) + 1).cast("int")),
+        )
+        scored = df.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            summed.alias("sum_w_micro"),
+        )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "sum_w_micro",
+        (
+            F.col("sum_w_micro")
+            > F.lit(int(threshold_micro)) * F.col("n_tokens")
+        ).alias("keep"),
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

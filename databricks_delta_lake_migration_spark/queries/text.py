@@ -918,3 +918,40 @@ def q137_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.concat(F.col("text"), F.lit(". "), first)),
     )
     return textstats.dedup_intradoc_segments(seeded)
+
+
+@query(
+    "q138_classifier_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               CAST('0x' || substring(sha256(tok), 1, 8) AS BIGINT) % 64
+                   AS bucket
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(((bucket * 7919) % 2001) - 1000) AS BIGINT)
+               AS sum_w_micro,
+           SUM(((bucket * 7919) % 2001) - 1000) > 0 AS keep
+    FROM b GROUP BY doc_id
+    """,
+)
+def q138_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier inference
+    (``textstats.hashed_classifier_scores``): a fastText-style quality
+    classifier scored over every document — tokens hash into 64
+    buckets via the portable sliced-sha256 family, the doc score is
+    the integer-exact sum of bucket weights (micro-units), ``keep``
+    thresholds the mean at zero. The weight vector is generated from
+    the deterministic formula ``((bucket*7919) % 2001) - 1000`` so the
+    oracle recomputes it symbolically instead of embedding 64
+    literals. Default strategy: row-local fold, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = [((i * 7919) % 2001) - 1000 for i in range(64)]
+    return textstats.hashed_classifier_scores(docs, weights)

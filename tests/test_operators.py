@@ -564,3 +564,42 @@ def test_dedup_intradoc_segments_matches_python_model(spark):
             )
 
     inner()
+
+
+def test_hashed_classifier_scores_strategies_agree_and_threshold(spark):
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha alpha alpha"),
+            (3, "single"),
+            (4, "mixed Bag Of MANY different tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    weights = [((i * 31) % 401) - 200 for i in range(32)]
+    fold = {r.doc_id: r for r in
+            textstats.hashed_classifier_scores(docs, weights).collect()}
+    join = {r.doc_id: r for r in textstats.hashed_classifier_scores(
+        docs, weights, use_join=True).collect()}
+    assert {k: tuple(v) for k, v in fold.items()} == {
+        k: tuple(v) for k, v in join.items()
+    }
+    # integer-exact model twin
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.sha256(tok.encode()).hexdigest()[:8], 16) % 32
+
+    for doc_id, text in [(1, "alpha beta gamma"),
+                         (2, "alpha alpha alpha alpha")]:
+        toks = text.lower().split()
+        expect = sum(weights[bucket(t)] for t in toks)
+        assert fold[doc_id].sum_w_micro == expect
+        assert fold[doc_id].n_tokens == len(toks)
+        assert fold[doc_id].keep == (expect > 0)
+    # a nonzero threshold shifts the decision boundary
+    thr = {r.doc_id: r.keep for r in textstats.hashed_classifier_scores(
+        docs, weights, threshold_micro=10**9).collect()}
+    assert set(thr.values()) == {False}
