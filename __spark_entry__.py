@@ -55,7 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # logprob, q128 VACUUM LITE, q129 column DEFAULTs, q130 row tracking,
 # q131 commit annotations, q132 tf-idf top terms, q133 SQ8 ANN,
 # q134 catalog views, q135 stream-static enrichment, q136 protocol
-# table-features lifecycle, q137 intra-document repetition removal.
+# table-features lifecycle, q137 intra-document repetition removal,
+# q138 hashed-classifier quality filter, q139 unicode text
+# normalization.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

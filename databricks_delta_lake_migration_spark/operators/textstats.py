@@ -581,6 +581,52 @@ def hashed_classifier_scores(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode text normalization [EXT] — the canonicalization pass
+    every corpus pipeline runs BEFORE tokenization, dedup, and
+    fingerprinting (exact-match dedup on un-normalized text silently
+    misses near-identical pages that differ only in smart quotes or
+    non-breaking spaces):
+
+    - smart quotes \u201c \u201d \u2018 \u2019 -> ASCII " '
+    - en/em dashes \u2013 \u2014 -> '-'
+    - ellipsis \u2026 -> '...'
+    - NBSP \u00a0 -> space; zero-width chars \u200b-\u200d \ufeff
+      removed
+    - C0/DEL control characters -> space
+    - whitespace squashed to single spaces and trimmed
+
+    Returns ``id_col``, ``norm_text``, ``changed`` (whether anything
+    was rewritten), and ``n_chars_saved``. Deterministic and
+    engine-portable (plain translate/replace/regexp on literal code
+    points — no locale, no ICU).
+
+    Scale design: row-local translate/regexp chain — ZERO shuffles, a
+    pure map stage fused into the scan at any scale."""
+    t = F.col(text_col)
+    t = F.translate(
+        t,
+        "\u201c\u201d\u2018\u2019\u2013\u2014\u00a0",
+        "\"\"''-- ",
+    )
+    t = F.replace(t, F.lit("\u2026"), F.lit("..."))
+    t = F.regexp_replace(t, "[\u200b\u200c\u200d\ufeff]", "")
+    t = F.regexp_replace(t, "[\\x00-\\x1F\\x7F]", " ")
+    t = F.trim(F.regexp_replace(t, "\\s+", " "))
+    return df.select(
+        F.col(id_col),
+        t.alias("norm_text"),
+        (t != F.col(text_col)).alias("changed"),
+        (F.length(F.col(text_col)) - F.length(t)).cast("long").alias(
+            "n_chars_saved"
+        ),
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -955,3 +955,50 @@ def q138_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     weights = [((i * 7919) % 2001) - 1000 for i in range(64)]
     return textstats.hashed_classifier_scores(docs, weights)
+
+
+@query(
+    "q139_text_normalization",
+    oracle=r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               '“' || replace(text, '. ', '. ') || '”—…' AS text
+        FROM documents
+    ), norm AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           replace(translate(text,
+                               '“”‘’–— ',
+                               '""''''-- '),
+                               '…', '...'),
+                           '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+                       '[\x00-\x1f\x7f]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS norm_text
+        FROM seeded
+    )
+    SELECT doc_id, norm_text,
+           norm_text <> text AS changed,
+           CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_saved
+    FROM norm
+    """,
+)
+def q139_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (``textstats.normalize_text``):
+    smart quotes, an em-dash, an ellipsis, and NBSPs are seeded around
+    and into every document (the fixture text is clean ASCII, so the
+    seeding is the testable surface), then canonicalized to ASCII with
+    whitespace squashed. The oracle replays the same
+    literal-code-point translate/replace/regexp chain in DuckDB.
+    Row-local, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("\u201c"),
+            F.replace(F.col("text"), F.lit(". "), F.lit(".\u00a0")),
+            F.lit("\u201d\u2014\u2026"),
+        ),
+    )
+    return textstats.normalize_text(seeded)

@@ -603,3 +603,26 @@ def test_hashed_classifier_scores_strategies_agree_and_threshold(spark):
     thr = {r.doc_id: r.keep for r in textstats.hashed_classifier_scores(
         docs, weights, threshold_micro=10**9).collect()}
     assert set(thr.values()) == {False}
+
+
+def test_normalize_text_canonicalizes_unicode_punctuation(spark):
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\u201cSmart\u201d \u2018quotes\u2019"),
+            (2, "en\u2013dash em\u2014dash\u2026"),
+            (3, "nbsp\u00a0here zero\u200bwidth\ufeff"),
+            (4, "ctrl\x01chars\x02  and   runs\t\n"),
+            (5, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.normalize_text(docs).collect()}
+    assert out[1].norm_text == '"Smart" \'quotes\''
+    assert out[2].norm_text == "en-dash em-dash..."
+    assert out[3].norm_text == "nbsp here zerowidth"
+    assert out[4].norm_text == "ctrl chars and runs"
+    assert out[5].norm_text == "already clean"
+    assert out[5].changed is False and out[5].n_chars_saved == 0
+    assert all(out[i].changed for i in (1, 2, 3, 4))
