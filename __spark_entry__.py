@@ -57,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # q134 catalog views, q135 stream-static enrichment, q136 protocol
 # table-features lifecycle, q137 intra-document repetition removal,
 # q138 hashed-classifier quality filter, q139 unicode text
-# normalization.
+# normalization, q140 binary-quantization ANN.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

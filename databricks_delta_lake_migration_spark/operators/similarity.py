@@ -684,6 +684,101 @@ def ivfpq_topk(
     )
 
 
+def bq_train(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+):
+    """Binary-quantization thresholds: the per-dimension corpus mean.
+    Returns a Python list of ``dims`` floats — metadata-sized driver
+    state, same posture as the SQ8 bounds. One posexplode →
+    dim-keyed mean aggregate (``dims`` shuffle keys at any corpus
+    size)."""
+    rows = (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("mu"))
+        .collect()
+    )
+    means = [0.0] * dims
+    for r in rows:
+        means[r.pos] = r.mu
+    return means
+
+
+def bq_encode(
+    embeddings: DataFrame,
+    means,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``bq_code``: ONE bit per dimension (sign vs the corpus
+    mean), packed into a single BIGINT for dims ≤ 64 — a 32×
+    compression of float32 vectors. Pure Catalyst fold over
+    ``sequence(0, dims-1)`` with ``shiftleft`` — whole-stage codegen,
+    no Python anywhere.
+
+    At 100 TB this is the memory-bandwidth-optimal first pass: the
+    candidate scan reads 8 bytes per vector and scores with one
+    XOR + popcount."""
+    dims = len(means)
+    if dims > 64:
+        raise ValueError("bq_encode packs into one BIGINT: dims must be <= 64")
+    expr = f"""
+    aggregate(sequence(0, {dims - 1}), cast(0 as bigint),
+              (acc, i) -> acc + if(
+                  cast(element_at({vec_col}, i + 1) as double)
+                      > element_at({_lit_array(means)}, i + 1),
+                  shiftleft(cast(1 as bigint), i), cast(0 as bigint)))
+    """
+    return embeddings.withColumn("bq_code", F.expr(expr))
+
+
+def bq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Binary-quantization ANN top-k: rank the corpus by Hamming
+    distance between 64-bit sign codes (``bit_count(a XOR b)`` — one
+    instruction per candidate), then exact-rerank the best
+    ``rerank × k`` on the original floats.
+
+    The compression ladder this completes: BQ = 1 bit/dim (32×,
+    coarsest), SQ8 = 1 byte/dim (4×, JVM codegen), PQ = m codebook
+    bytes (ADC tables). BQ's first pass is the cheapest possible scan,
+    so its rerank budget matters most — callers trade ``rerank`` up
+    when recall verdicts demand it."""
+    means = bq_train(embeddings, vec_col=vec_col, dims=dims)
+    coded = bq_encode(embeddings, means, vec_col=vec_col)
+    q = coded.filter(F.col(id_col) == query_vec_id).select(
+        F.col("bq_code").alias("q_code")
+    )
+    cands = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            F.bit_count(
+                F.col("bq_code").bitwiseXOR(F.col("q_code"))
+            ).alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(rerank * k)
+        .select(id_col)
+    )
+    probe = cands.union(
+        embeddings.filter(F.col(id_col) == query_vec_id).select(id_col)
+    )
+    subset = embeddings.join(F.broadcast(probe), id_col, "left_semi")
+    return cosine_topk(
+        subset, query_vec_id, k=k, id_col=id_col, vec_col=vec_col, dims=dims
+    )
+
+
 def sq8_train(
     embeddings: DataFrame,
     vec_col: str = "embedding",

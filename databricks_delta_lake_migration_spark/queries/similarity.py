@@ -418,3 +418,24 @@ def q133_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = similarity.sq8_topk(emb, query_vec_id=0, k=10)
     exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
     return _recall_verdict(ann, exact, k=10, threshold=0.5)
+
+
+@query(
+    "q140_bq_topk",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    """,
+)
+def q140_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN top-k [EXT]: one SIGN BIT per dimension
+    packed into a single BIGINT (32× over float32), candidates ranked
+    by ``bit_count(code XOR query)`` — the cheapest possible
+    first-pass scan (8 bytes + one popcount per vector) — then exact
+    cosine re-rank of the top 8k. Completes the compression ladder
+    BQ (1 bit) / SQ8 (1 byte, q133) / PQ (codebook bytes, q96).
+    Hard-checked recall verdict ≥0.5 at k=10 vs exact brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.bq_topk(emb, query_vec_id=0, k=10)
+    exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
+    return _recall_verdict(ann, exact, k=10, threshold=0.5)

@@ -626,3 +626,33 @@ def test_normalize_text_canonicalizes_unicode_punctuation(spark):
     assert out[5].norm_text == "already clean"
     assert out[5].changed is False and out[5].n_chars_saved == 0
     assert all(out[i].changed for i in (1, 2, 3, 4))
+
+
+def test_bq_encode_bit_packing_and_topk_recall(spark):
+    from databricks_delta_lake_migration_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 1.0]),
+            (2, [0.0, 1.0, 1.0]),
+            (3, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # means fixed at 0.5: bits are simply x > 0.5 at each position
+    coded = {r.vec_id: r.bq_code for r in
+             similarity.bq_encode(df, [0.5, 0.5, 0.5]).collect()}
+    assert coded == {1: 0b101, 2: 0b110, 3: 0b000}
+    with __import__("pytest").raises(ValueError, match="<= 64"):
+        similarity.bq_encode(df, [0.0] * 65)
+
+    # recall on the fixture corpus
+    from databricks_delta_lake_migration_spark.queries.registry import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {r.vec_id for r in similarity.cosine_topk(emb, 0, k=10).collect()}
+    ann = {r.vec_id for r in similarity.bq_topk(emb, 0, k=10).collect()}
+    assert len(ann) == 10
+    assert len(exact & ann) / 10 >= 0.5
