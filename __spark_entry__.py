@@ -57,7 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q134 catalog views, q135 stream-static enrichment, q136 protocol
 # table-features lifecycle, q137 intra-document repetition removal,
 # q138 hashed-classifier quality filter, q139 unicode text
-# normalization, q140 binary-quantization ANN.
+# normalization, q140 binary-quantization ANN, q141 stream-stream
+# left-outer interval join.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -858,3 +858,139 @@ def q135_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_weighted"),
     )
+
+
+@query(
+    "q141_stream_outer_interval_join",
+    oracle="""
+    SELECT l.user_id,
+           CAST(l.ts AS TIMESTAMP) AS click_ts,
+           CAST(r.ts AS TIMESTAMP) AS purchase_ts,
+           r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND CAST(r.ts AS TIMESTAMP) > CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def q141_stream_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL stream-stream LEFT OUTER interval join hash-checked against
+    a SQL left range join: the outer complement of q108 — every click
+    with no purchase in the following hour must ALSO emit, with nulls,
+    and only once the watermark proves no match can still arrive
+    (Spark's outer stream-stream semantics). The replay appends two
+    far-future sentinel chunks (a click+purchase pair each, user -1,
+    filtered from the result): the first advances the watermark past
+    every real event, the second triggers the batch in which the
+    eviction is applied and the null rows actually surface —
+    maxFilesPerTrigger=1 forces the three-batch cadence. A plain inner
+    join would drop every never-converted click and hash-mismatch."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming import interval_join
+    from ..tables import LogTable
+
+    def sentinels(offset_hours: int):
+        # one click + one purchase far past every fixture event: both
+        # per-side watermarks advance; user -1 is filtered from output
+        far = int(4102444800 * 1_000_000)  # 2100-01-01 in epoch micros
+        far += offset_hours * 3_600 * 1_000_000
+        return spark.createDataFrame(
+            [(-1, "click", 0.0, far), (-1, "purchase", 0.0, far)],
+            "user_id long, event_type string, value double, ts_us long",
+        )
+
+    root, src = _events_json_chunks(
+        spark,
+        sf_dir,
+        lambda e: e.filter(
+            F.col("event_type").isin("click", "purchase")
+        ).select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        ),
+        lambda e: [e, sentinels(0), sentinels(10)],
+    )
+    wire = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(wire)
+            .format("json")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+
+    left = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("lts"))
+    )
+    right = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("rts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = interval_join(
+        left,
+        right,
+        keys=["user_id"],
+        max_delay="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("lts").alias("click_ts"),
+        F.col("rts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("purchase_ts", T.TimestampType()),
+            T.StructField("purchase_value", T.DoubleType()),
+        ]
+    )
+    table_path = os.path.join(root, "attrib_outer")
+    LogTable.create(spark, table_path, out_schema)
+
+    def sink(bdf, bid):
+        # the sentinel filter MUST live in the sink, not the streaming
+        # plan: as a plan filter Catalyst pushes user_id >= 0 below the
+        # watermark into BOTH sources (left directly; right through the
+        # join-key equality constraint — legal for left outer), so the
+        # watermark-advancing sentinels would never be seen at all and
+        # no outer row could ever be declared final
+        LogTable(spark, table_path).append(bdf.filter(F.col("user_id") >= 0))
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LogTable(spark, table_path).read()

@@ -392,6 +392,7 @@ def interval_join(
     right_ts: str = "rts",
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """[EXT] stream-stream event-time interval join: right events within
     ``(left_ts, left_ts + max_delay]`` of a matching-key left event —
@@ -399,7 +400,15 @@ def interval_join(
     watermarks and the join has a two-sided time bound, so Spark can
     expire buffered state (without the bound, stream-stream join state
     grows forever). Works identically in batch mode, where it plans as
-    a key-equi + time-range join."""
+    a key-equi + time-range join.
+
+    ``how="left_outer"`` additionally emits each unmatched left row
+    with nulls for the right side ONCE the watermark passes its join
+    window (Spark's outer stream-stream semantics: the null result can
+    only be declared final after no matching right row can still
+    arrive) — the "click that never converted" shape. Outer rows
+    surface in the batch AFTER the watermark advance is applied, so a
+    bounded replay needs a trailing watermark-advancing batch."""
     la = left.withWatermark(left_ts, watermark).alias("l")
     ra = right.withWatermark(right_ts, watermark).alias("r")
     key_cond = " AND ".join(f"l.{k} = r.{k}" for k in keys)
@@ -407,7 +416,7 @@ def interval_join(
         f"r.{right_ts} > l.{left_ts} AND "
         f"r.{right_ts} <= l.{left_ts} + INTERVAL {max_delay}"
     )
-    return la.join(ra, F.expr(f"{key_cond} AND {time_cond}"), "inner")
+    return la.join(ra, F.expr(f"{key_cond} AND {time_cond}"), how)
 
 
 def stream_dedup_to_table(
