@@ -58,7 +58,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # table-features lifecycle, q137 intra-document repetition removal,
 # q138 hashed-classifier quality filter, q139 unicode text
 # normalization, q140 binary-quantization ANN, q141 stream-stream
-# left-outer interval join.
+# left-outer interval join, q142 streaming append-mode session
+# windows.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

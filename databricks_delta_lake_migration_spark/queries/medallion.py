@@ -994,3 +994,109 @@ def q141_stream_outer_interval_join(
     )
     q.awaitTermination()
     return LogTable(spark, table_path).read()
+
+
+@query(
+    "q142_stream_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def q142_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL STREAMING session windows in append mode, hash-matched
+    against the gaps-and-islands SQL: q73 runs the same
+    ``session_window`` aggregation in batch mode; here the events
+    replay as a file stream and a session may only emit once the
+    watermark proves its gap can no longer be extended (append-mode
+    finalization — the semantics batch mode never exercises). Two
+    far-future sentinel chunks (user -1, filtered SINK-side per the
+    q141 pushdown trap) advance the watermark past every real event
+    and trigger the batch where the closed sessions surface."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming import session_windowed_counts
+    from ..tables import LogTable
+
+    def sentinels(off_h: int):
+        far = (4102444800 + off_h * 3600) * 1_000_000
+        return spark.createDataFrame(
+            [(-1, 0.0, far)], "user_id long, value double, ts_us long"
+        )
+
+    root, src = _events_json_chunks(
+        spark,
+        sf_dir,
+        lambda e: e.select(
+            "user_id", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+        ),
+        lambda e: [e, sentinels(0), sentinels(10)],
+    )
+    wire = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(wire)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    sessions = session_windowed_counts(
+        stream, ts_col="ts", gap="30 minutes", watermark="30 minutes",
+        group_cols=["user_id"],
+    ).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    table_path = os.path.join(root, "sessions")
+    LogTable.create(spark, table_path, out_schema)
+
+    def sink(bdf, bid):
+        LogTable(spark, table_path).append(
+            bdf.filter(F.col("user_id") >= 0)
+        )
+
+    q = (
+        sessions.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LogTable(spark, table_path).read()
