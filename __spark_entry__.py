@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # q138 hashed-classifier quality filter, q139 unicode text
 # normalization, q140 binary-quantization ANN, q141 stream-stream
 # left-outer interval join, q142 streaming append-mode session
-# windows.
+# windows, q143 binned no-equi-key range join.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -1539,3 +1539,64 @@ def q134_catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(ROUND(SUM(CAST(spend AS DECIMAL(18,4))), 4) AS DOUBLE) AS big_spend "
         "FROM silver.big_customers"
     )
+
+
+@query(
+    "q143_binned_range_join",
+    oracle="""
+    WITH windows AS (
+        SELECT o_orderkey AS window_id, o_orderdate AS ws,
+               o_orderdate + INTERVAL 7 DAY AS we
+        FROM orders WHERE o_orderkey % 97 = 0
+    ), points AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem WHERE l_orderkey % 7 = 0
+    )
+    SELECT w.window_id,
+           CAST(COUNT(p.l_orderkey) AS BIGINT) AS n_shipments
+    FROM windows w
+    LEFT JOIN points p
+      ON p.l_shipdate >= w.ws AND p.l_shipdate < w.we
+    GROUP BY w.window_id
+    """,
+)
+def q143_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join with NO equi key
+    (``operators/rangejoin.py:binned_range_join``): how many sampled
+    lineitem shipments fall inside each sampled 7-day order window —
+    a pure interval-containment predicate, the shape Catalyst can only
+    plan as a nested loop / cartesian. The operator quantizes dates
+    into 7-day bins, explodes each window across its (≤2) overlapping
+    bins, hash-joins points on their single containing bin, and
+    re-checks the exact predicate — one ordinary equi shuffle at any
+    scale. Zero-match windows are restored by a left join from the
+    window list (the operator is inner by construction)."""
+    from ..operators.rangejoin import binned_range_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_id"),
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("ws"),
+            (F.unix_date(F.col("o_orderdate").cast("date")) + 7).alias("we"),
+        )
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_orderkey",
+            F.unix_date(F.col("l_shipdate").cast("date")).alias("pd"),
+        )
+    )
+    matched = binned_range_join(
+        l, o, point_col="pd", start_col="ws", end_col="we", bin_width=7
+    )
+    counts = matched.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return o.select("window_id").join(counts, "window_id", "left").select(
+        "window_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shipments"),
+    )

@@ -656,3 +656,65 @@ def test_bq_encode_bit_packing_and_topk_recall(spark):
     ann = {r.vec_id for r in similarity.bq_topk(emb, 0, k=10).collect()}
     assert len(ann) == 10
     assert len(exact & ann) / 10 >= 0.5
+
+
+def test_binned_range_join_equals_raw_predicate(spark):
+    import pytest as _pytest
+
+    from databricks_delta_lake_migration_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([-15, -7, -1, 0, 3, 7, 10, 49, 50, 99])],
+        "pid long, p long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, -10, 5),    # spans negative/positive, several bins
+            (2, 0, 7),      # exactly one bin
+            (3, 7, 7),      # empty: start == end -> matches nothing
+            (4, 50, 49),    # reversed: must NOT resurrect via sequence
+            (5, 49, 51),    # bin-boundary straddle
+            (6, -100, 200), # covers everything
+        ],
+        "iid long, s long, e long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in binned_range_join(
+            points, intervals, "p", "s", "e", bin_width=7
+        ).collect()
+    )
+    expect = sorted(
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter("p >= s AND p < e")
+        .collect()
+    )
+    assert got == expect
+    # no duplicates by construction
+    assert len(got) == len(set(got))
+    with _pytest.raises(ValueError, match="positive"):
+        binned_range_join(points, intervals, "p", "s", "e", bin_width=0)
+
+
+def test_binned_range_join_plan_has_no_nested_loop(spark):
+    from databricks_delta_lake_migration_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    points = spark.range(1000).selectExpr("id AS pid", "id AS p")
+    intervals = spark.range(200).selectExpr(
+        "id AS iid", "id * 5 AS s", "id * 5 + 12 AS e"
+    )
+    joined = binned_range_join(points, intervals, "p", "s", "e", bin_width=8)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the raw predicate, by contrast, can only nest-loop
+    raw = points.join(
+        intervals, (points.p >= intervals.s) & (points.p < intervals.e)
+    )
+    raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" in raw_plan or "CartesianProduct" in raw_plan
