@@ -59,7 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q138 hashed-classifier quality filter, q139 unicode text
 # normalization, q140 binary-quantization ANN, q141 stream-stream
 # left-outer interval join, q142 streaming append-mode session
-# windows, q143 binned no-equi-key range join.
+# windows, q143 binned no-equi-key range join, q144 stateful
+# running totals (applyInPandasWithState).
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

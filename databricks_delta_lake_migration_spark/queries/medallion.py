@@ -1100,3 +1100,87 @@ def q142_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return LogTable(spark, table_path).read()
+
+
+@query(
+    "q144_stateful_running_totals",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q144_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator driven end-to-end
+    (``streaming/stateful.py:running_totals`` —
+    ``applyInPandasWithState``): the events fixture replays as TWO
+    micro-batches (a 40/60 split) so per-user counters must flow
+    through the checkpointed state store between batches, update-mode
+    emissions MERGE into a log table on the key, and the final table
+    must equal the all-time SQL aggregate. Values ride as integer
+    cents, so the state accumulation is exact in any engine and
+    arrival order (float sums of integers are exact below 2**53)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming import running_totals
+    from ..tables import LogTable
+
+    root, src = _events_json_chunks(
+        spark,
+        sf_dir,
+        lambda e: e.select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "event_id",
+        ),
+        lambda e: [
+            e.filter(F.col("event_id") % 5 < 2),
+            e.filter(F.col("event_id") % 5 >= 2),
+        ],
+    )
+    wire = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(wire)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    totals = running_totals(stream, key_col="user_id", value_col="cents")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_cents", T.DoubleType()),
+        ]
+    )
+    table_path = os.path.join(root, "totals")
+    t = LogTable.create(spark, table_path, out_schema)
+
+    def sink(bdf, bid):
+        LogTable(spark, table_path).upsert(
+            bdf.withColumnRenamed("total_value", "total_cents"),
+            key_columns=["user_id"],
+        )
+
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LogTable(spark, table_path).read()
