@@ -60,7 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # normalization, q140 binary-quantization ANN, q141 stream-stream
 # left-outer interval join, q142 streaming append-mode session
 # windows, q143 binned no-equi-key range join, q144 stateful
-# running totals (applyInPandasWithState).
+# running totals (applyInPandasWithState), q145 log table as a
+# streaming source (readStream-from-table).
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

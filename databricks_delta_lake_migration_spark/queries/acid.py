@@ -1440,3 +1440,53 @@ def q136_protocol_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps,
         "step string, min_reader int, min_writer int, features string, rows_ok boolean",
     ).orderBy("step")
+
+
+@query(
+    "q145_table_stream_source",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 <> 0
+    """,
+)
+def q145_table_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log table as a STREAMING SOURCE (D36 — Delta's
+    ``readStream.format("delta")``, the reference's change-propagation
+    complement to its streaming sink): the DML target builds up over
+    THREE append commits with an OPTIMIZE compaction in between, then
+    streams — via the Spark 4 Python Data Source (version-granular
+    offsets, one InputPartition per added file, pure-python log
+    planning) — into a second log table. The OPTIMIZE rewrite must be
+    skipped (Delta's dataChange=false), or the compacted rows would
+    double; the result hash-matches SELECTing the source rows."""
+    import os
+    import tempfile
+
+    from ..streaming import read_table_stream
+
+    target = _orders_subset(spark, sf_dir)
+    src_path = _scratch("streamsrc")
+    t = LogTable.create(spark, src_path, target.schema)
+    t.append(target.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(target.filter(F.col("o_orderkey") % 3 == 1))
+    t.optimize()  # rewrite-only commit: the source must NOT re-emit
+    t.append(target.filter(F.col("o_orderkey") % 3 == 2))
+
+    out_path = _scratch("streamdst")
+    LogTable.create(spark, out_path, target.schema)
+
+    def sink(bdf, bid):
+        LogTable(spark, out_path).append(bdf)
+
+    q = (
+        read_table_stream(spark, src_path)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="tsrc-ck-"), "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LogTable(spark, out_path).read()

@@ -13,3 +13,7 @@ from .ingest import (  # noqa: F401
     windowed_counts,
 )
 from .stateful import running_totals  # noqa: F401
+from .table_source import (  # noqa: F401
+    LogTableStreamDataSource,
+    read_table_stream,
+)

@@ -1,0 +1,254 @@
+"""Log table as a STREAMING SOURCE — the ``readStream.format("delta")``
+analog (Delta's streaming source semantics: stream the table's appended
+files version-by-version), built on Spark 4's Python Data Source API.
+
+Semantics mirrored from Delta's source:
+
+- offsets are table VERSIONS; each micro-batch covers the commits in
+  ``(start, end]`` and emits the rows their added files contain;
+- rewrite-only commits (OPTIMIZE / ZORDER — Delta's
+  ``dataChange=false`` adds) are SKIPPED: the data did not change, so
+  re-emitting the compacted files would double-count;
+- data-CHANGING commits (UPDATE / DELETE / MERGE / overwrite /
+  RESTORE / DV deletes) make the source raise, exactly like Delta,
+  unless ``ignoreChanges=true`` — in which case their added
+  (rewritten) files stream through and downstream must tolerate
+  re-delivery of unchanged rows, the documented Delta caveat;
+- ``startingVersion`` begins the stream at a later commit (default 0 =
+  the whole table history, which for an append-only table equals the
+  full current contents).
+
+Scale design: the planner folds ONLY the commit JSONs (pure-Python,
+metadata-sized, no SparkSession in the planning worker); each added
+parquet file becomes one InputPartition, and executors read their file
+with pyarrow directly — the per-batch work distributes exactly like
+Delta's file-granular streaming source. Hive-style partition values are
+parsed from directory names and injected; physical→logical column
+mapping (RENAME COLUMN tables) is applied from the mapping property;
+columns added later surface as NULL for pre-DDL files; dropped/hidden
+physical columns (row-tracking ids) are pruned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date
+from typing import Iterator
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_log"
+MAPPING_PROP = "columnmapping.map"
+
+# rewrite-only maintenance: adds carry no new data (Delta dataChange=false)
+_DATA_UNCHANGED_OPS = {"OPTIMIZE", "ZORDER"}
+
+
+class _PlainLog:
+    """Pure-python commit-log reader: folds schema / properties / adds
+    without a SparkSession (the data source's planning worker has
+    none). Checkpoint-aware for prefix-pruned logs."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log = os.path.join(path, LOG_DIR)
+        if not os.path.isdir(self.log):
+            raise FileNotFoundError(f"not a log table: {path}")
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(n.split(".")[0])
+            for n in os.listdir(self.log)
+            if n.endswith(".json")
+        )
+
+    def commit(self, v: int) -> dict:
+        with open(os.path.join(self.log, f"{v:020d}.json")) as fh:
+            return json.load(fh)
+
+    def state(self) -> tuple[str, dict]:
+        """(schema_json, properties) at the latest version, seeded from
+        the newest checkpoint when the log prefix was pruned."""
+        vs = self.versions()
+        schema, props = None, {}
+        if vs and vs[0] != 0:
+            cps = sorted(
+                int(n.split(".")[0])
+                for n in os.listdir(self.log)
+                if n.endswith(".checkpoint")
+            )
+            base = [c for c in cps if c <= vs[0]]
+            if base:
+                with open(
+                    os.path.join(self.log, f"{base[-1]:020d}.checkpoint")
+                ) as fh:
+                    st = json.load(fh)
+                schema, props = st.get("schema"), dict(
+                    st.get("properties") or {}
+                )
+        for v in vs:
+            c = self.commit(v)
+            if c.get("schema"):
+                schema = c["schema"]
+            if c.get("properties") is not None:
+                # mirror logtable._PROPS_REPLACE_OPS: those ops carry
+                # the full post-op map
+                if c.get("operation") in {
+                    "UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN",
+                    "RESTORE", "ALTER COLUMN", "DROP FEATURE",
+                }:
+                    props = dict(c["properties"])
+                else:
+                    props.update(c["properties"])
+        if schema is None:
+            raise FileNotFoundError(f"no schema in log: {self.path}")
+        return schema, props
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, file_path, part_values, inv_mapping, schema_json):
+        self.file_path = file_path
+        self.part_values = part_values  # [(logical_col, raw_string)]
+        self.inv_mapping = inv_mapping  # physical -> logical
+        self.schema_json = schema_json
+
+
+def _parse_partition_values(rel_path: str) -> list[tuple[str, str]]:
+    out = []
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out.append((unquote(k), unquote(v)))
+    return out
+
+
+def _pycast(raw: str, spark_type: str):
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if spark_type in ("long", "integer", "short", "byte"):
+        return int(raw)
+    if spark_type in ("double", "float"):
+        return float(raw)
+    if spark_type == "date":
+        return date.fromisoformat(raw)
+    if spark_type == "boolean":
+        return raw.lower() == "true"
+    if spark_type == "string":
+        return raw
+    raise ValueError(
+        f"unsupported partition column type for streaming source: "
+        f"{spark_type}"
+    )
+
+
+class LogTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.starting = int(options.get("startingversion", 0))
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting - 1}
+
+    def latestOffset(self) -> dict:
+        vs = _PlainLog(self.path).versions()
+        return {"version": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        log = _PlainLog(self.path)
+        schema_json, props = log.state()
+        mapping = json.loads(props.get(MAPPING_PROP, "{}"))
+        inv = {phys: logical for logical, phys in mapping.items()}
+        have = set(log.versions())
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            if v < 0 or v not in have:
+                continue  # pruned prefix below startingVersion
+            c = log.commit(v)
+            op = c.get("operation", "")
+            changes = bool(c.get("remove")) or bool(
+                c.get("deletionVectors")
+            )
+            if changes and op in _DATA_UNCHANGED_OPS:
+                continue  # compaction rewrite: data unchanged, skip
+            if changes and not self.ignore_changes:
+                raise RuntimeError(
+                    f"streaming source found a data-changing commit "
+                    f"(version {v}, {op}) in {self.path}; restart from a "
+                    "newer startingVersion or set ignoreChanges=true "
+                    "(downstream must then tolerate re-delivered rows)"
+                )
+            for f in c.get("add", []):
+                rel = f["path"]
+                out.append(
+                    _FileSlice(
+                        os.path.join(f.get("base") or self.path, rel),
+                        _parse_partition_values(rel),
+                        inv,
+                        schema_json,
+                    )
+                )
+        return out
+
+    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        schema = StructType.fromJson(json.loads(partition.schema_json))
+        tbl = pq.read_table(partition.file_path)
+        cols = {}
+        for name in tbl.column_names:
+            logical = partition.inv_mapping.get(name, name)
+            cols[logical] = tbl.column(name).to_pylist()
+        n = tbl.num_rows
+        part = dict(partition.part_values)
+        rows_by_field = []
+        for fld in schema.fields:
+            if fld.name in cols:
+                rows_by_field.append(cols[fld.name])
+            elif fld.name in part:
+                v = _pycast(part[fld.name], fld.dataType.typeName())
+                rows_by_field.append([v] * n)
+            else:
+                # column added by later DDL: pre-DDL files yield NULLs
+                rows_by_field.append([None] * n)
+        yield from zip(*rows_by_field)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class LogTableStreamDataSource(DataSource):
+    """``spark.readStream.format("logtable_stream").load(path)`` after
+    ``spark.dataSource.register(LogTableStreamDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "logtable_stream"
+
+    def schema(self):
+        schema_json, _ = _PlainLog(self.options["path"]).state()
+        return StructType.fromJson(json.loads(schema_json))
+
+    def streamReader(self, schema):
+        return LogTableStreamReader(self.options)
+
+
+def read_table_stream(spark, path: str, **options):
+    """Convenience: register the source (idempotent) and open a
+    streaming DataFrame over the log table at ``path``. Options:
+    ``startingVersion`` (int, default 0), ``ignoreChanges`` (bool,
+    default false)."""
+    spark.dataSource.register(LogTableStreamDataSource)
+    r = spark.readStream.format("logtable_stream").option("path", path)
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    return r.load()

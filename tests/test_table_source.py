@@ -1,0 +1,148 @@
+"""Log table as a streaming SOURCE (the ``readStream.format("delta")``
+analog — Delta streaming source semantics via Spark 4's Python Data
+Source API): version-granular offsets, checkpointed resume streams only
+NEW commits, OPTIMIZE rewrites are skipped (dataChange=false), data-
+changing commits raise unless ignoreChanges, partition values are
+re-injected from hive paths, and column mapping / late-added columns
+resolve to the logical schema."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_delta_lake_migration_spark.streaming import read_table_stream
+from databricks_delta_lake_migration_spark.tables import LogTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _drain(spark, df, ck):
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(tuple(r) for r in bdf.collect())
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_stream_source_incremental_resume(spark, tmp_path):
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(5)], SCHEMA))
+
+    ck = str(tmp_path / "ck")
+    got1 = _drain(spark, read_table_stream(spark, t.path), ck)
+    assert sorted(got1) == [(i, float(i)) for i in range(5)]
+
+    # new commits land; the SAME checkpoint resumes and sees ONLY them
+    t.append(spark.createDataFrame([(9, 9.0)], SCHEMA))
+    t.append(spark.createDataFrame([(10, 10.0)], SCHEMA))
+    got2 = _drain(spark, read_table_stream(spark, t.path), ck)
+    assert sorted(got2) == [(9, 9.0), (10, 10.0)]
+
+    # idle table: nothing re-delivers
+    assert _drain(spark, read_table_stream(spark, t.path), ck) == []
+
+
+def test_stream_source_skips_optimize_raises_on_update(spark, tmp_path):
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, float(i))], SCHEMA))
+    t.optimize()  # rewrite-only: dataChange=false analog
+
+    got = _drain(
+        spark, read_table_stream(spark, t.path), str(tmp_path / "ck1")
+    )
+    assert sorted(got) == [(i, float(i)) for i in range(3)]  # no doubles
+
+    t.update("id = 1", {"v": "v + 100"})
+    with pytest.raises(Exception, match="data-changing commit"):
+        _drain(
+            spark, read_table_stream(spark, t.path), str(tmp_path / "ck2")
+        )
+
+    # ignoreChanges: the rewritten file re-delivers (documented caveat)
+    got = _drain(
+        spark,
+        read_table_stream(spark, t.path, ignoreChanges=True),
+        str(tmp_path / "ck3"),
+    )
+    assert (1, 101.0) in got
+
+
+def test_stream_source_starting_version(spark, tmp_path):
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(spark.createDataFrame([(1, 1.0)], SCHEMA))  # v1
+    t.append(spark.createDataFrame([(2, 2.0)], SCHEMA))  # v2
+    got = _drain(
+        spark,
+        read_table_stream(spark, t.path, startingVersion=2),
+        str(tmp_path / "ck"),
+    )
+    assert got == [(2, 2.0)]
+
+
+def test_stream_source_partition_values_and_column_mapping(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("day", T.DateType()),
+        ]
+    )
+    t = LogTable.create(
+        spark, str(tmp_path / "t"), schema, partition_by=["region", "day"]
+    )
+    import datetime
+
+    rows = [
+        (1, "eu", datetime.date(2024, 1, 1)),
+        (2, "us", datetime.date(2024, 1, 2)),
+    ]
+    t.append(spark.createDataFrame(rows, schema))
+    t.rename_column("id", "entity_id")  # column mapping kicks in
+    t.append(
+        spark.createDataFrame(
+            [(3, "ap", datetime.date(2024, 1, 3))],
+            "entity_id long, region string, day date",
+        )
+    )
+
+    got = _drain(
+        spark, read_table_stream(spark, t.path), str(tmp_path / "ck")
+    )
+    assert sorted(got) == [
+        (1, "eu", datetime.date(2024, 1, 1)),
+        (2, "us", datetime.date(2024, 1, 2)),
+        (3, "ap", datetime.date(2024, 1, 3)),
+    ]
+
+
+def test_stream_source_late_added_column_yields_nulls(spark, tmp_path):
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(spark.createDataFrame([(1, 1.0)], SCHEMA))
+    t.add_columns(T.StructType([T.StructField("tag", T.StringType())]))
+    t.append(
+        spark.createDataFrame(
+            [(2, 2.0, "x")], "id long, v double, tag string"
+        )
+    )
+    got = _drain(
+        spark, read_table_stream(spark, t.path), str(tmp_path / "ck")
+    )
+    assert sorted(got, key=lambda r: r[0]) == [(1, 1.0, None), (2, 2.0, "x")]
