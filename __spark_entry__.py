@@ -61,7 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # left-outer interval join, q142 streaming append-mode session
 # windows, q143 binned no-equi-key range join, q144 stateful
 # running totals (applyInPandasWithState), q145 log table as a
-# streaming source (readStream-from-table).
+# streaming source (readStream-from-table), q146 streaming change
+# data feed.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -1490,3 +1490,73 @@ def q145_table_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return LogTable(spark, out_path).read()
+
+
+@query(
+    "q146_stream_change_feed",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM t
+    UNION ALL
+    SELECT 'update_preimage', COUNT(*), SUM(o_orderkey)
+    FROM t WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'update_postimage', COUNT(*), SUM(o_orderkey)
+    FROM t WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'delete', COUNT(*), SUM(o_orderkey)
+    FROM t WHERE o_orderkey % 5 = 0
+    """,
+)
+def q146_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Change Data Feed (D36 — Delta's
+    ``readChangeFeed=true`` streaming source): a full DML program
+    (append → UPDATE → DELETE) runs against a CDF-enabled table, then
+    the row-level change feed streams — inserts, update pre/post
+    images, deletes — through the Python Data Source and is aggregated
+    per change type. Unlike q64's batch CDF scan, the stream's offsets
+    are commit versions, so a checkpointed consumer resumes mid-feed
+    (exercised in ``tests/test_table_source.py``)."""
+    import os
+    import tempfile
+
+    from ..streaming import read_table_stream
+
+    target = _orders_subset(spark, sf_dir)
+    path = _scratch("streamcdf")
+    t = LogTable.create(spark, path, target.schema)
+    t.set_properties({"enableChangeDataFeed": "true"})
+    t.append(target)
+    t.update("o_orderkey % 2 = 0", {"o_totalprice": "o_totalprice * 2"})
+    t.delete("o_orderkey % 5 = 0")
+
+    changes = read_table_stream(spark, path, readChangeFeed=True)
+    agg = []
+
+    def sink(bdf, bid):
+        agg.extend(
+            bdf.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+            .collect()
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="cdf-ck-"), "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(r._change_type, r.n, r.key_sum) for r in agg],
+        "change_type string, n long, key_sum long",
+    )

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import json
 import os
-from datetime import date
+from datetime import date, timezone
 from typing import Iterator
 from urllib.parse import unquote
 
@@ -45,7 +45,17 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 LOG_DIR = "_log"
+CHANGES_DIR = "_changes"
 MAPPING_PROP = "columnmapping.map"
+CDF_PROP = "enableChangeDataFeed"
+CDF_FIELDS = [
+    {"name": "_change_type", "type": "string", "nullable": True,
+     "metadata": {}},
+    {"name": "_commit_version", "type": "long", "nullable": True,
+     "metadata": {}},
+    {"name": "_commit_timestamp", "type": "timestamp", "nullable": True,
+     "metadata": {}},
+]
 
 # rewrite-only maintenance: adds carry no new data (Delta dataChange=false)
 _DATA_UNCHANGED_OPS = {"OPTIMIZE", "ZORDER"}
@@ -155,6 +165,9 @@ class LogTableStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        self.cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self.starting - 1}
@@ -166,6 +179,8 @@ class LogTableStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         log = _PlainLog(self.path)
         schema_json, props = log.state()
+        if self.cdf:
+            return self._cdf_partitions(log, schema_json, props, start, end)
         mapping = json.loads(props.get(MAPPING_PROP, "{}"))
         inv = {phys: logical for logical, phys in mapping.items()}
         have = set(log.versions())
@@ -199,6 +214,39 @@ class LogTableStreamReader(DataSourceStreamReader):
                 )
         return out
 
+    def _cdf_partitions(self, log, schema_json, props, start, end):
+        """Streaming CHANGE DATA FEED (Delta's
+        ``readChangeFeed=true`` streaming source): each micro-batch
+        carries the row-level change files of the commits in
+        ``(start, end]`` — inserts, update pre/post images, deletes —
+        so a downstream CDC consumer sees every mutation, not just
+        appends. No skip/raise logic applies: mutations are the
+        payload. Change files store the full row plus the three CDF
+        columns and are unpartitioned, so no value re-injection."""
+        if props.get(CDF_PROP, "false") != "true":
+            raise RuntimeError(
+                f"{CDF_PROP} is not enabled on {self.path} — streaming "
+                "readChangeFeed requires it"
+            )
+        sch = json.loads(schema_json)
+        sch["fields"] = list(sch["fields"]) + CDF_FIELDS
+        cdf_schema_json = json.dumps(sch)
+        mapping = json.loads(props.get(MAPPING_PROP, "{}"))
+        inv = {phys: logical for logical, phys in mapping.items()}
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            d = os.path.join(self.path, CHANGES_DIR, f"v={v:020d}")
+            if v < 0 or not os.path.isdir(d):
+                continue  # metadata-only commit: no change files
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    out.append(
+                        _FileSlice(
+                            os.path.join(d, name), [], inv, cdf_schema_json
+                        )
+                    )
+        return out
+
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
@@ -213,7 +261,17 @@ class LogTableStreamReader(DataSourceStreamReader):
         rows_by_field = []
         for fld in schema.fields:
             if fld.name in cols:
-                rows_by_field.append(cols[fld.name])
+                vals = cols[fld.name]
+                if fld.dataType.typeName() == "timestamp":
+                    # parquet may surface tz-naive datetimes; Spark's
+                    # converter requires tz-aware for TimestampType
+                    vals = [
+                        v.replace(tzinfo=timezone.utc)
+                        if v is not None and v.tzinfo is None
+                        else v
+                        for v in vals
+                    ]
+                rows_by_field.append(vals)
             elif fld.name in part:
                 v = _pycast(part[fld.name], fld.dataType.typeName())
                 rows_by_field.append([v] * n)
@@ -236,7 +294,10 @@ class LogTableStreamDataSource(DataSource):
 
     def schema(self):
         schema_json, _ = _PlainLog(self.options["path"]).state()
-        return StructType.fromJson(json.loads(schema_json))
+        sch = json.loads(schema_json)
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            sch["fields"] = list(sch["fields"]) + CDF_FIELDS
+        return StructType.fromJson(sch)
 
     def streamReader(self, schema):
         return LogTableStreamReader(self.options)

@@ -146,3 +146,51 @@ def test_stream_source_late_added_column_yields_nulls(spark, tmp_path):
         spark, read_table_stream(spark, t.path), str(tmp_path / "ck")
     )
     assert sorted(got, key=lambda r: r[0]) == [(1, 1.0, None), (2, 2.0, "x")]
+
+
+def test_stream_source_change_feed(spark, tmp_path):
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.set_properties({"enableChangeDataFeed": "true"})
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], SCHEMA))
+    t.update("id = 1", {"v": "v + 10"})
+    t.delete("id = 2")
+
+    ck = str(tmp_path / "ck")
+    got = _drain(
+        spark,
+        read_table_stream(spark, t.path, readChangeFeed=True),
+        ck,
+    )
+    # (id, v, change_type, commit_version)
+    ev = sorted((r[0], r[1], r[2], r[3]) for r in got)
+    assert ev == sorted(
+        [
+            (1, 1.0, "insert", 2),
+            (1, 1.0, "update_preimage", 3),
+            (1, 11.0, "update_postimage", 3),
+            (2, 2.0, "insert", 2),
+            (2, 2.0, "delete", 4),
+        ]
+    )
+
+    # resume: only NEW changes re-deliver
+    t.update("id = 1", {"v": "v * 2"})
+    got2 = _drain(
+        spark,
+        read_table_stream(spark, t.path, readChangeFeed=True),
+        ck,
+    )
+    assert sorted((r[0], r[1], r[2]) for r in got2) == [
+        (1, 11.0, "update_preimage"),
+        (1, 22.0, "update_postimage"),
+    ]
+
+    # CDF off -> loud refusal
+    t2 = LogTable.create(spark, str(tmp_path / "t2"), SCHEMA)
+    t2.append(spark.createDataFrame([(1, 1.0)], SCHEMA))
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        _drain(
+            spark,
+            read_table_stream(spark, t2.path, readChangeFeed=True),
+            str(tmp_path / "ck2"),
+        )
