@@ -194,3 +194,28 @@ def test_stream_source_change_feed(spark, tmp_path):
             read_table_stream(spark, t2.path, readChangeFeed=True),
             str(tmp_path / "ck2"),
         )
+
+
+def test_plainlog_state_matches_logtable_across_ddl(spark, tmp_path):
+    """The streaming source plans from a pure-python log fold
+    (_PlainLog) with no SparkSession; it must agree with LogTable's
+    own replay for schema and properties across every property-bearing
+    DDL shape (merge vs replace semantics), or the source would plan
+    against a stale schema/mapping."""
+    import json
+
+    from databricks_delta_lake_migration_spark.streaming.table_source import (
+        _PlainLog,
+    )
+
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(spark.createDataFrame([(1, 1.0)], SCHEMA))
+    t.set_properties({"enableChangeDataFeed": "true", "k": "v"})
+    t.add_columns(T.StructType([T.StructField("tag", T.StringType())]))
+    t.rename_column("v", "val")        # props REPLACE op + mapping
+    t.unset_properties(["k"])          # props REPLACE op
+    t.update("id = 1", {"val": "val + 1"})
+
+    schema_json, props = _PlainLog(t.path).state()
+    assert T.StructType.fromJson(json.loads(schema_json)) == t.schema()
+    assert props == t.properties()
