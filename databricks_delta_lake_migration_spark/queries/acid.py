@@ -1560,3 +1560,106 @@ def q146_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r._change_type, r.n, r.key_sum) for r in agg],
         "change_type string, n long, key_sum long",
     )
+
+
+@query(
+    "q147_cdc_replication_pipeline",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'R' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT * FROM base WHERE o_orderkey % 5 <> 0
+    """,
+)
+def q147_cdc_replication_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC REPLICATION through the streaming change feed —
+    the canonical Delta pattern (stream ``table_changes`` → foreachBatch
+    MERGE): a source table takes a full DML program (append → UPDATE
+    doubling even keys → DELETE of %5 keys), its row-level change feed
+    streams through the Python Data Source, and each micro-batch
+    applies the LATEST change per key to a replica (upsert postimages/
+    inserts, delete deletes; preimages and superseded intra-batch
+    changes are dropped by a version-ordered keep-last window). The
+    replica must hash-equal the source's final state — replication
+    correctness, not just feed correctness (q146)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming import read_table_stream
+
+    target = _orders_subset(spark, sf_dir)
+    src_path = _scratch("cdcsrc")
+    t = LogTable.create(spark, src_path, target.schema)
+    t.set_properties({"enableChangeDataFeed": "true"})
+    t.append(target)
+    t.update(
+        "o_orderkey % 2 = 0",
+        {"o_orderstatus": "'R'", "o_totalprice": "o_totalprice * 2"},
+    )
+    t.delete("o_orderkey % 5 = 0")
+
+    rep_path = _scratch("cdcrep")
+    LogTable.create(spark, rep_path, target.schema)
+
+    def apply_changes(bdf, bid):
+        rep = LogTable(spark, rep_path)
+        # keep-last per key: version-ordered, postimage/insert/delete
+        # only (preimages carry no new state)
+        w = Window.partitionBy("o_orderkey").orderBy(
+            F.col("_commit_version").desc()
+        )
+        latest = (
+            bdf.filter(F.col("_change_type") != "update_preimage")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # ONE clause-form MERGE applies the whole batch — no driver-side
+        # key collection, delete/update/insert routed per change type
+        (
+            rep.merge(
+                latest.select(
+                    "o_orderkey",
+                    "o_orderstatus",
+                    "o_totalprice",
+                    "_change_type",
+                ),
+                "target.o_orderkey = source.o_orderkey",
+            )
+            .when_matched_delete("source._change_type = 'delete'")
+            .when_matched_update(
+                {
+                    "o_orderstatus": "source.o_orderstatus",
+                    "o_totalprice": "source.o_totalprice",
+                }
+            )
+            .when_not_matched_insert(
+                {
+                    "o_orderkey": "source.o_orderkey",
+                    "o_orderstatus": "source.o_orderstatus",
+                    "o_totalprice": "source.o_totalprice",
+                },
+                condition="source._change_type <> 'delete'",
+            )
+            .execute()
+        )
+
+    q = (
+        read_table_stream(spark, src_path, readChangeFeed=True)
+        .writeStream.foreachBatch(apply_changes)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="cdcrep-ck-"), "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LogTable(spark, rep_path).read()
