@@ -1501,13 +1501,16 @@ def q145_table_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM t
     UNION ALL
-    SELECT 'update_preimage', COUNT(*), SUM(o_orderkey)
+    SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
     FROM t WHERE o_orderkey % 2 = 0
     UNION ALL
-    SELECT 'update_postimage', COUNT(*), SUM(o_orderkey)
+    SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
     FROM t WHERE o_orderkey % 2 = 0
     UNION ALL
-    SELECT 'delete', COUNT(*), SUM(o_orderkey)
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
     FROM t WHERE o_orderkey % 5 = 0
     """,
 )
