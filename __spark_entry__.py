@@ -62,7 +62,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, q143 binned no-equi-key range join, q144 stateful
 # running totals (applyInPandasWithState), q145 log table as a
 # streaming source (readStream-from-table), q146 streaming change
-# data feed, q147 CDC replication pipeline (feed -> MERGE-apply).
+# data feed, q147 CDC replication pipeline (feed -> MERGE-apply),
+# q148 expectation quarantine routing.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

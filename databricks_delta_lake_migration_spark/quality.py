@@ -227,3 +227,32 @@ def validate_migration(source: DataFrame, target: DataFrame, ignore_cols: list[s
         "extra_columns": sorted(t_cols - s_cols),
         "schema_match": s_cols == t_cols,
     }
+
+
+def quarantine_expectations(
+    df: DataFrame, rules: list[Expectation]
+) -> DataFrame:
+    """DLT-style quarantine routing [EXT]: instead of silently dropping
+    violating rows (``apply_expectations``), annotate EVERY row with
+    ``quarantined`` (violates any drop/fail rule) and
+    ``violated_rules`` (sorted CSV of the rule names it fails, warn
+    rules included) — so bad rows land in a quarantine table with their
+    reasons for triage/replay instead of disappearing.
+
+    Row-local: one chained expression per rule, zero shuffles and a
+    single scan whether the caller routes both halves or only one."""
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~r.passes(), F.lit(r.name)).otherwise(F.lit(None))
+                for r in rules
+            ]
+        )
+    )
+    gate = F.lit(False)
+    for r in rules:
+        if r.action in ("drop", "fail"):
+            gate = gate | ~r.passes()
+    return df.withColumn(
+        "violated_rules", F.array_join(F.array_sort(failed), ",")
+    ).withColumn("quarantined", gate)

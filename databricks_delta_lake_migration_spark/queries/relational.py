@@ -1600,3 +1600,42 @@ def q143_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_id",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shipments"),
     )
+
+
+@query(
+    "q148_quarantine_routing",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN NOT COALESCE(o_orderdate >= DATE '1993-01-01', FALSE)
+                  OR NOT COALESCE(o_totalprice < 400000, FALSE)
+                THEN TRUE ELSE FALSE END AS quarantined,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER([
+               CASE WHEN NOT COALESCE(o_orderdate >= DATE '1993-01-01', FALSE)
+                    THEN 'recent_order' END,
+               CASE WHEN NOT COALESCE(o_totalprice < 400000, FALSE)
+                    THEN 'sane_price' END,
+               CASE WHEN NOT COALESCE(o_orderpriority LIKE '%-%', FALSE)
+                    THEN 'priority_format' END
+           ], x -> x IS NOT NULL)), ','), '') AS violated_rules
+    FROM orders
+    """,
+)
+def q148_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation QUARANTINE routing [EXT]
+    (``quality.quarantine_expectations`` — the DLT quarantine-table
+    pattern): every row is annotated with whether it violates any
+    drop/fail rule and the sorted CSV of ALL rules it fails (warn rules
+    included), so bad rows land in a quarantine table with their
+    reasons instead of silently disappearing (q99 drops them). Single
+    scan, row-local expressions, zero shuffles."""
+    from ..quality import Expectation, quarantine_expectations
+
+    rules = [
+        Expectation("recent_order", "o_orderdate >= DATE '1993-01-01'", "drop"),
+        Expectation("sane_price", "o_totalprice < 400000", "fail"),
+        Expectation("priority_format", "o_orderpriority LIKE '%-%'", "warn"),
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    return quarantine_expectations(o, rules).select(
+        "o_orderkey", "quarantined", "violated_rules"
+    )
