@@ -63,7 +63,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # running totals (applyInPandasWithState), q145 log table as a
 # streaming source (readStream-from-table), q146 streaming change
 # data feed, q147 CDC replication pipeline (feed -> MERGE-apply),
-# q148 expectation quarantine routing.
+# q148 expectation quarantine routing, q149 exactly-k-per-group
+# deterministic sampling.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

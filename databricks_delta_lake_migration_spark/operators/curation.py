@@ -216,6 +216,36 @@ def stratified_sample(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACTLY-k-per-group sampling [EXT]: rank each
+    group's rows by the portable hash of their id (a reproducible
+    pseudo-random order — stable across engines, partitionings, and
+    reruns, unlike RNG-seeded sampling) and keep the k smallest;
+    groups smaller than k survive whole. The fixed-quota complement of
+    :func:`stratified_sample`'s fraction-based gate — the shape used
+    for per-source eval-set carving and balanced inspection samples.
+
+    Scale design: ONE shuffle on the group key for the window rank
+    (ties broken by id — total order, so the sample is unique), no
+    driver-side state, no RNG."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash_bucket(F.col(id_col), 1_000_000_000).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def contamination_scores(
     train: DataFrame,
     test: DataFrame,

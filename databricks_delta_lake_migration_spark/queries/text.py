@@ -1002,3 +1002,32 @@ def q139_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return textstats.normalize_text(seeded)
+
+
+@query(
+    "q149_sample_k_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 AS BIGINT) % 1000000000 ASC,
+                            doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 7
+    """,
+)
+def q149_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-group sampling
+    (``curation.sample_k_per_group``): 7 documents per source, chosen
+    by portable-hash rank with id tiebreak — a reproducible
+    pseudo-random quota sample the oracle replays exactly (RNG-seeded
+    sampling never survives a repartition, let alone an engine swap).
+    ONE group-keyed window shuffle."""
+    from ..operators.curation import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "source", k=7).select("doc_id", "source")

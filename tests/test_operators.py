@@ -718,3 +718,34 @@ def test_binned_range_join_plan_has_no_nested_loop(spark):
     )
     raw_plan = raw._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" in raw_plan or "CartesianProduct" in raw_plan
+
+
+def test_sample_k_per_group_exact_quota_and_stability(spark):
+    import pytest as _pytest
+
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        sample_k_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else ("mid" if i < 58 else "tiny"))
+         for i in range(60)],
+        "doc_id long, grp string",
+    )
+    out = sample_k_per_group(df, "grp", k=5, id_col="doc_id")
+    by_grp = {}
+    for r in out.collect():
+        by_grp.setdefault(r.grp, set()).add(r.doc_id)
+    assert len(by_grp["big"]) == 5
+    assert len(by_grp["mid"]) == 5
+    assert len(by_grp["tiny"]) == 2  # smaller than k: survives whole
+    # determinism: identical selection on a different partitioning
+    again = {
+        (r.grp, r.doc_id)
+        for r in sample_k_per_group(
+            df.repartition(13), "grp", k=5, id_col="doc_id"
+        ).collect()
+    }
+    assert again == {(g, i) for g, ids in by_grp.items() for i in ids}
+    with _pytest.raises(ValueError, match="positive"):
+        sample_k_per_group(df, "grp", k=0)

@@ -246,3 +246,48 @@ def test_row_tracking_read_broadcasts_file_map(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_intradoc_dedup_and_normalize_shuffle_free(spark):
+    """Intra-doc repetition removal and unicode normalization are pure
+    map stages (row-local Catalyst folds / regexp chains): zero
+    exchanges, zero Python eval, at any corpus size."""
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a. b. a. c"), (2, "x“y” z")],
+        "doc_id long, text string",
+    )
+    for df in (
+        textstats.dedup_intradoc_segments(docs),
+        textstats.normalize_text(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_classifier_fold_shuffle_free_join_path_broadcasts(spark):
+    """Classifier inference: the inline-model fold is a pure map stage;
+    the big-D path broadcasts the bucket→weight relation (never a
+    shuffled join of the corpus against the model) and keeps all
+    scoring JVM-side."""
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    w = [((i * 31) % 401) - 200 for i in range(32)]
+    fold_plan = (
+        textstats.hashed_classifier_scores(docs, w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in fold_plan
+    assert "BatchEvalPython" not in fold_plan
+    join_plan = (
+        textstats.hashed_classifier_scores(docs, w, use_join=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in join_plan
+    assert "SortMergeJoin" not in join_plan
+    assert "BatchEvalPython" not in join_plan
