@@ -186,8 +186,18 @@ class LogTableStreamReader(DataSourceStreamReader):
         have = set(log.versions())
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            if v < 0 or v not in have:
-                continue  # pruned prefix below startingVersion
+            if v < 0:
+                continue
+            if v not in have:
+                # the commit was pruned by log retention: silently
+                # skipping would be data loss — fail like Delta's
+                # "versionAsOf/startingVersion is before the earliest
+                # available version" instead
+                raise RuntimeError(
+                    f"streaming source needs version {v} of {self.path} "
+                    "but the commit log has been pruned past it; restart "
+                    f"with startingVersion >= {min(have) if have else 0}"
+                )
             c = log.commit(v)
             op = c.get("operation", "")
             changes = bool(c.get("remove")) or bool(

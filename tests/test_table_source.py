@@ -219,3 +219,49 @@ def test_plainlog_state_matches_logtable_across_ddl(spark, tmp_path):
     schema_json, props = _PlainLog(t.path).state()
     assert T.StructType.fromJson(json.loads(schema_json)) == t.schema()
     assert props == t.properties()
+
+
+def test_stream_source_raises_on_pruned_history(spark, tmp_path):
+    """Log retention pruned commits the stream still needs: silently
+    skipping them would be data loss, so the source must fail like
+    Delta's earliest-available-version error until the caller restarts
+    from a newer startingVersion."""
+    import os
+    import time
+
+    t = LogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        properties={
+            "delta.checkpointInterval": "2",
+            "delta.logRetentionDuration": "interval 0 hours",
+        },
+    )
+    for i in range(8):
+        t.append(spark.createDataFrame([(i, float(i))], SCHEMA))
+    # age the log artificially so retention can prune below the
+    # second-newest checkpoint
+    log_dir = os.path.join(t.path, "_log")
+    old = time.time() - 86400 * 40
+    for n in os.listdir(log_dir):
+        os.utime(os.path.join(log_dir, n), (old, old))
+    t.append(spark.createDataFrame([(100, 1.0)], SCHEMA))
+    from databricks_delta_lake_migration_spark.streaming.table_source import (
+        _PlainLog,
+    )
+
+    vs = _PlainLog(t.path).versions()
+    assert vs[0] > 0, "log prefix should have been pruned"
+
+    with pytest.raises(Exception, match="pruned"):
+        _drain(
+            spark, read_table_stream(spark, t.path), str(tmp_path / "ck")
+        )
+    # restarting at the earliest surviving version works
+    got = _drain(
+        spark,
+        read_table_stream(spark, t.path, startingVersion=vs[0]),
+        str(tmp_path / "ck2"),
+    )
+    assert len(got) > 0
