@@ -749,3 +749,47 @@ def test_sample_k_per_group_exact_quota_and_stability(spark):
     assert again == {(g, i) for g, ids in by_grp.items() for i in ids}
     with _pytest.raises(ValueError, match="positive"):
         sample_k_per_group(df, "grp", k=0)
+
+
+def test_binned_range_join_matches_raw_predicate_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    pts = st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=12
+    )
+    ivs = st.lists(
+        st.tuples(
+            st.integers(min_value=-60, max_value=60),
+            st.integers(min_value=-60, max_value=60),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(pts, ivs, st.integers(min_value=1, max_value=17))
+    def inner(points, intervals, width):
+        p = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(points)], "pid long, p long"
+        )
+        iv = spark.createDataFrame(
+            [(i, s, e) for i, (s, e) in enumerate(intervals)],
+            "iid long, s long, e long",
+        )
+        got = sorted(
+            (r.pid, r.iid)
+            for r in binned_range_join(p, iv, "p", "s", "e", width).collect()
+        )
+        expect = sorted(
+            (i, j)
+            for i, pv in enumerate(points)
+            for j, (s, e) in enumerate(intervals)
+            if s <= pv < e
+        )
+        assert got == expect
+
+    inner()
