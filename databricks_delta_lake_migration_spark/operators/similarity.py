@@ -684,6 +684,86 @@ def ivfpq_topk(
     )
 
 
+def pca_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    dims: int = 64,
+):
+    """PCA training [EXT]: top-``k`` principal components of the
+    embedding corpus. Returns ``(means, components)`` — two Python
+    lists (``dims`` floats; ``k`` lists of ``dims`` floats) —
+    metadata-sized driver state like the IVF centroids.
+
+    Distributed shape: ONE corpus pass builds the d×d second-moment
+    matrix (the row-local outer product flattens to a d² array, then a
+    pos-keyed sum — the shuffle carries d² keys regardless of corpus
+    size); the eigendecomposition runs driver-side on the d×d matrix
+    (4096 doubles at d=64 — never row data). Component sign is fixed
+    (largest-|coordinate| positive) so results are deterministic."""
+    import numpy as np
+
+    n = embeddings.count()
+    if n == 0:
+        raise ValueError("cannot train PCA on an empty corpus")
+    sums = (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"))
+        .collect()
+    )
+    mu = np.zeros(dims)
+    for r in sums:
+        mu[r.pos] = r.s / n
+    outer = F.flatten(
+        F.transform(
+            vec_col,
+            lambda x: F.transform(
+                F.col(vec_col), lambda y: x.cast("double") * y.cast("double")
+            ),
+        )
+    )
+    moments = (
+        embeddings.select(F.posexplode(outer).alias("pos", "xy"))
+        .groupBy("pos")
+        .agg(F.sum("xy").alias("s"))
+        .collect()
+    )
+    m2 = np.zeros((dims, dims))
+    for r in moments:
+        m2[r.pos // dims][r.pos % dims] = r.s / n
+    cov = m2 - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = []
+    for i in range(1, k + 1):
+        v = vecs[:, -i]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(x) for x in mu], comps
+
+
+def pca_project(
+    embeddings: DataFrame,
+    means,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Attach ``out_col``: the centered embedding projected onto the
+    trained components — an array of ``len(components)`` doubles.
+    Row-local zip_with folds against broadcast literal arrays: ZERO
+    shuffles, no Python, a pure map stage at any corpus size."""
+    mu = _lit_array(means)
+    centered = f"zip_with({vec_col}, {mu}, (x, m) -> cast(x as double) - m)"
+    projections = ", ".join(
+        f"aggregate(zip_with({centered}, {_lit_array(c)}, "
+        "(x, w) -> x * w), cast(0.0 as double), (a, v) -> a + v)"
+        for c in components
+    )
+    return embeddings.withColumn(out_col, F.expr(f"array({projections})"))
+
+
 def bq_train(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -439,3 +439,65 @@ def q140_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = similarity.bq_topk(emb, query_vec_id=0, k=10)
     exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
     return _recall_verdict(ann, exact, k=10, threshold=0.5)
+
+
+@query(
+    "q150_pca_embeddings",
+    oracle="""
+    SELECT CAST(8 AS INT) AS n_components, TRUE AS orthonormal,
+           TRUE AS variance_descending, TRUE AS beats_uniform_share,
+           TRUE AS projection_centered
+    """,
+)
+def q150_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction over the embedding corpus [EXT]
+    (``similarity.pca_train/pca_project`` — the 64→8 compression stage
+    before ANN indexing / clustering): one corpus pass builds the d×d
+    second-moment matrix (pos-keyed sum, d² shuffle keys at any scale),
+    the eigendecomposition runs on the driver's 64×64 matrix, and the
+    projection is a row-local fold. Hard-checked verdicts: components
+    are orthonormal; per-component projected variance is descending and
+    matches the eigenvalue ORDER; the top-8 subspace captures
+    well above its uniform 8/64 share of total variance (observed ~0.20
+    vs 0.125 — the fixture embeddings are fairly isotropic, so a
+    majority bound would overclaim); projections are centered
+    (each component's mean ≈ 0)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    means, comps = similarity.pca_train(emb, k=8)
+    k = len(comps)
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))
+    orthonormal = all(
+        abs(dot(comps[i], comps[j]) - (1.0 if i == j else 0.0)) < 1e-8
+        for i in range(k)
+        for j in range(k)
+    )
+    proj = similarity.pca_project(emb, means, comps)
+    stats = proj.select(
+        *[
+            F.avg(F.col("pca")[i]).alias(f"m{i}")
+            for i in range(k)
+        ],
+        *[
+            F.var_pop(F.col("pca")[i]).alias(f"v{i}")
+            for i in range(k)
+        ],
+        *[
+            F.var_pop(F.col("embedding")[i].cast("double")).alias(f"t{i}")
+            for i in range(64)
+        ],
+    ).collect()[0]
+    variances = [stats[f"v{i}"] for i in range(k)]
+    total_var = sum(stats[f"t{i}"] for i in range(64))
+    descending = all(
+        variances[i] >= variances[i + 1] - 1e-9 for i in range(k - 1)
+    )
+    explains = sum(variances) / total_var > 0.16  # uniform share = 0.125
+    centered = all(abs(stats[f"m{i}"]) < 1e-6 for i in range(k))
+    return spark.createDataFrame(
+        [(k, bool(orthonormal), bool(descending), bool(explains),
+          bool(centered))],
+        "n_components int, orthonormal boolean, variance_descending boolean, "
+        "beats_uniform_share boolean, projection_centered boolean",
+    )

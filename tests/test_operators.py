@@ -793,3 +793,36 @@ def test_binned_range_join_matches_raw_predicate_hypothesis(spark):
         assert got == expect
 
     inner()
+
+
+def test_pca_recovers_planted_direction(spark):
+    import numpy as np
+
+    from databricks_delta_lake_migration_spark.operators import similarity
+
+    # plant a dominant direction: x = t * u + small noise
+    rng = np.random.RandomState(7)
+    u = np.zeros(8)
+    u[2], u[5] = 0.8, 0.6  # unit vector
+    rows = []
+    for i in range(300):
+        t = rng.normal(0, 5.0)
+        x = t * u + rng.normal(0, 0.1, size=8)
+        rows.append((i, [float(v) for v in x]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    means, comps = similarity.pca_train(df, k=2, dims=8)
+    top = np.array(comps[0])
+    # the first component recovers the planted direction (sign-fixed)
+    assert abs(abs(float(np.dot(top, u))) - 1.0) < 0.01
+    # projection onto the top component carries almost all variance
+    proj = similarity.pca_project(df, means, comps)
+    import pyspark.sql.functions as F
+
+    v = proj.select(
+        F.var_pop(F.col("pca")[0]).alias("v0"),
+        F.var_pop(F.col("pca")[1]).alias("v1"),
+    ).collect()[0]
+    assert v.v0 > 50 * v.v1
+    # projection is a pure map stage
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
