@@ -64,7 +64,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming source (readStream-from-table), q146 streaming change
 # data feed, q147 CDC replication pipeline (feed -> MERGE-apply),
 # q148 expectation quarantine routing, q149 exactly-k-per-group
-# deterministic sampling, q150 PCA embedding compression.
+# deterministic sampling, q150 PCA embedding compression,
+# q151 ordered conversion funnel.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -1639,3 +1639,91 @@ def q148_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantine_expectations(o, rules).select(
         "o_orderkey", "quarantined", "violated_rules"
     )
+
+
+@query(
+    "q151_conversion_funnel",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN u ON e.user_id = u.user_id
+        WHERE e.event_type = 'click' AND e.ts > u.view_ts
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                     WHEN c.click_ts IS NOT NULL THEN 2
+                     WHEN u.view_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage,
+           u.view_ts, c.click_ts, p.purchase_ts
+    FROM u
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def q151_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, each stage
+    strictly after the previous — the sequential-pattern shape funnel
+    analytics needs and a bare per-type MIN cannot express): ONE
+    user-keyed shuffle collects each user's events, then a row-local
+    Catalyst fold walks them in time order carrying (view_ts,
+    click_ts, purchase_ts) state — greedy earliest-next-stage
+    semantics, identical to the oracle's three chained
+    min-after-previous joins but with a single shuffle instead of
+    three self-join passes. Per-user state is bounded by that user's
+    event count; no window over a global sort anywhere."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+        ).alias("evs")
+    )
+    fold = F.aggregate(
+        F.col("evs"),
+        F.expr(
+            "struct(cast(null as timestamp) as v, "
+            "cast(null as timestamp) as c, cast(null as timestamp) as p)"
+        ),
+        lambda acc, ev: F.struct(
+            F.when(
+                acc["v"].isNull() & (ev["event_type"] == "view"), ev["ts"]
+            ).otherwise(acc["v"]).alias("v"),
+            F.when(
+                acc["c"].isNull()
+                & acc["v"].isNotNull()
+                & (ev["event_type"] == "click")
+                & (ev["ts"] > acc["v"]),
+                ev["ts"],
+            ).otherwise(acc["c"]).alias("c"),
+            F.when(
+                acc["p"].isNull()
+                & acc["c"].isNotNull()
+                & (ev["event_type"] == "purchase")
+                & (ev["ts"] > acc["c"]),
+                ev["ts"],
+            ).otherwise(acc["p"]).alias("p"),
+        ),
+    )
+    return per_user.select(
+        "user_id", fold.alias("f")
+    ).select(
+        "user_id",
+        F.when(F.col("f.p").isNotNull(), 3)
+        .when(F.col("f.c").isNotNull(), 2)
+        .when(F.col("f.v").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage"),
+        F.col("f.v").alias("view_ts"),
+        F.col("f.c").alias("click_ts"),
+        F.col("f.p").alias("purchase_ts"),
+    )
