@@ -65,7 +65,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # data feed, q147 CDC replication pipeline (feed -> MERGE-apply),
 # q148 expectation quarantine routing, q149 exactly-k-per-group
 # deterministic sampling, q150 PCA embedding compression,
-# q151 ordered conversion funnel.
+# q151 ordered conversion funnel, q152 Luhn-validated card
+# redaction.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -1031,3 +1031,51 @@ def q149_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_k_per_group(docs, "source", k=7).select("doc_id", "source")
+
+
+@query(
+    "q152_card_redaction",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' card 4111111111111111 leaked'
+                    WHEN doc_id % 3 = 1
+                    THEN text || ' ref 4111111111111112 is an order id'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN replace(text, '4111111111111111', '[CARD]')
+                ELSE text END AS clean_text,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_redacted
+    FROM seeded
+    """,
+)
+def q152_card_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated card redaction
+    (``textstats.redact_card_numbers``): a Luhn-VALID card number is
+    seeded into a third of the corpus and an invalid same-length digit
+    run into another third (the fixture text has no 13-19 digit runs of
+    its own, verified) — only the valid one may be redacted. A naive
+    length regex would also mangle the order-id look-alike; the Luhn
+    fold is what separates them. Row-local Catalyst (regexp extract +
+    checksum fold + replace fold), zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" card 4111111111111111 leaked")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" ref 4111111111111112 is an order id")
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return textstats.redact_card_numbers(seeded)

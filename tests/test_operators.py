@@ -826,3 +826,31 @@ def test_pca_recovers_planted_direction(spark):
     # projection is a pure map stage
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_redact_card_numbers_luhn_validated(spark):
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay with 4111111111111111 now"),          # Luhn-valid
+            (2, "ref 4111111111111112 is an order id"),    # invalid checksum
+            (3, "amex 378282246310005 and visa 4012888888881881"),  # both valid
+            (4, "short 123456789012 stays"),               # too short
+            (5, "no digits at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           textstats.redact_card_numbers(docs).collect()}
+    assert out[1].clean_text == "pay with [CARD] now"
+    assert out[1].n_redacted == 1
+    assert out[2].clean_text == "ref 4111111111111112 is an order id"
+    assert out[2].n_redacted == 0
+    assert out[3].clean_text == "amex [CARD] and visa [CARD]"
+    assert out[3].n_redacted == 2
+    assert out[4].n_redacted == 0 and out[5].n_redacted == 0
+    # pure map stage
+    plan = (textstats.redact_card_numbers(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
