@@ -66,7 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q148 expectation quarantine routing, q149 exactly-k-per-group
 # deterministic sampling, q150 PCA embedding compression,
 # q151 ordered conversion funnel, q152 Luhn-validated card
-# redaction.
+# redaction, q153 approx-percentile sketch verdict, q154
+# market-basket pair co-occurrence.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -1727,3 +1727,110 @@ def q151_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.c").alias("click_ts"),
         F.col("f.p").alias("purchase_ts"),
     )
+
+
+@query(
+    "q153_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE)
+               AS exact_p50,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE)
+               AS exact_p95,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q153_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch (the 100 TB substitute for exact
+    percentiles — q54's sort-based exact path doesn't scale to a global
+    sort of the fact table): ``approx_percentile`` (KLL-style sketch,
+    mergeable across partials, one shuffle of sketch state only). Raw
+    sketch values are engine-specific, so the hard-checked output is
+    the tolerance verdict — the sketch p50/p95 must land within 1% of
+    the exact quantile per group (q43's HLL pattern)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("ap")
+    )
+    j = exact.join(approx, "l_returnflag")
+    ok = (
+        (F.abs(F.col("ap")[0] - F.col("e50")) / F.col("e50") < 0.01)
+        & (F.abs(F.col("ap")[1] - F.col("e95")) / F.col("e95") < 0.01)
+    )
+    return j.select(
+        "l_returnflag",
+        F.round(F.col("e50").cast("double"), 4).alias("exact_p50"),
+        F.round(F.col("e95").cast("double"), 4).alias("exact_p95"),
+        ok.alias("approx_ok"),
+    )
+
+
+@query(
+    "q154_part_cooccurrence",
+    oracle="""
+    WITH baskets AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 3 = 0
+        GROUP BY l_orderkey, l_partkey
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q154_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair co-occurrence (frequent-itemset mining's
+    candidate-pair stage): part pairs bought together in ≥2 sampled
+    orders. The pair expansion is a row-local combinations fold over
+    each order's SORTED distinct part array (bounded by basket size —
+    never an unbounded self-join of the fact table; the same in-bucket
+    expansion discipline as MinHash-LSH q36), then ONE pair-keyed
+    count shuffle with map-side partials."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    baskets = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("parts"),
+                                i + 2,
+                                F.greatest(
+                                    F.size(F.col("parts")) - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda b: F.struct(
+                                a.alias("part_a"), b.alias("part_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["part_a"] < p["part_b"],
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.part_a").alias("part_a"),
+                      F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
