@@ -49,3 +49,38 @@ def salted_grouped_sum(
         partial.groupBy(*group_cols)
         .agg(F.round(F.sum("__partial"), 4).cast("double").alias(alias))
     )
+
+
+def salted_join(
+    fact,
+    dim,
+    key_cols: list[str],
+    n_salts: int = 8,
+    fact_salt_cols: list[str] | None = None,
+    how: str = "inner",
+):
+    """Salted shuffle join for skewed join keys [EXT]: the dimension
+    side replicates ``n_salts``× (one copy per salt — row-local
+    explode, no shuffle to build), the fact side stamps a
+    deterministic per-row salt (xxhash64 of ``fact_salt_cols``,
+    default: the key columns plus every other fact column), and the
+    join shuffles on (key, salt) — a hot key's rows spread over
+    ``n_salts`` reducers instead of melting one. Result-identical to
+    the unsalted join; use when the dim is too big to broadcast and
+    AQE skew-join isn't available (or its per-partition split can't
+    help, e.g. a single hot KEY inside one huge partition).
+
+    Replication cost is |dim| × n_salts rows — pick n_salts from the
+    observed hot-key share, not a big default."""
+    from pyspark.sql import functions as F
+
+    salt_src = fact_salt_cols or [c for c in fact.columns]
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts))
+    )
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")),
+    )
+    joined = f.join(d, key_cols + ["__salt"], how)
+    return joined.drop("__salt")

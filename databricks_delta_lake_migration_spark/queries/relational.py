@@ -1834,3 +1834,65 @@ def q154_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "q155_salted_skew_join",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+                    ELSE l_orderkey % 100 END AS skew_key,
+               l_quantity
+        FROM lineitem
+    ), dim AS (
+        SELECT DISTINCT CASE WHEN l_orderkey % 10 < 7 THEN 1
+                             ELSE l_orderkey % 100 END AS skew_key,
+               CASE WHEN (CASE WHEN l_orderkey % 10 < 7 THEN 1
+                               ELSE l_orderkey % 100 END) % 2 = 0
+                    THEN 'even' ELSE 'odd' END AS bucket
+        FROM lineitem
+    )
+    SELECT d.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(f.l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS total_qty
+    FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+    GROUP BY d.bucket
+    """,
+)
+def q155_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join under engineered skew
+    (``functions.scalars.salted_join`` — completes the skew family
+    with q45's salted aggregation): ~70% of fact rows share ONE join
+    key; the dim replicates 8× (row-local explode) and the fact stamps
+    a deterministic per-row salt, so the hot key spreads over 8
+    reducers on the (key, salt) shuffle. The MERGE join hint keeps the
+    dim from broadcasting (at real scale it wouldn't fit), and the
+    result must be value-identical to the unsalted join the oracle
+    computes."""
+    from ..functions.scalars import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem")
+    skew_key = F.when(F.col("l_orderkey") % 10 < 7, F.lit(1)).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    fact = l.select(skew_key.alias("skew_key"), "l_quantity")
+    dim = (
+        fact.select("skew_key")
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.when(F.col("skew_key") % 2 == 0, "even").otherwise("odd"),
+        )
+        .hint("merge")
+    )
+    joined = salted_join(
+        fact, dim, ["skew_key"], n_salts=8,
+        fact_salt_cols=["skew_key", "l_quantity"],
+    )
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("total_qty"),
+    )

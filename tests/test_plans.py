@@ -291,3 +291,34 @@ def test_classifier_fold_shuffle_free_join_path_broadcasts(spark):
     assert "BroadcastHashJoin" in join_plan
     assert "SortMergeJoin" not in join_plan
     assert "BatchEvalPython" not in join_plan
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """Salted join: both sides exchange on (key, salt) — the hot key
+    spreads across n_salts reducers — and the result is identical to
+    the unsalted join."""
+    from pyspark.sql import functions as F
+
+    from databricks_delta_lake_migration_spark.functions.scalars import (
+        salted_join,
+    )
+
+    fact = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 7, 1).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = (
+        fact.select("k").distinct()
+        .withColumn("attr", F.col("k") * 2)
+        .hint("merge")
+    )
+    j = salted_join(fact, dim, ["k"], n_salts=4, fact_salt_cols=["k", "v"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan and "Exchange" in plan
+    assert "BroadcastHashJoin" not in plan
+    got = sorted((r.k, r.v, r.attr) for r in j.collect())
+    expect = sorted(
+        (r.k, r.v, r.attr) for r in fact.join(dim.drop("__salt"), "k").collect()
+    )
+    assert got == expect
