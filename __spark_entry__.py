@@ -67,7 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # deterministic sampling, q150 PCA embedding compression,
 # q151 ordered conversion funnel, q152 Luhn-validated card
 # redaction, q153 approx-percentile sketch verdict, q154
-# market-basket pair co-occurrence, q155 salted skew join.
+# market-basket pair co-occurrence, q155 salted skew join, q156
+# resample gap-fill, q157 VARIANT semi-structured extraction.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -1896,3 +1896,95 @@ def q155_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_qty"),
     )
+
+
+@query(
+    "q156_resample_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   AS revenue
+        FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0
+        GROUP BY 1
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ), calendar AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds
+    )
+    SELECT c.day, COALESCE(d.revenue, 0.0) AS revenue,
+           d.revenue IS NULL AS gap_filled
+    FROM calendar c LEFT JOIN daily d ON c.day = d.day
+    """,
+)
+def q156_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: sparse purchase days from
+    a sampled user cohort become a dense daily series — missing days
+    appear with zero revenue and a ``gap_filled`` marker (the
+    calendar-densification step every downstream window/forecast op
+    needs; a bare groupBy silently skips empty days and corrupts
+    moving averages). The calendar derives from a row-local
+    ``sequence`` explode over the 1-row min/max bounds — no calendar
+    table, no driver loop — then ONE broadcast-able left join back."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0)
+    )
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("revenue")
+    )
+    calendar = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    return calendar.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+        F.col("revenue").isNull().alias("gap_filled"),
+    )
+
+
+@query(
+    "q157_variant_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def q157_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing via Spark 4 VARIANT (``parse_json`` →
+    binary variant → typed ``variant_get`` paths — the modern
+    schema-on-read path that replaces per-query ``from_json`` schema
+    declarations and keeps extraction inside Tungsten): the events
+    ``props`` JSON parses ONCE into a variant column, a typed path
+    extraction filters and aggregates. DuckDB's ``json_extract``
+    replays the same paths."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+    )
+    return (
+        v.filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
