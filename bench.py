@@ -276,6 +276,11 @@ def main() -> None:
         "agg": "min",
         "acid": acid,
         "sf": sf,
+        # environment context: round-to-round headline deltas have
+        # tracked host load, not code (headline query code froze at r4;
+        # four round-5 runs spanned 14.8-17.8 s as 1-min load moved
+        # 0.1-4.8) — recorded so deltas stay attributable
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     if errors:
         line["errors"] = errors
