@@ -1988,3 +1988,61 @@ def q157_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "q158_hll_sketch_union",
+    oracle="""
+    WITH fine AS (
+        SELECT l_returnflag, l_linestatus,
+               COUNT(DISTINCT l_orderkey) AS nd
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), coarse AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag, CAST(c.exact_nd AS BIGINT) AS exact_nd,
+           TRUE AS approx_ok, TRUE AS union_consistent
+    FROM coarse c
+    """,
+)
+def q158_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (``hll_sketch_agg`` / ``hll_union_agg`` —
+    the re-aggregation pattern pre-computed rollups need: distinct
+    counts CANNOT re-aggregate from counts, but sketches union
+    losslessly): per-(flag, status) sketches build once, then UNION up
+    to per-flag — exactly how a 100 TB daily rollup serves monthly
+    distincts without rescanning facts. Verdicts: the unioned estimate
+    lands within 5% of the exact per-flag distinct count, and it
+    lands within 1% of a sketch built directly at the coarse level
+    (union consistency — not bit-equality: the datasketches union may
+    promote sparse→dense representations, perturbing the estimate a
+    fraction of a percent)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    fine = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    unioned = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_nd")
+    )
+    direct = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
+            "direct_nd"
+        ),
+        F.countDistinct("l_orderkey").alias("exact_nd"),
+    )
+    j = unioned.join(direct, "l_returnflag")
+    return j.select(
+        "l_returnflag",
+        F.col("exact_nd").cast("long").alias("exact_nd"),
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            / F.col("exact_nd")
+            < 0.05
+        ).alias("approx_ok"),
+        (
+            F.abs(F.col("approx_nd") - F.col("direct_nd"))
+            / F.col("direct_nd")
+            < 0.01
+        ).alias("union_consistent"),
+    )
