@@ -69,7 +69,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # redaction, q153 approx-percentile sketch verdict, q154
 # market-basket pair co-occurrence, q155 salted skew join, q156
 # resample gap-fill, q157 VARIANT semi-structured extraction,
-# q158 mergeable HLL sketch rollup.
+# q158 mergeable HLL sketch rollup, q159 custom-state sessions
+# with event-time timeouts.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -1184,3 +1184,104 @@ def q144_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return LogTable(spark, table_path).read()
+
+
+@query(
+    "q159_stateful_timeout_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def q159_stateful_timeout_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSTOM-STATE sessionization with event-time TIMEOUTS
+    (``stateful.timeout_sessions`` — raw ``applyInPandasWithState`` +
+    ``EventTimeTimeout``, vs q142's built-in ``session_window``): a
+    session emits when a later same-key event proves the gap elapsed,
+    or via ``state.hasTimedOut`` once the watermark passes last+gap
+    with no further data for that key — the abandoned-key path only a
+    state timeout can take, and at this fixture's scale the LAST
+    session of every one of the 150 users must close that way. The
+    full emitted set hash-matches the gaps-and-islands SQL."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming import timeout_sessions
+    from ..tables import LogTable
+
+    def sentinels(off_h: int):
+        far = (4102444800 + off_h * 3600) * 1_000_000
+        return spark.createDataFrame(
+            [(-1, far)], "user_id long, ts_us long"
+        )
+
+    root, src = _events_json_chunks(
+        spark,
+        sf_dir,
+        lambda e: e.select(
+            "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+        ),
+        lambda e: [e, sentinels(0), sentinels(10)],
+    )
+    wire = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(wire)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select("user_id", "ts")
+    )
+    sessions = timeout_sessions(stream, gap_minutes=30)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    table_path = os.path.join(root, "tsessions")
+    LogTable.create(spark, table_path, out_schema)
+
+    def sink(bdf, bid):
+        LogTable(spark, table_path).append(
+            bdf.filter(F.col("user_id") != "-1")
+        )
+
+    q = (
+        sessions.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LogTable(spark, table_path).read()

@@ -12,7 +12,7 @@ from .ingest import (  # noqa: F401
     stream_windowed_agg_to_table,
     windowed_counts,
 )
-from .stateful import running_totals  # noqa: F401
+from .stateful import running_totals, timeout_sessions  # noqa: F401
 from .table_source import (  # noqa: F401
     LogTableStreamDataSource,
     read_table_stream,

@@ -16,6 +16,7 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -63,4 +64,107 @@ def running_totals(
 
     return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def timeout_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom gap-session tracker with EVENT-TIME TIMEOUTS [EXT]: the
+    state-store mode nothing else exercises — a session closes either
+    when a later event for the SAME key proves the gap elapsed, or,
+    crucially, when the WATERMARK passes ``last_event + gap`` with no
+    further data for that key at all (``state.hasTimedOut`` — the only
+    way an abandoned key's session ever emits; ``session_window``
+    handles this internally, this operator shows the raw
+    ``applyInPandasWithState`` contract for session logic the built-in
+    can't express, e.g. per-session custom payloads).
+
+    Emits one row per CLOSED session: key, session_start, session_end
+    (last event + gap), n_events. State per key is a single 3-tuple —
+    bounded, checkpointed, sharded by the grouping key."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _emit(key, start_us, last_us, n):
+        import datetime as _dt
+
+        tz = _dt.timezone.utc
+        # the grouping key tuple carries the PRE-cast value even when
+        # the groupBy expression casts (observed: long keys arrive as
+        # Python ints despite .cast("string")) — stringify here so the
+        # Arrow writer always sees the declared string type
+        return pd.DataFrame(
+            {
+                key_col: [str(key)],
+                "session_start": [
+                    _dt.datetime.fromtimestamp(start_us / 1e6, tz)
+                ],
+                "session_end": [
+                    _dt.datetime.fromtimestamp((last_us + gap_us) / 1e6, tz)
+                ],
+                "n_events": [n],
+            }
+        )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _emit(key[0], start_us, last_us, n)
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(
+                int(v.value // 1000) for v in pd.to_datetime(pdf[ts_col])
+            )
+        ts_us.sort()
+        start_us, last_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                yield _emit(key[0], start_us, last_us, n)
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = max(last_us, t), n + 1
+        state.update((start_us, last_us, n))
+        # the abandoned-key path: when the watermark passes this
+        # timestamp with no new data, hasTimedOut fires and the open
+        # session finally emits
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -695,3 +695,82 @@ def test_stream_enrich_static_side_reread_per_run(spark, tmp_path):
     drain()
     rows = {r.id: r.attr for r in LogTable(spark, table_path).read().collect()}
     assert rows[4] is None and len(rows) == 4
+
+
+def test_timeout_sessions_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout sessions: a session closes (a) when a later
+    event proves the gap elapsed, and (b) — the path only a state
+    timeout can take — when the watermark passes last+gap with NO
+    further data for that key. Sentinel chunks advance the watermark;
+    the abandoned key's open session must emit via hasTimedOut."""
+    import json as _json
+    import os
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        timeout_sessions,
+    )
+
+    US = 1_000_000
+    base = 1_700_000_000 * US
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put(name, rows, mtime):
+        with open(os.path.join(src, name), "w") as fh:
+            for u, t in rows:
+                fh.write(_json.dumps({"user_id": u, "ts_us": t}) + "\n")
+        os.utime(os.path.join(src, name), (mtime, mtime))
+
+    # user a: two events 10 min apart (one session), then one 2 h later
+    # (second session — closed by the in-function gap check);
+    # user b: ONE event ever (abandoned — only a timeout can close it)
+    put("c0.json", [("a", base), ("a", base + 10 * 60 * US),
+                    ("b", base + 5 * 60 * US)], 1e9)
+    put("c1.json", [("a", base + 2 * 3600 * US)], 1e9 + 60)
+    far = 4102444800 * US
+    put("c2.json", [("wm", far)], 1e9 + 120)
+    put("c3.json", [("wm", far + 10 * 3600 * US)], 1e9 + 180)
+
+    wire = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(wire)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select("user_id", "ts")
+    )
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in bdf.collect()
+        )
+
+    q = (
+        timeout_sessions(stream, gap_minutes=30)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import datetime as dt
+
+    tz = dt.timezone.utc
+    sessions = {(u, n, s, e) for u, s, e, n in got if u in ("a", "b")}
+    t0 = dt.datetime.fromtimestamp(base / 1e6, tz).replace(tzinfo=None)
+    mins = dt.timedelta(minutes=1)
+    expect = {
+        ("a", 2, t0, t0 + 40 * mins),                     # 2-event session
+        ("a", 1, t0 + 120 * mins, t0 + 150 * mins),       # gap-closed
+        ("b", 1, t0 + 5 * mins, t0 + 35 * mins),          # TIMEOUT-closed
+    }
+    assert sessions == expect
