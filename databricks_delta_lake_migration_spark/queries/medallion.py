@@ -1285,3 +1285,82 @@ def q159_stateful_timeout_sessions(
     )
     q.awaitTermination()
     return LogTable(spark, table_path).read()
+
+
+@query(
+    "q160_state_store_introspection",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events
+    )
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               + INTERVAL 1 DAY > (SELECT w FROM wm)
+    """,
+)
+def q160_state_store_introspection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATE STORE introspection (Spark's ``statestore`` batch reader —
+    the ops surface for debugging a live streaming job's checkpointed
+    state without stopping it): a watermarked tumbling-window count
+    runs over the events replay, then the checkpoint's state store is
+    read back as a batch DataFrame. The surviving state is exactly the
+    windows the watermark has NOT yet evicted (end > max_ts − 1h —
+    eviction applied by availableNow's trailing no-data batch), so the
+    introspected rows hash-match a declarative oracle: state-store
+    contents are a pure function of the replayed data."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    root, src = _events_json_chunks(
+        spark,
+        sf_dir,
+        lambda e: e.select(
+            "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+        ),
+        lambda e: [e],
+    )
+    wire = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(wire)
+        .format("json")
+        .load(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ck = os.path.join(root, "ckpt")
+
+    def sink(bdf, bid):
+        bdf.count()
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
