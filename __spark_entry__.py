@@ -73,7 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # market-basket pair co-occurrence, q155 salted skew join, q156
 # resample gap-fill, q157 VARIANT semi-structured extraction,
 # q158 mergeable HLL sketch rollup, q159 custom-state sessions
-# with event-time timeouts, q160 state-store introspection.
+# with event-time timeouts, q160 state-store introspection,
+# q161 GDPR right-to-be-forgotten (delete+vacuum erasure proof).
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

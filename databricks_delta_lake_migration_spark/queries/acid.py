@@ -1666,3 +1666,64 @@ def q147_cdc_replication_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return LogTable(spark, rep_path).read()
+
+
+@query(
+    "q161_right_to_be_forgotten",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('1_subject_rows_before', TRUE),
+        ('2_current_state_clean', TRUE),
+        ('3_physical_files_purged', TRUE),
+        ('4_history_unreadable', TRUE),
+        ('5_others_intact', TRUE)
+    ) AS t(step, ok) ORDER BY step
+    """,
+)
+def q161_right_to_be_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style erasure workflow (the compliance sequence Delta
+    documents for right-to-be-forgotten: DELETE alone is NOT erasure —
+    time travel still reads the subject's rows from the tombstoned
+    files until VACUUM physically removes them): DELETE the subject's
+    rows, VACUUM with zero retention, then verify (1) the subject had
+    rows, (2) the current snapshot is clean, (3) the pre-delete data
+    files are physically GONE from disk, (4) time travel to the
+    pre-delete version now FAILS loudly instead of resurrecting the
+    data, and (5) every other row survived untouched. All five
+    verdicts are deterministic literals."""
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("gdpr"), target.schema)
+    t.append(target)
+    pre_version = t.version()
+    subject = "o_orderkey % 7 = 3"
+    n_subject = t.read().filter(subject).count()
+    n_total = t.read().count()
+
+    t.delete(subject)
+    # zero-retention vacuum: physically remove the tombstoned files
+    removed = t.vacuum(retain_hours=0.0)
+
+    import os
+
+    files_gone = len(removed) > 0 and all(
+        not os.path.exists(os.path.join(t.path, p)) for p in removed
+    )
+    clean = t.read().filter(subject).count() == 0
+    others = t.read().count() == n_total - n_subject
+    try:
+        # the pre-delete snapshot must not silently resurrect the data
+        t.read(version=pre_version).filter(subject).count()
+        history_unreadable = False
+    except Exception:
+        history_unreadable = True
+
+    rows = [
+        ("1_subject_rows_before", n_subject > 0),
+        ("2_current_state_clean", bool(clean)),
+        ("3_physical_files_purged", bool(files_gone)),
+        ("4_history_unreadable", bool(history_unreadable)),
+        ("5_others_intact", bool(others)),
+    ]
+    return spark.createDataFrame(rows, "step string, ok boolean").orderBy(
+        "step"
+    )
