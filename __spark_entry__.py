@@ -74,7 +74,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # resample gap-fill, q157 VARIANT semi-structured extraction,
 # q158 mergeable HLL sketch rollup, q159 custom-state sessions
 # with event-time timeouts, q160 state-store introspection,
-# q161 GDPR right-to-be-forgotten (delete+vacuum erasure proof).
+# q161 GDPR right-to-be-forgotten (delete+vacuum erasure proof),
+# q162 one-pass correlation profiling.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -2046,3 +2046,43 @@ def q158_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.01
         ).alias("union_consistent"),
     )
+
+
+@query(
+    "q162_correlation_matrix",
+    oracle="""
+    SELECT 'extendedprice~quantity' AS pair,
+           CAST(ROUND(corr(l_extendedprice, l_quantity), 4) AS DOUBLE) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice~discount',
+           CAST(ROUND(corr(l_extendedprice, l_discount), 4) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity~tax',
+           CAST(ROUND(corr(l_quantity, l_tax), 4) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def q162_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-column correlation profiling (the feature-selection /
+    data-drift screen): Pearson r for each column pair in ONE
+    aggregate pass over the fact table — ``corr`` is a mergeable
+    moment sketch (sum, sumsq, co-moment), so the shuffle carries one
+    tiny state per pair regardless of row count, never a sort or a
+    per-pair rescan. Rounded to 4dp on both engines (one-pass co-moment
+    accumulation differs from DuckDB's in the last ulp)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.agg(
+        F.corr("l_extendedprice", "l_quantity").alias("a"),
+        F.corr("l_extendedprice", "l_discount").alias("b"),
+        F.corr("l_quantity", "l_tax").alias("c"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("extendedprice~quantity", round(agg.a, 4)),
+            ("extendedprice~discount", round(agg.b, 4)),
+            ("quantity~tax", round(agg.c, 4)),
+        ],
+        "pair string, r double",
+    )
