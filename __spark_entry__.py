@@ -75,7 +75,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q158 mergeable HLL sketch rollup, q159 custom-state sessions
 # with event-time timeouts, q160 state-store introspection,
 # q161 GDPR right-to-be-forgotten (delete+vacuum erasure proof),
-# q162 one-pass correlation profiling.
+# q162 one-pass correlation profiling, q163 referential-integrity
+# audit.
 _PRIORITY = [
     # never-checked: curation tier
     "q93_sequence_packing", "q94_data_mixture", "q95_decontamination",

@@ -2086,3 +2086,75 @@ def q162_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "pair string, r double",
     )
+
+
+@query(
+    "q163_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer(sampled_break)',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey
+                                     AND c.c_custkey % 50 <> 0))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    """,
+)
+def q163_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the FK-orphan screen a lakehouse
+    needs because nothing enforces foreign keys at write time): orphan
+    counts per relation via LEFT ANTI joins — the parent key set is
+    broadcast when dimension-sized, and each audit is one scan of the
+    child table, never a row-expanding join. The third relation
+    deliberately breaks integrity (parents with ``c_custkey % 50 = 0``
+    are hidden) so the audit provably detects orphans, not just
+    reports zero."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def audit(child, parent_keys, cond_col, relation):
+        orphans = child.join(
+            F.broadcast(parent_keys), cond_col, "left_anti"
+        ).count()
+        return (relation, orphans, child.count())
+
+    rows = [
+        audit(
+            l.select(F.col("l_orderkey").alias("k")),
+            o.select(F.col("o_orderkey").alias("k")).distinct(),
+            "k",
+            "lineitem->orders",
+        ),
+        audit(
+            o.select(F.col("o_custkey").alias("k")),
+            c.select(F.col("c_custkey").alias("k")).distinct(),
+            "k",
+            "orders->customer",
+        ),
+        audit(
+            o.select(F.col("o_custkey").alias("k")),
+            c.filter(F.col("c_custkey") % 50 != 0)
+            .select(F.col("c_custkey").alias("k"))
+            .distinct(),
+            "k",
+            "orders->customer(sampled_break)",
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "relation string, n_orphans long, n_rows long"
+    )
