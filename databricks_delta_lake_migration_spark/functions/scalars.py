@@ -71,9 +71,25 @@ def salted_join(
     help, e.g. a single hot KEY inside one huge partition).
 
     Replication cost is |dim| × n_salts rows — pick n_salts from the
-    observed hot-key share, not a big default."""
+    observed hot-key share, not a big default.
+
+    Only fact-preserving join types are supported: because the dim
+    side is replicated per salt, ``right``/``full`` outer joins would
+    emit every unmatched dim row ``n_salts`` times (and the replicas
+    of matched dim rows that land on other salts as extra
+    null-extended rows) — a silent correctness bug, so those ``how``
+    values raise instead."""
     from pyspark.sql import functions as F
 
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the dim side is "
+            f"replicated per salt, so right/full outer joins would emit "
+            f"unmatched dim rows n_salts times. Supported: inner, left, "
+            f"left_semi, left_anti."
+        )
     salt_src = fact_salt_cols or [c for c in fact.columns]
     f = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts))

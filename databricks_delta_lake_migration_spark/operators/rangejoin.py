@@ -54,12 +54,22 @@ def binned_range_join(
     ``tests/test_plans.py``.
     """
     # floor (not cast-truncate): negative domains (pre-epoch days)
-    # must bin downward or boundary points land one bin off
+    # must bin downward or boundary points land one bin off. Exact
+    # INTEGER floor division — (c - pmod(c, w)) div w — never
+    # float `/`: doubles hold only 53 mantissa bits, so epoch-micro
+    # domains past 2^53 would round and land points one bin off,
+    # silently dropping qualifying matches. pmod is non-negative for a
+    # positive modulus, so the subtraction floors (not truncates) on
+    # negative domains, and `div` of the exactly-divisible numerator
+    # is exact long arithmetic end to end.
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
-    p = points.withColumn(
-        BIN_COL, F.floor(F.col(point_col) / bin_width).cast("long")
-    )
+
+    def _bin(expr: str):
+        c = f"CAST(({expr}) AS BIGINT)"
+        return F.expr(f"(({c}) - pmod({c}, {bin_width})) div {bin_width}")
+
+    p = points.withColumn(BIN_COL, _bin(point_col))
     iv = intervals.withColumn(
         BIN_COL,
         # end is exclusive: the last overlapped bin is the one holding
@@ -70,8 +80,8 @@ def binned_range_join(
             F.when(
                 F.col(start_col) < F.col(end_col),
                 F.sequence(
-                    F.floor(F.col(start_col) / bin_width).cast("long"),
-                    F.floor((F.col(end_col) - 1) / bin_width).cast("long"),
+                    _bin(start_col),
+                    _bin(f"({end_col}) - 1"),
                 ),
             ).otherwise(F.array().cast("array<long>"))
         ),

@@ -695,43 +695,59 @@ def pca_train(
     lists (``dims`` floats; ``k`` lists of ``dims`` floats) —
     metadata-sized driver state like the IVF centroids.
 
-    Distributed shape: ONE corpus pass builds the d×d second-moment
-    matrix (the row-local outer product flattens to a d² array, then a
-    pos-keyed sum — the shuffle carries d² keys regardless of corpus
-    size); the eigendecomposition runs driver-side on the d×d matrix
-    (4096 doubles at d=64 — never row data). Component sign is fixed
-    (largest-|coordinate| positive) so results are deterministic."""
+    Distributed shape: ONE corpus pass via ``mapInPandas`` — each
+    partition accumulates its count, Σx, and Gram matrix XᵀX with a
+    single numpy matmul per Arrow batch, then emits ONE row holding
+    (n, d floats, d² floats). Only the per-partition partials travel
+    to the driver (P rows of d²+d+1 doubles — metadata-sized), which
+    reduces them and runs the d×d eigendecomposition. No d²-per-row
+    explode: at real LLM embedding dims (768–4096) the earlier
+    posexplode outer-product shape materialized 0.6M–16.8M rows per
+    document before partial aggregation; the matmul partial is the
+    BLAS-speed equivalent with zero row blowup. Component sign is
+    fixed (largest-|coordinate| positive) so results are
+    deterministic."""
     import numpy as np
 
-    n = embeddings.count()
+    d = dims
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n_p = 0
+        s_p = np.zeros(d)
+        g_p = np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n_p += x.shape[0]
+            s_p += x.sum(axis=0)
+            g_p += x.T @ x
+        if n_p:
+            yield pd.DataFrame(
+                {"n": [n_p], "s": [s_p.tolist()],
+                 "g": [g_p.reshape(-1).tolist()]}
+            )
+
+    parts = (
+        embeddings.select(vec_col)
+        .mapInPandas(_partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r.n for r in parts)
     if n == 0:
         raise ValueError("cannot train PCA on an empty corpus")
-    sums = (
-        embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.sum(F.col("x").cast("double")).alias("s"))
-        .collect()
-    )
-    mu = np.zeros(dims)
-    for r in sums:
-        mu[r.pos] = r.s / n
-    outer = F.flatten(
-        F.transform(
-            vec_col,
-            lambda x: F.transform(
-                F.col(vec_col), lambda y: x.cast("double") * y.cast("double")
-            ),
-        )
-    )
-    moments = (
-        embeddings.select(F.posexplode(outer).alias("pos", "xy"))
-        .groupBy("pos")
-        .agg(F.sum("xy").alias("s"))
-        .collect()
-    )
-    m2 = np.zeros((dims, dims))
-    for r in moments:
-        m2[r.pos // dims][r.pos % dims] = r.s / n
+    mu = np.zeros(d)
+    m2 = np.zeros((d, d))
+    for r in parts:
+        mu += np.asarray(r.s)
+        m2 += np.asarray(r.g).reshape(d, d)
+    mu /= n
+    m2 /= n
     cov = m2 - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
     comps = []

@@ -648,9 +648,6 @@ def redact_card_numbers(
     the email/phone scrubber).
 
     Returns ``id_col``, ``clean_text``, ``n_redacted``."""
-    cands = F.expr(
-        f"regexp_extract_all({text_col}, '[0-9]{{13,19}}', 0)"
-    )
     # Luhn over candidate c: i counts from the right (0-based)
     luhn_sum = (
         "aggregate(sequence(1, length(c)), 0, (acc, i) -> acc + "
@@ -664,7 +661,6 @@ def redact_card_numbers(
         f"filter(regexp_extract_all({text_col}, '[0-9]{{13,19}}', 0), "
         f"c -> pmod({luhn_sum}, 10) = 0)"
     )
-    _ = cands
     redacted = F.aggregate(
         valid,
         F.col(text_col),

@@ -2117,20 +2117,21 @@ def q162_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q163_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (the FK-orphan screen a lakehouse
     needs because nothing enforces foreign keys at write time): orphan
-    counts per relation via LEFT ANTI joins — the parent key set is
-    broadcast when dimension-sized, and each audit is one scan of the
-    child table, never a row-expanding join. The third relation
-    deliberately breaks integrity (parents with ``c_custkey % 50 = 0``
-    are hidden) so the audit provably detects orphans, not just
-    reports zero."""
+    counts per relation via LEFT ANTI joins — each audit is one scan
+    of the child table, never a row-expanding join. No broadcast hint:
+    the parent side can be fact-sized (the distinct ``o_orderkey`` set
+    for lineitem→orders is as large as ``orders`` itself), so forcing
+    a broadcast would OOM at scale — AQE picks broadcast on its own
+    when the parent key set is genuinely dimension-sized. The third
+    relation deliberately breaks integrity (parents with
+    ``c_custkey % 50 = 0`` are hidden) so the audit provably detects
+    orphans, not just reports zero."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
 
     def audit(child, parent_keys, cond_col, relation):
-        orphans = child.join(
-            F.broadcast(parent_keys), cond_col, "left_anti"
-        ).count()
+        orphans = child.join(parent_keys, cond_col, "left_anti").count()
         return (relation, orphans, child.count())
 
     rows = [

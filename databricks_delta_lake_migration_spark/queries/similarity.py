@@ -452,9 +452,11 @@ def q140_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q150_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction over the embedding corpus [EXT]
     (``similarity.pca_train/pca_project`` — the 64→8 compression stage
-    before ANN indexing / clustering): one corpus pass builds the d×d
-    second-moment matrix (pos-keyed sum, d² shuffle keys at any scale),
-    the eigendecomposition runs on the driver's 64×64 matrix, and the
+    before ANN indexing / clustering): one ``mapInPandas`` corpus pass
+    accumulates per-partition (n, Σx, XᵀX) numpy partials — one
+    d²-sized row per PARTITION, never per document, so the shape holds
+    at d=768–4096 — the eigendecomposition runs on the driver's d×d
+    reduction of those partials, and the
     projection is a row-local fold. Hard-checked verdicts: components
     are orthonormal; per-component projected variance is descending and
     matches the eigenvalue ORDER; the top-8 subspace captures

@@ -154,8 +154,15 @@ def timeout_sessions(
         state.update((start_us, last_us, n))
         # the abandoned-key path: when the watermark passes this
         # timestamp with no new data, hasTimedOut fires and the open
-        # session finally emits
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        # session finally emits. Clamped above the current watermark:
+        # applyInPandasWithState does NOT pre-filter late rows, so a
+        # key whose only events are older than watermark-gap would
+        # otherwise compute a timeout <= watermark, which Spark rejects
+        # with IllegalArgumentException and fails the whole query.
+        state.setTimeoutTimestamp(
+            max((last_us + gap_us) // 1000,
+                state.getCurrentWatermarkMs() + 1)
+        )
 
     return (
         events.withWatermark(ts_col, watermark)

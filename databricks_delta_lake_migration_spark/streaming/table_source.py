@@ -60,6 +60,14 @@ CDF_FIELDS = [
 # rewrite-only maintenance: adds carry no new data (Delta dataChange=false)
 _DATA_UNCHANGED_OPS = {"OPTIMIZE", "ZORDER"}
 
+# ops whose commit carries the FULL post-op property map (mirror of
+# logtable._PROPS_REPLACE_OPS — kept in lockstep so the pure-python
+# planner folds properties identically to the engine)
+_PROPS_REPLACE_OPS = {
+    "UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN",
+    "RESTORE", "ALTER COLUMN", "DROP FEATURE",
+}
+
 
 class _PlainLog:
     """Pure-python commit-log reader: folds schema / properties / adds
@@ -82,6 +90,35 @@ class _PlainLog:
     def commit(self, v: int) -> dict:
         with open(os.path.join(self.log, f"{v:020d}.json")) as fh:
             return json.load(fh)
+
+    def walk(self):
+        """Yield ``(version, commit, props_after_version)`` in commit
+        order, properties seeded from the newest checkpoint when the
+        log prefix was pruned — the per-version twin of ``state()``,
+        used where a property's value AT a version matters (e.g. was
+        CDF enabled when commit v ran?)."""
+        vs = self.versions()
+        props: dict = {}
+        if vs and vs[0] != 0:
+            cps = sorted(
+                int(n.split(".")[0])
+                for n in os.listdir(self.log)
+                if n.endswith(".checkpoint")
+            )
+            base = [c for c in cps if c <= vs[0]]
+            if base:
+                with open(
+                    os.path.join(self.log, f"{base[-1]:020d}.checkpoint")
+                ) as fh:
+                    props = dict(json.load(fh).get("properties") or {})
+        for v in vs:
+            c = self.commit(v)
+            if c.get("properties") is not None:
+                if c.get("operation") in _PROPS_REPLACE_OPS:
+                    props = dict(c["properties"])
+                else:
+                    props.update(c["properties"])
+            yield v, c, props
 
     def state(self) -> tuple[str, dict]:
         """(schema_json, properties) at the latest version, seeded from
@@ -108,12 +145,8 @@ class _PlainLog:
             if c.get("schema"):
                 schema = c["schema"]
             if c.get("properties") is not None:
-                # mirror logtable._PROPS_REPLACE_OPS: those ops carry
-                # the full post-op map
-                if c.get("operation") in {
-                    "UNSET TBLPROPERTIES", "RENAME COLUMN", "DROP COLUMN",
-                    "RESTORE", "ALTER COLUMN", "DROP FEATURE",
-                }:
+                # replace-ops carry the full post-op map
+                if c.get("operation") in _PROPS_REPLACE_OPS:
                     props = dict(c["properties"])
                 else:
                     props.update(c["properties"])
@@ -230,9 +263,15 @@ class LogTableStreamReader(DataSourceStreamReader):
         carries the row-level change files of the commits in
         ``(start, end]`` — inserts, update pre/post images, deletes —
         so a downstream CDC consumer sees every mutation, not just
-        appends. No skip/raise logic applies: mutations are the
-        payload. Change files store the full row plus the three CDF
-        columns and are unpartitioned, so no value re-injection."""
+        appends. The change-change dichotomy of the non-CDF path does
+        not apply (mutations are the payload), but data LOSS detection
+        does: a commit that mutated data while CDF was enabled whose
+        ``_changes/v=N`` dir has been VACUUMed past retention, or a
+        commit JSON pruned by log retention, makes a lagging consumer
+        silently lose mutations — both raise instead (mirroring the
+        non-CDF pruned-history error). Change files store the full row
+        plus the three CDF columns and are unpartitioned, so no value
+        re-injection."""
         if props.get(CDF_PROP, "false") != "true":
             raise RuntimeError(
                 f"{CDF_PROP} is not enabled on {self.path} — streaming "
@@ -243,11 +282,43 @@ class LogTableStreamReader(DataSourceStreamReader):
         cdf_schema_json = json.dumps(sch)
         mapping = json.loads(props.get(MAPPING_PROP, "{}"))
         inv = {phys: logical for logical, phys in mapping.items()}
+        commits: dict[int, dict] = {}
+        cdf_on: dict[int, bool] = {}
+        for v, c, props_v in log.walk():
+            commits[v] = c
+            cdf_on[v] = props_v.get(CDF_PROP, "false") == "true"
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
+            if v < 0:
+                continue
+            if v not in commits:
+                raise RuntimeError(
+                    f"streaming CDF source needs version {v} of "
+                    f"{self.path} but the commit log has been pruned "
+                    "past it; restart with startingVersion >= "
+                    f"{min(commits) if commits else 0}"
+                )
             d = os.path.join(self.path, CHANGES_DIR, f"v={v:020d}")
-            if v < 0 or not os.path.isdir(d):
-                continue  # metadata-only commit: no change files
+            if not os.path.isdir(d):
+                c = commits[v]
+                # compaction rewrites (dataChange=false) never emit
+                # change files — their absence is not data loss
+                mutated = bool(
+                    c.get("add") or c.get("remove")
+                    or c.get("deletionVectors")
+                ) and c.get("operation", "") not in _DATA_UNCHANGED_OPS
+                if mutated and cdf_on[v]:
+                    raise RuntimeError(
+                        f"change files for version {v} of {self.path} "
+                        "have been vacuumed past retention — the CDC "
+                        "stream would silently lose those mutations; "
+                        f"restart with startingVersion > {v} and "
+                        "reconcile downstream, or raise the change-file "
+                        "retention"
+                    )
+                # metadata-only commit (or written before CDF was
+                # enabled): genuinely nothing to emit
+                continue
             for name in sorted(os.listdir(d)):
                 if name.endswith(".parquet"):
                     out.append(

@@ -743,7 +743,15 @@ class LogTable:
                 if commit.version > 0
                 else {}
             )
-        except Exception:
+        except (FileNotFoundError, ValueError) as exc:
+            # expected only when the prior version is log-pruned (or
+            # the table dir vanished mid-write); anything else — a
+            # corrupt commit JSON (JSONDecodeError is a ValueError!),
+            # an IO fault — must PROPAGATE, or the effective feature
+            # set degrades to the commit's own properties and the
+            # unknown-feature write gate is silently bypassed
+            if isinstance(exc, json.JSONDecodeError):
+                raise
             cur = {}
         if commit.properties is not None and commit.operation in _PROPS_REPLACE_OPS:
             eff = dict(commit.properties)

@@ -774,3 +774,64 @@ def test_timeout_sessions_event_time_timeout(spark, tmp_path):
         ("b", 1, t0 + 5 * mins, t0 + 35 * mins),          # TIMEOUT-closed
     }
     assert sessions == expect
+
+
+def test_timeout_sessions_late_only_key_clamps_timeout(spark, tmp_path):
+    """applyInPandasWithState does NOT pre-filter late rows: a key
+    whose only events are already older than watermark-gap would
+    compute a timeout <= current watermark, which Spark rejects with
+    IllegalArgumentException and fails the WHOLE query (ADVICE r5).
+    The clamp (max(last+gap, watermark+1)) must keep the query alive
+    and still emit the late key's session via the timeout path."""
+    import json as _json
+    import os
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        timeout_sessions,
+    )
+
+    US = 1_000_000
+    base = 1_700_000_000 * US
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put(name, rows, mtime):
+        with open(os.path.join(src, name), "w") as fh:
+            for u, t in rows:
+                fh.write(_json.dumps({"user_id": u, "ts_us": t}) + "\n")
+        os.utime(os.path.join(src, name), (mtime, mtime))
+
+    far = 4102444800 * US
+    put("c0.json", [("wm", far)], 1e9)           # watermark jumps far ahead
+    put("c1.json", [("late", base)], 1e9 + 60)   # late-only key arrives AFTER
+    put("c2.json", [("wm", far + 10 * 3600 * US)], 1e9 + 120)  # fire timeout
+
+    wire = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(wire)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select("user_id", "ts")
+    )
+    got = []
+
+    def sink(bdf, bid):
+        got.extend((r.user_id, r.n_events) for r in bdf.collect())
+
+    q = (
+        timeout_sessions(stream, gap_minutes=30)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # without the clamp this raises
+
+    assert ("late", 1) in got

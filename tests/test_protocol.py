@@ -138,3 +138,28 @@ def test_drop_feature_lifecycle_and_sql(spark, tmp_path):
     # and a steady-state append after all this carries no protocol noise
     t.append(spark.createDataFrame([(100, 1.0)], SCHEMA))
     assert t.detail()["tableFeatures"] == []
+
+
+def test_corrupt_commit_json_refuses_write(spark, tmp_path):
+    """_stamp_protocol must not swallow a corrupt commit log
+    (ADVICE r5): if the prior properties can't be read because a
+    commit JSON is garbage, writing anyway would compute the effective
+    feature set from the new commit alone — bypassing the
+    unknown-feature gate. The write must fail loudly instead."""
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    path = str(tmp_path / "t")
+    t = LogTable.create(spark, path, SCHEMA)
+    t.append(spark.createDataFrame([(1, 1.0)], SCHEMA))
+
+    # corrupt v0's commit JSON in place
+    v0 = os.path.join(path, "_log", f"{0:020d}.json")
+    with open(v0, "w") as fh:
+        fh.write("{ this is not json")
+
+    fresh = LogTable(spark, path)
+    with pytest.raises(Exception) as exc_info:
+        fresh.append(spark.createDataFrame([(2, 2.0)], SCHEMA))
+    assert isinstance(
+        exc_info.value, (json.JSONDecodeError, ValueError, RuntimeError)
+    )

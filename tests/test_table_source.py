@@ -265,3 +265,50 @@ def test_stream_source_raises_on_pruned_history(spark, tmp_path):
         str(tmp_path / "ck2"),
     )
     assert len(got) > 0
+
+
+def test_stream_cdf_raises_on_vacuumed_change_dir(spark, tmp_path):
+    """A lagging CDC consumer whose needed _changes/v=N dir was
+    garbage-collected must get a loud error, not a silent gap: the
+    non-CDF path raises on pruned history, and the CDF path must
+    treat a vacuumed change dir for a data-mutating commit the same
+    way (ADVICE r5, medium)."""
+    import shutil
+
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.set_properties({"enableChangeDataFeed": "true"})
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], SCHEMA))  # v2
+    t.update("id = 1", {"v": "v + 10"})                            # v3
+
+    # simulate VACUUM past retention: v3's change files are gone but
+    # its commit JSON remains
+    shutil.rmtree(os.path.join(t.path, "_changes", f"v={3:020d}"))
+
+    with pytest.raises(Exception, match="vacuumed past retention"):
+        _drain(
+            spark,
+            read_table_stream(spark, t.path, readChangeFeed=True),
+            str(tmp_path / "ck"),
+        )
+
+
+def test_stream_cdf_pre_enablement_commits_do_not_raise(spark, tmp_path):
+    """Commits written BEFORE CDF was enabled legitimately carry no
+    change files — the loss detector must fold the property per
+    version, not retroactively demand change files for old appends."""
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(spark.createDataFrame([(1, 1.0)], SCHEMA))           # v1: pre-CDF
+    t.set_properties({"enableChangeDataFeed": "true"})            # v2
+    t.update("id = 1", {"v": "v + 10"})                           # v3
+
+    got = _drain(
+        spark,
+        read_table_stream(spark, t.path, readChangeFeed=True),
+        str(tmp_path / "ck"),
+    )
+    # only v3's mutations stream; v1's pre-enablement append is not an
+    # error and not emitted
+    assert sorted((r[0], r[1], r[2]) for r in got) == [
+        (1, 1.0, "update_preimage"),
+        (1, 11.0, "update_postimage"),
+    ]
