@@ -378,3 +378,46 @@ def quality_top_fraction(
         .drop("n_in_source")
         .select(by_col, id_col, "entropy", "n_tokens", "quality_rank")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier screen [EXT]: flag rows whose value deviates
+    from the per-group MEDIAN by more than ``n_mads`` median absolute
+    deviations — the robust z-score a data-quality gate needs, because
+    mean/stddev are themselves dragged by the outliers they're
+    supposed to catch (one corrupt 1e12 reading inflates σ enough to
+    hide every real anomaly).
+
+    Distributed shape: two grouped EXACT percentile aggregations (the
+    median, then the median of absolute deviations) — each ONE
+    group-keyed shuffle — joined back on the group key with NO forced
+    broadcast: the per-group stats side is one row per group, so AQE
+    broadcasts it when the group count is dimension-sized and falls
+    back to a shuffle join when group_cols is near-unique (forcing the
+    hint would be the q163-class OOM at scale). Never a global sort,
+    never a window over the whole group.
+
+    Adds ``is_outlier`` (boolean) plus the group's ``med`` and ``mad``
+    columns. MAD is the raw median-|dev| (no 1.4826 normal-consistency
+    factor); fold it into ``n_mads`` if you want σ-equivalent units.
+    Groups with MAD = 0 (over half the values identical) flag any
+    deviation from the median, matching the strict rule."""
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    devs = df.join(med, group_cols)
+    mad = devs.groupBy(*group_cols).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    scored = devs.join(mad, group_cols)
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    return scored.withColumn(
+        "is_outlier",
+        F.when(F.col("mad") > 0, dev > n_mads * F.col("mad"))
+        .otherwise(dev > 0),
+    )

@@ -987,3 +987,76 @@ def sq8_topk(
     return cosine_topk(
         subset, query_vec_id, k=k, id_col=id_col, vec_col=vec_col, dims=dims
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 8,
+    n_candidates: int = 32,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification [EXT]: pick ``k``
+    results that are RELEVANT to the query but not redundant with each
+    other — the dedup-at-retrieval step a RAG / training-data sampler
+    runs after ANN (Carbonell & Goldstein 1998, public formulation):
+    greedily maximize ``lam·sim(q, d) − (1−lam)·max_{s∈S} sim(d, s)``.
+
+    Distributed shape: the expensive part — scoring the full corpus —
+    is the existing broadcast-query exact top-``n_candidates`` scan
+    (ONE corpus pass, TakeOrderedAndProject); the greedy selection is
+    inherently sequential, so it runs driver-side over the collected
+    candidate set, which is ``n_candidates × dims`` floats —
+    metadata-sized like the IVF centroids, NEVER corpus-sized. At
+    100 TB the corpus scan distributes; the k·n_candidates² driver
+    arithmetic is microseconds.
+
+    Deterministic: ties break toward the lower ``id_col``. Returns
+    (rank, id, relevance, mmr_score) with scores rounded to 6 dp."""
+    import numpy as np
+
+    cands = cosine_topk(
+        embeddings, query_vec_id, k=n_candidates,
+        id_col=id_col, vec_col=vec_col, dims=dims,
+    ).select(id_col, "cosine")
+    with_vecs = (
+        embeddings.join(F.broadcast(cands), id_col)
+        .select(id_col, "cosine", vec_col)
+        .collect()
+    )
+    ids = [r[id_col] for r in with_vecs]
+    rel = np.array([float(r["cosine"]) for r in with_vecs])
+    x = np.array(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in with_vecs]
+    )
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sim = x @ x.T  # candidate-candidate cosine, n_candidates² floats
+
+    order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))
+    selected: list[int] = []
+    out_rows = []
+    for rank in range(min(k, len(ids))):
+        best_i, best_score = None, None
+        for i in order:
+            if i in selected:
+                continue
+            redundancy = max((sim[i][j] for j in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * redundancy
+            if (
+                best_score is None
+                or score > best_score + 1e-12
+                or (abs(score - best_score) <= 1e-12 and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        selected.append(best_i)
+        out_rows.append(
+            (rank + 1, ids[best_i], round(float(rel[best_i]), 6),
+             round(float(best_score), 6))
+        )
+    return embeddings.sparkSession.createDataFrame(
+        out_rows,
+        f"rank int, {id_col} long, relevance double, mmr_score double",
+    )

@@ -1727,3 +1727,148 @@ def q161_right_to_be_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step string, ok boolean").orderBy(
         "step"
     )
+
+
+@query(
+    "q167_fsck_repair",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('1_read_fails_broken', TRUE),
+        ('2_repair_found_dead_file', TRUE),
+        ('3_read_works_after', TRUE),
+        ('4_survivor_rows_exact', TRUE),
+        ('5_history_records_fsck', TRUE),
+        ('6_idempotent', TRUE)
+    ) AS t(step, ok) ORDER BY step
+    """,
+)
+def q167_fsck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSCK REPAIR TABLE [EXT]: recovery after an out-of-band data-file
+    deletion (cloud lifecycle rule, manual rm). Program: build a
+    4-file table, physically delete one parquet behind the log's back,
+    prove reads now FAIL, run ``fsck_repair`` (metadata-only: stat
+    probes over the active file list + ONE remove commit), prove reads
+    work again and return exactly the surviving rows, the FSCK commit
+    is in HISTORY, and a second repair is a no-op. Mirrors Delta's
+    FSCK REPAIR TABLE semantics."""
+    import os
+
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("fsck"), target.schema)
+    # four appends -> four files, each a deterministic quarter
+    for i in range(4):
+        t.append(target.filter(F.col("o_orderkey") % 4 == i))
+    files = sorted(
+        f.path for f in t._replay()[0]
+    )
+    victim = files[0]
+    victim_rows = (
+        spark.read.parquet(os.path.join(t.path, victim)).count()
+    )
+    n_total = t.read().count()
+    os.remove(os.path.join(t.path, victim))
+
+    try:
+        t.read().count()
+        read_fails = False
+    except Exception:
+        read_fails = True
+
+    rep = t.fsck_repair()
+    found = rep["numFilesRemoved"] == 1 and rep["removed"] == [victim]
+    after = t.read().count()
+    works = after == n_total - victim_rows
+    hist = any(r["operation"] == "FSCK" for r in t.history().collect())
+    rep2 = t.fsck_repair()
+    idempotent = rep2["numFilesRemoved"] == 0
+
+    rows = [
+        ("1_read_fails_broken", bool(read_fails)),
+        ("2_repair_found_dead_file", bool(found)),
+        ("3_read_works_after", bool(works)),
+        ("4_survivor_rows_exact", bool(works)),
+        ("5_history_records_fsck", bool(hist)),
+        ("6_idempotent", bool(idempotent)),
+    ]
+    return spark.createDataFrame(rows, "step string, ok boolean").orderBy(
+        "step"
+    )
+
+
+@query(
+    "q168_symlink_manifest",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('1_manifest_written', TRUE),
+        ('2_lists_active_files_exactly', TRUE),
+        ('3_plain_parquet_read_matches', TRUE),
+        ('4_refresh_after_optimize', TRUE),
+        ('5_partitioned_tree_shape', TRUE)
+    ) AS t(step, ok) ORDER BY step
+    """,
+)
+def q168_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE symlink_format_manifest [EXT] (Delta's GENERATE
+    command — the external-engine handshake: Presto/Trino/Athena read
+    the manifest as the file list instead of the log). Program: write
+    a multi-file table, generate the manifest, verify it lists EXACTLY
+    the active files; read those paths as plain parquet and match the
+    table's row count; OPTIMIZE (actives change), re-generate, verify
+    the manifest follows; on a PARTITIONED table the manifest tree
+    mirrors the partition dirs so external partition pruning works."""
+    import os
+
+    target = _orders_subset(spark, sf_dir)
+    t = LogTable.create(spark, _scratch("manifest"), target.schema)
+    for i in range(4):
+        t.append(target.filter(F.col("o_orderkey") % 4 == i))
+
+    manifests = t.generate_manifest()
+    written = len(manifests) == 1 and all(
+        os.path.exists(m) for m in manifests
+    )
+    listed = sorted(
+        p
+        for m in manifests
+        for p in open(m).read().splitlines()
+    )
+    active = sorted(f.abspath(t.path) for f in t._replay()[0])
+    exact = listed == active
+    plain = spark.read.parquet(*listed).count() == t.read().count()
+
+    t.optimize(target_file_bytes=1 << 30)  # compacts the small files
+    manifests2 = t.generate_manifest()
+    listed2 = sorted(
+        p for m in manifests2 for p in open(m).read().splitlines()
+    )
+    active2 = sorted(f.abspath(t.path) for f in t._replay()[0])
+    refreshed = listed2 == active2 and listed2 != listed
+
+    # partitioned shape: one manifest per partition dir
+    p = LogTable.create(
+        spark,
+        _scratch("manifest-part") ,
+        target.withColumn("bucket", (F.col("o_orderkey") % 3).cast("string")).schema,
+        partition_by=["bucket"],
+    )
+    p.append(
+        target.withColumn("bucket", (F.col("o_orderkey") % 3).cast("string"))
+        .repartition("bucket")
+    )
+    pms = p.generate_manifest()
+    tree = sorted(os.path.relpath(os.path.dirname(m), p.path) for m in pms)
+    tree_ok = tree == [
+        os.path.join("_symlink_format_manifest", f"bucket={i}")
+        for i in range(3)
+    ]
+
+    rows = [
+        ("1_manifest_written", bool(written)),
+        ("2_lists_active_files_exactly", bool(exact)),
+        ("3_plain_parquet_read_matches", bool(plain)),
+        ("4_refresh_after_optimize", bool(refreshed)),
+        ("5_partitioned_tree_shape", bool(tree_ok)),
+    ]
+    return spark.createDataFrame(rows, "step string, ok boolean").orderBy(
+        "step"
+    )

@@ -452,3 +452,46 @@ def q122_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_top_fraction(
         load_table(spark, sf_dir, "documents"), pct=70
     )
+
+
+@query(
+    "q166_robust_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    mad AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN (CASE WHEN m2.mad > 0
+                         THEN abs(e.value - m.med) > 3 * m2.mad
+                         ELSE abs(e.value - m.med) > 0 END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 4) AS med,
+           ROUND(ANY_VALUE(m2.mad), 4) AS mad
+    FROM events e
+    JOIN med m USING (event_type) JOIN mad m2 USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q166_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen [EXT]
+    (``curation.robust_outliers`` — the quality gate that survives the
+    outliers it hunts, unlike mean/σ z-scores): per event_type, flag
+    values more than 3 MADs from the median. Two exact grouped
+    percentile shuffles + stats joined back (AQE-broadcast when the
+    group count is small). Returns per-group row/outlier counts and
+    the 4dp-snapped median/MAD."""
+    e = load_table(spark, sf_dir, "events")
+    flagged = curation.robust_outliers(e, ["event_type"], "value", n_mads=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+    )

@@ -2159,3 +2159,43 @@ def q163_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "relation string, n_orphans long, n_rows long"
     )
+
+
+@query(
+    "q164_asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q164_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join [EXT]: every click enriched with the
+    user's most recent prior-or-simultaneous purchase value — the
+    time-series lookup (quotes→trades, feature snapshots→events) Spark
+    has no built-in operator for. ``operators.asofjoin.asof_join``:
+    tag + unionByName + ONE per-key window carrying
+    last(payload-struct, ignorenulls) — one shuffle total, zero row
+    expansion at any skew (a naive range join explodes candidate
+    pairs). Oracle: DuckDB's native ASOF LEFT JOIN. The purchase side
+    is pre-aggregated to unique (user, ts) so tie-breaking is
+    deterministic on both engines."""
+    from ..operators.asofjoin import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, on=["user_id"], left_ts="ts")

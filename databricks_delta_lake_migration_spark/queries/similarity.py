@@ -503,3 +503,63 @@ def q150_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_components int, orthonormal boolean, variance_descending boolean, "
         "beats_uniform_share boolean, projection_centered boolean",
     )
+
+
+@query(
+    "q165_mmr_diversify",
+    oracle="""
+    SELECT CAST(8 AS INT) AS n_selected, TRUE AS ids_distinct,
+           TRUE AS all_from_candidates, TRUE AS first_is_nearest,
+           TRUE AS diversified_vs_topk
+    """,
+)
+def q165_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval diversification [EXT]
+    (``similarity.mmr_select`` — the post-ANN dedup step a RAG /
+    training-data sampler runs so the k results aren't k near-copies):
+    corpus scoring is the distributed broadcast-query top-32 scan; the
+    greedy λ·relevance − (1−λ)·redundancy selection runs driver-side
+    over the 32×64-float candidate set (metadata-sized). Hard-checked
+    verdicts: 8 distinct picks, all from the candidate set, the first
+    pick IS the exact nearest neighbor, and the MMR set's mean
+    pairwise cosine is strictly below the plain top-8's (it traded
+    relevance for diversity — deterministic on the fixed fixture)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity as simops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, lam = 8, 0.7
+    sel = simops.mmr_select(emb, query_vec_id=0, k=k, n_candidates=32,
+                            lam=lam).collect()
+    cands = simops.cosine_topk(emb, 0, k=32).collect()
+    cand_ids = [r.vec_id for r in cands]
+    top8 = set(cand_ids[:k])
+    picked = [r.vec_id for r in sel]
+
+    def mean_pairwise(ids):
+        rows = (
+            emb.filter(F.col("vec_id").isin([int(i) for i in ids]))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        x = np.array([np.asarray(r.embedding, np.float64) for r in rows])
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        s = x @ x.T
+        n = len(ids)
+        return (s.sum() - n) / (n * (n - 1))
+
+    diversified = mean_pairwise(picked) < mean_pairwise(top8)
+    return spark.createDataFrame(
+        [(
+            len(picked),
+            len(set(picked)) == len(picked),
+            set(picked) <= set(cand_ids),
+            picked[0] == cand_ids[0],
+            bool(diversified),
+        )],
+        "n_selected int, ids_distinct boolean, all_from_candidates boolean, "
+        "first_is_nearest boolean, diversified_vs_topk boolean",
+    )

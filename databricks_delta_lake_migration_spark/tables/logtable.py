@@ -3527,6 +3527,79 @@ class LogTable:
                 self.fs.delete(os.path.join(self.path, rel))
         return sorted(candidates)
 
+    def fsck_repair(self, dry_run: bool = False) -> dict:
+        """FSCK REPAIR TABLE (Delta's ``FSCK REPAIR TABLE``,
+        delta_utils.py maintenance family): drop log entries whose
+        DATA FILE no longer exists physically — the recovery path
+        after an out-of-band deletion (a cloud lifecycle rule, a
+        fat-fingered ``rm``) that otherwise fails every read with
+        FileNotFound forever.
+
+        Metadata-only at any table size: existence probes run against
+        the ACTIVE snapshot's file list (O(files) stat calls, no data
+        read, no tree walk), and the repair is ONE commit removing the
+        dead entries. Deletion-vector and bloom sidecars are treated
+        as part of their data file: a missing sidecar drops the entry
+        too (conservative — resurrecting DV'd rows would un-delete
+        data).
+
+        Returns {"numFilesRemoved": n, "removed": [paths]}; with
+        ``dry_run`` only reports."""
+        files, _, _, _, _ = self._replay()
+        dead: list[str] = []
+        for f in files:
+            paths = [f.abspath(self.path)]
+            if f.bloom:
+                paths.append(os.path.join(f.base or self.path, f.bloom))
+            for d in f.dv or []:
+                paths.append(os.path.join(self.path, d))
+            if not all(self.fs.exists(p) for p in paths):
+                dead.append(f.path)
+        if dead and not dry_run:
+            self._commit_tx(
+                Commit(
+                    version=self._next_version(),
+                    timestamp=time.time(),
+                    operation="FSCK",
+                    remove=dead,
+                    metrics={"numFilesRemoved": len(dead)},
+                )
+            )
+        return {"numFilesRemoved": len(dead), "removed": sorted(dead)}
+
+    def generate_manifest(self) -> list[str]:
+        """GENERATE symlink_format_manifest (Delta's ``GENERATE``
+        command): write ``_symlink_format_manifest/<partition dirs>/
+        manifest`` text files listing the absolute paths of the
+        table's ACTIVE data files — the handshake that lets external
+        engines without a log reader (Presto/Trino/Athena-style)
+        query the current snapshot as plain parquet.
+
+        Metadata-only: folds the active file list (no data read), one
+        manifest per partition directory so partition pruning keeps
+        working on the external side. Re-running replaces the previous
+        manifest tree atomically-enough for readers (old manifests of
+        vanished partitions are removed). Returns the manifest file
+        paths written."""
+        files, _, _, _, _ = self._replay()
+        man_root = os.path.join(self.path, "_symlink_format_manifest")
+        if self.fs.isdir(man_root):
+            self.fs.delete_tree(man_root)
+        by_dir: dict[str, list[str]] = {}
+        for f in files:
+            rel_dir = os.path.dirname(f.path)
+            by_dir.setdefault(rel_dir, []).append(f.abspath(self.path))
+        out = []
+        for rel_dir, paths in sorted(by_dir.items()):
+            d = os.path.join(man_root, rel_dir) if rel_dir else man_root
+            self.fs.makedirs(d)
+            target = os.path.join(d, "manifest")
+            self.fs.write_text(
+                target, "".join(p + "\n" for p in sorted(paths))
+            )
+            out.append(target)
+        return out
+
     def clone(
         self,
         target_path: str,

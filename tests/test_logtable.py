@@ -2490,3 +2490,43 @@ def test_row_tracking_restore_reverts_row_versions(spark, rt_table):
     rt_table.append(rows_df(spark, [(8, "C", 8.0, "d3")]))
     s = _rt_state(rt_table)
     assert s[8][0] > max(rid for rid, _ in before.values())
+
+
+def test_fsck_repair_missing_sidecar_drops_entry(spark, tmp_path):
+    """A data file whose DV sidecar vanished must be dropped too —
+    resurrecting DV'd (deleted) rows would be an un-delete."""
+    t = LogTable.create(
+        spark, str(tmp_path / "t"), SCHEMA,
+        properties={"enableDeletionVectors": "true"},
+    )
+    t.append(rows_df(spark, [(1, "a", 1.0, "d1"), (2, "b", 2.0, "d1")]))
+    t.append(rows_df(spark, [(3, "c", 3.0, "d1")]))
+    t.delete("id = 1")  # DV path: tombstone, no rewrite
+    entries = t._replay()[0]
+    dv_entry = next(f for f in entries if f.dv)
+    import shutil
+
+    shutil.rmtree(os.path.join(t.path, dv_entry.dv[0]))
+
+    rep = t.fsck_repair(dry_run=True)
+    assert rep["removed"] == [dv_entry.path]
+    # dry run changed nothing
+    assert len(t._replay()[0]) == len(entries)
+    rep = t.fsck_repair()
+    assert rep["numFilesRemoved"] == 1
+    # the dropped file held only the DV-tombstoned row 1, so the
+    # visible row set is unchanged — and reads no longer depend on
+    # the vanished sidecar
+    assert not any(f.dv for f in t._replay()[0])
+    assert {r.id for r in t.read().collect()} == {2, 3}
+
+
+def test_generate_manifest_excluded_from_vacuum(spark, tmp_path):
+    """Manifests live under the table root but VACUUM must not
+    collect them (it only collects parquet/bloom debris)."""
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(rows_df(spark, [(1, "a", 1.0, "d1")]))
+    manifests = t.generate_manifest()
+    assert manifests and all(os.path.exists(m) for m in manifests)
+    t.vacuum(retain_hours=0.0)
+    assert all(os.path.exists(m) for m in manifests)

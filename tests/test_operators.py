@@ -970,3 +970,122 @@ def test_pca_train_high_dims_partition_partials(spark):
     vals, vecs = np.linalg.eigh(cov)
     ref = vecs[:, -1]
     assert abs(abs(float(np.dot(c[0], ref))) - 1.0) < 1e-6
+
+
+def test_asof_join_matches_reference(spark):
+    """As-of join vs a brute-force python reference: inclusive
+    backward match per key, left-outer nulls, deterministic tiebreak,
+    tolerance cutoff."""
+    from databricks_delta_lake_migration_spark.operators.asofjoin import (
+        asof_join,
+    )
+
+    left_rows = [
+        ("a", 10, 1), ("a", 20, 2), ("a", 5, 3),
+        ("b", 7, 4), ("b", 100, 5), ("c", 50, 6),
+    ]
+    right_rows = [
+        ("a", 10, 1.0), ("a", 15, 2.0), ("a", 1, 0.5),
+        ("b", 99, 3.0), ("d", 1, 9.0),
+    ]
+    left = spark.createDataFrame(left_rows, "k string, t long, eid long")
+    right = spark.createDataFrame(right_rows, "k string, t long, val double")
+
+    got = {
+        (r.k, r.t, r.eid): r.val
+        for r in asof_join(left, right, on=["k"], left_ts="t").collect()
+    }
+
+    def ref(k, t):
+        c = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+        return max(c)[1] if c else None
+
+    assert len(got) == len(left_rows)
+    for k, t, eid in left_rows:
+        assert got[(k, t, eid)] == ref(k, t), (k, t)
+
+    # tolerance: match older than t - tol is discarded
+    got_tol = {
+        (r.k, r.t): r.val
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", tolerance=4
+        ).collect()
+    }
+    assert got_tol[("a", 20)] is None      # nearest match at 15 is 5 old
+    assert got_tol[("a", 10)] == 1.0       # exact-ts match survives
+    assert got_tol[("b", 100)] == 3.0      # 1 old
+
+    # single shuffle: exactly one Exchange in the physical plan
+    plan = (
+        asof_join(left, right, on=["k"], left_ts="t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # no join operator at all
+
+
+def test_asof_join_null_payload_and_tiebreak(spark):
+    """A genuinely-NULL right attribute must NOT make the match skip
+    to an older row (struct payload), and equal-ts right duplicates
+    resolve by the declared tiebreak."""
+    from databricks_delta_lake_migration_spark.operators.asofjoin import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([("a", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 8, None)], "k string, t long, val double"
+    )
+    out = asof_join(left, right, on=["k"], left_ts="t").collect()
+    assert out[0].val is None  # the ts=8 row wins even with NULL val
+
+    right2 = spark.createDataFrame(
+        [("a", 5, 1.0, 1), ("a", 5, 2.0, 2)],
+        "k string, t long, val double, seq int",
+    )
+    out2 = asof_join(
+        left, right2, on=["k"], left_ts="t", right_tiebreak="seq"
+    ).collect()
+    assert out2[0].val == 2.0  # greatest tiebreak wins deterministically
+
+
+def test_robust_outliers_planted_anomaly(spark):
+    """A planted 1e6 spike is flagged; the clean group flags nothing;
+    a constant group (MAD=0) flags only deviants."""
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        robust_outliers,
+    )
+
+    rows = (
+        [("g1", float(v)) for v in range(1, 100)]
+        + [("g1", 1e6)]
+        + [("g2", float(v)) for v in range(1, 100)]
+        + [("g3", 5.0)] * 9 + [("g3", 6.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, ["g"], "v", n_mads=3.0)
+    flagged = {
+        (r.g, r.v) for r in out.filter("is_outlier").collect()
+    }
+    assert ("g1", 1e6) in flagged
+    assert not any(g == "g2" for g, _ in flagged)
+    assert ("g3", 6.0) in flagged and ("g3", 5.0) not in flagged
+
+
+def test_mmr_select_diversifies(spark):
+    """MMR with lam→1 degenerates to plain top-k; lam<1 trades
+    relevance for diversity but keeps the exact top-1 first."""
+    from databricks_delta_lake_migration_spark.operators import similarity
+    from databricks_delta_lake_migration_spark.queries.registry import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    topk = [r.vec_id for r in similarity.cosine_topk(emb, 0, k=8).collect()]
+    pure = similarity.mmr_select(emb, 0, k=8, n_candidates=8, lam=1.0)
+    assert [r.vec_id for r in pure.collect()] == topk
+    mixed = similarity.mmr_select(emb, 0, k=8, n_candidates=32, lam=0.5)
+    rows = mixed.collect()
+    assert rows[0].vec_id == topk[0]
+    assert len({r.vec_id for r in rows}) == 8
+    assert [r.rank for r in rows] == list(range(1, 9))
