@@ -46,8 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # q160 state-store introspection, q161 right-to-be-forgotten,
 # q162 correlation matrix, q163 referential-integrity audit) plus the
 # round-6 additions (q164 as-of join, q165 MMR diversification,
-# q166 robust outliers, q167 FSCK REPAIR, q168 symlink manifest —
-# all green under the local sf0.01 driver simulation this round),
+# q166 robust outliers, q167 FSCK REPAIR, q168 symlink manifest,
+# q169 count-min heavy hitters, q170 bigram LM scoring — all green
+# under the local sf0.01 driver simulation this round),
 # the anchors, and re-confirms of rows whose only
 # green driver row is from rounds 1–3 (q02/q07/q08/q09/q10/q15/q16/
 # q18/q19/q25/q41/q61/q62/q64/q65/q66/q68/q71/q72/q73/q76/q84/q88).

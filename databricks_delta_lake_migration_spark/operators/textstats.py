@@ -779,3 +779,133 @@ def tfidf_top_terms(
             F.round(F.col("score_exact").cast("double"), 6).alias("tfidf"),
         )
     )
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = 512,
+    depth: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters [EXT]: the top-``k`` tokens with
+    their exact count AND their count-min estimate from a
+    ``depth × width`` sketch — the mergeable fixed-size structure that
+    answers "how often does X occur" over a 100 TB stream without a
+    billion-key exact table (Cormode & Muthukrishnan 2005, public
+    formulation). The estimate never undercounts (CMS one-sided error
+    guarantee), surfaced as a checkable ``no_undercount`` column.
+
+    Built as a pure DataFrame composition — no binary sketch blobs:
+
+    - ONE token shuffle builds the sketch: each token occurrence emits
+      its ``depth`` (row, bucket) cells row-locally (portable
+      sliced-sha256 hashes, engine-reproducible), then a (row, bucket)
+      groupBy-count — the sketch IS a ≤ depth×width-row table, trivially
+      mergeable across corpora by summing cells;
+    - estimates come from joining candidate tokens' cells against the
+      sketch and taking the per-token MIN over rows. The sketch side
+      is bounded by constants (depth×width cells), so broadcasting it
+      is safe at ANY corpus size — this is what a legitimate broadcast
+      looks like, unlike fact-sized key sets."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+
+    def _cells(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.sha2(F.concat(F.lit(f"cms{i}:"), col), 256),
+                                1,
+                                12,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % width
+                    ).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+
+    sketch = (
+        toks.select(F.explode(_cells(F.col("w"))).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("w").asc())
+        .limit(k)
+    )
+    probes = top.select(
+        "w", "true_count", F.explode(_cells(F.col("w"))).alias("c")
+    ).select("w", "true_count", F.col("c.row").alias("row"),
+             F.col("c.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("w", "true_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return est.select(
+        "w",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_count")).alias("no_undercount"),
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-bigram conditional log-probability scoring [EXT]: each
+    document's mean ``log2 P(w2 | w1)`` under the corpus's own bigram
+    counts — one LM order above :func:`unigram_logprob_scores`, and a
+    sharper fluency proxy (token-salad with plausible unigrams but
+    impossible transitions scores very negative). Documents with fewer
+    than 2 tokens have no bigrams and drop out, same contract as an
+    n-gram LM.
+
+    Determinism: per-bigram terms snap to DECIMAL(28,12) before the
+    sum, ONE double division at the end.
+
+    Scale design: bigram extraction is ROW-LOCAL (a sequence/transform
+    fold over the token array — no window, no self-join); then one
+    (w1, w2)-keyed count shuffle, prefix counts derived from the same
+    relation by a (w1) groupBy (no second scan), two token-keyed joins
+    to price, one doc rollup. The bigram table stays distributed —
+    never collected or broadcast (web-scale bigram vocabularies are
+    trillions of keys)."""
+    toks_arr = tokens(F.col(text_col))
+    n = F.size(toks_arr)
+    # zip_with over a shifted slice, NOT transform(sequence)+element_at:
+    # lambda-body references to the token array re-evaluate the whole
+    # tokenization per element in Catalyst (see :func:`shingles`). The
+    # zipped tail pads with NULL at the last position; slicing to n-1
+    # drops it, and the n>=2 guard keeps 0/1-token docs bigram-free.
+    bi_pairs = F.zip_with(
+        toks_arr,
+        F.slice(toks_arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bi = F.when(n >= 2, F.slice(bi_pairs, 1, n - 1)).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    pairs = df.select(F.col(id_col), F.explode(bi).alias("b")).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    priced = pairs.join(bg, ["w1", "w2"]).join(prefix, "w1")
+    term = F.log2(F.col("c2") / F.col("c1")).cast("decimal(28,12)")
+    return priced.groupBy(id_col).agg(
+        F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_bigram_logprob"
+        ),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

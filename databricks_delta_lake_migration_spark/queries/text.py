@@ -1079,3 +1079,88 @@ def q152_card_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return textstats.redact_card_numbers(seeded)
+
+
+@query(
+    "q169_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    cells AS (
+        SELECT rw, bucket, COUNT(*) AS cell FROM (
+            SELECT i AS rw,
+                   CAST('0x' || substring(sha256('cms' || i || ':' || w), 1, 12)
+                        AS BIGINT) % 512 AS bucket
+            FROM toks, range(4) t(i)
+        ) GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT w, COUNT(*) AS true_count FROM toks GROUP BY w
+        ORDER BY true_count DESC, w ASC LIMIT 10
+    ),
+    probes AS (
+        SELECT top.w, top.true_count, i AS rw,
+               CAST('0x' || substring(sha256('cms' || i || ':' || top.w), 1, 12)
+                    AS BIGINT) % 512 AS bucket
+        FROM top, range(4) t(i)
+    )
+    SELECT p.w, p.true_count, MIN(c.cell) AS cms_estimate,
+           MIN(c.cell) >= p.true_count AS no_undercount
+    FROM probes p JOIN cells c USING (rw, bucket)
+    GROUP BY p.w, p.true_count
+    """,
+)
+def q169_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters [EXT]
+    (``textstats.count_min_heavy_hitters``): top-10 corpus tokens with
+    exact count and their estimate from a 4×512 count-min sketch built
+    as a pure DataFrame composition (token occurrences emit their 4
+    portable-hash cells row-locally → ONE (row, bucket) groupBy; the
+    sketch IS a ≤2048-row mergeable table). Estimates join candidate
+    cells against the constant-bounded sketch (legitimately
+    broadcast-able at any corpus size) and take the per-token MIN. The
+    CMS one-sided guarantee — never undercounts — ships as a checkable
+    column; the whole computation is deterministic, so the DuckDB twin
+    reproduces the estimates exactly."""
+    return textstats.count_min_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), width=512, depth=4, k=10
+    )
+
+
+@query(
+    "q170_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    p AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+            FROM t WHERE len(toks) >= 2
+        )
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY 1, 2),
+    pre AS (SELECT w1, SUM(c2) AS c1 FROM bg GROUP BY 1)
+    SELECT p.doc_id,
+           ROUND(CAST(SUM(CAST(log2(c2 * 1.0 / c1) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM p JOIN bg USING (w1, w2) JOIN pre USING (w1)
+    GROUP BY p.doc_id
+    """,
+)
+def q170_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram conditional log-probability scoring [EXT]
+    (``textstats.bigram_logprob_scores``): mean log2 P(w2|w1) per
+    document under the corpus's own bigram counts — the order-2 LM
+    fluency proxy (impossible transitions score very negative even
+    when unigrams look plausible). Bigram extraction is row-local
+    (zip_with over a shifted slice); counts and prefix totals stay
+    distributed; decimal-snapped terms keep both engines
+    bit-identical."""
+    return textstats.bigram_logprob_scores(
+        load_table(spark, sf_dir, "documents")
+    )

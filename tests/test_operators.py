@@ -1089,3 +1089,43 @@ def test_mmr_select_diversifies(spark):
     assert rows[0].vec_id == topk[0]
     assert len({r.vec_id for r in rows}) == 8
     assert [r.rank for r in rows] == list(range(1, 9))
+
+
+def test_count_min_never_undercounts_and_tight_at_low_load(spark):
+    """CMS one-sided guarantee: estimate >= true count always; with a
+    sketch far wider than the vocabulary the estimates are exact."""
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    rows = [(i, " ".join(["alpha"] * 5 + ["beta"] * 3 + [f"tail{i}"]))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.count_min_heavy_hitters(docs, width=2048, depth=4, k=3)
+    got = {r.w: (r.true_count, r.cms_estimate, r.no_undercount)
+           for r in out.collect()}
+    assert got["alpha"][0] == 100 and got["beta"][0] == 60
+    assert all(v[2] for v in got.values())
+    # 22-token vocabulary in a 2048-bucket sketch: collisions are
+    # possible but estimates still bound below by truth
+    assert all(v[1] >= v[0] for v in got.values())
+    # tiny sketch forces collisions -> overcounts, never undercounts
+    tiny = textstats.count_min_heavy_hitters(docs, width=4, depth=2, k=3)
+    assert all(r.cms_estimate >= r.true_count for r in tiny.collect())
+
+
+def test_bigram_logprob_reference(spark):
+    """Hand-checked bigram conditionals on a 3-doc corpus."""
+    import math
+
+    from databricks_delta_lake_migration_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.avg_bigram_logprob, r.n_bigrams)
+           for r in textstats.bigram_logprob_scores(docs).collect()}
+    # bigrams: (a,b)x2, (b,c), (b,d); P(b|a)=1, P(c|b)=P(d|b)=0.5
+    assert 3 not in out  # single-token doc has no bigrams
+    assert out[1][1] == 2 and out[2][1] == 2
+    expect = round((math.log2(1.0) + math.log2(0.5)) / 2, 6)
+    assert out[1][0] == expect == out[2][0]
