@@ -46,6 +46,9 @@ Statement coverage (the forms the reference actually uses):
   bound in :meth:`Catalog.sql`)
 - ``VACUUM t [RETAIN n HOURS] [LITE] [DRY RUN]`` (LITE = log-driven
   candidates, no tree walk)
+- ``FSCK REPAIR TABLE t [DRY RUN]`` (drop entries whose data files
+  vanished out-of-band)
+- ``GENERATE symlink_format_manifest FOR TABLE t``
 - ``OPTIMIZE t [FULL]`` (FULL re-clusters everything — the default
   rewrite semantics here)
 - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF 'ts'``
@@ -237,6 +240,14 @@ _COPY_INTO = re.compile(
 _VACUUM = re.compile(
     rf"^\s*VACUUM\s+({_ID})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
     r"(\s+LITE)?(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.I,
+)
+_FSCK = re.compile(
+    rf"^\s*FSCK\s+REPAIR\s+TABLE\s+({_ID})(\s+DRY\s+RUN)?\s*;?\s*$", re.I
+)
+_GENERATE = re.compile(
+    rf"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+({_ID})"
+    r"\s*;?\s*$",
     re.I,
 )
 _RESTORE = re.compile(
@@ -863,6 +874,18 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         # rewrite files carrying deletion vectors (optimize() always
         # compacts DV-carrying files regardless of size — the PURGE)
         return _one_row(spark, cat.table(m.group(1)).optimize())
+
+    if m := _FSCK.match(query):
+        rep = cat.table(m.group(1)).fsck_repair(dry_run=bool(m.group(2)))
+        return _one_row(
+            spark,
+            {"numFilesRemoved": rep["numFilesRemoved"],
+             "dryRun": bool(m.group(2))},
+        )
+
+    if m := _GENERATE.match(query):
+        written = cat.table(m.group(1)).generate_manifest()
+        return _one_row(spark, {"numManifestsWritten": len(written)})
 
     if m := _COPY_INTO.match(query):
         t = cat.table(m.group(1))

@@ -639,3 +639,31 @@ def test_insert_default_keyword(spark, cat):
         (3, "x", None),
         (4, "DEFAULT rate", 9),
     }
+
+
+def test_fsck_repair_sql(spark, cat):
+    """FSCK REPAIR TABLE t [DRY RUN] routes to LogTable.fsck_repair."""
+    import os
+
+    t = cat.table("lake.acid.orders")
+    victim = sorted(f.path for f in t._replay()[0])[0]
+    os.remove(os.path.join(t.path, victim))
+    dry = cat.sql("FSCK REPAIR TABLE lake.acid.orders DRY RUN").collect()[0]
+    assert (dry.numFilesRemoved, dry.dryRun) == ("1", "True")
+    out = cat.sql("FSCK REPAIR TABLE lake.acid.orders").collect()[0]
+    assert (out.numFilesRemoved, out.dryRun) == ("1", "False")
+    t.read().count()  # readable again
+
+
+def test_generate_manifest_sql(spark, cat):
+    """GENERATE symlink_format_manifest FOR TABLE t writes manifests."""
+    import os
+
+    out = cat.sql(
+        "GENERATE symlink_format_manifest FOR TABLE lake.acid.orders"
+    ).collect()[0]
+    assert int(out.numManifestsWritten) >= 1
+    t = cat.table("lake.acid.orders")
+    man = os.path.join(t.path, "_symlink_format_manifest", "manifest")
+    listed = sorted(open(man).read().splitlines())
+    assert listed == sorted(f.abspath(t.path) for f in t._replay()[0])
