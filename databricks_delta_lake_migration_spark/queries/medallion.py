@@ -1364,3 +1364,128 @@ def q160_state_store_introspection(
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
     )
+
+
+@query(
+    "q171_stream_scd2_apply",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    )
+    -- v1 closed at T2 for every %3 key (a later version arrived)
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS effective_start_date,
+           TIMESTAMP '2024-02-01 00:00:00' AS effective_end_date,
+           FALSE AS is_current
+    FROM base WHERE c_custkey % 3 = 0
+    UNION ALL
+    -- v2 stays open for %3 keys that never changed again
+    SELECT c_custkey, 'MOVED2', c_acctbal,
+           TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+    FROM base WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0
+    UNION ALL
+    -- v2 closed at T4 for %9 keys (v3 arrived)
+    SELECT c_custkey, 'MOVED2', c_acctbal,
+           TIMESTAMP '2024-02-01 00:00:00',
+           TIMESTAMP '2024-04-01 00:00:00', FALSE
+    FROM base WHERE c_custkey % 9 = 0
+    UNION ALL
+    -- v3 open for %9 keys
+    SELECT c_custkey, 'MOVED2', c_acctbal + 50,
+           TIMESTAMP '2024-04-01 00:00:00', NULL, TRUE
+    FROM base WHERE c_custkey % 9 = 0
+    UNION ALL
+    -- every non-%3 key keeps its original open row: the T3 duplicate
+    -- records (%4 keys) collapse instead of re-versioning
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
+    FROM base WHERE c_custkey % 3 <> 0
+    """,
+)
+def q171_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming SCD Type 2 apply [EXT] (DLT's ``APPLY CHANGES …
+    STORED AS SCD TYPE 2`` semantics on open primitives,
+    ``streaming/ingest.py:stream_scd2_apply``): four change files
+    replay in timestamp order as four micro-batches — initial
+    snapshot, a segment change for %3 keys, DUPLICATE records for %4
+    keys (must collapse, not re-version), and a balance change for %9
+    keys. The final dimension carries the full version history: every
+    change opens a version at its event timestamp and closes its
+    predecessor at the same instant; duplicates (vs the open row's
+    hash) vanish. The whole history — closes, opens, chains — is
+    hash-checked against the declarative DuckDB reconstruction."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..streaming import stream_scd2_apply
+    from ..tables import LogTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="stream-scd2-")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+
+    def dump(df, name, mtime):
+        import glob
+        import shutil
+
+        stage = os.path.join(root, f"stage-{name}")
+        df.coalesce(1).write.json(stage)
+        out = os.path.join(src, f"{name}.json")
+        shutil.move(sorted(glob.glob(f"{stage}/part-*.json"))[0], out)
+        os.utime(out, (mtime, mtime))
+
+    t1, t2, t3, t4 = (
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00",
+        "2024-03-01 00:00:00", "2024-04-01 00:00:00",
+    )
+    v1 = c.select("*", F.lit(t1).alias("ts"))
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit("MOVED2").alias("c_mktsegment"), "c_acctbal",
+        F.lit(t2).alias("ts"),
+    )
+    # duplicates of the CURRENT state at T3 for %4 keys (MOVED2 for
+    # %12 keys, the original row otherwise) — must collapse
+    dup = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, "MOVED2")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit(t3).alias("ts"),
+    )
+    v3 = c.filter(F.col("c_custkey") % 9 == 0).select(
+        "c_custkey", F.lit("MOVED2").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 50).alias("c_acctbal"),
+        F.lit(t4).alias("ts"),
+    )
+    dump(v1, "c0", 1e9)
+    dump(v2, "c1", 1e9 + 60)
+    dump(dup, "c2", 1e9 + 120)
+    dump(v3, "c3", 1e9 + 180)
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    table_path = os.path.join(root, "dim")
+    q = stream_scd2_apply(
+        spark,
+        src,
+        table_path,
+        schema,
+        key_columns=["c_custkey"],
+        order_col="ts",
+        checkpoint=os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return LogTable(spark, table_path).read().drop("record_hash")

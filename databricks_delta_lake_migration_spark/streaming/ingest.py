@@ -700,3 +700,170 @@ def stream_near_dup_ingest(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+def stream_scd2_apply(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    schema: T.StructType,
+    key_columns: list[str],
+    order_col: str,
+    file_format: str = "json",
+    stream_id: str = "scd2",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming SCD Type 2 apply [EXT] — the ``APPLY CHANGES INTO …
+    STORED AS SCD TYPE 2`` pattern (Databricks DLT's public semantics,
+    rebuilt on open primitives): a stream of change records becomes a
+    full dimension HISTORY, where each change opens a new version
+    effective at its ``order_col`` timestamp and closes the previous
+    one at the same instant. Unlike :func:`stream_upsert_to_table`
+    (keep-last, history-less), a batch carrying several versions of
+    one key lands ALL of them, correctly chained.
+
+    Semantics (deterministic given ordered arrival):
+
+    - consecutive duplicate records (same tracked-column hash as the
+      key's previous record — within a batch or across batches via the
+      open row) are dropped, not re-versioned;
+    - per key and batch, records sort by ``order_col``; intra-batch
+      predecessors close at their successor's timestamp, the last one
+      stays open;
+    - the target's currently-open row (if its hash differs) closes at
+      the first kept timestamp.
+
+    ONE MERGE per micro-batch does all of it (the NULL-key staging
+    trick of :mod:`operators.scd2`): per-key close rows update the
+    open target row with ``effective_end_date = source.__close_ts``;
+    version rows ride NULL merge keys into a guarded INSERT clause.
+    Batch-id idempotence rides the MERGE commit parameters.
+
+    At 100 TB: the batch work is one key-window (batch-sized) plus a
+    MERGE that stats-prunes to the target files overlapping the
+    batch's keys — steady-state cost tracks batch size, not dimension
+    size."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..operators.scd2 import SCD2_COLS, record_hash
+
+    tracked = [
+        f.name for f in schema.fields
+        if f.name not in set(key_columns) | {order_col}
+    ]
+    dim_schema = T.StructType(
+        [f for f in schema.fields if f.name != order_col]
+        + [
+            T.StructField("effective_start_date", T.TimestampType()),
+            T.StructField("effective_end_date", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+            T.StructField("record_hash", T.StringType()),
+        ]
+    )
+    LogTable.create(spark, table_path, dim_schema)
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(file_format)
+        .load(source_path)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = LogTable(spark, table_path)
+        if batch_id <= _last_committed_batch(tbl, stream_id):
+            return
+        b = batch_df.withColumn("__h", record_hash(tracked))
+        open_rows = (
+            tbl.read()
+            .filter(F.col("is_current"))
+            .select(*key_columns, F.col("record_hash").alias("__open_h"))
+        )
+        w = Window.partitionBy(*key_columns).orderBy(F.col(order_col).asc())
+        kept = (
+            b.withColumn("__prev", F.lag("__h").over(w))
+            .join(open_rows, key_columns, "left")
+            .filter(
+                F.when(F.col("__prev").isNotNull(),
+                       F.col("__h") != F.col("__prev"))
+                .otherwise(
+                    F.col("__open_h").isNull()
+                    | (F.col("__h") != F.col("__open_h"))
+                )
+            )
+            .drop("__prev", "__open_h")
+        )
+        versions = kept.select(
+            *key_columns,
+            *tracked,
+            F.col(order_col).cast("timestamp").alias("effective_start_date"),
+            F.lead(F.col(order_col).cast("timestamp")).over(w).alias(
+                "effective_end_date"
+            ),
+            F.lead(order_col).over(w).isNull().alias("is_current"),
+            F.col("__h").alias("record_hash"),
+        )
+        if not versions.take(1):
+            # all records were consecutive duplicates: nothing to
+            # commit; a crash-replay of this batch is a no-op anyway
+            return
+        closes = versions.groupBy(*key_columns).agg(
+            F.min("effective_start_date").alias("__close_ts")
+        )
+        all_cols = key_columns + tracked + SCD2_COLS
+        match_rows = closes.select(
+            *[F.col(k).alias(f"__mk_{k}") for k in key_columns],
+            *key_columns,
+            "__close_ts",
+            *[
+                F.lit(None).cast(dim_schema[c].dataType).alias(c)
+                for c in all_cols
+                if c not in key_columns
+            ],
+        )
+        insert_rows = versions.select(
+            *[
+                F.lit(None).cast(versions.schema[k].dataType).alias(f"__mk_{k}")
+                for k in key_columns
+            ],
+            *key_columns,
+            F.lit(None).cast("timestamp").alias("__close_ts"),
+            *[c for c in all_cols if c not in key_columns],
+        )
+        staged = match_rows.unionByName(insert_rows)
+        cond = " AND ".join(
+            [f"target.{k} = source.__mk_{k}" for k in key_columns]
+            + ["target.is_current = true"]
+        )
+        null_keys = " AND ".join(
+            f"source.__mk_{k} IS NULL" for k in key_columns
+        )
+        (
+            tbl.merge(staged, cond)
+            .when_matched_update(
+                # no hash condition needed: no-op firsts were filtered
+                # upstream, so a surviving match row always closes
+                set={
+                    "is_current": "false",
+                    "effective_end_date": "source.__close_ts",
+                },
+            )
+            .when_not_matched_insert(
+                condition=null_keys,
+                values={c: f"source.{c}" for c in all_cols},
+            )
+            .with_commit_params(streamId=stream_id, batchId=int(batch_id))
+            .execute()
+        )
+
+    writer = reader.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

@@ -835,3 +835,65 @@ def test_timeout_sessions_late_only_key_clamps_timeout(spark, tmp_path):
     q.awaitTermination()  # without the clamp this raises
 
     assert ("late", 1) in got
+
+
+def test_stream_scd2_apply_multi_version_batch(spark, tmp_path):
+    """One micro-batch carrying THREE versions of a key must land all
+    of them correctly chained (intra-batch close at successor ts);
+    consecutive duplicates collapse within and across batches."""
+    import json as _json
+    import os
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        stream_scd2_apply,
+    )
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put(name, rows, mtime):
+        with open(os.path.join(src, name), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        os.utime(os.path.join(src, name), (mtime, mtime))
+
+    # batch 1: k=1 goes a -> b -> b (dup) -> c in ONE file; k=2 single
+    put("b0.json", [
+        {"k": 1, "v": "a", "ts": "2024-01-01 00:00:00"},
+        {"k": 1, "v": "b", "ts": "2024-01-02 00:00:00"},
+        {"k": 1, "v": "b", "ts": "2024-01-03 00:00:00"},
+        {"k": 1, "v": "c", "ts": "2024-01-04 00:00:00"},
+        {"k": 2, "v": "x", "ts": "2024-01-01 00:00:00"},
+    ], 1e9)
+    # batch 2: k=2 duplicate only (no-op batch after filtering),
+    put("b1.json", [{"k": 2, "v": "x", "ts": "2024-02-01 00:00:00"}],
+        1e9 + 60)
+    # batch 3: k=2 real change closes the open row
+    put("b2.json", [{"k": 2, "v": "y", "ts": "2024-03-01 00:00:00"}],
+        1e9 + 120)
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    path = str(tmp_path / "dim")
+    q = stream_scd2_apply(
+        spark, src, path, schema, key_columns=["k"], order_col="ts",
+        checkpoint=str(tmp_path / "ck"), max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    rows = sorted(
+        (r.k, r.v, str(r.effective_start_date), str(r.effective_end_date),
+         r.is_current)
+        for r in LogTable(spark, path).read().drop("record_hash").collect()
+    )
+    assert rows == sorted([
+        (1, "a", "2024-01-01 00:00:00", "2024-01-02 00:00:00", False),
+        (1, "b", "2024-01-02 00:00:00", "2024-01-04 00:00:00", False),
+        (1, "c", "2024-01-04 00:00:00", "None", True),
+        (2, "x", "2024-01-01 00:00:00", "2024-03-01 00:00:00", False),
+        (2, "y", "2024-03-01 00:00:00", "None", True),
+    ])
