@@ -1129,3 +1129,49 @@ def test_bigram_logprob_reference(spark):
     assert out[1][1] == 2 and out[2][1] == 2
     expect = round((math.log2(1.0) + math.log2(0.5)) / 2, 6)
     assert out[1][0] == expect == out[2][0]
+
+
+def test_asof_join_matches_reference_hypothesis(spark):
+    """Property test: asof_join equals the brute-force latest-at-or-
+    before reference for arbitrary key/ts layouts, including keys with
+    no right rows, duplicate left timestamps, and unmatched keys."""
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators.asofjoin import (
+        asof_join,
+    )
+
+    lefts = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-20, 20)),
+        min_size=1, max_size=10,
+    )
+    rights = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-20, 20)),
+        min_size=0, max_size=10,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(lefts, rights)
+    def inner(lrows, rrows):
+        # unique (key, ts) on the right so the reference is well-defined
+        rmap = {}
+        for k, t in rrows:
+            rmap[(k, t)] = float(k * 100 + t)
+        left = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(lrows)],
+            "eid long, k long, t long",
+        )
+        right = spark.createDataFrame(
+            [(k, t, v) for (k, t), v in rmap.items()] or [(99, 0, 0.0)],
+            "k long, t long, val double",
+        )
+        got = {
+            r.eid: r.val
+            for r in asof_join(left, right, on=["k"], left_ts="t").collect()
+        }
+        assert len(got) == len(lrows)
+        for i, (k, t) in enumerate(lrows):
+            c = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+            assert got[i] == (max(c)[1] if c else None), (k, t)
+
+    inner()
