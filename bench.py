@@ -40,6 +40,15 @@ HEADLINE = [
     "q72_windowed_event_counts",
 ]
 
+# Benched and reported per-query but NOT in the headline total: the
+# headline set is frozen so round-over-round totals stay comparable.
+EXTRA_QUERIES = [
+    "q164_asof_join",
+    "q166_robust_outliers",
+    "q169_cms_heavy_hitters",
+    "q170_bigram_logprob",
+]
+
 
 def acid_bench(spark, sf_dir: str) -> dict[str, float]:
     """Log-table lifecycle throughput, mirroring the reference's
@@ -283,6 +292,20 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    extra: dict[str, float] = {}
+    for name in [n for n in EXTRA_QUERIES if n in registry]:
+        best = float("inf")
+        try:
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                df = registry[name].fn(spark, sf_dir)
+                n = len(df.collect())
+                best = min(best, time.perf_counter() - t0)
+                assert n >= 0
+            extra[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
     try:
         acid = acid_bench(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
@@ -295,6 +318,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries_not_in_total": extra,
         "runs": N_RUNS,
         "extra_runs": sorted(EXTRA_RUNS),
         "agg": "min",

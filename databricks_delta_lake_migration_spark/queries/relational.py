@@ -2088,6 +2088,16 @@ def q162_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fk_orphans(child, parent_keys, key_col: str):
+    """Child rows whose FK has no parent — ONE left-anti join with NO
+    broadcast hint (VERDICT r5 #1: the parent side can be fact-sized,
+    e.g. lineitem→orders where distinct o_orderkey is as large as
+    orders; a forced broadcast is a driver OOM at scale). AQE still
+    picks broadcast on its own when the parent key set is genuinely
+    dimension-sized. Plan-gated hint-free in tests/test_plans.py."""
+    return child.join(parent_keys, key_col, "left_anti")
+
+
 @query(
     "q163_referential_integrity",
     oracle="""
@@ -2131,7 +2141,7 @@ def q163_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
 
     def audit(child, parent_keys, cond_col, relation):
-        orphans = child.join(parent_keys, cond_col, "left_anti").count()
+        orphans = fk_orphans(child, parent_keys, cond_col).count()
         return (relation, orphans, child.count())
 
     rows = [

@@ -322,3 +322,21 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
         (r.k, r.v, r.attr) for r in fact.join(dim.drop("__salt"), "k").collect()
     )
     assert got == expect
+
+
+def test_fk_orphans_has_no_broadcast_hint(spark):
+    """q163's referential-integrity audit must NOT force-broadcast the
+    parent key set (it is fact-sized for lineitem->orders): no
+    ResolvedHint in the analyzed plan — AQE alone decides the physical
+    strategy."""
+    from databricks_delta_lake_migration_spark.queries.relational import (
+        fk_orphans,
+    )
+
+    child = spark.range(1000).selectExpr("id % 100 as k")
+    parents = spark.range(50).selectExpr("id as k")
+    j = fk_orphans(child, parents, "k")
+    analyzed = j._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    # semantics intact: orphans are exactly the keys >= 50
+    assert j.count() == 500
