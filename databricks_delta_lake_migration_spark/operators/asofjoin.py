@@ -57,6 +57,9 @@ def asof_join(
     ``right_tiebreak`` (optional column name): when several right rows
     share (key, ts), the one with the GREATEST tiebreak value wins —
     making the result deterministic instead of partition-order-lucky.
+    The tiebreak compares as DOUBLE (the union needs one type), so
+    values must be distinguishable within 53 bits — true of any
+    realistic sequence number; pre-rank to small ints if yours aren't.
 
     Columns: all of ``left``, plus every non-key, non-ts column of
     ``right`` (name collisions with left are the caller's to resolve
@@ -108,13 +111,21 @@ def asof_join(
     ).filter(F.col(_SIDE) == 1)
 
     if tolerance is not None:
-        too_old = (
-            F.col(left_ts).cast("double")
-            - F.col(_PAYLOAD)[_MATCH_TS].cast("double")
-        ) > float(tolerance)
+        # integral ts domains subtract as exact longs (epoch-micro
+        # values past 2^53 would round under a double cast — the same
+        # trap as range-join bin ids); timestamps diff in seconds
+        if left.schema[left_ts].dataType.typeName() in (
+            "timestamp", "timestamp_ntz",
+        ):
+            age = (
+                F.col(left_ts).cast("double")
+                - F.col(_PAYLOAD)[_MATCH_TS].cast("double")
+            )
+        else:
+            age = F.col(left_ts) - F.col(_PAYLOAD)[_MATCH_TS]
         matched = matched.withColumn(
             _PAYLOAD,
-            F.when(too_old, F.lit(None)).otherwise(F.col(_PAYLOAD)),
+            F.when(age > tolerance, F.lit(None)).otherwise(F.col(_PAYLOAD)),
         )
 
     out_cols = [c for c in left.columns] + [
