@@ -3527,7 +3527,9 @@ class LogTable:
                 self.fs.delete(os.path.join(self.path, rel))
         return sorted(candidates)
 
-    def fsck_repair(self, dry_run: bool = False) -> dict:
+    def fsck_repair(
+        self, dry_run: bool = False, distribute_threshold: int = 1024
+    ) -> dict:
         """FSCK REPAIR TABLE (Delta's ``FSCK REPAIR TABLE``,
         delta_utils.py maintenance family): drop log entries whose
         DATA FILE no longer exists physically — the recovery path
@@ -3537,24 +3539,55 @@ class LogTable:
 
         Metadata-only at any table size: existence probes run against
         the ACTIVE snapshot's file list (O(files) stat calls, no data
-        read, no tree walk), and the repair is ONE commit removing the
-        dead entries. Deletion-vector and bloom sidecars are treated
-        as part of their data file: a missing sidecar drops the entry
-        too (conservative — resurrecting DV'd rows would un-delete
-        data).
+        read, no tree walk) and DISTRIBUTE across executors above a
+        small threshold — a million-file table needs a million stats,
+        which must not serialize on the driver. The repair is ONE
+        commit removing the dead entries. Deletion-vector and bloom
+        sidecars are treated as part of their data file: a missing
+        sidecar drops the entry too (conservative — resurrecting DV'd
+        rows would un-delete data).
 
         Returns {"numFilesRemoved": n, "removed": [paths]}; with
         ``dry_run`` only reports."""
         files, _, _, _, _ = self._replay()
-        dead: list[str] = []
+        probes: list[tuple[str, str]] = []  # (entry path, probe path)
         for f in files:
-            paths = [f.abspath(self.path)]
+            probes.append((f.path, f.abspath(self.path)))
             if f.bloom:
-                paths.append(os.path.join(f.base or self.path, f.bloom))
+                probes.append(
+                    (f.path, os.path.join(f.base or self.path, f.bloom))
+                )
             for d in f.dv or []:
-                paths.append(os.path.join(self.path, d))
-            if not all(self.fs.exists(p) for p in paths):
-                dead.append(f.path)
+                probes.append((f.path, os.path.join(self.path, d)))
+        if len(probes) <= distribute_threshold:
+            dead_set = {
+                entry for entry, p in probes if not self.fs.exists(p)
+            }
+        else:
+            # executor-side stat fan-out: each partition checks its
+            # slice against the shared filesystem and returns only the
+            # dead entries (result is missing-file-sized, not
+            # table-sized)
+            def _check(batches):
+                import os as _os
+
+                import pandas as _pd
+
+                for pdf in batches:
+                    miss = pdf[~pdf["probe"].map(_os.path.exists)]
+                    if len(miss):
+                        yield _pd.DataFrame({"entry": miss["entry"]})
+
+            pdf = self.spark.createDataFrame(
+                probes, "entry string, probe string"
+            )
+            dead_set = {
+                r.entry
+                for r in pdf.repartition(64)
+                .mapInPandas(_check, "entry string")
+                .collect()
+            }
+        dead = sorted(dead_set)
         if dead and not dry_run:
             self._commit_tx(
                 Commit(

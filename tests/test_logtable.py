@@ -2530,3 +2530,18 @@ def test_generate_manifest_excluded_from_vacuum(spark, tmp_path):
     assert manifests and all(os.path.exists(m) for m in manifests)
     t.vacuum(retain_hours=0.0)
     assert all(os.path.exists(m) for m in manifests)
+
+
+def test_fsck_repair_distributed_probe_path(spark, tmp_path):
+    """The executor-side stat fan-out (threshold forced to 0) finds
+    the same dead entries as the driver loop."""
+    t = LogTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(3):
+        t.append(rows_df(spark, [(i, "a", float(i), "d1")]))
+    victim = sorted(f.path for f in t._replay()[0])[1]
+    os.remove(os.path.join(t.path, victim))
+    rep = t.fsck_repair(dry_run=True, distribute_threshold=0)
+    assert rep["removed"] == [victim]
+    rep = t.fsck_repair(distribute_threshold=0)
+    assert rep["numFilesRemoved"] == 1
+    assert t.read().count() == 2
