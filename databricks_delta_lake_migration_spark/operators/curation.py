@@ -385,6 +385,8 @@ def robust_outliers(
     group_cols: list[str],
     value_col: str,
     n_mads: float = 3.0,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Median/MAD outlier screen [EXT]: flag rows whose value deviates
     from the per-group MEDIAN by more than ``n_mads`` median absolute
@@ -393,7 +395,7 @@ def robust_outliers(
     supposed to catch (one corrupt 1e12 reading inflates σ enough to
     hide every real anomaly).
 
-    Distributed shape: two grouped EXACT percentile aggregations (the
+    Distributed shape: two grouped percentile aggregations (the
     median, then the median of absolute deviations) — each ONE
     group-keyed shuffle — joined back on the group key with NO forced
     broadcast: the per-group stats side is one row per group, so AQE
@@ -402,17 +404,31 @@ def robust_outliers(
     hint would be the q163-class OOM at scale). Never a global sort,
     never a window over the whole group.
 
+    ``exact=True`` uses Spark's exact ``percentile`` — a HOLISTIC
+    aggregate whose partial state buffers every value in the group, so
+    it is only safe when single groups fit in executor memory (the
+    oracle-parity path, and fine for bounded per-group data).
+    ``exact=False`` switches to ``approx_percentile`` (bounded
+    KLL-sketch state at any group size, error ≤ 1/accuracy of rank) —
+    the 100 TB default when groups can be corpus-sized; MAD thresholds
+    tolerate far more than the sketch's rank error.
+
     Adds ``is_outlier`` (boolean) plus the group's ``med`` and ``mad``
     columns. MAD is the raw median-|dev| (no 1.4826 normal-consistency
     factor); fold it into ``n_mads`` if you want σ-equivalent units.
     Groups with MAD = 0 (over half the values identical) flag any
     deviation from the median, matching the strict rule."""
+    pct = (
+        "percentile({}, 0.5)"
+        if exact
+        else f"approx_percentile({{}}, 0.5, {accuracy})"
+    )
     med = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+        F.expr(pct.format(value_col)).alias("med")
     )
     devs = df.join(med, group_cols)
     mad = devs.groupBy(*group_cols).agg(
-        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+        F.expr(pct.format(f"abs({value_col} - med)")).alias("mad")
     )
     scored = devs.join(mad, group_cols)
     dev = F.abs(F.col(value_col) - F.col("med"))

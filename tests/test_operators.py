@@ -1175,3 +1175,24 @@ def test_asof_join_matches_reference_hypothesis(spark):
             assert got[i] == (max(c)[1] if c else None), (k, t)
 
     inner()
+
+
+def test_robust_outliers_approx_path_agrees(spark):
+    """The bounded-state approx_percentile path flags the same planted
+    anomaly as the exact path (MAD thresholds dwarf sketch error)."""
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        robust_outliers,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 1000)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = {
+        (r.g, r.v) for r in
+        robust_outliers(df, ["g"], "v").filter("is_outlier").collect()
+    }
+    approx = {
+        (r.g, r.v) for r in
+        robust_outliers(df, ["g"], "v", exact=False)
+        .filter("is_outlier").collect()
+    }
+    assert ("g", 1e9) in exact and ("g", 1e9) in approx
