@@ -741,10 +741,15 @@ def stream_scd2_apply(
     version rows ride NULL merge keys into a guarded INSERT clause.
     Batch-id idempotence rides the MERGE commit parameters.
 
-    At 100 TB: the batch work is one key-window (batch-sized) plus a
-    MERGE that stats-prunes to the target files overlapping the
-    batch's keys — steady-state cost tracks batch size, not dimension
-    size."""
+    At 100 TB: the batch work is one key-window (batch-sized), an
+    open-row hash probe (a key equi-join against the dimension's
+    is_current slice), and a MERGE that stats-prunes to the target
+    files overlapping the batch's keys. Both the probe join and the
+    MERGE reward clustering the dimension on its business key
+    (ZORDER / CLUSTER BY) — then steady-state cost tracks batch size,
+    not dimension size; on an unclustered dimension the probe is a
+    per-batch dim scan, the same cost profile Delta's own
+    APPLY CHANGES pays."""
     from functools import reduce
 
     from pyspark.sql import Window
