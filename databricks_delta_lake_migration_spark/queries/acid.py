@@ -1872,3 +1872,65 @@ def q168_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step string, ok boolean").orderBy(
         "step"
     )
+
+
+@query(
+    "q172_informational_fk_audit",
+    oracle="""
+    SELECT 'before' AS phase, 'fk_orders_customer' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'after', 'fk_orders_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey
+                                     AND c.c_custkey % 50 <> 0))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    """,
+)
+def q172_informational_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Informational PRIMARY KEY / FOREIGN KEY constraints [EXT]
+    (Databricks' PK/FK model: declared for optimizers, audits, and
+    lineage — NOT enforced at write time) + the catalog-level audit
+    that makes them useful: ``ALTER TABLE … ADD CONSTRAINT … FOREIGN
+    KEY … REFERENCES …`` records the relationship in table properties;
+    ``Catalog.audit_foreign_keys`` then left-anti-scans every declared
+    FK (hint-free — the parent key set can be fact-sized). Program:
+    declare PK+FK, audit (clean), DELETE a slice of parents, audit
+    again — the orphans the unenforced constraint now has are
+    detected, not silently accumulated."""
+    from ..tables import Catalog
+
+    cat = Catalog(spark, _scratch("fkcat").rsplit("/", 1)[0])
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    pt = cat.create_table("lake.audit.customer", c.schema)
+    pt.append(c)
+    ct = cat.create_table("lake.audit.orders", o.schema)
+    ct.append(o)
+    cat.sql(
+        "ALTER TABLE lake.audit.customer ADD CONSTRAINT pk_customer "
+        "PRIMARY KEY (c_custkey)"
+    )
+    cat.sql(
+        "ALTER TABLE lake.audit.orders ADD CONSTRAINT fk_orders_customer "
+        "FOREIGN KEY (o_custkey) REFERENCES lake.audit.customer (c_custkey)"
+    )
+    before = cat.audit_foreign_keys().select(
+        F.lit("before").alias("phase"), "constraint_name",
+        "n_orphans", "n_rows",
+    )
+    b = before.collect()  # materialize before mutating the parent
+    cat.sql("DELETE FROM lake.audit.customer WHERE c_custkey % 50 = 0")
+    after = cat.audit_foreign_keys().select(
+        F.lit("after").alias("phase"), "constraint_name",
+        "n_orphans", "n_rows",
+    )
+    return spark.createDataFrame(b, before.schema).unionByName(after)

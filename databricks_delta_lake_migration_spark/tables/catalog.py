@@ -181,6 +181,59 @@ class Catalog:
     def read(self, name: str, version: int | None = None) -> DataFrame:
         return self.table(name).read(version=version)
 
+    def audit_foreign_keys(self) -> DataFrame:
+        """Audit every INFORMATIONAL foreign key declared in the
+        catalog (``ALTER TABLE … ADD CONSTRAINT … FOREIGN KEY …
+        REFERENCES …``): per constraint, the child's orphan count —
+        rows whose FK values have no parent. Nothing enforces FKs at
+        lakehouse write time, so this left-anti scan (one pass per
+        child table, NO broadcast hint — the parent key set can be
+        fact-sized; AQE decides, same posture as q163's ``fk_orphans``)
+        is the integrity screen a warehouse CHECK would have given you.
+
+        Returns (child_table, constraint_name, referenced, n_orphans,
+        n_rows)."""
+        from pyspark.sql import functions as F
+
+        rows = []
+        for name in self.tables():
+            t = self.table(name)
+            for prop, spec in sorted(t.properties().items()):
+                if not prop.startswith("fk."):
+                    continue
+                cname = prop[len("fk."):]
+                child_cols_s, _, rest = spec.partition("->")
+                parent_name, _, pcols_s = rest.partition("(")
+                parent_cols = [
+                    c.strip() for c in pcols_s.rstrip(")").split(",")
+                ]
+                child_cols = [c.strip() for c in child_cols_s.split(",")]
+                child = t.read()
+                parent_keys = (
+                    self.table(parent_name)
+                    .read()
+                    .select(
+                        *[
+                            F.col(pc).alias(cc)
+                            for pc, cc in zip(parent_cols, child_cols)
+                        ]
+                    )
+                    .distinct()
+                )
+                n_orphans = (
+                    child.select(*child_cols)
+                    .join(parent_keys, child_cols, "left_anti")
+                    .count()
+                )
+                rows.append(
+                    (name, cname, spec, n_orphans, child.count())
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "child_table string, constraint_name string, referenced string, "
+            "n_orphans long, n_rows long",
+        )
+
     # ---- named views --------------------------------------------------
 
     @property

@@ -137,6 +137,17 @@ _ADD_CONSTRAINT = re.compile(
     r"CHECK\s*\((.*)\)\s*;?\s*$",
     re.I | re.S,
 )
+_ADD_PK = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    r"PRIMARY\s+KEY\s*\(([^)]*)\)\s*;?\s*$",
+    re.I,
+)
+_ADD_FK = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    rf"FOREIGN\s+KEY\s*\(([^)]*)\)\s+REFERENCES\s+({_ID})\s*\(([^)]*)\)"
+    r"\s*;?\s*$",
+    re.I,
+)
 _DROP_CONSTRAINT = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_ID})\s+DROP\s+CONSTRAINT\s+"
     r"(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
@@ -506,9 +517,55 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
         t.set_properties({f"constraint.{name}": pred})
         return _one_row(spark, {"constraintAdded": name, "check": pred})
 
+    if m := _ADD_PK.match(query):
+        # INFORMATIONAL, like Databricks PK/FK constraints: recorded in
+        # table properties for optimizers/audits/lineage, NOT enforced
+        # at write time (a lakehouse can't cheaply enforce uniqueness
+        # on append; the q33 duplicate audit is the detection path)
+        t, name = cat.table(m.group(1)), m.group(2)
+        cols = [c.strip() for c in m.group(3).split(",") if c.strip()]
+        missing = [c for c in cols if c not in t.read().columns]
+        if missing:
+            raise ValueError(
+                f"PRIMARY KEY columns not in schema: {missing}"
+            )
+        t.set_properties({f"pk.{name}": ",".join(cols)})
+        return _one_row(spark, {"primaryKeyAdded": name,
+                                "columns": ",".join(cols)})
+
+    if m := _ADD_FK.match(query):
+        # informational FK: child cols -> parent table cols, audited by
+        # Catalog.audit_foreign_keys (fk_orphans left-anti scan)
+        t, name = cat.table(m.group(1)), m.group(2)
+        child_cols = [c.strip() for c in m.group(3).split(",") if c.strip()]
+        parent, parent_cols = m.group(4), [
+            c.strip() for c in m.group(5).split(",") if c.strip()
+        ]
+        if len(child_cols) != len(parent_cols):
+            raise ValueError("FOREIGN KEY column count mismatch")
+        missing = [c for c in child_cols if c not in t.read().columns]
+        if missing:
+            raise ValueError(f"FOREIGN KEY columns not in schema: {missing}")
+        p = cat.table(parent)  # parent must be registered
+        pmissing = [c for c in parent_cols if c not in p.read().columns]
+        if pmissing:
+            raise ValueError(
+                f"referenced parent columns not in {parent}: {pmissing}"
+            )
+        spec = ",".join(child_cols) + "->" + cat._fq(parent) + "(" \
+            + ",".join(parent_cols) + ")"
+        t.set_properties({f"fk.{name}": spec})
+        return _one_row(spark, {"foreignKeyAdded": name, "references": spec})
+
     if m := _DROP_CONSTRAINT.match(query):
         name = m.group(2)
-        cat.table(m.group(1)).unset_properties([f"constraint.{name}"])
+        t = cat.table(m.group(1))
+        present = [
+            f"{fam}.{name}" for fam in ("constraint", "pk", "fk")
+            if f"{fam}.{name}" in t.properties()
+        ]
+        if present:
+            t.unset_properties(present)
         return _one_row(spark, {"constraintDropped": name})
 
     if m := _SHOW_PROPS.match(query):

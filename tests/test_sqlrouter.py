@@ -667,3 +667,48 @@ def test_generate_manifest_sql(spark, cat):
     man = os.path.join(t.path, "_symlink_format_manifest", "manifest")
     listed = sorted(open(man).read().splitlines())
     assert listed == sorted(f.abspath(t.path) for f in t._replay()[0])
+
+
+def test_informational_pk_fk_constraints(spark, cat):
+    """PK/FK are recorded (informational, not enforced), validated
+    against both schemas at DDL time, and DROP CONSTRAINT removes any
+    family."""
+    out = cat.sql(
+        "ALTER TABLE lake.acid.orders ADD CONSTRAINT pk_o PRIMARY KEY (id)"
+    ).collect()[0]
+    assert out.primaryKeyAdded == "pk_o"
+    out = cat.sql(
+        "ALTER TABLE lake.acid.updates ADD CONSTRAINT fk_u "
+        "FOREIGN KEY (id) REFERENCES lake.acid.orders (id)"
+    ).collect()[0]
+    assert out.foreignKeyAdded == "fk_u"
+    assert cat.table("lake.acid.orders").properties()["pk.pk_o"] == "id"
+    assert (
+        cat.table("lake.acid.updates").properties()["fk.fk_u"]
+        == "id->lake.acid.orders(id)"
+    )
+    # not enforced: inserting an orphan succeeds, the audit sees it
+    cat.table("lake.acid.updates").append(
+        spark.createDataFrame([(999, "X", 1.0)], SCHEMA)
+    )
+    audit = {
+        (r.child_table, r.constraint_name): r.n_orphans
+        for r in cat.audit_foreign_keys().collect()
+    }
+    assert audit[("lake.acid.updates", "fk_u")] == 2  # id=9 and id=999
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in schema"):
+        cat.sql(
+            "ALTER TABLE lake.acid.orders ADD CONSTRAINT bad "
+            "PRIMARY KEY (nope)"
+        )
+    with _pytest.raises(ValueError, match="not in"):
+        cat.sql(
+            "ALTER TABLE lake.acid.updates ADD CONSTRAINT bad "
+            "FOREIGN KEY (id) REFERENCES lake.acid.orders (nope)"
+        )
+    cat.sql("ALTER TABLE lake.acid.updates DROP CONSTRAINT fk_u")
+    assert "fk.fk_u" not in cat.table("lake.acid.updates").properties()
+    assert len(cat.audit_foreign_keys().collect()) == 0
