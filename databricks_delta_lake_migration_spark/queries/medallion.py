@@ -1489,3 +1489,97 @@ def q171_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return LogTable(spark, table_path).read().drop("record_hash")
+
+
+@query(
+    "q173_stream_pit_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           CASE WHEN CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+                     AND e.user_id % 2 = 0
+                THEN 'MOVED'
+                ELSE 'seg_' || CAST(e.user_id % 5 AS VARCHAR) END AS segment
+    FROM events e WHERE e.event_type = 'purchase'
+    """,
+)
+def q173_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming POINT-IN-TIME enrichment [EXT]
+    (``streaming/ingest.py:stream_pit_enrich``): purchases stream
+    against an SCD2 user dimension whose segment changed for even
+    users mid-month — each event must pick up the segment that was
+    current AT ITS OWN TIMESTAMP (events before the change keep the
+    old segment even though a newer version exists at processing
+    time), the anti-leakage rule a feature store lives by. The dim is
+    built with the same SCD2 machinery as q66 (pinned clocks); the
+    oracle reconstructs the per-event version choice declaratively."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..operators.scd2 import scd2_upsert, with_scd2_columns
+    from ..streaming import stream_pit_enrich
+
+    # SCD2 user dimension: segment seg_<uid%5> from 2024-01-01; even
+    # users move to MOVED at 2024-01-15
+    users = spark.range(150).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg_"), (F.col("id") % 5).cast("string")).alias(
+            "segment"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="stream-pit-")
+    init = with_scd2_columns(users, ["user_id"], "2024-01-01 00:00:00")
+    dim = LogTable.create(spark, os.path.join(root, "dim"), init.schema)
+    dim.append(init)
+    moved = users.withColumn(
+        "segment",
+        F.when(F.col("user_id") % 2 == 0, "MOVED").otherwise(
+            F.col("segment")
+        ),
+    )
+    scd2_upsert(dim, moved, ["user_id"], "2024-01-15 00:00:00")
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for b in range(3):
+        stage = os.path.join(root, f"stage{b}")
+        e.filter(F.col("event_id") % 3 == b).coalesce(1).write.json(stage)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.json"))):
+            shutil.move(f, os.path.join(src, f"chunk-{b}-{i}.json"))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    out_path = os.path.join(root, "enriched")
+    q = stream_pit_enrich(
+        spark,
+        src,
+        out_path,
+        dim.path,
+        schema,
+        key_columns=["user_id"],
+        ts_col="ts",
+        checkpoint=os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+        # JSON timestamps are milli-precise; ship exact micros as a
+        # long and re-type on the stream
+        transform=lambda r: r.withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        ).drop("ts_us"),
+    )
+    q.awaitTermination()
+    return LogTable(spark, out_path).read().select(
+        "event_id", "user_id", "ts", "segment"
+    )

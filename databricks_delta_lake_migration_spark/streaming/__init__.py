@@ -8,6 +8,7 @@ from .ingest import (  # noqa: F401
     stream_enrich_to_table,
     stream_files_to_table,
     stream_near_dup_ingest,
+    stream_pit_enrich,
     stream_scd2_apply,
     stream_upsert_to_table,
     stream_windowed_agg_to_table,

@@ -872,3 +872,115 @@ def stream_scd2_apply(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+def stream_pit_enrich(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    dim_path: str,
+    schema: T.StructType,
+    key_columns: list[str],
+    ts_col: str,
+    dim_key_columns: list[str] | None = None,
+    file_format: str = "json",
+    stream_id: str = "pit",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 10,
+    available_now: bool = True,
+    transform=None,
+) -> StreamingQuery:
+    """Streaming POINT-IN-TIME enrichment [EXT]: each event joins the
+    SCD2 dimension version that was current AT THE EVENT'S OWN
+    TIMESTAMP (``effective_start <= ts < effective_end``), not the
+    version current at processing time — the feature-store lookup rule
+    that prevents training-serving leakage (an event must never see
+    attributes from its future). Complements
+    :func:`stream_enrich_to_table` (which stamps the LATEST dim
+    snapshot) and consumes exactly what :func:`stream_scd2_apply`
+    produces.
+
+    Per micro-batch: ONE left join whose condition is the key equality
+    PLUS the closed-open interval check — Catalyst extracts the equi
+    part as the join key and applies the interval as the join filter,
+    so the fan-out is bounded by versions-per-key and each event
+    matches AT MOST ONE version (intervals are disjoint per key).
+    Events with no matching version (unknown key, or older than the
+    key's first version) keep NULL attributes — enrichment never drops
+    or duplicates events. Batch-id idempotent append.
+
+    At scale the dimension side rewards key clustering exactly like
+    MERGE; the target table is created from the first batch's enriched
+    schema."""
+    from functools import reduce as _reduce
+
+    dkeys = dim_key_columns or key_columns
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        from ..tables.logtable import Commit
+
+        dim = LogTable(spark, dim_path).read().drop("record_hash")
+        attr_cols = [
+            c for c in dim.columns
+            if c not in set(dkeys)
+            | {"effective_start_date", "effective_end_date", "is_current"}
+        ]
+        d = dim.select(
+            *[F.col(dk).alias(f"__dk_{k}") for dk, k in zip(dkeys, key_columns)],
+            *attr_cols,
+            "effective_start_date",
+            "effective_end_date",
+        )
+        cond = _reduce(
+            lambda a, b: a & b,
+            [batch_df[k] == d[f"__dk_{k}"] for k in key_columns],
+        ) & (batch_df[ts_col] >= d["effective_start_date"]) & (
+            d["effective_end_date"].isNull()
+            | (batch_df[ts_col] < d["effective_end_date"])
+        )
+        enriched = batch_df.join(d, cond, "left").drop(
+            *[f"__dk_{k}" for k in key_columns],
+            "effective_start_date",
+            "effective_end_date",
+        )
+        tbl = LogTable(spark, table_path)
+        if not tbl.exists():
+            tbl = LogTable.create(spark, table_path, enriched.schema)
+        if batch_id <= _last_committed_batch(tbl, stream_id):
+            return
+        aligned = enriched.select(
+            *[F.col(f.name).cast(f.dataType) for f in tbl.schema().fields]
+        )
+        entries = tbl._write_files(aligned, tbl.partition_columns())
+        tbl._commit(
+            Commit(
+                version=tbl._next_version(),
+                timestamp=_time.time(),
+                operation="STREAMING UPDATE",
+                add=entries,
+                parameters={"streamId": stream_id, "batchId": int(batch_id)},
+                metrics={"numOutputRows": sum(e.num_records for e in entries)},
+            )
+        )
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(file_format)
+        .load(source_path)
+    )
+    if transform is not None:
+        # e.g. re-type an exact epoch-micros long into the event-time
+        # timestamp (JSON's default timestamp format is milli-precise,
+        # so micro-exact pipelines ship longs and convert here)
+        reader = transform(reader)
+    writer = reader.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
