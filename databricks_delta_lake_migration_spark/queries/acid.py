@@ -1934,3 +1934,55 @@ def q172_informational_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orphans", "n_rows",
     )
     return spark.createDataFrame(b, before.schema).unionByName(after)
+
+
+@query(
+    "q174_avro_migration",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q174_avro_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source migration WITHOUT the spark-avro jar [EXT]
+    (S4 gap closed: ``sources/avro_py.py`` implements the public Avro
+    OCF spec from scratch — zigzag varints, header/metadata map, sync-
+    marked blocks, null+deflate codecs, nullable unions, logical
+    timestamps — and exposes it as a Spark 4 Python DataSource, one
+    partition per file, executor-side decode). Program: the customer
+    fixture is exported to three .avro files (one deflate-compressed),
+    read back through ``read_files(format="avro")`` — which dispatches
+    to the JVM connector when present and to this reader otherwise —
+    and aggregated; the oracle aggregates the original parquet, so the
+    avro hop is proven lossless."""
+    import os
+
+    from ..sources import avro_py
+    from ..sources.files import read_files
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    schema = avro_py.spark_to_avro_schema(c.schema, name="customer")
+    root = tempfile.mkdtemp(prefix="avro-mig-")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    rows = [r.asDict() for r in c.collect()]
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        avro_py.write_avro(
+            os.path.join(src, f"part-{i}.avro"),
+            schema,
+            rows[i * third:(i + 1) * third],
+            codec="deflate" if i == 1 else "null",
+        )
+    back = read_files(spark, src, file_format="avro")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("total_bal"),
+    )

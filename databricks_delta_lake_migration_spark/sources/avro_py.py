@@ -1,0 +1,424 @@
+"""Pure-Python Avro OCF source (S4 fallback): the ``spark-avro``
+connector jar is not bundled with pyspark, so this module implements
+the Avro 1.x Object Container File format (public spec,
+avro.apache.org/docs/current/specification) from scratch and exposes it
+as a Spark 4 Python DataSource — ``spark.read.format("pyavro")`` works
+with NO JVM connector, closing the reference's avro migration surface
+(migrate_from_hdfs.py:109 treats avro as first-class).
+
+Supported schema subset — the shapes migration pipelines actually ship:
+records of primitives (null/boolean/int/long/float/double/bytes/string),
+``["null", X]`` nullable unions, arrays of primitives, and the
+``timestamp-micros``/``timestamp-millis`` logical types. Codecs: null
+and deflate (raw DEFLATE via zlib, per spec). Unsupported shapes fail
+loudly with the offending schema node.
+
+Scale shape (same posture as ``streaming/table_source.py``): the
+planner touches only file HEADERS (schema + codec — metadata-sized);
+each ``.avro`` file becomes one InputPartition decoded executor-side,
+so a directory of N files reads N-wide with zero driver row traffic.
+A writer (null codec) is included for roundtrips and for migrating
+log-table data OUT to avro consumers.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+MAGIC = b"Obj\x01"
+
+
+# ---- zigzag varint primitives ---------------------------------------------
+
+
+def _read_long(fh) -> int:
+    shift, acc = 0, 0
+    while True:
+        b = fh.read(1)
+        if not b:
+            raise EOFError("truncated avro varint")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n >= 0 else ((-n - 1) << 1 | 1)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            break
+
+
+def _read_bytes(fh) -> bytes:
+    n = _read_long(fh)
+    data = fh.read(n)
+    if len(data) != n:
+        raise EOFError("truncated avro bytes")
+    return data
+
+
+# ---- schema handling -------------------------------------------------------
+
+
+def _unwrap_union(node):
+    """``["null", X]`` (either order) → (X, nullable=True)."""
+    if isinstance(node, list):
+        non_null = [n for n in node if n != "null"]
+        if len(non_null) != 1 or len(node) > 2:
+            raise ValueError(f"unsupported avro union: {node}")
+        return non_null[0], True
+    return node, False
+
+
+def _node_type(node) -> str:
+    if isinstance(node, dict):
+        return node["type"]
+    return node
+
+
+def avro_to_spark_schema(schema: dict):
+    """Top-level record schema → Spark StructType (planner-side, no
+    SparkSession needed — returns a pyspark.sql.types object)."""
+    from pyspark.sql import types as T
+
+    def field_type(node):
+        node, nullable = _unwrap_union(node)
+        t = _node_type(node)
+        logical = node.get("logicalType") if isinstance(node, dict) else None
+        mapping = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }
+        if logical in ("timestamp-micros", "timestamp-millis"):
+            return T.TimestampType(), nullable
+        if t in mapping:
+            return mapping[t], nullable
+        if t == "array":
+            item_t, item_null = field_type(node["items"])
+            return T.ArrayType(item_t, containsNull=item_null), nullable
+        raise ValueError(f"unsupported avro type for spark: {node}")
+
+    if schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    fields = []
+    for f in schema["fields"]:
+        t, nullable = field_type(f["type"])
+        fields.append(T.StructField(f["name"], t, nullable))
+    return T.StructType(fields)
+
+
+# ---- value decode / encode -------------------------------------------------
+
+
+def _decode_value(fh, node):
+    if isinstance(node, list):
+        # union: branch index prefixes the value (spec §unions) —
+        # honors whatever branch order the writer declared
+        idx = _read_long(fh)
+        branch = node[idx]
+        if branch == "null" or _node_type(branch) == "null":
+            return None
+        return _decode_value(fh, branch)
+    t = _node_type(node)
+    logical = node.get("logicalType") if isinstance(node, dict) else None
+    if t == "null":
+        return None
+    if t == "boolean":
+        return fh.read(1) == b"\x01"
+    if t in ("int", "long"):
+        v = _read_long(fh)
+        if logical == "timestamp-micros":
+            return datetime.fromtimestamp(v / 1_000_000, tz=timezone.utc)
+        if logical == "timestamp-millis":
+            return datetime.fromtimestamp(v / 1_000, tz=timezone.utc)
+        return v
+    if t == "float":
+        return struct.unpack("<f", fh.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", fh.read(8))[0]
+    if t == "bytes":
+        return _read_bytes(fh)
+    if t == "string":
+        return _read_bytes(fh).decode("utf-8")
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(fh)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(fh)  # block byte size — unused for decode
+                n = -n
+            for _ in range(n):
+                out.append(_decode_value(fh, node["items"]))
+        return out
+    raise ValueError(f"unsupported avro type: {node}")
+
+
+def _encode_value(out: io.BytesIO, node, v) -> None:
+    if isinstance(node, list):
+        is_null = lambda b: b == "null" or _node_type(b) == "null"  # noqa: E731
+        if v is None:
+            _write_long(
+                out, next(i for i, b in enumerate(node) if is_null(b))
+            )
+            return
+        idx, branch = next(
+            (i, b) for i, b in enumerate(node) if not is_null(b)
+        )
+        _write_long(out, idx)
+        _encode_value(out, branch, v)
+        return
+    node_u = node
+    t = _node_type(node_u)
+    logical = (
+        node_u.get("logicalType") if isinstance(node_u, dict) else None
+    )
+    if t == "boolean":
+        out.write(b"\x01" if v else b"\x00")
+    elif t in ("int", "long"):
+        if logical == "timestamp-micros" and isinstance(v, datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=timezone.utc)
+            v = int(v.timestamp() * 1_000_000)
+        _write_long(out, int(v))
+    elif t == "float":
+        out.write(struct.pack("<f", float(v)))
+    elif t == "double":
+        out.write(struct.pack("<d", float(v)))
+    elif t == "bytes":
+        _write_long(out, len(v))
+        out.write(bytes(v))
+    elif t == "string":
+        b = v.encode("utf-8")
+        _write_long(out, len(b))
+        out.write(b)
+    elif t == "array":
+        if v:
+            _write_long(out, len(v))
+            for item in v:
+                _encode_value(out, node_u["items"], item)
+        _write_long(out, 0)
+    else:
+        raise ValueError(f"unsupported avro type for write: {node_u}")
+
+
+# ---- OCF container ---------------------------------------------------------
+
+
+def read_header(path: str) -> tuple[dict, str, bytes, int]:
+    """→ (schema dict, codec, sync marker, data start offset)."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"not an avro OCF: {path}")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = _read_long(fh)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(fh)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(fh).decode("utf-8")
+                meta[k] = _read_bytes(fh)
+        sync = fh.read(16)
+        return (
+            json.loads(meta["avro.schema"]),
+            meta.get("avro.codec", b"null").decode("utf-8"),
+            sync,
+            fh.tell(),
+        )
+
+
+def read_avro_records(path: str) -> Iterator[dict]:
+    """Decode every record of one OCF file (executor-side)."""
+    schema, codec, sync, start = read_header(path)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r} in {path}")
+    fields = schema["fields"]
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        while True:
+            probe = fh.read(1)
+            if not probe:
+                break
+            fh.seek(-1, os.SEEK_CUR)
+            n_records = _read_long(fh)
+            n_bytes = _read_long(fh)
+            raw = fh.read(n_bytes)
+            if codec == "deflate":
+                raw = zlib.decompress(raw, -15)
+            block = io.BytesIO(raw)
+            for _ in range(n_records):
+                yield {
+                    f["name"]: _decode_value(block, f["type"])
+                    for f in fields
+                }
+            if fh.read(16) != sync:
+                raise ValueError(f"avro sync marker mismatch in {path}")
+
+
+def write_avro(
+    path: str, schema: dict, rows: list[dict], codec: str = "null"
+) -> None:
+    """Write one OCF file (single block, null-first unions; ``null``
+    or ``deflate`` codec) — the roundtrip/export half."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    sync = b"\x00" * 8 + b"pyavro!!"  # any 16 bytes; fixed = reproducible
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode("utf-8")
+        _write_long(out, len(kb))
+        out.write(kb)
+        _write_long(out, len(v))
+        out.write(v)
+    _write_long(out, 0)
+    out.write(sync)
+    block = io.BytesIO()
+    for row in rows:
+        for f in schema["fields"]:
+            _encode_value(block, f["type"], row.get(f["name"]))
+    payload = block.getvalue()
+    if codec == "deflate":
+        c = zlib.compressobj(wbits=-15)  # raw DEFLATE per spec
+        payload = c.compress(payload) + c.flush()
+    _write_long(out, len(rows))
+    _write_long(out, len(payload))
+    out.write(payload)
+    out.write(sync)
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())
+
+
+# ---- Spark Python DataSource ------------------------------------------------
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".avro")
+        )
+    raise FileNotFoundError(path)
+
+
+def spark_to_avro_schema(schema, name: str = "spark_export") -> dict:
+    """Spark StructType → avro record schema (nullable fields become
+    null-first unions; timestamps become long/timestamp-micros)."""
+    def conv(dt, nullable):
+        tn = dt.typeName()
+        mapping = {
+            "boolean": "boolean", "integer": "int", "long": "long",
+            "float": "float", "double": "double", "binary": "bytes",
+            "string": "string",
+        }
+        if tn == "timestamp":
+            node = {"type": "long", "logicalType": "timestamp-micros"}
+        elif tn in mapping:
+            node = mapping[tn]
+        elif tn == "array":
+            node = {
+                "type": "array",
+                "items": conv(dt.elementType, dt.containsNull),
+            }
+        else:
+            raise ValueError(f"unsupported spark type for avro: {dt}")
+        return ["null", node] if nullable else node
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": conv(f.dataType, f.nullable)}
+            for f in schema.fields
+        ],
+    }
+
+
+def register_pyavro(spark) -> None:
+    """Register ``format("pyavro")`` on this session (idempotent)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _File(InputPartition):
+        def __init__(self, path: str, schema_json: str):
+            self.path = path
+            self.schema_json = schema_json
+
+    class PyAvroReader(DataSourceReader):
+        def __init__(self, options, schema_json: str):
+            self.path = options["path"]
+            self.schema_json = schema_json
+
+        def partitions(self):
+            return [
+                _File(p, self.schema_json) for p in _avro_files(self.path)
+            ]
+
+        def read(self, part: _File):
+            from pyspark.sql.types import StructType
+
+            spark_schema = StructType.fromJson(
+                json.loads(part.schema_json)
+            )
+            names = [f.name for f in spark_schema.fields]
+            for rec in read_avro_records(part.path):
+                yield tuple(rec.get(n) for n in names)
+
+    class PyAvroDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pyavro"
+
+        def schema(self):
+            first = _avro_files(self.options["path"])[0]
+            return avro_to_spark_schema(read_header(first)[0])
+
+        def reader(self, schema):
+            return PyAvroReader(self.options, schema.json())
+
+    spark.dataSource.register(PyAvroDataSource)
+
+
+def read_avro(spark, path: str, schema=None):
+    """``spark.read.format("pyavro")`` convenience wrapper — the S4
+    fallback ``sources.files.read_files`` dispatches to when the JVM
+    spark-avro connector is absent."""
+    register_pyavro(spark)
+    r = spark.read.format("pyavro")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

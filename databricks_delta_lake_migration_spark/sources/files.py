@@ -50,12 +50,13 @@ def read_files(
     if file_format not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {file_format!r}")
     if file_format == "avro" and not avro_available(spark):
-        raise RuntimeError(
-            "avro support requires the spark-avro datasource jar "
-            "(org.apache.spark:spark-avro_2.13:<spark-version>) on the "
-            "classpath — add it via spark.jars.packages / spark.jars; "
-            "it is not bundled with pyspark"
-        )
+        # the JVM spark-avro connector is not bundled with pyspark;
+        # fall back to the from-scratch pure-Python OCF DataSource
+        # (sources/avro_py.py — Spark 4 Python DataSource, one
+        # partition per file, executor-side decode)
+        from .avro_py import read_avro
+
+        return read_avro(spark, path, schema=schema)
     r = spark.read
     if schema is not None:
         r = r.schema(schema)

@@ -204,11 +204,10 @@ def test_orc_roundtrip_migration(spark, tmp_path):
 
 def test_avro_gated_or_roundtrips(spark, tmp_path):
     """S4: pyspark does not bundle the spark-avro datasource. When the
-    jar is present the format must roundtrip like ORC; when absent the
-    reader must fail up-front with actionable guidance, not deep inside
-    a job with ClassNotFoundException."""
-    import pytest
-
+    jar is present the format roundtrips natively; when absent,
+    read_files falls back to the from-scratch pure-Python OCF
+    DataSource (sources/avro_py.py) — avro migration works either
+    way."""
     from databricks_delta_lake_migration_spark.sources.files import (
         avro_available,
         read_files,
@@ -221,8 +220,75 @@ def test_avro_gated_or_roundtrips(spark, tmp_path):
         ).save(src)
         assert read_files(spark, src, file_format="avro").count() == 50
     else:
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            read_files(spark, str(tmp_path), file_format="avro")
+        import os
+
+        from databricks_delta_lake_migration_spark.sources import avro_py
+
+        src = str(tmp_path / "avro")
+        os.makedirs(src)
+        schema = {
+            "type": "record", "name": "t",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "v", "type": "long"},
+            ],
+        }
+        # two files, one per future partition; deflate exercises the
+        # compressed-block path
+        avro_py.write_avro(
+            os.path.join(src, "a.avro"), schema,
+            [{"id": i, "v": i * 2} for i in range(25)],
+        )
+        avro_py.write_avro(
+            os.path.join(src, "b.avro"), schema,
+            [{"id": i, "v": i * 2} for i in range(25, 50)],
+            codec="deflate",
+        )
+        df = read_files(spark, src, file_format="avro")
+        got = sorted((r.id, r.v) for r in df.collect())
+        assert got == [(i, i * 2) for i in range(50)]
+
+
+def test_pyavro_nullable_timestamps_arrays_roundtrip(spark, tmp_path):
+    """Pure-python OCF: nullable unions (either branch order on read),
+    timestamp-micros logical type, arrays, deflate."""
+    import os
+    from datetime import datetime, timezone
+
+    from databricks_delta_lake_migration_spark.sources import avro_py
+
+    src = str(tmp_path / "avro")
+    os.makedirs(src)
+    schema = {
+        "type": "record", "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "ts",
+             "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    ts = datetime(2024, 3, 1, 12, 0, 0, 123456, tzinfo=timezone.utc)
+    rows = [
+        {"id": 1, "name": "a", "tags": ["x", "y"], "ts": ts},
+        {"id": 2, "name": None, "tags": [], "ts": ts},
+    ]
+    avro_py.write_avro(os.path.join(src, "p.avro"), schema, rows,
+                       codec="deflate")
+    df = avro_py.read_avro(spark, src)
+    got = sorted(
+        (r.id, r.name, list(r.tags), str(r.ts)) for r in df.collect()
+    )
+    assert got == [
+        (1, "a", ["x", "y"], "2024-03-01 12:00:00.123456"),
+        (2, None, [], "2024-03-01 12:00:00.123456"),
+    ]
+    # spark_to_avro_schema inverts avro_to_spark_schema
+    back = avro_py.spark_to_avro_schema(df.schema)
+    assert [f["name"] for f in back["fields"]] == [
+        "id", "name", "tags", "ts",
+    ]
 
 
 def test_running_totals_state_across_microbatches(spark, tmp_path):
