@@ -28,10 +28,11 @@ import json
 import os
 import struct
 import zlib
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Iterator
 
 MAGIC = b"Obj\x01"
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
 # ---- zigzag varint primitives ---------------------------------------------
@@ -146,10 +147,13 @@ def _decode_value(fh, node):
         return fh.read(1) == b"\x01"
     if t in ("int", "long"):
         v = _read_long(fh)
+        # exact timedelta arithmetic, never float epoch math: a double
+        # holds 53 mantissa bits, so fromtimestamp(v / 1e6) drops the
+        # last microsecond digit on present-day epochs
         if logical == "timestamp-micros":
-            return datetime.fromtimestamp(v / 1_000_000, tz=timezone.utc)
+            return _EPOCH + timedelta(microseconds=v)
         if logical == "timestamp-millis":
-            return datetime.fromtimestamp(v / 1_000, tz=timezone.utc)
+            return _EPOCH + timedelta(milliseconds=v)
         return v
     if t == "float":
         return struct.unpack("<f", fh.read(4))[0]
@@ -199,7 +203,8 @@ def _encode_value(out: io.BytesIO, node, v) -> None:
         if logical == "timestamp-micros" and isinstance(v, datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=timezone.utc)
-            v = int(v.timestamp() * 1_000_000)
+            # exact integer micros (timestamp()*1e6 rounds the last µs)
+            v = (v - _EPOCH) // timedelta(microseconds=1)
         _write_long(out, int(v))
     elif t == "float":
         out.write(struct.pack("<f", float(v)))
@@ -366,11 +371,15 @@ def spark_to_avro_schema(schema, name: str = "spark_export") -> dict:
 
 
 def register_pyavro(spark) -> None:
-    """Register ``format("pyavro")`` on this session (idempotent)."""
+    """Register ``format("pyavro")`` on this session (idempotent) —
+    batch READ and WRITE (``df.write.format("pyavro")`` lands one
+    .avro file per task, executor-side, like any file sink)."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
+        WriterCommitMessage,
     )
 
     class _File(InputPartition):
@@ -398,6 +407,28 @@ def register_pyavro(spark) -> None:
             for rec in read_avro_records(part.path):
                 yield tuple(rec.get(n) for n in names)
 
+    class PyAvroWriter(DataSourceWriter):
+        def __init__(self, options, avro_schema: dict, codec: str):
+            self.path = options["path"]
+            self.avro_schema = avro_schema
+            self.codec = codec
+
+        def write(self, iterator):
+            import uuid
+
+            rows = [row.asDict(recursive=True) for row in iterator]
+            if rows:
+                os.makedirs(self.path, exist_ok=True)
+                write_avro(
+                    os.path.join(
+                        self.path, f"part-{uuid.uuid4().hex}.avro"
+                    ),
+                    self.avro_schema,
+                    rows,
+                    codec=self.codec,
+                )
+            return WriterCommitMessage()
+
     class PyAvroDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -409,6 +440,19 @@ def register_pyavro(spark) -> None:
 
         def reader(self, schema):
             return PyAvroReader(self.options, schema.json())
+
+        def writer(self, schema, overwrite: bool):
+            import shutil
+
+            path = self.options["path"]
+            if overwrite and os.path.isdir(path):
+                shutil.rmtree(path)
+            os.makedirs(path, exist_ok=True)
+            return PyAvroWriter(
+                self.options,
+                spark_to_avro_schema(schema),
+                self.options.get("codec", "null"),
+            )
 
     spark.dataSource.register(PyAvroDataSource)
 

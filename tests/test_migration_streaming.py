@@ -963,3 +963,41 @@ def test_stream_scd2_apply_multi_version_batch(spark, tmp_path):
         (2, "x", "2024-01-01 00:00:00", "2024-03-01 00:00:00", False),
         (2, "y", "2024-03-01 00:00:00", "None", True),
     ])
+
+
+def test_pyavro_distributed_write_roundtrip(spark, tmp_path):
+    """df.write.format('pyavro'): one .avro file per task, overwrite
+    semantics, micro-exact timestamps at modern epochs (timedelta
+    arithmetic — float epoch math drops the last microsecond)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from databricks_delta_lake_migration_spark.sources import avro_py
+
+    avro_py.register_pyavro(spark)
+    out = str(tmp_path / "out")
+    base = 1723715000 * 1_000_000
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.concat(F.lit("n"), F.col("id")))
+        .alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+        F.timestamp_micros(
+            F.col("id") * 1_000_000 + 123456 + F.lit(base).cast("long")
+        ).alias("ts"),
+    ).repartition(4)
+    df.write.format("pyavro").option("codec", "deflate").mode(
+        "overwrite"
+    ).save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 4
+    back = avro_py.read_avro(spark, out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # overwrite replaces, never appends
+    df.limit(10).coalesce(1).write.format("pyavro").mode(
+        "overwrite"
+    ).save(out)
+    assert avro_py.read_avro(spark, out).count() == 10
