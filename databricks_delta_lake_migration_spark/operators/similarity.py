@@ -1060,3 +1060,82 @@ def mmr_select(
         out_rows,
         f"rank int, {id_col} long, relevance double, mmr_score double",
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate k-NN GRAPH [EXT]: top-``k`` neighbors for EVERY
+    corpus vector — the all-vectors generalization of the single-query
+    ANN ladder, and the input structure semantic dedup, graph
+    clustering, and diversity sampling all start from. Classic
+    multi-table LSH (public formulation): ``n_tables`` independent
+    sign-LSH bucketings (different hyperplane seeds) each co-bucket
+    near neighbors with high probability; a vector's candidate set is
+    everyone it shares ANY bucket with.
+
+    Scale shape — never all-pairs:
+
+    - bucketing is ``n_tables`` row-local fold projections (one corpus
+      scan, no Python);
+    - candidate generation is ONE equi shuffle on (table, bucket) —
+      pair expansion happens within buckets only, so work tracks the
+      true collision density, not n²;
+    - pairs dedupe on (src, dst) (a pair found by several tables
+      scores once), exact decimal-snapped cosine re-ranks, and a
+      per-src window keeps the top-``k`` — the window shuffle is keyed
+      on src, skew-free.
+
+    Sparse-bucket caveat: a vector sharing no bucket has no edges; more
+    tables/fewer planes trade recall for candidate volume. Returns
+    (src, dst, cosine, rank)."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    tabs = [
+        embeddings.select(
+            F.col(id_col),
+            _bucket_expr(vec_col, n_planes, dims, seed=1001 + t).alias(
+                "bucket"
+            ),
+        ).withColumn("tab", F.lit(t))
+        for t in range(n_tables)
+    ]
+    bk = _reduce(lambda a, b: a.unionByName(b), tabs)
+    pairs = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["tab", "bucket"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("src"),
+            F.col(f"b.{id_col}").alias("dst"),
+        )
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")
+    )
+    cos = F.round(
+        _dot_decimal("va", "vb", dims) / (_norm("va", dims) * _norm("vb", dims)),
+        6,
+    )
+    scored = pairs.join(va, "src").join(vb, "dst").select(
+        "src", "dst", cos.alias("cosine")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

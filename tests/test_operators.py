@@ -1196,3 +1196,31 @@ def test_robust_outliers_approx_path_agrees(spark):
         .filter("is_outlier").collect()
     }
     assert ("g", 1e9) in exact and ("g", 1e9) in approx
+
+
+def test_knn_graph_planted_clusters(spark):
+    """Two tight orthogonal clusters: the k-NN graph keeps edges
+    overwhelmingly intra-cluster, covers every node, and bounds
+    degree."""
+    import numpy as np
+
+    from databricks_delta_lake_migration_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    u = np.zeros(8); u[0] = 1.0
+    w = np.zeros(8); w[4] = 1.0
+    rows = []
+    for i in range(12):
+        rows.append((i, [float(x) for x in u + rng.normal(0, 0.05, 8)]))
+    for i in range(12, 24):
+        rows.append((i, [float(x) for x in w + rng.normal(0, 0.05, 8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = similarity.knn_graph(df, k=3, dims=8).collect()
+    assert {r.src for r in g} == set(range(24))  # full coverage
+    assert all(r.src != r.dst for r in g)
+    intra = sum((r.src < 12) == (r.dst < 12) for r in g)
+    assert intra / len(g) > 0.9
+    degs = {}
+    for r in g:
+        degs[r.src] = degs.get(r.src, 0) + 1
+    assert max(degs.values()) <= 3
