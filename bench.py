@@ -47,6 +47,7 @@ EXTRA_QUERIES = [
     "q166_robust_outliers",
     "q169_cms_heavy_hitters",
     "q170_bigram_logprob",
+    "q175_knn_graph",
 ]
 
 

@@ -340,3 +340,20 @@ def test_fk_orphans_has_no_broadcast_hint(spark):
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
     # semantics intact: orphans are exactly the keys >= 50
     assert j.count() == 500
+
+
+def test_knn_graph_no_cartesian(spark):
+    """The k-NN graph must generate candidates via the (table, bucket)
+    equi join — never a cartesian/nested-loop all-pairs plan."""
+    from databricks_delta_lake_migration_spark.operators.similarity import (
+        knn_graph,
+    )
+    from databricks_delta_lake_migration_spark.queries.registry import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    g = knn_graph(emb, k=3)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
