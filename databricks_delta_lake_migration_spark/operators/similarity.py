@@ -1093,8 +1093,12 @@ def knn_graph(
       on src, skew-free.
 
     Sparse-bucket caveat: a vector sharing no bucket has no edges; more
-    tables/fewer planes trade recall for candidate volume. Returns
-    (src, dst, cosine, rank)."""
+    tables/fewer planes trade recall for candidate volume. Candidate
+    work per table is Σ bucket², so size ``n_planes ≈ log2(n / B)`` for
+    a target bucket size B (≈64): the defaults fit the test fixtures'
+    few-thousand-vector corpora; a billion-vector corpus wants ~24
+    planes, keeping per-bucket quadratic work constant as n grows.
+    Returns (src, dst, cosine, rank)."""
     from functools import reduce as _reduce
 
     from pyspark.sql import Window
@@ -1119,15 +1123,20 @@ def knn_graph(
         )
         .distinct()
     )
+    # norms precomputed ONCE per vector (n values), never per pair —
+    # the per-pair work is one dot-product fold, not three
     va = embeddings.select(
-        F.col(id_col).alias("src"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("va"),
+        _norm(vec_col, dims).alias("na"),
     )
     vb = embeddings.select(
-        F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("vb"),
+        _norm(vec_col, dims).alias("nb"),
     )
     cos = F.round(
-        _dot_decimal("va", "vb", dims) / (_norm("va", dims) * _norm("vb", dims)),
-        6,
+        _dot_decimal("va", "vb", dims) / (F.col("na") * F.col("nb")), 6
     )
     scored = pairs.join(va, "src").join(vb, "dst").select(
         "src", "dst", cos.alias("cosine")
