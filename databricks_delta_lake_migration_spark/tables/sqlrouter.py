@@ -34,6 +34,9 @@ Statement coverage (the forms the reference actually uses):
   liquid-clustering CLUSTER BY key
 - ``INSERT INTO t [(cols)] SELECT ... | VALUES ...`` (positional; an
   explicit column list maps positions, unlisted columns null-fill)
+- ``INSERT OVERWRITE [TABLE] t [(cols)] SELECT ... | VALUES ...``
+- ``INSERT INTO t REPLACE WHERE pred SELECT ...`` (atomic slice
+  refresh — Databricks replaceWhere SQL spelling)
 - ``COPY INTO t FROM 'path' [FILEFORMAT = PARQUET|CSV|JSON|ORC]``
 - ``OPTIMIZE t [WHERE partition-pred] [ZORDER BY (c1, c2)]``
 - ``REORG TABLE t APPLY (PURGE)`` (rewrite deletion-vector files)
@@ -219,6 +222,16 @@ _CTAS = re.compile(
 )
 _INSERT_INTO = re.compile(
     rf"^\s*INSERT\s+INTO\s+({_ID})\s*(?:\(([^)]+)\)\s*)?(SELECT\b.*|VALUES\b.*)$",
+    re.I | re.S,
+)
+_INSERT_OVERWRITE = re.compile(
+    rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_ID})\s*"
+    r"(?:\(([^)]+)\)\s*)?(SELECT\b.*|VALUES\b.*)$",
+    re.I | re.S,
+)
+_INSERT_REPLACE_WHERE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_ID})\s+REPLACE\s+WHERE\s+(.+?)\s+"
+    r"(SELECT\b.*|VALUES\b.*)$",
     re.I | re.S,
 )
 _OPTIMIZE = re.compile(
@@ -734,18 +747,19 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
             spark, {"created": True, "columns": [f.name for f in fields]}
         )
 
-    if m := _INSERT_INTO.match(query):
-        t = cat.table(m.group(1))
-        body = m.group(3).rstrip().rstrip(";")
-        # SQL INSERT is positional: VALUES rows arrive named col1..colN
-        # and a SELECT's output names need not match the target's, but
-        # LogTable._align projects by name with missing-as-null — so an
-        # unaligned insert silently wrote all-NULL rows (ADVICE r3).
-        # Validate arity, then rename positionally. An explicit column
-        # list maps positions to those columns; the rest become NULL.
+    def _build_insert_df(t, cols_spec, raw_body):
+        """Positional INSERT source → DataFrame named for the target.
+
+        SQL INSERT is positional: VALUES rows arrive named col1..colN
+        and a SELECT's output names need not match the target's, but
+        LogTable._align projects by name with missing-as-null — so an
+        unaligned insert silently wrote all-NULL rows (ADVICE r3).
+        Validate arity, then rename positionally. An explicit column
+        list maps positions to those columns; the rest become NULL."""
+        body = raw_body.rstrip().rstrip(";")
         target_names = [f.name for f in t.schema().fields]
-        if m.group(2):
-            listed = [c.strip().strip("`") for c in _split_top(m.group(2))]
+        if cols_spec:
+            listed = [c.strip().strip("`") for c in _split_top(cols_spec)]
             unknown = [c for c in listed if c not in target_names]
             if unknown:
                 raise ValueError(f"INSERT column(s) not in target: {unknown}")
@@ -788,7 +802,32 @@ def route(cat: "Catalog", query: str) -> DataFrame | None:
                 f"columns {df.columns}, insert target has {len(dest)} "
                 f"{dest}"
             )
-        df = df.toDF(*dest)
+        return df.toDF(*dest)
+
+    if m := _INSERT_REPLACE_WHERE.match(query):
+        # Databricks' idempotent slice refresh: INSERT INTO t REPLACE
+        # WHERE pred SELECT ... — rows matching pred are atomically
+        # replaced by the (pred-validated) input, everything else is
+        # untouched (tried before plain INSERT INTO: its body group
+        # requires SELECT/VALUES so REPLACE WHERE never false-matches)
+        t = cat.table(m.group(1))
+        df = _build_insert_df(t, None, m.group(3))
+        t.overwrite(df, replace_where=m.group(2).strip())
+        return _one_row(
+            spark,
+            {"numInsertedRows": df.count(),
+             "replaceWhere": m.group(2).strip()},
+        )
+
+    if m := _INSERT_OVERWRITE.match(query):
+        t = cat.table(m.group(1))
+        df = _build_insert_df(t, m.group(2), m.group(3))
+        t.overwrite(df)
+        return _one_row(spark, {"numInsertedRows": df.count()})
+
+    if m := _INSERT_INTO.match(query):
+        t = cat.table(m.group(1))
+        df = _build_insert_df(t, m.group(2), m.group(3))
         t.append(df)  # _align null-fills any unlisted target columns
         return _one_row(spark, {"numInsertedRows": df.count()})
 

@@ -712,3 +712,32 @@ def test_informational_pk_fk_constraints(spark, cat):
     cat.sql("ALTER TABLE lake.acid.updates DROP CONSTRAINT fk_u")
     assert "fk.fk_u" not in cat.table("lake.acid.updates").properties()
     assert len(cat.audit_foreign_keys().collect()) == 0
+
+
+def test_insert_overwrite_and_replace_where_sql(spark, cat):
+    """INSERT OVERWRITE replaces the whole table; INSERT INTO ...
+    REPLACE WHERE atomically refreshes only the matching slice."""
+    out = cat.sql(
+        "INSERT OVERWRITE lake.acid.orders "
+        "VALUES (10, 'A', 1.0), (11, 'B', 2.0), (20, 'C', 3.0)"
+    ).collect()[0]
+    assert out.numInsertedRows == "3"
+    assert _state(cat) == {(10, "A", 1.0), (11, "B", 2.0), (20, "C", 3.0)}
+
+    out = cat.sql(
+        "INSERT INTO lake.acid.orders REPLACE WHERE id < 20 "
+        "VALUES (10, 'A2', 9.0), (12, 'D', 4.0)"
+    ).collect()[0]
+    assert out.numInsertedRows == "2"
+    # rows with id < 20 replaced; id=20 untouched
+    assert _state(cat) == {(10, "A2", 9.0), (12, "D", 4.0), (20, "C", 3.0)}
+
+    import pytest as _pytest
+
+    # replaceWhere validates its input: rows violating the predicate
+    # must be rejected, not silently smuggled into the slice
+    with _pytest.raises(Exception, match="replaceWhere"):
+        cat.sql(
+            "INSERT INTO lake.acid.orders REPLACE WHERE id < 20 "
+            "VALUES (99, 'X', 0.0)"
+        )
