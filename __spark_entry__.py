@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q169 count-min heavy hitters, q170 bigram LM scoring, q171
 # streaming SCD2 apply, q172 informational PK/FK + catalog audit,
 # q173 streaming point-in-time enrichment, q174 pure-python avro
-# migration, q175 approximate k-NN graph — all green
+# migration, q175 approximate k-NN graph, q176 informational PK
+# audit — all green
 # under the local sf0.01 driver simulation this round),
 # the anchors, and re-confirms of rows whose only
 # green driver row is from rounds 1–3 (q02/q07/q08/q09/q10/q15/q16/

@@ -1986,3 +1986,56 @@ def q174_avro_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@query(
+    "q176_informational_pk_audit",
+    oracle="""
+    SELECT 'before' AS phase, 'pk_orders' AS constraint_name,
+           CAST(0 AS BIGINT) AS n_duplicate_keys,
+           CAST(0 AS BIGINT) AS n_surplus_rows,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 <> 0)
+                AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'after', 'pk_orders',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 4 <> 0 AND o_orderkey % 5 = 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 4 <> 0 AND o_orderkey % 5 = 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 <> 0)
+                + (SELECT COUNT(*) FROM orders
+                   WHERE o_orderkey % 4 <> 0 AND o_orderkey % 5 = 0)
+                AS BIGINT)
+    """,
+)
+def q176_informational_pk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Informational PRIMARY KEY audit [EXT] — the uniqueness screen
+    an unenforced PK needs (``Catalog.audit_primary_keys``: ONE
+    group-keyed duplicate count per declared PK, never a self-join).
+    Program: declare the PK, audit (clean), append a duplicate slice
+    (the lakehouse accepts it — PKs are informational), audit again —
+    every duplicated key is counted with its surplus row count."""
+    from ..tables import Catalog
+
+    cat = Catalog(spark, _scratch("pkcat").rsplit("/", 1)[0])
+    o = _orders_subset(spark, sf_dir)
+    t = cat.create_table("lake.audit.orders", o.schema)
+    t.append(o)
+    cat.sql(
+        "ALTER TABLE lake.audit.orders ADD CONSTRAINT pk_orders "
+        "PRIMARY KEY (o_orderkey)"
+    )
+    before = cat.audit_primary_keys().select(
+        F.lit("before").alias("phase"), "constraint_name",
+        "n_duplicate_keys", "n_surplus_rows", "n_rows",
+    )
+    b = before.collect()
+    # duplicate slice: every %5 key appears once more
+    t.append(o.filter(F.col("o_orderkey") % 5 == 0))
+    after = cat.audit_primary_keys().select(
+        F.lit("after").alias("phase"), "constraint_name",
+        "n_duplicate_keys", "n_surplus_rows", "n_rows",
+    )
+    return spark.createDataFrame(b, before.schema).unionByName(after)

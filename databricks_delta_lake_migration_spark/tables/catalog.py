@@ -234,6 +234,47 @@ class Catalog:
             "n_orphans long, n_rows long",
         )
 
+    def audit_primary_keys(self) -> DataFrame:
+        """Audit every INFORMATIONAL primary key declared in the
+        catalog: per constraint, how many declared-unique key values
+        occur more than once (and the duplicate row surplus). The
+        uniqueness screen a warehouse PK would have enforced — ONE
+        group-keyed count per table, never a self-join.
+
+        Returns (table, constraint_name, columns, n_duplicate_keys,
+        n_surplus_rows, n_rows)."""
+        from pyspark.sql import functions as F
+
+        rows = []
+        for name in self.tables():
+            t = self.table(name)
+            for prop, spec in sorted(t.properties().items()):
+                if not prop.startswith("pk."):
+                    continue
+                cols = [c.strip() for c in spec.split(",")]
+                df = t.read()
+                dup = (
+                    df.groupBy(*cols)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > 1)
+                    .agg(
+                        F.count(F.lit(1)).alias("dup_keys"),
+                        F.coalesce(
+                            F.sum(F.col("n") - 1), F.lit(0)
+                        ).alias("surplus"),
+                    )
+                    .collect()[0]
+                )
+                rows.append(
+                    (name, prop[len("pk."):], spec,
+                     int(dup.dup_keys), int(dup.surplus), df.count())
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "table string, constraint_name string, columns string, "
+            "n_duplicate_keys long, n_surplus_rows long, n_rows long",
+        )
+
     # ---- named views --------------------------------------------------
 
     @property
