@@ -574,37 +574,79 @@ def q165_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q175_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus [EXT]
-    (``similarity.knn_graph`` — multi-table sign-LSH: 6 independent
-    4-plane bucketings, candidates = any shared bucket, ONE
-    (table, bucket) equi shuffle, exact decimal-snapped re-rank,
-    per-src window top-5). The structure semantic dedup / clustering /
-    diversity sampling consume. Hard verdicts: every vector has
-    neighbors (observed 100% coverage), zero self edges, per-node
-    degree ≤ k, and mean sampled recall vs exact top-5 over five probe
-    ids ≥ 0.3 (observed 0.52 at sf0.01, 0.80 at sf0.001 — honest LSH
-    approximation with ≥1.7× margin)."""
+    (``similarity.knn_graph`` — multi-table sign-LSH, plane count
+    auto-sized from the corpus count (ceil(log2(n/256)) clamped
+    [2,24]), oversized buckets salt-split to ≤128 members so candidate
+    work is LINEAR in n even for tight near-duplicate clusters,
+    candidates = any shared (table, bucket, salt), ONE equi shuffle,
+    deterministic double-fold re-rank, per-src window top-5). The
+    structure semantic dedup / clustering / diversity sampling
+    consume. Hard verdicts: every vector has neighbors (observed 100%
+    coverage), zero self edges, per-node degree ≤ k, and mean sampled
+    recall vs exact top-5 over five probe ids ≥ 0.3 (observed 0.56 at
+    sf0.1, ≥0.8 at sf0.01 — honest LSH approximation with margin).
+    Verdict assembly is 3 jobs total: one fused graph-stats agg, one
+    broadcast 5-probe exact top-5, one recall join."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    # n_vectors reuses the verdict's own count → the LSH plane count
+    # auto-sizes from corpus size with zero extra jobs
     from ..operators import similarity as simops
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    g = simops.knn_graph(emb, k=5).cache()
-    n_vecs = emb.count()
-    covered = g.select("src").distinct().count()
-    self_edges = g.filter("src = dst").count()
-    max_deg = g.groupBy("src").count().agg(F.max("count")).collect()[0][0]
-    rec = []
-    for qid in (0, 1, 2, 3, 4):
-        exact = {r.vec_id for r in simops.cosine_topk(emb, qid, k=5).collect()}
-        approx = {r.dst for r in g.filter(F.col("src") == qid).collect()}
-        rec.append(len(exact & approx) / 5)
+    g = simops.knn_graph(emb, k=5, n_vectors=n_vecs).cache()
+    # graph stats: coverage, self edges, max degree — ONE fused agg
+    stats = (
+        g.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
+            .alias("self_e"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("covered"),
+            F.sum("self_e").alias("self_edges"),
+            F.max("deg").alias("max_deg"),
+        )
+        .collect()[0]
+    )
+    # exact top-5 for the five probe ids in ONE broadcast job, then one
+    # semi-join against the cached graph for the recall tally
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cos = F.round(
+        simops._dot_decimal("embedding", "qvec", 64)
+        / (simops._norm("embedding", 64) * simops._norm("qvec", 64)),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    exact5 = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        exact5.join(
+            g.select(F.col("src").alias("qid"), F.col("dst").alias("vec_id")),
+            ["qid", "vec_id"],
+            "left_semi",
+        ).count()
+    )
     g.unpersist()
     return spark.createDataFrame(
         [(
-            covered >= 0.95 * n_vecs,
-            self_edges,
-            max_deg <= 5,
-            sum(rec) / len(rec) >= 0.3,
+            stats["covered"] >= 0.95 * n_vecs,
+            stats["self_edges"],
+            stats["max_deg"] <= 5,
+            hits / 25 >= 0.3,
         )],
         "all_nodes_covered boolean, n_self_edges long, "
         "degree_bounded boolean, recall_ok boolean",
