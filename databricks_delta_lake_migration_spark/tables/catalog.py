@@ -186,29 +186,46 @@ class Catalog:
         catalog (``ALTER TABLE … ADD CONSTRAINT … FOREIGN KEY …
         REFERENCES …``): per constraint, the child's orphan count —
         rows whose FK values have no parent. Nothing enforces FKs at
-        lakehouse write time, so this left-anti scan (one pass per
-        child table, NO broadcast hint — the parent key set can be
-        fact-sized; AQE decides, same posture as q163's ``fk_orphans``)
-        is the integrity screen a warehouse CHECK would have given you.
+        lakehouse write time, so this scan (NO broadcast hint — the
+        parent key set can be fact-sized; AQE decides, same posture as
+        q163's ``fk_orphans``) is the integrity screen a warehouse
+        CHECK would have given you.
+
+        SQL FK semantics (MATCH SIMPLE, the Databricks/warehouse
+        default): a child row with NULL in ANY FK column satisfies the
+        constraint — it is never an orphan. Those rows are surfaced
+        separately as ``n_null_keys``.
+
+        ONE pass per constraint: a left join against the distinct
+        parent-key set with a hit marker, then a single conditional
+        agg computing (n_rows, n_orphans, n_null_keys) together — no
+        second child scan for the row count. When a child table
+        carries several FK constraints its scan is cached across them
+        and released afterwards.
 
         Returns (child_table, constraint_name, referenced, n_orphans,
-        n_rows)."""
+        n_null_keys, n_rows)."""
         from pyspark.sql import functions as F
 
-        rows = []
+        by_child: dict[str, list[tuple[str, str]]] = {}
         for name in self.tables():
-            t = self.table(name)
-            for prop, spec in sorted(t.properties().items()):
-                if not prop.startswith("fk."):
-                    continue
-                cname = prop[len("fk."):]
+            for prop, spec in sorted(self.table(name).properties().items()):
+                if prop.startswith("fk."):
+                    by_child.setdefault(name, []).append(
+                        (prop[len("fk."):], spec)
+                    )
+        rows = []
+        for name, constraints in sorted(by_child.items()):
+            child = self.table(name).read()
+            if len(constraints) > 1:
+                child = child.cache()
+            for cname, spec in constraints:
                 child_cols_s, _, rest = spec.partition("->")
                 parent_name, _, pcols_s = rest.partition("(")
                 parent_cols = [
                     c.strip() for c in pcols_s.rstrip(")").split(",")
                 ]
                 child_cols = [c.strip() for c in child_cols_s.split(",")]
-                child = t.read()
                 parent_keys = (
                     self.table(parent_name)
                     .read()
@@ -219,19 +236,37 @@ class Catalog:
                         ]
                     )
                     .distinct()
+                    .withColumn("__fk_hit", F.lit(1))
                 )
-                n_orphans = (
+                any_null = F.greatest(
+                    *[F.col(c).isNull() for c in child_cols]
+                ) if len(child_cols) > 1 else F.col(child_cols[0]).isNull()
+                agg = (
                     child.select(*child_cols)
-                    .join(parent_keys, child_cols, "left_anti")
-                    .count()
+                    .join(parent_keys, child_cols, "left")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.sum(
+                            F.when(
+                                F.col("__fk_hit").isNull() & ~any_null, 1
+                            ).otherwise(0)
+                        ).alias("n_orphans"),
+                        F.sum(F.when(any_null, 1).otherwise(0)).alias(
+                            "n_null_keys"
+                        ),
+                    )
+                    .collect()[0]
                 )
                 rows.append(
-                    (name, cname, spec, n_orphans, child.count())
+                    (name, cname, spec, int(agg["n_orphans"] or 0),
+                     int(agg["n_null_keys"] or 0), int(agg["n_rows"]))
                 )
+            if len(constraints) > 1:
+                child.unpersist()
         return self.spark.createDataFrame(
             rows,
             "child_table string, constraint_name string, referenced string, "
-            "n_orphans long, n_rows long",
+            "n_orphans long, n_null_keys long, n_rows long",
         )
 
     def audit_primary_keys(self) -> DataFrame:
@@ -240,6 +275,11 @@ class Catalog:
         occur more than once (and the duplicate row surplus). The
         uniqueness screen a warehouse PK would have enforced — ONE
         group-keyed count per table, never a self-join.
+
+        ONE pass per constraint: the per-key grouped count feeds a
+        single conditional agg computing (n_duplicate_keys,
+        n_surplus_rows, n_rows = Σ per-key counts) together — no
+        trailing full-table ``count()``.
 
         Returns (table, constraint_name, columns, n_duplicate_keys,
         n_surplus_rows, n_rows)."""
@@ -256,18 +296,22 @@ class Catalog:
                 dup = (
                     df.groupBy(*cols)
                     .agg(F.count(F.lit(1)).alias("n"))
-                    .filter(F.col("n") > 1)
                     .agg(
-                        F.count(F.lit(1)).alias("dup_keys"),
-                        F.coalesce(
-                            F.sum(F.col("n") - 1), F.lit(0)
+                        F.sum(
+                            F.when(F.col("n") > 1, 1).otherwise(0)
+                        ).alias("dup_keys"),
+                        F.sum(
+                            F.when(F.col("n") > 1, F.col("n") - 1)
+                            .otherwise(0)
                         ).alias("surplus"),
+                        F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
                     )
                     .collect()[0]
                 )
                 rows.append(
                     (name, prop[len("pk."):], spec,
-                     int(dup.dup_keys), int(dup.surplus), df.count())
+                     int(dup.dup_keys or 0), int(dup.surplus or 0),
+                     int(dup.n_rows))
                 )
         return self.spark.createDataFrame(
             rows,
