@@ -8,10 +8,12 @@ with NO JVM connector, closing the reference's avro migration surface
 
 Supported schema subset — the shapes migration pipelines actually ship:
 records of primitives (null/boolean/int/long/float/double/bytes/string),
-``["null", X]`` nullable unions, arrays of primitives, and the
-``timestamp-micros``/``timestamp-millis`` logical types. Codecs: null
-and deflate (raw DEFLATE via zlib, per spec). Unsupported shapes fail
-loudly with the offending schema node.
+``["null", X]`` nullable unions, arrays, string-keyed maps, enums
+(→ string), fixed (→ binary), NESTED records (→ struct), and the
+``timestamp-micros``/``timestamp-millis`` logical types — both read
+and write. Codecs: null and deflate (raw DEFLATE via zlib, per spec).
+Remaining gaps (fail loudly with the offending schema node): decimal
+logical type, named-type references, multi-branch unions, snappy.
 
 Scale shape (same posture as ``streaming/table_source.py``): the
 planner touches only file HEADERS (schema + codec — metadata-sized);
@@ -116,6 +118,22 @@ def avro_to_spark_schema(schema: dict):
         if t == "array":
             item_t, item_null = field_type(node["items"])
             return T.ArrayType(item_t, containsNull=item_null), nullable
+        if t == "map":  # avro map keys are always strings (spec)
+            val_t, val_null = field_type(node["values"])
+            return (
+                T.MapType(T.StringType(), val_t, valueContainsNull=val_null),
+                nullable,
+            )
+        if t == "enum":  # symbols surface as their string names
+            return T.StringType(), nullable
+        if t == "fixed":  # fixed-size byte payloads surface as binary
+            return T.BinaryType(), nullable
+        if t == "record":  # nested record → struct
+            flds = []
+            for f in node["fields"]:
+                ft, fn = field_type(f["type"])
+                flds.append(T.StructField(f["name"], ft, fn))
+            return T.StructType(flds), nullable
         raise ValueError(f"unsupported avro type for spark: {node}")
 
     if schema.get("type") != "record":
@@ -175,10 +193,39 @@ def _decode_value(fh, node):
             for _ in range(n):
                 out.append(_decode_value(fh, node["items"]))
         return out
+    if t == "map":  # same block framing as arrays, string keys
+        m = {}
+        while True:
+            n = _read_long(fh)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(fh)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(fh).decode("utf-8")
+                m[k] = _decode_value(fh, node["values"])
+        return m
+    if t == "enum":  # int index into the declared symbol list
+        return node["symbols"][_read_long(fh)]
+    if t == "fixed":  # exactly `size` raw bytes, no length prefix
+        data = fh.read(node["size"])
+        if len(data) != node["size"]:
+            raise EOFError("truncated avro fixed")
+        return data
+    if t == "record":  # nested record: fields in declaration order
+        return {
+            f["name"]: _decode_value(fh, f["type"]) for f in node["fields"]
+        }
     raise ValueError(f"unsupported avro type: {node}")
 
 
-def _encode_value(out: io.BytesIO, node, v) -> None:
+def _encode_value(out: io.BytesIO, node, v, tz=None) -> None:
+    """``tz``: the timezone NAIVE datetimes are interpreted in. Spark
+    hands Python writers wall-clock datetimes in the SESSION timezone,
+    so the caller must pass it (ADVICE r6: assuming UTC skews the
+    encoded epoch by the session's UTC offset). Defaults to UTC for
+    standalone/roundtrip use."""
     if isinstance(node, list):
         is_null = lambda b: b == "null" or _node_type(b) == "null"  # noqa: E731
         if v is None:
@@ -190,7 +237,7 @@ def _encode_value(out: io.BytesIO, node, v) -> None:
             (i, b) for i, b in enumerate(node) if not is_null(b)
         )
         _write_long(out, idx)
-        _encode_value(out, branch, v)
+        _encode_value(out, branch, v, tz)
         return
     node_u = node
     t = _node_type(node_u)
@@ -202,7 +249,7 @@ def _encode_value(out: io.BytesIO, node, v) -> None:
     elif t in ("int", "long"):
         if logical == "timestamp-micros" and isinstance(v, datetime):
             if v.tzinfo is None:
-                v = v.replace(tzinfo=timezone.utc)
+                v = v.replace(tzinfo=tz or timezone.utc)
             # exact integer micros (timestamp()*1e6 rounds the last µs)
             v = (v - _EPOCH) // timedelta(microseconds=1)
         _write_long(out, int(v))
@@ -221,8 +268,40 @@ def _encode_value(out: io.BytesIO, node, v) -> None:
         if v:
             _write_long(out, len(v))
             for item in v:
-                _encode_value(out, node_u["items"], item)
+                _encode_value(out, node_u["items"], item, tz)
         _write_long(out, 0)
+    elif t == "map":
+        if v:
+            _write_long(out, len(v))
+            for k, val in v.items():
+                kb = k.encode("utf-8")
+                _write_long(out, len(kb))
+                out.write(kb)
+                _encode_value(out, node_u["values"], val, tz)
+        _write_long(out, 0)
+    elif t == "enum":
+        try:
+            _write_long(out, node_u["symbols"].index(v))
+        except ValueError:
+            raise ValueError(
+                f"value {v!r} not in enum symbols {node_u['symbols']}"
+            ) from None
+    elif t == "fixed":
+        b = bytes(v)
+        if len(b) != node_u["size"]:
+            raise ValueError(
+                f"fixed {node_u.get('name')}: got {len(b)} bytes, "
+                f"need {node_u['size']}"
+            )
+        out.write(b)
+    elif t == "record":
+        for f in node_u["fields"]:
+            fv = (
+                v.get(f["name"])
+                if isinstance(v, dict)
+                else getattr(v, f["name"])
+            )
+            _encode_value(out, f["type"], fv, tz)
     else:
         raise ValueError(f"unsupported avro type for write: {node_u}")
 
@@ -284,42 +363,66 @@ def read_avro_records(path: str) -> Iterator[dict]:
 
 
 def write_avro(
-    path: str, schema: dict, rows: list[dict], codec: str = "null"
+    path: str,
+    schema: dict,
+    rows,
+    codec: str = "null",
+    tz=None,
+    block_rows: int = 8192,
 ) -> None:
-    """Write one OCF file (single block, null-first unions; ``null``
-    or ``deflate`` codec) — the roundtrip/export half."""
+    """Write one OCF file (null-first unions; ``null`` or ``deflate``
+    codec) — the roundtrip/export half. ``rows`` may be any iterable
+    of dicts: it is consumed INCREMENTALLY into sync-delimited blocks
+    of ``block_rows`` records (the OCF format supports any number of
+    blocks per file), so per-call memory is one encoded block, never
+    the whole partition (ADVICE r6: the single-block form was
+    unbounded on large partitions). ``tz`` interprets naive datetimes
+    (see ``_encode_value``)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     sync = b"\x00" * 8 + b"pyavro!!"  # any 16 bytes; fixed = reproducible
-    out = io.BytesIO()
-    out.write(MAGIC)
+    header = io.BytesIO()
+    header.write(MAGIC)
     meta = {
         "avro.schema": json.dumps(schema).encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
     }
-    _write_long(out, len(meta))
+    _write_long(header, len(meta))
     for k, v in meta.items():
         kb = k.encode("utf-8")
-        _write_long(out, len(kb))
-        out.write(kb)
-        _write_long(out, len(v))
-        out.write(v)
-    _write_long(out, 0)
-    out.write(sync)
-    block = io.BytesIO()
-    for row in rows:
-        for f in schema["fields"]:
-            _encode_value(block, f["type"], row.get(f["name"]))
-    payload = block.getvalue()
-    if codec == "deflate":
-        c = zlib.compressobj(wbits=-15)  # raw DEFLATE per spec
-        payload = c.compress(payload) + c.flush()
-    _write_long(out, len(rows))
-    _write_long(out, len(payload))
-    out.write(payload)
-    out.write(sync)
+        _write_long(header, len(kb))
+        header.write(kb)
+        _write_long(header, len(v))
+        header.write(v)
+    _write_long(header, 0)
+    header.write(sync)
+
+    def _flush_block(fh, buf: list[dict]) -> None:
+        block = io.BytesIO()
+        for row in buf:
+            for f in schema["fields"]:
+                _encode_value(block, f["type"], row.get(f["name"]), tz)
+        payload = block.getvalue()
+        if codec == "deflate":
+            c = zlib.compressobj(wbits=-15)  # raw DEFLATE per spec
+            payload = c.compress(payload) + c.flush()
+        head = io.BytesIO()
+        _write_long(head, len(buf))
+        _write_long(head, len(payload))
+        fh.write(head.getvalue())
+        fh.write(payload)
+        fh.write(sync)
+
     with open(path, "wb") as fh:
-        fh.write(out.getvalue())
+        fh.write(header.getvalue())
+        buf: list[dict] = []
+        for row in rows:
+            buf.append(row)
+            if len(buf) >= block_rows:
+                _flush_block(fh, buf)
+                buf = []
+        if buf:
+            _flush_block(fh, buf)
 
 
 # ---- Spark Python DataSource ------------------------------------------------
@@ -339,7 +442,11 @@ def _avro_files(path: str) -> list[str]:
 
 def spark_to_avro_schema(schema, name: str = "spark_export") -> dict:
     """Spark StructType → avro record schema (nullable fields become
-    null-first unions; timestamps become long/timestamp-micros)."""
+    null-first unions; timestamps become long/timestamp-micros;
+    string-keyed maps → avro maps; nested structs → nested records
+    with generated unique names)."""
+    rec_counter = [0]
+
     def conv(dt, nullable):
         tn = dt.typeName()
         mapping = {
@@ -355,6 +462,25 @@ def spark_to_avro_schema(schema, name: str = "spark_export") -> dict:
             node = {
                 "type": "array",
                 "items": conv(dt.elementType, dt.containsNull),
+            }
+        elif tn == "map":
+            if dt.keyType.typeName() != "string":
+                raise ValueError(
+                    f"avro maps require string keys, got {dt.keyType}"
+                )
+            node = {
+                "type": "map",
+                "values": conv(dt.valueType, dt.valueContainsNull),
+            }
+        elif tn == "struct":
+            rec_counter[0] += 1
+            node = {
+                "type": "record",
+                "name": f"{name}_r{rec_counter[0]}",
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable)}
+                    for f in dt.fields
+                ],
             }
         else:
             raise ValueError(f"unsupported spark type for avro: {dt}")
@@ -382,6 +508,12 @@ def register_pyavro(spark) -> None:
         WriterCommitMessage,
     )
 
+    # Capture the SESSION timezone at registration: DataSource methods
+    # (schema()/writer()) execute inside a plan-time Python worker where
+    # getActiveSession() is None, so the tz rides the class closure
+    # (cloudpickle) instead. Re-registering refreshes it.
+    tz_at_registration = spark.conf.get("spark.sql.session.timeZone", None)
+
     class _File(InputPartition):
         def __init__(self, path: str, schema_json: str):
             self.path = path
@@ -404,28 +536,70 @@ def register_pyavro(spark) -> None:
                 json.loads(part.schema_json)
             )
             names = [f.name for f in spark_schema.fields]
+            # Spark interprets datetimes yielded by a Python DataSource
+            # as SESSION-timezone wall clock (mirror image of the write
+            # path): convert the decoded aware-UTC instants to
+            # session-tz naive so a non-UTC session roundtrips exactly
+            tz = timezone.utc
+            if tz_at_registration:
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    tz = ZoneInfo(tz_at_registration)
+                except (ImportError, KeyError):
+                    pass
+
+            def _localize(v):
+                if isinstance(v, datetime) and v.tzinfo is not None:
+                    return v.astimezone(tz).replace(tzinfo=None)
+                if isinstance(v, list):
+                    return [_localize(x) for x in v]
+                if isinstance(v, dict):
+                    return {k: _localize(x) for k, x in v.items()}
+                return v
+
             for rec in read_avro_records(part.path):
-                yield tuple(rec.get(n) for n in names)
+                yield tuple(_localize(rec.get(n)) for n in names)
 
     class PyAvroWriter(DataSourceWriter):
-        def __init__(self, options, avro_schema: dict, codec: str):
+        def __init__(
+            self, options, avro_schema: dict, codec: str, tz_name: str | None
+        ):
             self.path = options["path"]
             self.avro_schema = avro_schema
             self.codec = codec
+            # Spark hands the Python writer wall-clock datetimes in the
+            # SESSION timezone (naive); the session tz name rides along
+            # so the executor interprets them correctly (ADVICE r6)
+            self.tz_name = tz_name
 
         def write(self, iterator):
+            import itertools
             import uuid
 
-            rows = [row.asDict(recursive=True) for row in iterator]
-            if rows:
+            tz = timezone.utc
+            if self.tz_name:
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    tz = ZoneInfo(self.tz_name)
+                except (ImportError, KeyError):
+                    pass  # unknown tz name: keep UTC (pre-fix behavior)
+            rows = (row.asDict(recursive=True) for row in iterator)
+            first = next(rows, None)
+            if first is not None:
                 os.makedirs(self.path, exist_ok=True)
+                # streamed: write_avro consumes the iterator into
+                # bounded sync-delimited blocks — never the whole
+                # partition in memory
                 write_avro(
                     os.path.join(
                         self.path, f"part-{uuid.uuid4().hex}.avro"
                     ),
                     self.avro_schema,
-                    rows,
+                    itertools.chain([first], rows),
                     codec=self.codec,
+                    tz=tz,
                 )
             return WriterCommitMessage()
 
@@ -448,10 +622,22 @@ def register_pyavro(spark) -> None:
             if overwrite and os.path.isdir(path):
                 shutil.rmtree(path)
             os.makedirs(path, exist_ok=True)
+            # prefer a live session (future-proof if Spark ever runs
+            # this driver-side); fall back to the registration capture
+            tz_name = tz_at_registration
+            try:
+                from pyspark.sql import SparkSession
+
+                sess = SparkSession.getActiveSession()
+                if sess is not None:
+                    tz_name = sess.conf.get("spark.sql.session.timeZone")
+            except Exception:
+                pass
             return PyAvroWriter(
                 self.options,
                 spark_to_avro_schema(schema),
                 self.options.get("codec", "null"),
+                tz_name,
             )
 
     spark.dataSource.register(PyAvroDataSource)
