@@ -66,6 +66,24 @@ def asof_join(
     first, same contract as an equi join).
     """
     rts = right_ts or left_ts
+    # internal scratch names (ADVICE r6): a caller column with one of
+    # these names would collide with the tagged union — refuse loudly
+    # up front, mirroring the payload-overlap check below.  The right
+    # side also must not already carry `left_ts` under a different
+    # role, since its ts column is re-aliased to that name.
+    reserved = {_SIDE, _PAYLOAD, "__asof_tb"}
+    taken = (set(left.columns) | set(right.columns)) & reserved
+    if taken:
+        raise ValueError(
+            f"column(s) {sorted(taken)} are reserved by asof_join — "
+            "rename them before joining"
+        )
+    if rts != left_ts and left_ts in right.columns:
+        raise ValueError(
+            f"right side already has a column named {left_ts!r}, which "
+            "asof_join uses as the unified timestamp name — rename it "
+            "or pass it as right_ts"
+        )
     payload_cols = [
         c for c in right.columns if c not in set(on) | {rts}
     ]

@@ -18,6 +18,12 @@ import pandas as pd  # noqa: F401
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 
 def _dot_decimal(a: str, b: str, dims: int) -> Column:
@@ -1095,10 +1101,18 @@ def mmr_select(
             (rank + 1, ids[best_i], round(float(rel[best_i]), 6),
              round(float(best_score), 6))
         )
-    return embeddings.sparkSession.createDataFrame(
-        out_rows,
-        f"rank int, {id_col} long, relevance double, mmr_score double",
+    # result id field inherits the input's id type (ADVICE r6: a
+    # hardcoded `long` broke string/int id columns)
+    id_field = embeddings.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("relevance", DoubleType(), False),
+            StructField("mmr_score", DoubleType(), False),
+        ]
     )
+    return embeddings.sparkSession.createDataFrame(out_rows, out_schema)
 
 
 def _knn_auto_planes(n: int, target_bucket: int = 256) -> int:

@@ -1049,6 +1049,36 @@ def test_asof_join_null_payload_and_tiebreak(spark):
     assert out2[0].val == 2.0  # greatest tiebreak wins deterministically
 
 
+def test_asof_join_rejects_reserved_and_aliased_names(spark):
+    """ADVICE r6: internal scratch columns and the right-side reuse of
+    the left ts name are refused up front instead of failing deep in
+    the tagged union."""
+    import pytest
+
+    from databricks_delta_lake_migration_spark.operators.asofjoin import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([("a", 10, 1)], "k string, t long, x int")
+    bad = spark.createDataFrame(
+        [("a", 5, 1.0)], "k string, t long, __asof_payload double"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, bad, on=["k"], left_ts="t")
+    bad2 = left.withColumn("__asof_tb", F.lit(0.0))
+    right = spark.createDataFrame(
+        [("a", 5, 1.0)], "k string, rts long, val double"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(bad2, right, on=["k"], left_ts="t", right_ts="rts")
+    # right already owns the left ts name while matching on another col
+    bad3 = spark.createDataFrame(
+        [("a", 5, 7, 1.0)], "k string, rts long, t long, val double"
+    )
+    with pytest.raises(ValueError, match="unified timestamp"):
+        asof_join(left, bad3, on=["k"], left_ts="t", right_ts="rts")
+
+
 def test_robust_outliers_planted_anomaly(spark):
     """A planted 1e6 spike is flagged; the clean group flags nothing;
     a constant group (MAD=0) flags only deviants."""
@@ -1089,6 +1119,23 @@ def test_mmr_select_diversifies(spark):
     assert rows[0].vec_id == topk[0]
     assert len({r.vec_id for r in rows}) == 8
     assert [r.rank for r in rows] == list(range(1, 9))
+
+
+def test_mmr_select_inherits_id_type(spark):
+    """ADVICE r6: the result id column carries the input id column's
+    type (string here), not a hardcoded long."""
+    from databricks_delta_lake_migration_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [("a", "x", [1.0, 0.0]), ("b", "x", [0.9, 0.1]),
+         ("c", "x", [0.0, 1.0])],
+        "name string, label string, embedding array<double>",
+    )
+    out = similarity.mmr_select(
+        emb, "a", k=2, n_candidates=3, lam=0.5, id_col="name", dims=2
+    )
+    assert out.schema["name"].dataType.typeName() == "string"
+    assert {r.name for r in out.collect()} <= {"a", "b", "c"}
 
 
 def test_count_min_never_undercounts_and_tight_at_low_load(spark):
