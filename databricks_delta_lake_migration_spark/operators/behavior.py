@@ -1,0 +1,230 @@
+"""Behavioral / event-sequence analytics [EXT]: sessionization, funnel
+conversion, cohort retention, and transition matrices over an event
+stream — the product-analytics tier every warehouse team rebuilds by
+hand on top of the reference's event tables (reference surface: the
+plain event rollups in ``src/data_processor.py`` aggregate_data /
+time-window helpers; these operators generalize them to ordered
+per-entity sequence semantics).
+
+Scale discipline shared by every operator here:
+
+- ONE hash shuffle on the entity key (user), then all ordered logic
+  runs as window functions over that single sort — lag/lead, running
+  sums, and conditional mins reuse the same (partitionBy, orderBy)
+  spec, so Catalyst plans one Exchange + one Sort with stacked Window
+  nodes, never one shuffle per step.
+- The final rollups group on low-cardinality keys (session id, step,
+  cohort, type-pair) — map-side partial aggregation shrinks them
+  before their shuffle.
+- Nothing is ever collected: outputs are aggregate-sized DataFrames.
+- Ties are broken by an explicit id column so results are
+  deterministic under any partitioning (never partition-order-lucky).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the gap
+    to the user's previous event exceeds ``gap_seconds``. Returns one
+    row per (user, session): ``session_id`` (1-based per user, in time
+    order), ``n_events``, ``session_start``, ``session_end``,
+    ``duration_sec``.
+
+    Gaps compare in epoch MICROSECONDS (``unix_micros``) — exact long
+    arithmetic, no double rounding of timestamps (the same trap as
+    range-join bin ids).
+
+    Two shuffles total, both user-keyed: the session-boundary window
+    (lag + running sum share ONE exchange/sort) and the per-session
+    rollup; at 100 TB each is an ordinary hash exchange on the user
+    key, with AQE skew-split handling hot users.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sid = events.withColumn(
+        "session_id", F.sum(is_new).over(run)
+    )
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.round(
+                (
+                    F.unix_micros("session_end")
+                    - F.unix_micros("session_start")
+                )
+                / F.lit(1_000_000.0),
+                6,
+            ),
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: for each user, step k counts only if
+    an event of ``steps[k]`` occurs AT OR AFTER the user's step-(k-1)
+    time (inclusive ``>=`` — simultaneous events convert). Returns one
+    row per step: ``step`` (1-based), ``step_name``, ``n_users``, and
+    ``conversion_pct`` relative to step 1 (rounded 4 dp).
+
+    ONE shuffle: every per-step "first qualifying timestamp" is an
+    unbounded min-window over the same user partition, so the k
+    windows stack on a single Exchange+Sort; the final step counts
+    aggregate a per-user distinct relation of k timestamps.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    df = events
+    prev_t = None
+    tcols = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_t))
+        t = f"__funnel_t{i}"
+        df = df.withColumn(
+            t, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_t = t
+        tcols.append(t)
+    per_user = df.select(user_col, *tcols).distinct()
+    counts = per_user.agg(
+        *[
+            F.count(F.col(t)).cast("long").alias(f"n{i}")
+            for i, t in enumerate(tcols)
+        ]
+    )
+    # k step rows out of one 1-row aggregate: posexplode keeps this a
+    # single job instead of k unioned scans
+    pairs = F.posexplode(
+        F.array(*[F.col(f"n{i}") for i in range(len(steps))])
+    )
+    step_names = F.array(*[F.lit(s) for s in steps])
+    return (
+        counts.select(
+            pairs.alias("idx", "n_users"),
+            step_names.alias("__names"),
+            F.col("n0").alias("__base"),
+        )
+        .select(
+            (F.col("idx") + 1).cast("int").alias("step"),
+            F.element_at("__names", F.col("idx") + 1).alias("step_name"),
+            F.col("n_users"),
+            F.round(F.col("n_users") / F.col("__base"), 4).alias(
+                "conversion_pct"
+            ),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "year",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the ``period`` of
+    their FIRST activity; each (cohort, offset) cell counts distinct
+    users active ``offset`` periods after their cohort period.
+    ``retention_pct`` normalizes by the cohort's offset-0 size
+    (rounded 4 dp).
+
+    ONE user-keyed shuffle assigns cohorts (unbounded min-window);
+    the matrix itself is a tiny two-key aggregate, and the offset-0
+    normalizer is a window over that aggregate — never a self-join
+    back to the fact table.
+    """
+    if period == "year":
+        p = F.year(F.col(ts_col))
+    elif period == "month":
+        p = (F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col)) - 1)
+    else:
+        raise ValueError(f"unsupported period {period!r}")
+    cohorted = df.select(
+        F.col(user_col).alias("__u"), p.alias("__p")
+    ).withColumn("cohort", F.min("__p").over(Window.partitionBy("__u")))
+    cells = (
+        cohorted.groupBy(
+            "cohort", (F.col("__p") - F.col("cohort")).alias("period_offset")
+        )
+        .agg(F.countDistinct("__u").alias("n_active"))
+    )
+    base = Window.partitionBy("cohort")
+    return cells.select(
+        F.col("cohort").cast("int").alias("cohort"),
+        F.col("period_offset").cast("int").alias("period_offset"),
+        "n_active",
+        F.round(
+            F.col("n_active")
+            / F.max(
+                F.when(F.col("period_offset") == 0, F.col("n_active"))
+            ).over(base),
+            4,
+        ).alias("retention_pct"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (event_type, next event_type within the same user) pair, the
+    observed count and the row-normalized transition probability
+    (rounded 6 dp). A user's last event has no successor and drops out.
+
+    ONE user-keyed window shuffle (lead), then a low-cardinality
+    (type, type) aggregate; the row normalizer is a window over the
+    k×k matrix itself.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.withColumn("next_type", F.lead(type_col).over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        F.col("next_type").alias("to_type"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row), 6).alias("prob"),
+    )

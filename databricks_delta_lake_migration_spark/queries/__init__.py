@@ -15,6 +15,7 @@ from . import similarity  # noqa: F401, E402
 from . import acid  # noqa: F401, E402
 from . import medallion  # noqa: F401, E402
 from . import curation  # noqa: F401, E402
+from . import behavior  # noqa: F401, E402
 
 
 def all_queries():

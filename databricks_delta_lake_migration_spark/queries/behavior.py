@@ -1,0 +1,158 @@
+"""Behavioral-analytics registrations [EXT]: sessionization, funnels,
+cohort retention, transition matrices (``operators.behavior``). Each
+carries a DuckDB oracle running the identical windowed SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import load_table, query
+
+
+@query(
+    "q177_sessionize",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM tagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6)
+               AS duration_sec
+    FROM sid GROUP BY 1, 2
+    """,
+)
+def q177_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization [EXT]: one row per (user, session)
+    where a >30-min silence starts a new session —
+    ``operators.behavior.sessionize``. Session boundaries come from a
+    lag + running-sum pair sharing ONE user-keyed window sort; gaps
+    compare in exact epoch micros (no double-rounded timestamps).
+    Reference surface: the reference aggregates events only per fixed
+    time bucket (src/data_processor.py aggregate_data); gap sessions
+    are the stateful generalization every product-analytics user asks
+    for first."""
+    from ..operators.behavior import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e, gap_seconds=1800)
+
+
+@query(
+    "q178_funnel",
+    oracle="""
+    WITH u1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        FROM events GROUP BY 1
+    ), u2 AS (
+        SELECT u1.user_id, u1.t0,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts >= u1.t0
+                        THEN e.ts END) AS t1
+        FROM u1 JOIN events e USING (user_id) GROUP BY 1, 2
+    ), u3 AS (
+        SELECT u2.user_id, u2.t0, u2.t1,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= u2.t1
+                        THEN e.ts END) AS t2
+        FROM u2 JOIN events e USING (user_id) GROUP BY 1, 2, 3
+    ), c AS (
+        SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM u3
+    )
+    SELECT 1 AS step, 'view' AS step_name, n0 AS n_users,
+           ROUND(n0 * 1.0 / n0, 4) AS conversion_pct FROM c
+    UNION ALL
+    SELECT 2, 'click', n1, ROUND(n1 * 1.0 / n0, 4) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', n2, ROUND(n2 * 1.0 / n0, 4) FROM c
+    """,
+)
+def q178_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion [EXT]: view → click-at-or-after-view →
+    purchase-at-or-after-click, counted per user —
+    ``operators.behavior.funnel``. The k per-step "first qualifying
+    timestamp" columns are stacked unbounded min-windows over ONE
+    user-keyed exchange (never k self-joins of the fact table; the
+    oracle uses the join formulation to prove equivalence)."""
+    from ..operators.behavior import funnel
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel(e, steps=["view", "click", "purchase"])
+
+
+@query(
+    "q179_cohort_retention",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, year(o_orderdate) AS p,
+               MIN(year(o_orderdate)) OVER (PARTITION BY o_custkey)
+                   AS cohort
+        FROM orders
+    ), cells AS (
+        SELECT cohort, p - cohort AS period_offset,
+               COUNT(DISTINCT o_custkey) AS n_active
+        FROM c GROUP BY 1, 2
+    )
+    SELECT CAST(cohort AS INTEGER) AS cohort,
+           CAST(period_offset AS INTEGER) AS period_offset, n_active,
+           ROUND(n_active * 1.0 /
+                 MAX(CASE WHEN period_offset = 0 THEN n_active END)
+                     OVER (PARTITION BY cohort), 4) AS retention_pct
+    FROM cells
+    """,
+)
+def q179_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix [EXT]: customers cohorted by first-order
+    year; each cell = distinct customers still ordering k years later,
+    normalized by cohort size — ``operators.behavior.cohort_retention``.
+    ONE fact-table shuffle (per-user min-window cohort assignment);
+    the normalizer is a window over the already-tiny matrix, never a
+    join back to the facts."""
+    from ..operators.behavior import cohort_retention
+
+    o = load_table(spark, sf_dir, "orders")
+    return cohort_retention(o, user_col="o_custkey", ts_col="o_orderdate")
+
+
+@query(
+    "q180_event_transitions",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ), pairs AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6)
+               AS prob
+    FROM pairs
+    """,
+)
+def q180_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream [EXT]:
+    P(next event type | current type) per user timeline —
+    ``operators.behavior.event_transitions``. ONE user-keyed lead
+    window, then a k×k aggregate whose row normalizer is a window over
+    the matrix itself."""
+    from ..operators.behavior import event_transitions
+
+    e = load_table(spark, sf_dir, "events")
+    return event_transitions(e)

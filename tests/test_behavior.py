@@ -1,0 +1,101 @@
+"""Unit tests for operators.behavior with hand-checked fixtures."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from databricks_delta_lake_migration_spark.operators.behavior import (
+    cohort_retention,
+    event_transitions,
+    funnel,
+    sessionize,
+)
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Events 30:00 apart stay in one session (gap must EXCEED);
+    30:01 starts a new one; ties within a ts order by event_id."""
+    rows = [
+        (1, 10, _ts("2024-01-01 00:00:00"), "a"),
+        (2, 10, _ts("2024-01-01 00:30:00"), "a"),   # exactly gap -> same
+        (3, 10, _ts("2024-01-01 01:00:01"), "a"),   # 30:01 -> new session
+        (4, 20, _ts("2024-01-01 00:00:00"), "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_sec)
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert out[(10, 1)] == (2, 1800.0)
+    assert out[(10, 2)] == (1, 0.0)
+    assert out[(20, 1)] == (1, 0.0)
+
+
+def test_funnel_ordered_semantics(spark):
+    """A click BEFORE the first view does not convert; one at the same
+    ts does (inclusive >=)."""
+    rows = [
+        (1, 1, _ts("2024-01-01 00:05:00"), "view"),
+        (2, 1, _ts("2024-01-01 00:04:00"), "click"),   # before view: no
+        (3, 2, _ts("2024-01-01 00:00:00"), "view"),
+        (4, 2, _ts("2024-01-01 00:00:00"), "click"),   # same ts: yes
+        (5, 2, _ts("2024-01-01 00:01:00"), "purchase"),
+        (6, 3, _ts("2024-01-01 00:00:00"), "click"),   # never viewed
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.step_name: (r.n_users, r.conversion_pct)
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out["view"] == (2, 1.0)
+    assert out["click"] == (1, 0.5)
+    assert out["purchase"] == (1, 0.5)
+
+
+def test_cohort_retention_matrix(spark):
+    """2 users cohorted 2020 (one returns 2021), 1 user cohorted 2021."""
+    rows = [
+        (1, _ts("2020-03-01")), (1, _ts("2021-07-01")),
+        (2, _ts("2020-05-01")),
+        (3, _ts("2021-01-01")),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    out = {
+        (r.cohort, r.period_offset): (r.n_active, r.retention_pct)
+        for r in cohort_retention(df, "uid", "ts").collect()
+    }
+    assert out[(2020, 0)] == (2, 1.0)
+    assert out[(2020, 1)] == (1, 0.5)
+    assert out[(2021, 0)] == (1, 1.0)
+
+
+def test_event_transitions_probabilities(spark):
+    """view->click twice, view->buy once: P=2/3 and 1/3; last events
+    have no successor."""
+    rows = [
+        (1, 1, _ts("2024-01-01 00:00:00"), "view"),
+        (2, 1, _ts("2024-01-01 00:01:00"), "click"),
+        (3, 1, _ts("2024-01-01 00:02:00"), "view"),
+        (4, 1, _ts("2024-01-01 00:03:00"), "buy"),
+        (5, 2, _ts("2024-01-01 00:00:00"), "view"),
+        (6, 2, _ts("2024-01-01 00:01:00"), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in event_transitions(df).collect()
+    }
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("view", "buy")] == (1, round(1 / 3, 6))
+    assert out[("click", "view")] == (1, 1.0)
+    assert sum(n for n, _ in out.values()) == 4
