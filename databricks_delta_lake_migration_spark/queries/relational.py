@@ -2209,3 +2209,136 @@ def q164_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("purchase_value"))
     )
     return asof_join(clicks, purchases, on=["user_id"], left_ts="ts")
+
+
+@query(
+    "q181_rollup_subtotals",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q181_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (GROUPING SETS family): per-(flag, status)
+    quantity totals plus per-flag subtotals plus the grand total in ONE
+    pass — ``DataFrame.rollup`` expands to Catalyst's Expand node, so
+    every grouping set shares a single scan and a single shuffle
+    (never one job per subtotal level). ``grouping_id()`` disambiguates
+    subtotal rows from genuine NULL keys — the standard SQL bitmask,
+    identical in DuckDB's GROUPING(). Reference surface: the reference
+    computes per-level rollups as separate aggregate queries
+    (src/data_processor.py aggregate_data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+    )
+
+
+@query(
+    "q182_pivot_status_matrix",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
+               AS rev_open,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
+               AS rev_filled,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
+               AS rev_partial
+    FROM orders GROUP BY 1
+    """,
+)
+def q182_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order revenue as a year × status matrix via
+    ``groupBy().pivot(values=...)`` — the explicit value list keeps the
+    plan a single-pass pivoted hash aggregate (no values-discovery
+    pre-job, the 100 TB essential), exactly the conditional aggregation
+    the DuckDB oracle spells out. A year with no orders in a status
+    yields NULL in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    return p.select(
+        "order_year",
+        F.col("O").alias("rev_open"),
+        F.col("F").alias("rev_filled"),
+        F.col("P").alias("rev_partial"),
+    )
+
+
+@query(
+    "q183_unpivot_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_retailprice > 990
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice
+    FROM part WHERE p_retailprice > 990
+    """,
+)
+def q183_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide part metrics to long (key, metric, value)
+    triples via ``DataFrame.unpivot`` — ONE scan emitting both rows per
+    input row (Expand node), where the UNION ALL oracle formulation
+    would scan twice. The filter stays above a single pushed scan."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice") > 990
+    )
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "q184_set_operations",
+    oracle="""
+    WITH a95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995
+    ), a96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1996
+    )
+    SELECT 'retained' AS cohort, o_custkey
+    FROM (SELECT o_custkey FROM a95 INTERSECT SELECT o_custkey FROM a96)
+    UNION ALL
+    SELECT 'churned', o_custkey
+    FROM (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a96)
+    """,
+)
+def q184_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators: customers ordering in both
+    1995 and 1996 (retained) vs only 1995 (churned). Catalyst plans
+    both as existence joins (left-semi / left-anti) over the SAME two
+    filtered scans — no distinct-then-join detour; at scale each set op
+    is one hash shuffle on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    a95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    a96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    retained = a95.intersect(a96).select(
+        F.lit("retained").alias("cohort"), "o_custkey"
+    )
+    churned = a95.subtract(a96).select(
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    return retained.unionByName(churned)

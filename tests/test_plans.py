@@ -357,3 +357,56 @@ def test_knn_graph_no_cartesian(spark):
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q181_rollup_single_expand_single_shuffle(spark):
+    """ROLLUP computes every grouping set from ONE scan via Expand —
+    never one aggregate job per subtotal level."""
+    plan = explain(_q(spark, "q181_rollup_subtotals"))
+    assert plan.count("Expand") >= 1
+    # "formatted" repeats node names in the detail section; Location
+    # lines appear once per actual scan
+    assert plan.count("Location:") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_q182_pivot_no_values_discovery_job(spark):
+    """The explicit pivot value list keeps the pivot lazy: building the
+    DataFrame must trigger ZERO Spark jobs (an implicit pivot runs a
+    distinct-values collect first)."""
+    from pyspark.sql import functions as F
+
+    from databricks_delta_lake_migration_spark.queries.registry import (
+        dsum,
+        load_table,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    pivoted = (
+        o.groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "pivot with explicit values ran a discovery job"
+    assert "partial_sum" in explain(pivoted)
+    assert "partial_sum" in explain(_q(spark, "q182_pivot_status_matrix"))
+
+
+def test_q183_unpivot_single_scan(spark):
+    """UNPIVOT doubles rows via Expand over ONE scan — the UNION ALL
+    formulation (the oracle) would scan the table twice."""
+    plan = explain(_q(spark, "q183_unpivot_metrics"))
+    assert plan.count("Location:") == 1
+    assert "Expand" in plan
+
+
+def test_q184_set_ops_plan_as_existence_joins(spark):
+    """INTERSECT/EXCEPT become semi/anti joins, not
+    distinct-then-inner-join detours."""
+    plan = explain(_q(spark, "q184_set_operations"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
