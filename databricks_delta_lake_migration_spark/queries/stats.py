@@ -1,0 +1,161 @@
+"""Statistics-tier registrations [EXT] (``operators.stats``): rolling
+z-score anomalies, grouped least-squares trends, equi-depth
+histograms. Oracles mirror the exact-integer sufficient-statistics
+formulation so cross-engine hashes can't flap on float accumulation
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load_table, query
+
+# exact whole-dollar daily/monthly revenue: decimal-accumulated,
+# rounded to integer units, BIGINT out (always < 2^53, so every
+# engine's int->double conversion is exact)
+_REV = "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS BIGINT)"
+
+_VAR = "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)"
+_MEAN = "CAST(s AS DOUBLE) / n"
+_Z = f"ROUND((rev - {_MEAN}) / sqrt({_VAR}), 4)"
+
+
+@query(
+    "q185_rolling_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, {_REV} AS rev
+        FROM orders GROUP BY 1
+    ), st AS (
+        SELECT day, rev,
+               COUNT(*) OVER w AS n,
+               SUM(rev) OVER w AS s,
+               SUM(CAST(rev AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,0)))
+                   OVER w AS ss
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ), scored AS (
+        SELECT day, rev,
+               ROUND({_MEAN}, 4) AS mean_w,
+               CASE WHEN n > 1 AND {_VAR} > 0
+                    THEN ROUND(sqrt({_VAR}), 4) END AS sd_w,
+               CASE WHEN n > 1 AND {_VAR} > 0 THEN {_Z} END AS z
+        FROM st
+    )
+    SELECT day, rev, mean_w, sd_w, z, abs(z) > 2.0 AS is_anomaly
+    FROM scored
+    """,
+)
+def q185_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-score over daily order revenue [EXT] —
+    ``operators.stats.rolling_zscore``. The trailing-frame sufficient
+    statistics (n, Σx, Σx²) are exact integer/decimal window sums;
+    mean/sd/z are closed-form doubles on identical inputs, so the
+    oracle hash can't flap on accumulation order. The daily rollup is
+    map-side-combined before its one shuffle; the series window runs
+    over the aggregate-sized result."""
+    from ..operators.stats import rolling_zscore
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 0)
+        .cast("long")
+        .alias("rev")
+    )
+    return rolling_zscore(daily, "day", "rev", window_rows=7)
+
+
+_SX, _SY = "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+_SXY, _SXX, _SYY = (
+    "CAST(sxy AS DOUBLE)",
+    "CAST(sxx AS DOUBLE)",
+    "CAST(syy AS DOUBLE)",
+)
+_NUM = f"(n * {_SXY} - {_SX} * {_SY})"
+_DEN = f"(n * {_SXX} - {_SX} * {_SX})"
+_SLOPE = f"{_NUM} / {_DEN}"
+
+
+@query(
+    "q186_group_trend",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS x,
+               {_REV} AS y
+        FROM orders GROUP BY 1, 2
+    ), stats AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(x AS BIGINT)) AS sx,
+               SUM(CAST(y AS BIGINT)) AS sy,
+               SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+               SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+               SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        FROM monthly GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           ROUND({_SLOPE}, 6) AS slope,
+           ROUND(({_SY} - {_SLOPE} * {_SX}) / n, 6) AS intercept,
+           ROUND(({_NUM} * {_NUM}) /
+                 ({_DEN} * (n * {_SYY} - {_SY} * {_SY})), 6) AS r2
+    FROM stats
+    """,
+)
+def q186_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend fitted by distributed least squares
+    [EXT] — ``operators.stats.group_trend``. Regression over 100 TB =
+    shipping six exact sufficient statistics through one map-side-
+    combined aggregate, never rows into a solver; slope/intercept/r²
+    are per-group O(1) closed forms. Spark's regr_* built-ins
+    accumulate in double (order-dependent), so the exact-integer
+    statistics are what make the cross-engine hash stable."""
+    from ..operators.stats import group_trend
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("x"),
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 0)
+        .cast("long")
+        .alias("y")
+    )
+    return group_trend(monthly, ["o_orderpriority"], "x", "y")
+
+
+@query(
+    "q187_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(8) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q187_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority equi-depth order-value histogram [EXT] —
+    ``operators.stats.equidepth_histogram``. ntile's integer
+    first-buckets-get-the-remainder semantics are engine-portable, and
+    the (value, key) tiebreak makes bucket membership deterministic.
+    Partitioned by priority the sort is per-group — the scalable
+    shape; the docstring routes global profiles to data-skipping
+    stats instead."""
+    from ..operators.stats import equidepth_histogram
+
+    o = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram(
+        o,
+        "o_totalprice",
+        n_buckets=8,
+        partition_cols=["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
