@@ -506,3 +506,56 @@ def connected_components(
             "diameter-deep chains need ~diameter rounds"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Blocked edit-distance matching [EXT]: pairs of rows whose
+    ``name_col`` values are within Levenshtein distance ``max_dist`` —
+    the entity-resolution primitive (vendor/product/customer name
+    reconciliation) that completes the dedup ladder's character-level
+    end (exact → MinHash → SimHash → chargram → edit distance).
+
+    ``block`` (default: the last whitespace token of the name) gates
+    the quadratic comparison: candidates are generated by ONE
+    equi-join on the block key, so cost is Σ(block²), never n² —
+    the same bounded-blocking discipline as the LSH band join and
+    SemDeDup cells. Levenshtein itself is a JVM builtin
+    (``F.levenshtein``) — no Python in the pair loop. Pick a block
+    with bounded fan-in (last name token, normalized phone prefix,
+    zip); a degenerate block (constant) degrades to all-pairs and
+    should be salted or refused upstream.
+
+    Emits ``(id_a, id_b, name_a, name_b, dist)`` with ``id_a < id_b``
+    so each unordered pair appears exactly once.
+    """
+    b = (
+        block
+        if block is not None
+        else F.element_at(F.split(F.col(name_col), " "), -1)
+    )
+    side = df.select(
+        F.col(id_col), F.col(name_col), b.alias("__block")
+    )
+    left = side.select(
+        F.col("__block"),
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    right = side.select(
+        F.col("__block"),
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    return (
+        left.join(right, "__block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

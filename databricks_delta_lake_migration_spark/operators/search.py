@@ -1,0 +1,89 @@
+"""Full-text retrieval [EXT]: BM25-ranked keyword search over a
+document corpus — the lexical-retrieval half of a RAG / training-data
+pipeline (the dense half is ``operators.similarity``). The reference
+engine has no search surface at all; this derives one from the public
+Okapi BM25 formulation (Robertson & Zaragoza 2009).
+
+Spark-first shape: the "inverted index" IS a DataFrame — the
+(doc, term, tf) relation produced by one explode+groupBy pass, exactly
+the relation :func:`textstats.tfidf_top_terms` builds. Document
+frequencies come from that same relation (no second corpus scan), the
+query's terms prune it with a pushed ``isin`` filter, and ranking ends
+in a TakeOrderedAndProject. Per-term partial scores are snapped to
+DECIMAL(28,12) before the per-doc sum, so cross-engine hashes never
+flap on float accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25:
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with the positive Lucene-style ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Determinism: idf/avgdl derive from exact integer counts; each
+    (doc, term) partial score rounds to 12 dp and accumulates in exact
+    decimal; final scores round to 6 dp and ties break by ``id_col``
+    ascending, so the top-k cut is stable in any engine.
+
+    Scale: one explode+groupBy builds (doc, term, tf) and doc lengths;
+    df is a term-keyed re-aggregation of that relation; the ≤|query|
+    surviving term rows join back term-keyed; N/avgdl ride along as a
+    broadcast 1-row aggregate. No dictionary is ever collected. For a
+    standing search service, persist the tf relation bucketed by term
+    (D24 bucketing seam) and this becomes a pure index lookup.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    corpus = df.agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
+
+    hits = (
+        tf.filter(F.col("w").isin(terms))
+        .join(docfreq, "w")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf") * (F.lit(k1) + 1.0)
+        / (F.col("tf") + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / avgdl))
+    )
+    part = F.round(idf * tf_part, 12).cast("decimal(28,12)")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.round(F.sum(part), 6).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

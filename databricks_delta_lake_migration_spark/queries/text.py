@@ -1164,3 +1164,104 @@ def q170_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_logprob_scores(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@query(
+    "q188_bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), docfreq AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+    ), corpus AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT SUM(dl) FROM dl) AS sum_dl
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0)
+                      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                         / (CAST(sum_dl AS DOUBLE) / n_docs)))),
+                   12) AS DECIMAL(28,12)) AS part
+        FROM tf JOIN docfreq USING (w) JOIN dl USING (doc_id), corpus
+        WHERE w IN ('merge', 'stream', 'window')
+    )
+    SELECT doc_id,
+           CAST(ROUND(SUM(part), 6) AS DOUBLE) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM scored GROUP BY 1
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q188_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked keyword search [EXT] — ``operators.search.bm25_topk``
+    for the query {merge, stream, window}: the lexical-retrieval half
+    of a RAG pipeline over the (doc, term, tf) relation built in ONE
+    explode+groupBy pass (document frequencies re-aggregate that same
+    relation — no second corpus scan; corpus constants ride a
+    broadcast 1-row aggregate; ranking is a TakeOrderedAndProject).
+    Per-term partials snap to DECIMAL(28,12) before the per-doc sum so
+    the hash can't flap on float order."""
+    from ..operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["merge", "stream", "window"], k=10)
+
+
+@query(
+    "q189_fuzzy_pairs",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, MIN(p_partkey) AS name_id, COUNT(*) AS n_rows
+        FROM part GROUP BY 1
+    ), side AS (
+        SELECT name_id, p_name, n_rows,
+               list_extract(string_split(p_name, ' '), -1) AS block
+        FROM names
+    )
+    SELECT a.name_id AS id_a, b.name_id AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+    FROM side a JOIN side b USING (block)
+    WHERE a.name_id < b.name_id
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q189_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity matching [EXT] —
+    ``operators.dedup.fuzzy_pairs`` over the DISTINCT part-name
+    relation (the entity-resolution shape: match name variants, not
+    row pairs — exact duplicates collapse in the grouping step and
+    carry their row counts). Blocked on the last name token so
+    candidate generation is ONE equi-join with Σ(block²) cost instead
+    of n²; Levenshtein runs as the JVM builtin on candidates only.
+    Completes the dedup ladder's character end (exact → MinHash →
+    SimHash → chargram → edit distance)."""
+    from ..operators.dedup import fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.min("p_partkey").alias("name_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    pairs = fuzzy_pairs(names, "p_name", "name_id", max_dist=2)
+    counts = names.select(
+        F.col("name_id").alias("id_a"), F.col("n_rows").alias("n_rows_a")
+    )
+    counts_b = names.select(
+        F.col("name_id").alias("id_b"), F.col("n_rows").alias("n_rows_b")
+    )
+    return pairs.join(F.broadcast(counts), "id_a").join(
+        F.broadcast(counts_b), "id_b"
+    ).select(
+        "id_a", "id_b", "name_a", "name_b", "dist", "n_rows_a", "n_rows_b"
+    )

@@ -1279,3 +1279,48 @@ def test_knn_graph_planted_clusters(spark):
     for r in g:
         degs[r.src] = degs.get(r.src, 0) + 1
     assert max(degs.values()) <= 3
+
+
+def test_bm25_hand_checked_score_and_ranking(spark):
+    """BM25 of a 3-doc corpus matches the closed form computed in
+    Python; higher-tf docs rank first; non-hits are absent."""
+    import math
+
+    from databricks_delta_lake_migration_spark.operators.search import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"),
+         (3, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["apple"], k=10).collect()
+    assert [r.doc_id for r in out] == [1]
+    idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    avgdl = 8 / 3
+    tf_part = 2 * 2.2 / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / avgdl))
+    assert out[0].bm25 == round(round(idf * tf_part, 12), 6)
+    assert out[0].n_terms_hit == 1
+
+    ranked = bm25_topk(docs, ["cherry"], k=10).collect()
+    assert [r.doc_id for r in ranked] == [3, 2]
+
+
+def test_fuzzy_pairs_blocked_levenshtein(spark):
+    """Same-block names within dist 2 pair once (id_a < id_b);
+    cross-block names never compare."""
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "red bolt"), (2, "ted bolt"), (3, "red ring"),
+         (4, "ted ring"), (5, "emerald bolt")],
+        "pid long, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, "name", "pid", max_dist=2).collect()
+    }
+    assert out == {(1, 2): 1, (3, 4): 1}
