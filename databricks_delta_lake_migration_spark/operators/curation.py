@@ -437,3 +437,42 @@ def robust_outliers(
         F.when(F.col("mad") > 0, dev > n_mads * F.col("mad"))
         .otherwise(dev > 0),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement [EXT], Efraimidis–Spirakis
+    A-ES (public 2006 formulation): each row draws a uniform
+    ``u ∈ (0, 1]`` and the ``k`` rows with the largest
+    ``key = u^(1/w)`` form an exact weighted sample — the
+    size-proportional document picker a curation pipeline uses for
+    inspection sets and weighted eval slices.
+
+    Determinism: ``u`` derives from :func:`portable_hash_bucket` of
+    the id over 1e9 buckets — reproducible across runs AND engines
+    (sliced sha256), never ``rand()``; the top-k cut tiebreaks by id.
+    ``sample_key`` rounds to 12 dp (pure double math on exact
+    integer inputs).
+
+    Scale: key computation is row-local; the only ordered step is the
+    top-k itself, which Spark plans as TakeOrderedAndProject — a
+    per-partition heap + driver merge of k rows, never a global sort.
+    Rows with non-positive weight are excluded (their key would be
+    ill-defined).
+    """
+    u = (
+        portable_hash_bucket(F.col(id_col), 1_000_000_000) + 1
+    ) / F.lit(1_000_000_000.0)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -495,3 +495,32 @@ def q166_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("med"), 4).alias("med"),
         F.round(F.first("mad"), 4).alias("mad"),
     )
+
+
+@query(
+    "q190_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars, sample_key FROM (
+        SELECT doc_id, n_chars,
+               ROUND(power(
+                   (CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % 1000000000 + 1) / 1000000000.0,
+                   1.0 / n_chars), 12) AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+    """,
+)
+def q190_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement [EXT] (Efraimidis–Spirakis
+    A-ES) — ``operators.curation.weighted_sample``: 50 documents drawn
+    proportionally to length. The uniform draw is the portable
+    sliced-sha256 hash (reproducible across engines and runs — the
+    oracle recomputes the identical keys), and the top-k cut plans as
+    TakeOrderedAndProject: per-partition heaps, never a global sort."""
+    from ..operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", k=50).select(
+        "doc_id", "n_chars", "sample_key"
+    )

@@ -1324,3 +1324,24 @@ def test_fuzzy_pairs_blocked_levenshtein(spark):
         for r in fuzzy_pairs(df, "name", "pid", max_dist=2).collect()
     }
     assert out == {(1, 2): 1, (3, 4): 1}
+
+
+def test_weighted_sample_bias_determinism_and_plan(spark):
+    """Heavy-weight rows dominate the sample; repeat runs are
+    identical; the cut plans as TakeOrdered, not a global sort."""
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1 if i <= 900 else 1000) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = [r.doc_id for r in weighted_sample(df, "w", k=20).collect()]
+    s2 = [r.doc_id for r in weighted_sample(df, "w", k=20).collect()]
+    assert s1 == s2
+    heavy = sum(1 for i in s1 if i > 900)
+    # 100 heavy ids (10%) carry ~99% of total weight: they must dominate
+    assert heavy >= 15
+    plan = weighted_sample(df, "w", k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    ks = [r.sample_key for r in weighted_sample(df, "w", k=20).collect()]
+    assert all(0 < k <= 1 for k in ks)
