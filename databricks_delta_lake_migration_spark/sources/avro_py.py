@@ -12,8 +12,8 @@ records of primitives (null/boolean/int/long/float/double/bytes/string),
 (→ string), fixed (→ binary), NESTED records (→ struct), and the
 ``timestamp-micros``/``timestamp-millis`` logical types — both read
 and write. Codecs: null and deflate (raw DEFLATE via zlib, per spec).
-Remaining gaps (fail loudly with the offending schema node): decimal
-logical type, named-type references, multi-branch unions, snappy.
+Remaining gaps (fail loudly with the offending schema node):
+named-type references, multi-branch unions, snappy codec.
 
 Scale shape (same posture as ``streaming/table_source.py``): the
 planner touches only file HEADERS (schema + codec — metadata-sized);
@@ -113,6 +113,11 @@ def avro_to_spark_schema(schema: dict):
         }
         if logical in ("timestamp-micros", "timestamp-millis"):
             return T.TimestampType(), nullable
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            return (
+                T.DecimalType(int(node["precision"]), int(node["scale"])),
+                nullable,
+            )
         if t in mapping:
             return mapping[t], nullable
         if t == "array":
@@ -148,6 +153,28 @@ def avro_to_spark_schema(schema: dict):
 # ---- value decode / encode -------------------------------------------------
 
 
+def _decode_decimal(raw: bytes, node) -> "Decimal":
+    """Avro decimal (spec: big-endian two's-complement unscaled int
+    over bytes/fixed) → Python Decimal at the declared scale."""
+    from decimal import Context, Decimal
+
+    unscaled = int.from_bytes(raw, "big", signed=True)
+    return Decimal(unscaled).scaleb(-int(node["scale"]), Context(prec=76))
+
+
+def _decimal_unscaled(v, node) -> int:
+    """Python Decimal (or int/str) → exact unscaled int at the node's
+    declared scale (half-up if the value carries extra digits)."""
+    from decimal import ROUND_HALF_UP, Context, Decimal
+
+    d = v if isinstance(v, Decimal) else Decimal(str(v))
+    return int(
+        d.scaleb(int(node["scale"]), Context(prec=76)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _decode_value(fh, node):
     if isinstance(node, list):
         # union: branch index prefixes the value (spec §unions) —
@@ -178,7 +205,10 @@ def _decode_value(fh, node):
     if t == "double":
         return struct.unpack("<d", fh.read(8))[0]
     if t == "bytes":
-        return _read_bytes(fh)
+        raw = _read_bytes(fh)
+        if logical == "decimal":
+            return _decode_decimal(raw, node)
+        return raw
     if t == "string":
         return _read_bytes(fh).decode("utf-8")
     if t == "array":
@@ -212,6 +242,8 @@ def _decode_value(fh, node):
         data = fh.read(node["size"])
         if len(data) != node["size"]:
             raise EOFError("truncated avro fixed")
+        if logical == "decimal":
+            return _decode_decimal(data, node)
         return data
     if t == "record":  # nested record: fields in declaration order
         return {
@@ -258,6 +290,9 @@ def _encode_value(out: io.BytesIO, node, v, tz=None) -> None:
     elif t == "double":
         out.write(struct.pack("<d", float(v)))
     elif t == "bytes":
+        if logical == "decimal":
+            u = _decimal_unscaled(v, node_u)
+            v = u.to_bytes(u.bit_length() // 8 + 1, "big", signed=True)
         _write_long(out, len(v))
         out.write(bytes(v))
     elif t == "string":
@@ -287,6 +322,10 @@ def _encode_value(out: io.BytesIO, node, v, tz=None) -> None:
                 f"value {v!r} not in enum symbols {node_u['symbols']}"
             ) from None
     elif t == "fixed":
+        if logical == "decimal":
+            v = _decimal_unscaled(v, node_u).to_bytes(
+                node_u["size"], "big", signed=True
+            )
         b = bytes(v)
         if len(b) != node_u["size"]:
             raise ValueError(
@@ -456,6 +495,13 @@ def spark_to_avro_schema(schema, name: str = "spark_export") -> dict:
         }
         if tn == "timestamp":
             node = {"type": "long", "logicalType": "timestamp-micros"}
+        elif tn == "decimal":
+            node = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         elif tn in mapping:
             node = mapping[tn]
         elif tn == "array":
