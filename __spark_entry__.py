@@ -53,12 +53,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #     travel, streaming CDC, medallion, cosine top-k, MinHash-LSH,
 #     grouped agg, star join) that stay in-window every round as
 #     cross-round regression sentinels
-#   - 19 re-confirms of the rows whose only green driver row is from
-#     rounds 3/4 (the oldest evidence in the ledger): q30, q31, q32,
-#     q34, q35, q37, q43, q45, q46, q48, q49, q50, q53, q77, q78,
-#     q79, q80, q83 (r3) + q84 (r4).
-# 23 + 8 + 19 = 50. After this window every registered query has a
-# green driver row from some round. pytest's local DuckDB
+#   - the 14 round-7 additions (q177 sessionize, q178 funnel, q179
+#     cohort retention, q180 event transitions, q181 ROLLUP, q182
+#     PIVOT, q183 UNPIVOT, q184 INTERSECT/EXCEPT, q185 rolling
+#     z-score, q186 grouped OLS trend, q187 equi-depth histogram,
+#     q188 BM25 search, q189 fuzzy entity pairs, q190 weighted
+#     sample) — first-time rows beat re-confirming rows that are
+#     already ever-green
+#   - 5 re-confirms of the oldest r3-only evidence, one per [EXT]
+#     family: q34 (exact dedup), q45 (salted skew agg), q50
+#     (multimodal), q53 (pandas UDF), q78 (near-dup clustering).
+#     The remaining r3/r4-only rows (q30-q32, q35, q37, q43, q46,
+#     q48, q49, q77, q79, q80, q83, q84) stay pytest-parity-checked
+#     every round and rotate back for re-confirmation in round 8.
+# 23 + 8 + 14 + 5 = 50. After this window every registered query has
+# a green driver row from some round. pytest's local DuckDB
 # oracle-parity twin still exercises every registration every round.
 _PRIORITY = [
     # never-checked: round-5 tail
@@ -78,14 +87,16 @@ _PRIORITY = [
     "q60_merge_upsert", "q63_time_travel_diff", "q92_streaming_cdc_apply",
     "q70_medallion_gold", "q40_cosine_topk", "q36_minhash_lsh_pairs",
     "q01_pricing_summary", "q05_nation_revenue",
-    # re-confirms: oldest driver evidence (r3) + one r4 row
-    "q30_token_stats", "q31_language_profile", "q32_quality_scores",
-    "q34_exact_dedup", "q35_jaccard_pairs", "q37_simhash",
-    "q43_approx_distinct", "q45_salted_skew_agg", "q46_cosine_near_dup",
-    "q48_ivf_topk", "q49_chunk_dedup", "q50_multimodal_features",
-    "q53_pandas_udf_norm", "q77_word_entropy", "q78_near_dup_clusters",
-    "q79_pii_redaction", "q80_sql_passthrough", "q83_top_tokens",
-    "q84_medallion_tx_analytics",
+    # never-checked: round-7 additions
+    "q177_sessionize", "q178_funnel", "q179_cohort_retention",
+    "q180_event_transitions", "q181_rollup_subtotals",
+    "q182_pivot_status_matrix", "q183_unpivot_metrics",
+    "q184_set_operations", "q185_rolling_zscore", "q186_group_trend",
+    "q187_equidepth_histogram", "q188_bm25_search", "q189_fuzzy_pairs",
+    "q190_weighted_sample",
+    # re-confirms: oldest driver evidence (r3), one per [EXT] family
+    "q34_exact_dedup", "q45_salted_skew_agg", "q50_multimodal_features",
+    "q53_pandas_udf_norm", "q78_near_dup_clusters",
 ]
 
 
