@@ -48,6 +48,14 @@ EXTRA_QUERIES = [
     "q169_cms_heavy_hitters",
     "q170_bigram_logprob",
     "q175_knn_graph",
+    # round-7 additions (same non-headline slot discipline)
+    "q177_sessionize",
+    "q181_rollup_subtotals",
+    "q185_rolling_zscore",
+    "q186_group_trend",
+    "q188_bm25_search",
+    "q189_fuzzy_pairs",
+    "q190_weighted_sample",
 ]
 
 

@@ -54,7 +54,15 @@ def bm25_topk(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     )
-    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    # prune to query terms BEFORE any aggregation: tf, and df derived
+    # from it, only ever materialize the ≤|query| surviving terms —
+    # the whole-vocabulary frequency table is never built (a served
+    # index would persist the unpruned tf relation bucketed by term)
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     corpus = df.agg(
@@ -62,8 +70,7 @@ def bm25_topk(
     ).crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
 
     hits = (
-        tf.filter(F.col("w").isin(terms))
-        .join(docfreq, "w")
+        tf.join(F.broadcast(docfreq), "w")
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
     )
