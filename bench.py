@@ -56,6 +56,9 @@ EXTRA_QUERIES = [
     "q188_bm25_search",
     "q189_fuzzy_pairs",
     "q190_weighted_sample",
+    "q191_quantile_profile",
+    "q192_hard_negatives",
+    "q193_pagerank",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Graph analytics [EXT]: fixed-iteration PageRank over an edge
+relation — corpus-quality scoring on link/co-occurrence graphs (the
+public Brin & Page 1998 formulation; web-graph PageRank is a standard
+document-quality prior in training-data curation). Companion to the
+connectivity operator :func:`..operators.dedup.connected_components`.
+
+Spark-first shape: the graph IS two DataFrames — (src, dst) edges and
+the (src, deg) out-degree relation. Each iteration is one
+edges⨝ranks join (ranks are node-sized → broadcast) and one dst-keyed
+aggregate; no driver-side adjacency, no RDDs. Per-edge contributions
+snap to DECIMAL(28,12) before the incoming-mass sum, so the result is
+bit-stable under any partitioning AND engine (the registry's decimal
+doctrine applied to iterative math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank: ``r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u)``
+    from uniform ``1/N``, run ``iterations`` times. Returns
+    ``(node, rank)`` with rank rounded to 8 dp.
+
+    Contract: every node must appear as BOTH a source and a
+    destination (symmetric/co-occurrence graphs satisfy this) — a
+    dangling node would leak mass, a source-only node would vanish
+    from the result. Fixed iteration count (not convergence polling)
+    keeps the plan static and the output deterministic.
+
+    Scale: edges stay partitioned throughout; the node-sized rank
+    relation broadcasts onto them each iteration (at web scale,
+    replace the broadcast with a src-keyed shuffle join — same plan
+    shape, one exchange per iteration). Contributions are decimal-
+    snapped so the per-node sum is exact and order-independent.
+    """
+    # materialize the edge relation once: it feeds every iteration's
+    # join, and a lazy lineage would rebuild it per iteration (and per
+    # level of the rank chain) — localCheckpoint truncates the plan,
+    # same discipline as dedup.connected_components
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(nn))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+    )
+    for _ in range(iterations):
+        # join conditions resolve BY NAME (each name unique to one
+        # side): deg/e are ancestors of both sides of these
+        # self-joins, so dataset-attribute refs (deg.src) would trip
+        # Spark's ambiguous-self-join detector
+        contribs = ranks.join(deg, F.col("node") == F.col("src")).select(
+            F.col("src").alias("__csrc"),
+            F.round(F.col("r") / F.col("deg"), 12)
+            .cast("decimal(28,12)")
+            .alias("c"),
+        )
+        ranks = (
+            e.join(F.broadcast(contribs), F.col("src") == F.col("__csrc"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    + F.lit(damping) * F.col("sc").cast("double")
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round("r", 8).alias("rank"))

@@ -315,7 +315,7 @@ def batch_topk(
         6,
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        F.col("cosine").desc(), F.col("negative_id").asc()
     )
     return (
         joined.select("query_id", F.col(id_col), cos.alias("cosine"))
@@ -1271,4 +1271,60 @@ def knn_graph(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dims: int = 64,
+) -> DataFrame:
+    """Hard-negative mining [EXT]: for each query vector, the ``k``
+    most-similar corpus vectors carrying a DIFFERENT label — the
+    contrastive-training data step (negatives that are hard because
+    they look like the anchor but aren't its class; public SimCSE /
+    DPR recipe). A plain ANN top-k returns mostly same-label
+    neighbors; the label-exclusion filter is what makes them
+    negatives.
+
+    Scale shape (same as :func:`batch_topk`): the ≤|query_ids| anchor
+    rows broadcast, ONE corpus scan scores every (anchor, candidate)
+    pair with the exact decimal-fold cosine, the label filter runs
+    row-local, and a per-anchor window keeps k — cost is one corpus
+    pass regardless of anchor count. For production anchor volumes,
+    swap the broadcast for the IVF index (D27) per anchor cell.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    joined = embeddings.crossJoin(F.broadcast(q)).filter(
+        (F.col(label_col) != F.col("qlabel"))
+        & (F.col(id_col) != F.col("query_id"))
+    )
+    cos = F.round(
+        _dot_decimal(vec_col, "qvec", dims)
+        / (_norm(vec_col, dims) * _norm("qvec", dims)),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id",
+            "qlabel",
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
     )

@@ -17,6 +17,7 @@ from . import medallion  # noqa: F401, E402
 from . import curation  # noqa: F401, E402
 from . import behavior  # noqa: F401, E402
 from . import stats  # noqa: F401, E402
+from . import graph  # noqa: F401, E402
 
 
 def all_queries():

@@ -651,3 +651,38 @@ def q175_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all_nodes_covered boolean, n_self_edges long, "
         "degree_bounded boolean, recall_ok boolean",
     )
+
+
+@query(
+    "q192_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), scored AS (
+        SELECT query_id, qlabel, vec_id AS negative_id,
+               label AS negative_label,
+               ROUND({_sql_dot('embedding', 'qvec')} /
+                     (sqrt({_sql_dot('embedding', 'embedding')})
+                      * sqrt({_sql_dot('qvec', 'qvec')})), 6) AS cosine
+        FROM embeddings CROSS JOIN q
+        WHERE label <> qlabel AND vec_id <> query_id
+    )
+    SELECT query_id, qlabel, negative_id, negative_label, cosine,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, negative_id ASC
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q192_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training [EXT] —
+    ``similarity.hard_negatives``: per anchor, the 3 most-similar
+    vectors with a DIFFERENT label. Anchors broadcast, ONE corpus scan
+    scores all pairs with the exact decimal-fold cosine, the label
+    exclusion is row-local, and a per-anchor window keeps k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, query_ids=[0, 1, 2, 3, 4], k=3)

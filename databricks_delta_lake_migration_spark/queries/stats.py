@@ -159,3 +159,52 @@ def q187_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["o_orderpriority"],
         tiebreak_col="o_orderkey",
     )
+
+
+@query(
+    "q191_quantile_profile",
+    oracle="""
+    SELECT c_mktsegment, n_orders,
+           ROUND(q[1], 4) AS p25, ROUND(q[2], 4) AS p50,
+           ROUND(q[3], 4) AS p75, ROUND(q[4], 4) AS p95
+    FROM (
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS q
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    """,
+)
+def q191_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantile profile of order values per market
+    segment [EXT]: ``percentile(col, array(...))`` — ONE grouped
+    aggregate computing all four quantiles together (never one job per
+    percentile), over a broadcast customer-dimension join. Exact
+    percentile semantics (linear interpolation) are identical to
+    DuckDB's quantile_cont — verified cross-engine, where the
+    approximate sketch (``approx_percentile``, the 100 TB default;
+    see A8/D23) could not be hash-compared."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))"
+            ).alias("q"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            F.round(F.element_at("q", 1), 4).alias("p25"),
+            F.round(F.element_at("q", 2), 4).alias("p50"),
+            F.round(F.element_at("q", 3), 4).alias("p75"),
+            F.round(F.element_at("q", 4), 4).alias("p95"),
+        )
+    )

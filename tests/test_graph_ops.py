@@ -1,0 +1,48 @@
+"""Unit tests for operators.graph.pagerank."""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _snap(x: float) -> float:
+    """Python twin of round(x,12)::decimal(28,12) (HALF_UP)."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _reference_pagerank(edges, iterations=3, d=0.85):
+    nodes = sorted({s for s, _ in edges})
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    r = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: _snap(r[n] / deg[n]) for n in nodes}
+        r = {
+            v: (1.0 - d) / len(nodes)
+            + d * sum(contrib[u] for u, w in edges if w == v)
+            for v in nodes
+        }
+    return {n: round(v, 8) for n, v in r.items()}
+
+
+def test_pagerank_regular_graph_stays_uniform(spark):
+    """A symmetric triangle is regular: rank stays exactly 1/3."""
+    from databricks_delta_lake_migration_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.rank for r in pagerank(df, iterations=3).collect()}
+    assert out == {1: 0.33333333, 2: 0.33333333, 3: 0.33333333}
+
+
+def test_pagerank_star_matches_reference(spark):
+    """Symmetric 2-leaf star: the center accumulates rank; values match
+    an exact Python replication of the snapped iteration."""
+    from databricks_delta_lake_migration_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 0), (0, 2), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.rank for r in pagerank(df, iterations=3).collect()}
+    ref = _reference_pagerank(edges)
+    assert out == ref
+    assert out[0] > out[1] == out[2]
+    assert abs(sum(out.values()) - 1.0) < 1e-6

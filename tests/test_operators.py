@@ -1345,3 +1345,25 @@ def test_weighted_sample_bias_determinism_and_plan(spark):
     assert "TakeOrderedAndProject" in plan
     ks = [r.sample_key for r in weighted_sample(df, "w", k=20).collect()]
     assert all(0 < k <= 1 for k in ks)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Negatives never carry the anchor's label, the anchor itself is
+    excluded, and the nearest different-label vector ranks first."""
+    from databricks_delta_lake_migration_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.99, 0.01], 7),   # same label: must NOT appear
+        (2, [0.9, 0.1], 8),     # closest different-label
+        (3, [0.0, 1.0], 8),
+        (4, [0.5, 0.5], 9),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = similarity.hard_negatives(emb, query_ids=[0], k=2, dims=2).collect()
+    assert all(r.negative_label != r.qlabel for r in out)
+    assert all(r.negative_id != 0 for r in out)
+    assert [r.negative_id for r in out if r.rnk == 1] == [2]
+    assert len(out) == 2
