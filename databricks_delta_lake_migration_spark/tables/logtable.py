@@ -777,6 +777,18 @@ class LogTable:
     def _commit(self, commit: Commit) -> None:
         """Atomic optimistic commit: create-exclusive the version file."""
         self._stamp_protocol(commit)
+        # in-commit-timestamp monotonicity (Delta's inCommitTimestamp
+        # guarantee): the stamped timestamp lives IN the commit record
+        # (never file mtime), and must strictly increase with version —
+        # a backwards clock step would otherwise make TIMESTAMP AS OF
+        # resolve to the wrong version (`_replay` picks the last commit
+        # with ts <= target, which assumes sorted timestamps). Clamp to
+        # predecessor + 1ms, exactly Delta's ICT rule.
+        prev = self.commits()
+        if prev and prev[-1].version < commit.version:
+            commit.timestamp = max(
+                commit.timestamp, prev[-1].timestamp + 0.001
+            )
         self.fs.makedirs(self._log_path)
         target = os.path.join(self._log_path, f"{commit.version:020d}.json")
         # put-if-absent is the whole commit protocol: optimistic

@@ -2659,3 +2659,34 @@ def test_fsck_repair_distributed_probe_path(spark, tmp_path):
     rep = t.fsck_repair(distribute_threshold=0)
     assert rep["numFilesRemoved"] == 1
     assert t.read().count() == 2
+
+
+def test_in_commit_timestamps_monotonic_under_clock_skew(
+    spark, tmp_path, monkeypatch
+):
+    """A backwards clock step between commits must not produce a
+    non-monotonic history: commit timestamps live IN the commit record
+    and clamp to predecessor + 1ms (Delta's inCommitTimestamp rule),
+    so TIMESTAMP AS OF keeps resolving to the right version."""
+    import time as real_time
+
+    from databricks_delta_lake_migration_spark.tables import logtable as lt
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = lt.LogTable.create(spark, path, df1.schema)
+    t.append(df1)
+
+    t0 = t.commits()[-1].timestamp
+    # clock jumps BACKWARDS by an hour before the next commit
+    monkeypatch.setattr(lt.time, "time", lambda: t0 - 3600.0)
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    monkeypatch.setattr(lt.time, "time", real_time.time)
+
+    cs = t.commits()
+    assert [c.version for c in cs] == [0, 1, 2]  # create, append, append
+    assert cs[2].timestamp > cs[1].timestamp  # clamped, not skewed
+    assert cs[2].timestamp == cs[1].timestamp + 0.001
+    # timestamp travel: just-before-v2 resolves to v1, at-v2 sees both
+    assert t.read(timestamp=cs[2].timestamp - 0.0005).count() == 1
+    assert t.read(timestamp=cs[2].timestamp).count() == 2
