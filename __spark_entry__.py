@@ -53,22 +53,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #     travel, streaming CDC, medallion, cosine top-k, MinHash-LSH,
 #     grouped agg, star join) that stay in-window every round as
 #     cross-round regression sentinels
-#   - the 17 round-7 additions (q177 sessionize, q178 funnel, q179
-#     cohort retention, q180 event transitions, q181 ROLLUP, q182
-#     PIVOT, q183 UNPIVOT, q184 INTERSECT/EXCEPT, q185 rolling
+#   - 19 of the 21 round-7 additions (q177 sessionize, q178 funnel,
+#     q179 cohort retention, q180 event transitions, q181 ROLLUP,
+#     q182 PIVOT, q183 UNPIVOT, q184 INTERSECT/EXCEPT, q185 rolling
 #     z-score, q186 grouped OLS trend, q187 equi-depth histogram,
 #     q188 BM25 search, q189 fuzzy entity pairs, q190 weighted
 #     sample, q191 quantile profile, q192 hard-negative mining,
-#     q193 PageRank) — first-time rows beat re-confirming rows that
-#     are already ever-green
-#   - 2 re-confirms of the oldest r3-only evidence: q34 (exact
-#     dedup), q78 (near-dup clustering). The remaining r3/r4-only
-#     rows (q30-q32, q35, q37, q43, q45, q46, q48-q50, q53, q77,
-#     q79, q80, q83, q84) stay pytest-parity-checked every round and
-#     rotate back for re-confirmation in round 8.
-# 23 + 8 + 17 + 2 = 50. After this window every registered query has
-# a green driver row from some round. pytest's local DuckDB
-# oracle-parity twin still exercises every registration every round.
+#     q193 PageRank, q194 interval merge, q195 TWAP) — first-time
+#     rows beat re-confirming rows that are already ever-green
+#   - Deferred to the round-8 window (pytest-parity-checked every
+#     round meanwhile): the two newest additions (q196 column
+#     profile, q197 Benford audit) and the r3/r4-only re-confirms
+#     (q30-q32, q34, q35, q37, q43, q45, q46, q48-q50, q53, q77,
+#     q78-q80, q83, q84).
+# 23 + 8 + 19 = 50. pytest's local DuckDB oracle-parity twin still
+# exercises every registration every round.
 _PRIORITY = [
     # never-checked: round-5 tail
     "q154_part_cooccurrence", "q155_salted_skew_join",
@@ -94,9 +93,8 @@ _PRIORITY = [
     "q184_set_operations", "q185_rolling_zscore", "q186_group_trend",
     "q187_equidepth_histogram", "q188_bm25_search", "q189_fuzzy_pairs",
     "q190_weighted_sample", "q191_quantile_profile",
-    "q192_hard_negatives", "q193_pagerank",
-    # re-confirms: oldest driver evidence (r3)
-    "q34_exact_dedup", "q78_near_dup_clusters",
+    "q192_hard_negatives", "q193_pagerank", "q194_merge_intervals",
+    "q195_time_weighted_average",
 ]
 
 

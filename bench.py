@@ -59,6 +59,9 @@ EXTRA_QUERIES = [
     "q191_quantile_profile",
     "q192_hard_negatives",
     "q193_pagerank",
+    "q194_merge_intervals",
+    "q196_column_profile",
+    "q197_benford_audit",
 ]
 
 

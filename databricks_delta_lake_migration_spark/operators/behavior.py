@@ -228,3 +228,51 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(row), 6).alias("prob"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands interval merge: collapse OVERLAPPING or
+    touching [start, end] intervals per key into maximal islands — the
+    validity-window consolidation step (coverage analysis, SLA uptime,
+    feature-availability windows) that sessionization's point-event
+    logic can't express.
+
+    Algorithm (one window pass): sort intervals by start; an interval
+    starts a new island iff its start exceeds the running MAX of all
+    previous ends (not just the previous row's — an early long interval
+    can swallow several later short ones); island id is the running sum
+    of those flags. Interval bounds compare as exact epoch micros for
+    timestamp columns.
+
+    ONE key-partitioned window shuffle + one (key, island) rollup —
+    the same two-exchange shape as :func:`sessionize`.
+    """
+    is_ts = df.schema[start_col].dataType.typeName() in (
+        "timestamp", "timestamp_ntz",
+    )
+    s = F.unix_micros(F.col(start_col)) if is_ts else F.col(start_col)
+    e = F.unix_micros(F.col(end_col)) if is_ts else F.col(end_col)
+    order = Window.partitionBy(*key_cols).orderBy(s.asc(), e.asc())
+    prev_max_end = F.max(e).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(new_island).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("island", island)
+        .groupBy(*key_cols, "island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )

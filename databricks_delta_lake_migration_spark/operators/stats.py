@@ -180,3 +180,176 @@ def equidepth_histogram(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average (TWAP): each observation's value is
+    weighted by how long it was the CURRENT value — the duration until
+    the key's next observation. The last observation per key has no
+    successor and carries zero weight (standard left-closed TWAP; pass
+    a sentinel end-of-horizon row to include it). The feature-store /
+    market-data summary a plain AVG silently gets wrong whenever
+    observation spacing is uneven.
+
+    Determinism: durations are exact epoch-micro longs; each
+    value·duration product snaps to DECIMAL(28,4) before the exact
+    per-key sum; the final division is one double op on identical
+    inputs. ONE key-partitioned window shuffle (lead) + one rollup.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    dur = F.lead(us).over(w) - us
+    weighted = df.withColumn("__dur", dur).filter(
+        F.col("__dur").isNotNull()
+    )
+    prod = F.round(
+        F.col(value_col) * (F.col("__dur") / F.lit(1_000_000.0)), 4
+    ).cast("decimal(28,4)")
+    return (
+        weighted.groupBy(*key_cols)
+        .agg(
+            F.sum(prod).alias("__sp"),
+            F.sum(F.col("__dur")).alias("__sw"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            *key_cols,
+            "n_obs",
+            F.round(F.col("__sw") / F.lit(1_000_000.0), 6).alias(
+                "total_sec"
+            ),
+            F.round(
+                F.col("__sp").cast("double")
+                / (F.col("__sw") / F.lit(1_000_000.0)),
+                6,
+            ).alias("twap"),
+        )
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Generic column profiler: per column — row count, null count,
+    null fraction, distinct non-null values, and Shannon entropy of
+    the value distribution (bits, NULLs excluded) — the schema-
+    discovery / join-key-triage pass a migration runs before anything
+    else (upgrades the reference's single-table null profile, A7).
+
+    Shape: every column melts to (column, value-as-string) via ONE
+    unpivot scan (Expand), then one (column, value) aggregate feeds
+    both the per-column rollup and the entropy terms — the whole
+    profile is two shuffles regardless of column count. Entropy terms
+    snap to DECIMAL(28,12) (the word-entropy posture) so the sum is
+    order-independent.
+    """
+    long = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot(ids=[], values=cols, variableColumnName="column",
+              valueColumnName="value")
+    vc = long.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_col = vc.groupBy("column").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("n"))).alias("__nn"),
+        F.count(F.when(F.col("value").isNotNull(), F.lit(1))).alias(
+            "n_distinct"
+        ),
+    )
+    nonnull = vc.filter(F.col("value").isNotNull())
+    tot = Window.partitionBy("column")
+    p = F.col("n") / F.sum("n").over(tot)
+    ent_terms = nonnull.select(
+        "column",
+        F.round(-p * F.log2(p), 12).cast("decimal(28,12)").alias("t"),
+    )
+    entropy = ent_terms.groupBy("column").agg(
+        F.round(F.sum("t"), 6).cast("double").alias("entropy")
+    )
+    return (
+        per_col.join(entropy, "column", "left")
+        .select(
+            "column",
+            "n_rows",
+            F.coalesce(F.col("__nn"), F.lit(0)).alias("n_nulls"),
+            F.round(
+                F.coalesce(F.col("__nn"), F.lit(0)) / F.col("n_rows"), 6
+            ).alias("null_frac"),
+            "n_distinct",
+            F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit: the leading significant digit
+    of naturally-occurring amounts follows ``P(d) = log10(1 + 1/d)``;
+    fabricated or constrained data doesn't — the classic
+    fraud/synthetic-data screen (Benford 1938, public formulation).
+    Emits one row per digit 1–9 with observed/expected fractions, the
+    per-digit chi-square contribution, and the total chi-square
+    repeated on every row (compare to the 15.507 critical value at
+    8 df / 5%).
+
+    Digit extraction is string-based over DECIMAL(18,2) (identical
+    text in any engine — no log10-of-double edge cases); zero and
+    negative amounts are excluded. ONE 9-bucket aggregate; every
+    fraction derives from exact integer counts.
+    """
+    d = F.substring(
+        F.regexp_replace(
+            F.col(value_col).cast("decimal(18,2)").cast("string"),
+            r"^[-0.]+", "",
+        ),
+        1, 1,
+    ).cast("int")
+    observed = (
+        df.filter(F.col(value_col) > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # all 9 cells, INCLUDING zero-count digits: a missing digit
+    # contributes n·p(d) to chi-square — dropping empty cells would
+    # understate the statistic exactly when the data is most skewed
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(F.broadcast(observed), "digit", "left").select(
+        "digit", F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs")
+    )
+    tot = Window.partitionBy()
+    n = F.sum("n_obs").over(tot)
+    expected_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chi_term = (
+        (F.col("n_obs") - n * expected_p)
+        * (F.col("n_obs") - n * expected_p)
+        / (n * expected_p)
+    )
+    with_terms = counts.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / n, 6).alias("obs_frac"),
+        F.round(expected_p, 6).alias("expected_frac"),
+        F.round(chi_term, 4).alias("chi2_term"),
+    )
+    total = Window.partitionBy()
+    # the 9 rounded terms sum exactly in decimal (a raw double window
+    # sum would be partial-order-dependent)
+    return with_terms.withColumn(
+        "chi2_total",
+        F.round(
+            F.sum(F.col("chi2_term").cast("decimal(18,4)")).over(total), 4
+        ).cast("double"),
+    )

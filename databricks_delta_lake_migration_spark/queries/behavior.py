@@ -156,3 +156,52 @@ def q180_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return event_transitions(e)
+
+
+@query(
+    "q194_merge_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        FROM events
+    ), flags AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(epoch_us(e)) OVER prevw IS NULL
+                      OR epoch_us(s) > max(epoch_us(e)) OVER prevw
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+        WINDOW prevw AS (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+    ), isl AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM flags
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS island_start, MAX(e) AS island_end,
+           COUNT(*) AS n_intervals
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def q194_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge [EXT] —
+    ``operators.behavior.merge_intervals``: each event opens a 10-min
+    activity window per user; overlapping windows collapse into
+    maximal coverage islands via the running-MAX-of-ends flag (not
+    lag-of-end — an early long interval must swallow later short
+    ones). ONE user-keyed window sort + one island rollup, exact
+    epoch-micro comparisons."""
+    from pyspark.sql import functions as F
+
+    from ..operators.behavior import merge_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e")

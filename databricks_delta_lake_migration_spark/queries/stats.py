@@ -208,3 +208,134 @@ def q191_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("q", 4), 4).alias("p95"),
         )
     )
+
+
+@query(
+    "q195_time_weighted_average",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - epoch_us(ts) AS dur
+        FROM events
+    ), weighted AS (
+        SELECT user_id,
+               CAST(ROUND(value * (dur / 1000000.0), 4)
+                    AS DECIMAL(28,4)) AS prod,
+               dur
+        FROM seq WHERE dur IS NOT NULL
+    )
+    SELECT user_id, COUNT(*) AS n_obs,
+           ROUND(SUM(dur) / 1000000.0, 6) AS total_sec,
+           ROUND(CAST(SUM(prod) AS DOUBLE) / (SUM(dur) / 1000000.0), 6)
+               AS twap
+    FROM weighted GROUP BY 1
+    """,
+)
+def q195_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user [EXT] —
+    ``operators.stats.time_weighted_average``: each observation
+    weighted by how long it stayed current (duration to the next
+    event). Durations are exact epoch-micro longs; value·duration
+    products snap to DECIMAL(28,4) before the exact per-key sum —
+    the plain AVG would silently misweight uneven spacing. ONE
+    user-keyed lead window + one rollup."""
+    from ..operators.stats import time_weighted_average
+
+    e = load_table(spark, sf_dir, "events")
+    return time_weighted_average(
+        e, ["user_id"], "ts", "value", tiebreak_col="event_id"
+    )
+
+
+@query(
+    "q196_column_profile",
+    oracle="""
+    WITH long AS (
+        SELECT 'c_nationkey' AS "column",
+               CAST(c_nationkey AS VARCHAR) AS value FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', c_mktsegment FROM customer
+        UNION ALL
+        SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+    ), vc AS (
+        SELECT "column", value, COUNT(*) AS n FROM long GROUP BY 1, 2
+    ), per_col AS (
+        SELECT "column", SUM(n) AS n_rows,
+               COALESCE(SUM(CASE WHEN value IS NULL THEN n END), 0)
+                   AS n_nulls,
+               COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS n_distinct
+        FROM vc GROUP BY 1
+    ), ent AS (
+        SELECT "column",
+               CAST(ROUND(SUM(CAST(ROUND(
+                   -(n * 1.0 / tot) * log2(n * 1.0 / tot), 12)
+                   AS DECIMAL(28,12))), 6) AS DOUBLE) AS entropy
+        FROM (
+            SELECT "column", n,
+                   SUM(n) OVER (PARTITION BY "column") AS tot
+            FROM vc WHERE value IS NOT NULL
+        ) GROUP BY 1
+    )
+    SELECT p."column", p.n_rows, p.n_nulls,
+           ROUND(p.n_nulls * 1.0 / p.n_rows, 6) AS null_frac,
+           p.n_distinct, COALESCE(e.entropy, 0.0) AS entropy
+    FROM per_col p LEFT JOIN ent e USING ("column")
+    """,
+)
+def q196_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic column profiler [EXT] — ``operators.stats.column_profile``
+    over three customer columns: null fraction, distinct count, and
+    Shannon entropy per column from ONE unpivot scan + one
+    (column, value) aggregate (the whole profile is two shuffles
+    regardless of column count — never a per-column job loop, the A7
+    upgrade). Values compare as strings; distinctness and counts are
+    representation-independent."""
+    from ..operators.stats import column_profile
+
+    c = load_table(spark, sf_dir, "customer")
+    return column_profile(c, ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+
+@query(
+    "q197_benford_audit",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(substring(regexp_replace(
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   '^[-0.]+', ''), 1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n_obs
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    ), c AS (
+        SELECT CAST(r.range AS INTEGER) AS digit,
+               COALESCE(obs.n_obs, 0) AS n_obs
+        FROM range(1, 10) r LEFT JOIN obs ON r.range = obs.digit
+    ), terms AS (
+        SELECT digit, n_obs,
+               ROUND(n_obs * 1.0 / SUM(n_obs) OVER (), 6) AS obs_frac,
+               ROUND(log10(1.0 + 1.0 / digit), 6) AS expected_frac,
+               ROUND((n_obs - SUM(n_obs) OVER () * log10(1.0 + 1.0 / digit))
+                     * (n_obs - SUM(n_obs) OVER () * log10(1.0 + 1.0 / digit))
+                     / (SUM(n_obs) OVER () * log10(1.0 + 1.0 / digit)), 4)
+                   AS chi2_term
+        FROM c
+    )
+    SELECT digit, n_obs, obs_frac, expected_frac, chi2_term,
+           CAST(ROUND(SUM(CAST(chi2_term AS DECIMAL(18,4))) OVER (), 4)
+                AS DOUBLE) AS chi2_total
+    FROM terms
+    """,
+)
+def q197_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts [EXT] —
+    ``operators.stats.benford_audit``: observed vs expected
+    log10(1+1/d) leading-digit fractions with per-digit and total
+    chi-square. Digit extraction is string-based over DECIMAL(18,2)
+    (identical text in any engine — no log10-of-double float edges);
+    the 9-term chi-square total sums in exact decimal. ONE 9-bucket
+    aggregate over a pushed positive-amount filter."""
+    from ..operators.stats import benford_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice")

@@ -49,3 +49,93 @@ def test_equidepth_histogram_remainder_buckets(spark):
     assert out[1] == (4, 1.0, 4.0)
     assert out[2] == (3, 5.0, 7.0)
     assert out[3] == (3, 8.0, 10.0)
+
+
+def test_merge_intervals_islands_and_long_swallow(spark):
+    """Overlap chains collapse; an early LONG interval swallows later
+    short ones (running-max, not lag); integer bounds path."""
+    from databricks_delta_lake_migration_spark.operators.behavior import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 3), ("a", 50, 60), ("a", 101, 102),
+        ("b", 1, 5), ("b", 3, 8), ("b", 10, 12),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        (r.k, r.island): (r.island_start, r.island_end, r.n_intervals)
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert out[("a", 1)] == (1, 100, 3)
+    assert out[("a", 2)] == (101, 102, 1)
+    assert out[("b", 1)] == (1, 8, 2)
+    assert out[("b", 2)] == (10, 12, 1)
+
+
+def test_time_weighted_average_hand_checked(spark):
+    """(0s,10),(10s,20),(30s,5): durations 10s/20s, last obs dropped;
+    twap = (10*10 + 20*20)/30 = 16.666667."""
+    import datetime
+
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        time_weighted_average,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, 10.0),
+        (2, 1, base + datetime.timedelta(seconds=10), 20.0),
+        (3, 1, base + datetime.timedelta(seconds=30), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = time_weighted_average(
+        df, ["user_id"], "ts", "value", tiebreak_col="event_id"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_obs == 2
+    assert out[0].total_sec == 30.0
+    assert out[0].twap == 16.666667
+
+
+def test_column_profile_nulls_distinct_entropy(spark):
+    """Mixed-null column profiles: entropy of {2/3, 1/3} = 0.918296;
+    a constant column has entropy 0."""
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (None, "x")], "a int, b string"
+    )
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        column_profile,
+    )
+
+    out = {r.column: r for r in column_profile(df, ["a", "b"]).collect()}
+    assert (out["a"].n_rows, out["a"].n_nulls, out["a"].n_distinct) == (4, 1, 2)
+    assert out["a"].null_frac == 0.25
+    assert out["a"].entropy == 0.918296
+    assert (out["b"].n_nulls, out["b"].n_distinct, out["b"].entropy) == (0, 1, 0.0)
+
+
+def test_benford_audit_digit_extraction_and_uniform_reject(spark):
+    """Sub-1 amounts extract their first significant digit; a corpus of
+    all-leading-1 amounts concentrates obs_frac at digit 1 with a large
+    chi-square."""
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        benford_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(0.05,), (0.19,), (10.0,), (12.5,), (199.0,), (1.0,)] + [(1.5,)] * 4,
+        "v double",
+    )
+    out = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == set(range(1, 10))  # zero-count cells included
+    assert out[5].n_obs == 1  # 0.05 -> leading digit 5
+    assert out[1].n_obs == 9
+    assert out[2].n_obs == 0
+    assert out[1].obs_frac == 0.9
+    # a zero cell still contributes n*p(d) to the statistic
+    assert out[2].chi2_term == round(10 * 0.17609125905568124, 4)
+    assert out[1].chi2_total == out[5].chi2_total  # total repeated per row
+    assert out[1].chi2_total > 15.507  # rejects Benford at 5%
