@@ -99,3 +99,92 @@ def test_event_transitions_probabilities(spark):
     assert out[("view", "buy")] == (1, round(1 / 3, 6))
     assert out[("click", "view")] == (1, 1.0)
     assert sum(n for n, _ in out.values()) == 4
+
+
+def test_sessionize_matches_reference_hypothesis(spark):
+    """Property test: sessionize equals the brute-force gap-splitting
+    reference for arbitrary integer-second event layouts (dup
+    timestamps included — tiebreak by event id)."""
+    from hypothesis import given, settings, strategies as st
+
+    events = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120)),
+        min_size=1, max_size=14,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(events)
+    def run(evs):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, u, base + datetime.timedelta(seconds=s))
+            for i, (u, s) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+        got = {
+            (r.user_id, r.session_id): (
+                r.n_events, r.session_start, r.session_end
+            )
+            for r in sessionize(df, gap_seconds=30).collect()
+        }
+        # brute force: sort per user by (ts, event_id), split on gap>30s
+        ref = {}
+        for u in {u for _, (u, _) in enumerate(evs)}:
+            seq = sorted(
+                (t, i) for i, (uu, s) in enumerate(evs)
+                if uu == u
+                for t in [base + datetime.timedelta(seconds=s)]
+            )
+            sid, start = 0, None
+            groups = []
+            for t, i in seq:
+                if start is None or (t - prev).total_seconds() > 30:
+                    groups.append([])
+                    start = t
+                groups[-1].append(t)
+                prev = t
+            for k, g in enumerate(groups, 1):
+                ref[(u, k)] = (len(g), g[0], g[-1])
+        assert got == ref
+
+    run()
+
+
+def test_merge_intervals_matches_reference_hypothesis(spark):
+    """Property test: merge_intervals equals brute-force sweep-line
+    merging for arbitrary integer interval sets."""
+    from hypothesis import given, settings, strategies as st
+
+    ivs = st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(ivs)
+    def run(raw):
+        from databricks_delta_lake_migration_spark.operators.behavior import (
+            merge_intervals,
+        )
+
+        rows = [("k", s, s + w) for s, w in raw]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        got = sorted(
+            (r.island_start, r.island_end, r.n_intervals)
+            for r in merge_intervals(df, ["k"], "s", "e").collect()
+        )
+        # brute force sweep
+        sor = sorted((s, s + w) for s, w in raw)
+        ref = []
+        for s, e in sor:
+            if ref and s <= ref[-1][1]:
+                ref[-1] = (ref[-1][0], max(ref[-1][1], e), ref[-1][2] + 1)
+            else:
+                ref.append((s, e, 1))
+        assert got == [tuple(r) for r in ref]
+
+    run()
