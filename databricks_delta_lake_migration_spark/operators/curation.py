@@ -464,9 +464,15 @@ def weighted_sample(
     Rows with non-positive weight are excluded (their key would be
     ill-defined).
     """
-    u = (
-        portable_hash_bucket(F.col(id_col), 1_000_000_000) + 1
-    ) / F.lit(1_000_000_000.0)
+    # 60-bit slice, NOT the shared 32-bit portable_hash_bucket: 2^32
+    # mod 1e9 leaves the low ~295M buckets 5 preimages vs 4 (a 25%
+    # density step that skews inclusion probabilities); 2^60 mod 1e9
+    # has relative bias ~1e-9. 15 hex chars keep the value < 2^63.
+    h60 = F.conv(
+        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = (h60 % 1_000_000_000 + 1) / F.lit(1_000_000_000.0)
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
     )

@@ -63,11 +63,23 @@ def bm25_topk(
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl feeds both the hits join and the corpus constants; checkpoint
+    # so the full-corpus explode+aggregate runs ONCE (the relation is
+    # one row per doc — small)
+    dl = (
+        toks.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    corpus = df.agg(
-        F.count(F.lit(1)).alias("n_docs")
-    ).crossJoin(dl.agg(F.sum("dl").alias("sum_dl")))
+    # N and avgdl from ONE aggregate of the dl relation — a separate
+    # df.count() would re-run the corpus scan. dl has one row per doc
+    # with non-NULL text (empty text still tokenizes to [""], so it
+    # counts); NULL-text docs are outside the searchable corpus.
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
 
     hits = (
         tf.join(F.broadcast(docfreq), "w")

@@ -315,7 +315,7 @@ def batch_topk(
         6,
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("negative_id").asc()
+        F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
         joined.select("query_id", F.col(id_col), cos.alias("cosine"))
@@ -1183,7 +1183,10 @@ def knn_graph(
 
     if n_planes is None:
         n = n_vectors if n_vectors is not None else embeddings.count()
-        n_planes = _knn_auto_planes(n)
+        # B tracks the actual salt cap (the docstring's 2x-cap rule);
+        # a fixed 256 would over-split small caps and under-split
+        # large ones
+        n_planes = _knn_auto_planes(n, target_bucket=2 * bucket_cap)
     spark = embeddings.sparkSession
 
     tabs = [

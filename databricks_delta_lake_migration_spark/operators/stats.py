@@ -302,20 +302,21 @@ def benford_audit(
     repeated on every row (compare to the 15.507 critical value at
     8 df / 5%).
 
-    Digit extraction is string-based over DECIMAL(18,2) (identical
-    text in any engine — no log10-of-double edge cases); zero and
-    negative amounts are excluded. ONE 9-bucket aggregate; every
-    fraction derives from exact integer counts.
+    Digit extraction is string-based over DECIMAL(38,18) (identical
+    plain-notation text in any engine — no log10-of-double edge
+    cases). Domain: amounts in [1e-18, 1e20); zero, negative, and
+    out-of-range amounts (which the decimal cast NULLs) are excluded
+    by the NULL-safe ``dec > 0`` filter — never silently miscounted
+    as a digit. ONE 9-bucket aggregate; every fraction derives from
+    exact integer counts.
     """
+    dec = F.col(value_col).cast("decimal(38,18)")
     d = F.substring(
-        F.regexp_replace(
-            F.col(value_col).cast("decimal(18,2)").cast("string"),
-            r"^[-0.]+", "",
-        ),
+        F.regexp_replace(dec.cast("string"), r"^[-0.]+", ""),
         1, 1,
     ).cast("int")
     observed = (
-        df.filter(F.col(value_col) > 0)
+        df.filter(dec > 0)
         .select(d.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))

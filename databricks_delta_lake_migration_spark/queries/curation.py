@@ -504,7 +504,7 @@ def q166_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars,
                ROUND(power(
                    (CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)),
-                        1, 8) AS BIGINT) % 1000000000 + 1) / 1000000000.0,
+                        1, 15) AS BIGINT) % 1000000000 + 1) / 1000000000.0,
                    1.0 / n_chars), 12) AS sample_key
         FROM documents WHERE n_chars > 0
     )

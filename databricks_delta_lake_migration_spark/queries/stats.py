@@ -303,10 +303,11 @@ def q196_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH obs AS (
         SELECT CAST(substring(regexp_replace(
-                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   CAST(CAST(o_totalprice AS DECIMAL(38,18)) AS VARCHAR),
                    '^[-0.]+', ''), 1, 1) AS INTEGER) AS digit,
                COUNT(*) AS n_obs
-        FROM orders WHERE o_totalprice > 0 GROUP BY 1
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(38,18)) > 0 GROUP BY 1
     ), c AS (
         SELECT CAST(r.range AS INTEGER) AS digit,
                COALESCE(obs.n_obs, 0) AS n_obs

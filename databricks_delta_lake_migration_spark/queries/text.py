@@ -1181,8 +1181,7 @@ def q170_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), docfreq AS (
         SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
     ), corpus AS (
-        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-               (SELECT SUM(dl) FROM dl) AS sum_dl
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
     ), scored AS (
         SELECT tf.doc_id,
                CAST(ROUND(

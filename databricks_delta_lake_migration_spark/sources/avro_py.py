@@ -545,7 +545,16 @@ def spark_to_avro_schema(schema, name: str = "spark_export") -> dict:
 def register_pyavro(spark) -> None:
     """Register ``format("pyavro")`` on this session (idempotent) —
     batch READ and WRITE (``df.write.format("pyavro")`` lands one
-    .avro file per task, executor-side, like any file sink)."""
+    .avro file per task, executor-side, like any file sink).
+
+    TIMEZONE CONTRACT: the session timezone is captured into the
+    DataSource closure AT THIS CALL (plan-time Python workers have no
+    active session to ask). Changing ``spark.sql.session.timeZone``
+    afterwards and writing via a raw ``df.write.format("pyavro")``
+    would encode timestamps with the stale zone — so re-call this
+    function after any timezone change, or use the
+    :func:`read_avro` / :func:`write_avro_df` wrappers, which
+    re-register (refreshing the capture) on every call."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
@@ -687,6 +696,18 @@ def register_pyavro(spark) -> None:
             )
 
     spark.dataSource.register(PyAvroDataSource)
+
+
+def write_avro_df(df, path: str, codec: str = "null",
+                  mode: str = "overwrite") -> None:
+    """``df.write.format("pyavro")`` convenience wrapper that
+    re-registers first, so the encoded timestamps always use the
+    CURRENT session timezone (see the register_pyavro contract)."""
+    register_pyavro(df.sparkSession)
+    w = df.write.format("pyavro").mode(mode)
+    if codec != "null":
+        w = w.option("codec", codec)
+    w.save(path)
 
 
 def read_avro(spark, path: str, schema=None):

@@ -1175,3 +1175,36 @@ def test_pyavro_decimal_bytes_and_fixed_roundtrip(spark, tmp_path):
     back = sorted((r.id, r.price, r.bal)
                   for r in avro_py.read_avro(spark, out).collect())
     assert back == got
+
+
+def test_pyavro_tz_refresh_on_reregister(spark, tmp_path):
+    """Changing the session timezone then writing through the wrapper
+    re-captures the zone: the encoded epoch stays correct (a stale
+    registration-time capture would shift it by the UTC offset)."""
+    import datetime
+    import os
+
+    from databricks_delta_lake_migration_spark.sources import avro_py
+
+    avro_py.register_pyavro(spark)  # capture under UTC
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 6, 1, 12, 0, 0))],
+            "id long, ts timestamp",
+        )
+        out = str(tmp_path / "o")
+        avro_py.write_avro_df(df, out)
+        # decode raw: timestamp-micros is absolute epoch; the NY
+        # wall-clock noon the session stored must decode to UTC 16:00
+        f = os.path.join(out, sorted(os.listdir(out))[0])
+        rec = next(avro_py.read_avro_records(f))
+        assert rec["ts"] == datetime.datetime(
+            2024, 6, 1, 16, 0, 0, tzinfo=datetime.timezone.utc
+        )
+        # and the session-aware read path round-trips the wall clock
+        back = avro_py.read_avro(spark, out).collect()[0]
+        assert back.ts == datetime.datetime(2024, 6, 1, 12, 0, 0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

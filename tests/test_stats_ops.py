@@ -126,16 +126,18 @@ def test_benford_audit_digit_extraction_and_uniform_reject(spark):
     )
 
     df = spark.createDataFrame(
-        [(0.05,), (0.19,), (10.0,), (12.5,), (199.0,), (1.0,)] + [(1.5,)] * 4,
+        [(0.05,), (0.004,), (0.19,), (10.0,), (12.5,), (199.0,), (1.0,)]
+        + [(1.5,)] * 4,
         "v double",
     )
     out = {r.digit: r for r in benford_audit(df, "v").collect()}
     assert set(out) == set(range(1, 10))  # zero-count cells included
     assert out[5].n_obs == 1  # 0.05 -> leading digit 5
+    assert out[4].n_obs == 1  # sub-cent 0.004 counted, not dropped
     assert out[1].n_obs == 9
     assert out[2].n_obs == 0
-    assert out[1].obs_frac == 0.9
+    assert out[1].obs_frac == round(9 / 11, 6)
     # a zero cell still contributes n*p(d) to the statistic
-    assert out[2].chi2_term == round(10 * 0.17609125905568124, 4)
+    assert out[2].chi2_term == round(11 * 0.17609125905568124, 4)
     assert out[1].chi2_total == out[5].chi2_total  # total repeated per row
     assert out[1].chi2_total > 15.507  # rejects Benford at 5%
