@@ -62,6 +62,7 @@ EXTRA_QUERIES = [
     "q194_merge_intervals",
     "q196_column_profile",
     "q197_benford_audit",
+    "q198_skew_profile",
 ]
 
 

@@ -354,3 +354,48 @@ def benford_audit(
             F.sum(F.col("chi2_term").cast("decimal(18,4)")).over(total), 4
         ).cast("double"),
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the ``top_n`` hottest key
+    values with their row share, plus the cumulative share of the top
+    keys — the number that tells you whether a shuffle on this key
+    needs salting (q45) or AQE skew-join before you burn a cluster run
+    discovering it. A healthy key shows shares near 1/n_keys; a 0.3
+    top-1 share is a guaranteed straggler.
+
+    ONE map-side-combined groupBy (the same cost as the shuffle being
+    diagnosed, on purpose: the profile IS the dry run), then window
+    math over the top-n rows only. Exact integer counts; shares round
+    to 6 dp.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total_agg = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    order = [F.col("n_rows").desc()] + [F.col(c).asc() for c in key_cols]
+    top = (
+        counts.orderBy(*order)
+        .limit(top_n)
+        .crossJoin(F.broadcast(total_agg))
+    )
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        *key_cols,
+        "n_rows",
+        "n_keys",
+        F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("share"),
+        F.round(F.sum("n_rows").over(w) / F.col("total_rows"), 6).alias(
+            "cum_share"
+        ),
+        F.round(
+            F.col("n_rows") * F.col("n_keys") / F.col("total_rows"), 4
+        ).alias("skew_factor"),
+    )

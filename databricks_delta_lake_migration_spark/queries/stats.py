@@ -340,3 +340,36 @@ def q197_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return benford_audit(o, "o_totalprice")
+
+
+@query(
+    "q198_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM counts
+    ), top AS (
+        SELECT * FROM counts, tot
+        ORDER BY n_rows DESC, l_suppkey ASC LIMIT 10
+    )
+    SELECT l_suppkey, n_rows, n_keys,
+           ROUND(n_rows * 1.0 / total_rows, 6) AS share,
+           ROUND(SUM(n_rows) OVER (ORDER BY n_rows DESC, l_suppkey ASC
+                                   ROWS UNBOUNDED PRECEDING)
+                 * 1.0 / total_rows, 6) AS cum_share,
+           ROUND(n_rows * 1.0 * n_keys / total_rows, 4) AS skew_factor
+    FROM top
+    """,
+)
+def q198_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic [EXT] — ``operators.stats.skew_profile``
+    over lineitem's supplier key: hottest keys, shares, cumulative
+    share, and the skew factor (share × n_keys; 1.0 = uniform) that
+    says whether a join on this key needs salting (q45/J6) or AQE
+    skew-join BEFORE the cluster run discovers it. One map-side-
+    combined groupBy; window math touches only the top-n rows."""
+    from ..operators.stats import skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_profile(li, ["l_suppkey"], top_n=10)

@@ -141,3 +141,20 @@ def test_benford_audit_digit_extraction_and_uniform_reject(spark):
     assert out[2].chi2_term == round(11 * 0.17609125905568124, 4)
     assert out[1].chi2_total == out[5].chi2_total  # total repeated per row
     assert out[1].chi2_total > 15.507  # rejects Benford at 5%
+
+
+def test_skew_profile_flags_hot_key(spark):
+    """A planted 50% hot key reports share 0.5 and skew_factor n/2."""
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        skew_profile,
+    )
+
+    rows = [("hot",)] * 50 + [(f"k{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, ["k"], top_n=3).collect()
+    assert out[0].k == "hot"
+    assert out[0].share == 0.5
+    assert out[0].n_keys == 51
+    assert out[0].skew_factor == round(50 * 51 / 100, 4)
+    assert out[0].cum_share == 0.5
+    assert out[2].cum_share == 0.52
