@@ -262,9 +262,9 @@ def q195_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), vc AS (
         SELECT "column", value, COUNT(*) AS n FROM long GROUP BY 1, 2
     ), per_col AS (
-        SELECT "column", SUM(n) AS n_rows,
-               COALESCE(SUM(CASE WHEN value IS NULL THEN n END), 0)
-                   AS n_nulls,
+        SELECT "column", CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN n END), 0)
+                    AS BIGINT) AS n_nulls,
                COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS n_distinct
         FROM vc GROUP BY 1
     ), ent AS (
