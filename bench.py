@@ -63,6 +63,8 @@ EXTRA_QUERIES = [
     "q196_column_profile",
     "q197_benford_audit",
     "q198_skew_profile",
+    "q199_bucketed_join",
+    "q200_prefix_jaccard_join",
 ]
 
 

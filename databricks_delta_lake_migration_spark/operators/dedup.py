@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import norm_text_hash
@@ -558,4 +558,93 @@ def fuzzy_pairs(
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity join with prefix filtering (the PPJoin
+    family, Xiao et al. 2008 — public formulation): all pairs with
+    word-set Jaccard ≥ ``threshold``, found WITHOUT LSH's false
+    negatives and WITHOUT the all-token join's candidate blowup.
+
+    Prefix principle: order each doc's tokens by ascending global
+    frequency (rarest first); if ``J(a,b) ≥ t`` the sets must share a
+    token within each other's first ``|s| − ⌈t·|s|⌉ + 1`` tokens — so
+    joining ONLY on prefix tokens is provably complete. Two further
+    exact prunes: the length filter (``min ≥ t·max``) and the final
+    array-intersect verification (row-local JVM builtins on candidate
+    pairs only).
+
+    Scale: candidates = Σ df(rare tokens in prefixes)² — at high
+    thresholds orders of magnitude below :func:`jaccard_pairs`' every-
+    token join, and unlike :func:`lsh_candidate_pairs` the result is
+    exact (completeness asserted vs brute force in tests). Shuffles:
+    token-frequency agg, per-doc window, ONE prefix-token equi-join,
+    and the verify join against the doc-set relation.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("df").asc(), F.col("tok").asc()
+    )
+    wsz = Window.partitionBy("id")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "tok", "sz")
+    a = prefix.select(
+        F.col("tok"), F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col("tok"), F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    cands = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b")
+                >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    doc_sets = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("tok")).alias("ts"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    sa = doc_sets.select(
+        F.col("id").alias("id_a"), F.col("ts").alias("ts_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = doc_sets.select(
+        F.col("id").alias("id_b"), F.col("ts").alias("ts_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            inter.alias("n_shared"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -2342,3 +2342,55 @@ def q184_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("churned").alias("cohort"), "o_custkey"
     )
     return retained.unionByName(churned)
+
+
+@query(
+    "q199_bucketed_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def q199_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (the 100 TB shuffle eliminator): both
+    sides are written ``bucketBy(8, custkey)`` + sorted, so the
+    sort-merge join consumes the on-disk bucketing and needs ZERO
+    exchanges — the pattern that turns a recurring fact⨝dim shuffle
+    into a one-time layout cost (plan-gated in
+    ``test_q199_bucketed_join_no_exchange``). Results are identical to
+    the plain join (bucketing is physical layout only), which is what
+    the oracle checks. Tables land as EXTERNAL bucketed tables in a
+    per-run temp location — the registered-catalog requirement is
+    Spark's, not a warehouse dependency."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bucketed-join-")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    (
+        o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", f"{root}/orders_b")
+        .mode("overwrite").saveAsTable("q199_orders_b")
+    )
+    (
+        c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", f"{root}/customer_b")
+        .mode("overwrite").saveAsTable("q199_customer_b")
+    )
+    ob = spark.table("q199_orders_b")
+    cb = spark.table("q199_customer_b")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )

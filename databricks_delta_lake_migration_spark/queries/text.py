@@ -1264,3 +1264,47 @@ def q189_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "id_a", "id_b", "name_a", "name_b", "dist", "n_rows_a", "n_rows_b"
     )
+
+
+@query(
+    "q200_prefix_jaccard_join",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_shared AS INTEGER) AS n_shared,
+           ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) >= 0.9
+    """,
+)
+def q200_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard ≥ 0.9 [EXT] —
+    ``dedup.prefix_filter_jaccard_pairs`` (PPJoin-family prefix
+    filtering): candidates come ONLY from rarest-token prefixes
+    (provably complete for the threshold) plus a length filter, then
+    row-local array-intersect verification — exact results at a
+    fraction of the every-token join's candidate volume, with none of
+    LSH's false negatives. The oracle is the full brute-force
+    pair enumeration: prefix filtering must find exactly that set."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = prefix_filter_jaccard_pairs(docs, threshold=0.9)
+    return out.select(
+        "id_a", "id_b",
+        F.col("n_shared").cast("int").alias("n_shared"),
+        "jaccard",
+    )

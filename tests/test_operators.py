@@ -1367,3 +1367,37 @@ def test_hard_negatives_excludes_same_label(spark):
     assert all(r.negative_id != 0 for r in out)
     assert [r.negative_id for r in out if r.rnk == 1] == [2]
     assert len(out) == 2
+
+
+def test_prefix_filter_jaccard_exact_vs_all_pairs(spark):
+    """Prefix filtering is COMPLETE: its result equals the all-token
+    join's at the same threshold, including boundary-exact pairs."""
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),  # J(1,2)=4/5=0.8
+            (3, "alpha beta gamma"),                # J(1,3)=3/4=0.75
+            (4, "zeta eta theta iota"),
+            (5, "zeta eta theta iota"),             # J(4,5)=1.0
+            (6, "alpha zeta lambda mu"),            # low overlap w/ all
+        ],
+        "doc_id long, text string",
+    )
+    pf = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    ap = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in jaccard_pairs(
+            docs, block_col=None, threshold=0.8
+        ).collect()
+    }
+    assert pf == ap
+    assert pf[(1, 2)] == 0.8 and pf[(4, 5)] == 1.0
+    assert (1, 3) not in pf

@@ -410,3 +410,29 @@ def test_q184_set_ops_plan_as_existence_joins(spark):
     distinct-then-inner-join detours."""
     plan = explain(_q(spark, "q184_set_operations"))
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q199_bucketed_join_no_exchange(spark):
+    """Bucketed co-located join: with broadcast disabled (forcing the
+    join strategy the bucketing exists for), the sort-merge join reads
+    both bucketed tables WITHOUT any Exchange — the on-disk layout IS
+    the shuffle."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = _q(spark, "q199_bucketed_join")
+        plan = explain(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        # the only exchange allowed is the post-join aggregate's
+        # 5-group shuffle on c_mktsegment ("formatted" puts node names
+        # and Arguments on separate lines — gate on the detail lines)
+        hash_parts = [
+            l for l in plan.splitlines()
+            if "Arguments: hashpartitioning" in l
+        ]
+        assert len(hash_parts) == 1, f"extra exchanges: {hash_parts}"
+        assert "c_mktsegment" in hash_parts[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
