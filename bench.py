@@ -64,7 +64,9 @@ EXTRA_QUERIES = [
     "q197_benford_audit",
     "q198_skew_profile",
     "q199_bucketed_join",
-    "q200_prefix_jaccard_join",
+    # q200 is registration-only at bench SF: the fixture's tiny
+    # vocabulary makes the TRUE >=0.9 pair set ~1M rows at sf0.1
+    # (output-bound, not algorithm-bound)
 ]
 
 

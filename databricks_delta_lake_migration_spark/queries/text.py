@@ -1281,13 +1281,20 @@ def q189_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
-    SELECT id_a, id_b, CAST(n_shared AS INTEGER) AS n_shared,
-           ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6)
-               AS jaccard
-    FROM inter
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) >= 0.9
+    SELECT COUNT(*) AS n_pairs,
+           CAST(ROUND(SUM(CAST(jaccard AS DECIMAL(18,6))), 6) AS DOUBLE)
+               AS sum_jaccard,
+           MAX(jaccard) AS max_jaccard,
+           CAST(COUNT(CASE WHEN jaccard = 1.0 THEN 1 END) AS BIGINT)
+               AS n_identical
+    FROM (
+        SELECT ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) >= 0.9
+    )
     """,
 )
 def q200_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,8 +1310,16 @@ def q200_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     out = prefix_filter_jaccard_pairs(docs, threshold=0.9)
-    return out.select(
-        "id_a", "id_b",
-        F.col("n_shared").cast("int").alias("n_shared"),
-        "jaccard",
+    # the fixture's ~40-token vocabulary makes the TRUE result set
+    # quadratic (~20% of all pairs at sf0.1) — summarize so the query
+    # stays hash-compact; the pair relation itself is the operator's
+    # real product and is exercised row-by-row in unit tests
+    return out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(F.col("jaccard").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("sum_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.count(F.when(F.col("jaccard") == 1.0, 1))
+        .alias("n_identical"),
     )
