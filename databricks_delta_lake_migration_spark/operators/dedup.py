@@ -514,6 +514,7 @@ def fuzzy_pairs(
     id_col: str,
     max_dist: int = 2,
     block: Column | None = None,
+    max_block_rows: int = 5000,
 ) -> DataFrame:
     """Blocked edit-distance matching [EXT]: pairs of rows whose
     ``name_col`` values are within Levenshtein distance ``max_dist`` —
@@ -528,8 +529,18 @@ def fuzzy_pairs(
     SemDeDup cells. Levenshtein itself is a JVM builtin
     (``F.levenshtein``) — no Python in the pair loop. Pick a block
     with bounded fan-in (last name token, normalized phone prefix,
-    zip); a degenerate block (constant) degrades to all-pairs and
-    should be salted or refused upstream.
+    zip).
+
+    The blocking contract is ENFORCED, not advisory: a degenerate
+    block (constant / low-cardinality key) would silently degrade to
+    all-pairs, so any block exceeding ``max_block_rows`` raises at
+    execution time naming the hot block and its size
+    (``F.raise_error`` inside the plan — the check rides the same
+    per-block window as candidate generation, zero extra shuffles).
+    The operator is exact, so salt-splitting is NOT an option here
+    (pairs straddling salt groups would be lost — unlike the
+    approximate ``knn_graph`` buckets); re-block on a finer key or
+    route hot entities through :func:`lsh_candidate_pairs`.
 
     Emits ``(id_a, id_b, name_a, name_b, dist)`` with ``id_a < id_b``
     so each unordered pair appears exactly once.
@@ -541,6 +552,29 @@ def fuzzy_pairs(
     )
     side = df.select(
         F.col(id_col), F.col(name_col), b.alias("__block")
+    )
+    # the guard is folded into the join key itself (not a dropped side
+    # column Catalyst could prune away): evaluating the key for a row
+    # of a too-hot block raises
+    blk_sz = F.count(F.lit(1)).over(Window.partitionBy("__block"))
+    side = side.withColumn(
+        "__block",
+        F.when(
+            blk_sz > max_block_rows,
+            F.raise_error(
+                F.concat(
+                    F.lit("fuzzy_pairs: block "),
+                    F.col("__block"),
+                    F.lit(" has "),
+                    blk_sz.cast("string"),
+                    F.lit(
+                        f" rows > max_block_rows={max_block_rows}; "
+                        "candidate volume would be quadratic in the "
+                        "block — pick a finer block key"
+                    ),
+                )
+            ).cast("string"),
+        ).otherwise(F.col("__block")),
     )
     left = side.select(
         F.col("__block"),
@@ -638,13 +672,171 @@ def prefix_filter_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    # threshold the UNROUNDED jaccard (rounding is display-only): a
+    # pair with true J in [t-5e-7, t) that rounds up to t is NOT a
+    # match, and the prefix/length candidate generation is only
+    # provably complete for true J >= t — filtering on the rounded
+    # value would claim exactness the prefixes can't back
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(jac >= threshold)
         .select(
             "id_a", "id_b",
             inter.alias("n_shared"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _word_kgrams(toks: Column, k: int) -> Column:
+    """Array of word k-grams (positions preserved: element i spans
+    tokens i..i+k-1). Built by iterated zip_with over shifted slices —
+    the same constant-reference construction as :func:`textstats.
+    shingles` (transform(sequence) re-evaluates the token expression
+    per element; measured ~10× slower). Docs shorter than ``k`` words
+    yield an empty array."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    n = F.size(toks)
+    acc = toks
+    for i in range(2, k + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, i, F.greatest(n - (i - 1), F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return F.when(n >= k, F.slice(acc, 1, n - k + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_gram_positions(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the exact-substring family: ``(words, dup_pos)``
+    where ``words`` is (id, ws, n_words) and ``dup_pos`` is the
+    (id, pos) relation of k-gram START positions whose gram occurs in
+    ≥ 2 distinct documents (0-based ``pos``; the span covers words
+    pos..pos+k-1)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("ws"),
+    ).withColumn("n_words", F.size("ws"))
+    grams = words.select(
+        "id", F.posexplode(_word_kgrams(F.col("ws"), k)).alias("pos", "gram")
+    )
+    # cross-document frequency: ONE gram-keyed shuffle. Exactness
+    # requires grouping on the gram itself; at 100 TB pre-bucket the
+    # shuffle on xxhash64(gram) and keep the string only for the
+    # in-bucket equality check — hash-only grouping would merge
+    # colliding grams and over-strip.
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup, "gram").select("id", "pos")
+    return words, dup_pos
+
+
+def exact_substring_profile(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-substring profile at word k-gram
+    granularity [EXT] — the measurement half of the ExactSubstr recipe
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public formulation): for every document, how many
+    of its k-gram positions (and how many of its words) are covered by
+    a substring that also appears verbatim in ≥ 2 distinct documents.
+    The boilerplate-line stripper is the line-granularity special case
+    of this; see :func:`strip_duplicate_spans` for the removal half.
+
+    Returns ``(doc_id, n_words, n_grams, n_dup_grams, n_covered_words,
+    dup_ratio)`` — ``dup_ratio = n_dup_grams / n_grams`` (NULL for
+    docs shorter than ``k`` words).
+
+    Scale: grams never materialize per-document state beyond the token
+    array (row-local zip_with); the only shuffles are the gram-keyed
+    frequency agg (map-side combined), the candidate join back, and
+    two per-doc aggregates. Coverage expansion is k× the DUPLICATED
+    positions only, not the corpus."""
+    words, dup_pos = _dup_gram_positions(df, k, text_col, id_col)
+    dup_counts = dup_pos.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    covered = (
+        dup_pos.select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p")
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_covered_words"))
+    )
+    n_grams = F.greatest(F.col("n_words") - k + 1, F.lit(0)).cast("long")
+    return (
+        words.join(dup_counts, "id", "left")
+        .join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            n_grams.alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_covered_words", F.lit(0)).alias("n_covered_words"),
+            F.when(
+                n_grams > 0,
+                F.round(
+                    F.coalesce("n_dup_grams", F.lit(0)) / n_grams, 6
+                ),
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr removal half (Lee et al. 2022): rebuild each
+    document with every word position covered by a cross-document
+    duplicated k-gram removed. Returns ``(doc_id, text_stripped,
+    n_kept_words)`` — empty string when the whole doc is duplicated
+    material.
+
+    The kept-word reassembly is a per-doc sort over SURVIVING
+    positions only (array_sort on collected (pos, word) structs —
+    row-local, no global sort); word order inside each doc is
+    preserved exactly."""
+    words, dup_pos = _dup_gram_positions(df, k, text_col, id_col)
+    cov = dup_pos.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p")
+    ).distinct()
+    positions = words.select(
+        "id", F.posexplode("ws").alias("p", "w")
+    )
+    kept = positions.join(cov, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("text_stripped"),
+        F.count(F.lit(1)).alias("n_kept_words"),
+    )
+    return (
+        words.select("id")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_stripped", F.lit("")).alias("text_stripped"),
+            F.coalesce("n_kept_words", F.lit(0)).alias("n_kept_words"),
+        )
     )

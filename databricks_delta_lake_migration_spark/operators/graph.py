@@ -85,3 +85,63 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("r", 8).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge relation
+    [EXT] (input may list each edge once in either direction or both;
+    self-loops ignored) — the clustering/community-density primitive.
+    Returns ``(node, n_triangles)`` for every node in ≥1 triangle;
+    the global count is ``sum/3``.
+
+    Distributed shape (the standard degree-orientation reduction,
+    Suri & Vassilvitskii 2011 "Counting Triangles and the Curse of the
+    Last Reducer"): orient every edge from its LOWER-degree endpoint
+    to the higher (ties by id), so each wedge is generated at its
+    lowest-degree vertex — Σ deg_oriented² stays near-linear even on
+    power-law graphs where the naive Σ deg² explodes at hub nodes.
+    Then: wedges = oriented ⨝ oriented on the pivot (ONE self-join),
+    closed by ONE membership join against the canonical edge set.
+    Every join is a hash equi-join; nothing is quadratic in degree of
+    the hot node."""
+    canon = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    # undirected degree
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = canon.join(da, "a").join(db, "b")
+    # orient low-(deg, id) → high-(deg, id): a total order, so the
+    # oriented graph is acyclic and each triangle forms exactly one
+    # wedge at its minimum vertex
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    closing = canon.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])  # (u, v, w) triangles
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .unionAll(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -128,13 +128,21 @@ def group_trend(
     syy = F.col("syy").cast("double")
     num = n * sxy - sx * sy
     den = n * sxx - sx * sx
-    slope = num / den
+    den_y = n * syy - sy * sy
+    # degenerate groups (n=1 or constant x / constant y) have no
+    # defined fit: make them EXPLICITLY NULL in both engines — Spark's
+    # non-ANSI x/0 is NULL but DuckDB's double division yields
+    # ±Inf/NaN, so an unguarded division flaps the cross-engine hash
+    slope = F.when(den != 0, num / den)
     return agg.select(
         *group_cols,
         "n",
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+        F.round(
+            F.when((den != 0) & (den_y != 0), (num * num) / (den * den_y)),
+            6,
+        ).alias("r2"),
     )
 
 
@@ -395,7 +403,11 @@ def skew_profile(
         F.round(F.sum("n_rows").over(w) / F.col("total_rows"), 6).alias(
             "cum_share"
         ),
+        # divide BEFORE multiplying (share × n_keys in double): the
+        # int64 product n_rows × n_keys wraps silently under non-ANSI
+        # Spark once hot-key rows × key cardinality exceeds 2^63 — the
+        # exact regime this diagnostic exists for
         F.round(
-            F.col("n_rows") * F.col("n_keys") / F.col("total_rows"), 4
+            F.col("n_rows") / F.col("total_rows") * F.col("n_keys"), 4
         ).alias("skew_factor"),
     )

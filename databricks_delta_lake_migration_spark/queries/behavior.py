@@ -205,3 +205,51 @@ def q194_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
     )
     return merge_intervals(iv, ["user_id"], "s", "e")
+
+
+@query(
+    "q203_rfm_segments",
+    oracle="""
+    WITH ent AS (
+        SELECT user_id,
+               MAX(CAST(ts AS DATE)) AS last_day,
+               COUNT(*) AS frequency,
+               SUM(CAST(value AS DECIMAL(18,4))) AS monetary_d
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), h AS (SELECT MAX(last_day) AS hd FROM ent),
+    scored AS (
+        SELECT user_id,
+               CAST(date_diff('day', last_day, hd) AS BIGINT)
+                   AS recency_days,
+               frequency,
+               CAST(ROUND(monetary_d, 4) AS DOUBLE) AS monetary,
+               ntile(4) OVER (ORDER BY date_diff('day', last_day, hd) DESC,
+                              user_id ASC) AS r_score,
+               ntile(4) OVER (ORDER BY frequency ASC, user_id ASC)
+                   AS f_score,
+               ntile(4) OVER (ORDER BY monetary_d ASC, user_id ASC)
+                   AS m_score
+        FROM ent, h
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           r_score || '' || f_score || '' || m_score AS segment
+    FROM scored
+    """,
+)
+def q203_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer-value segmentation [EXT] —
+    ``operators.behavior.rfm_segments`` over purchase events: exact
+    per-user recency/frequency/monetary rollup (ONE map-side-combined
+    aggregate over the event table), then quartile scores via three
+    ntile windows over the ENTITY relation — thousands of times
+    smaller than the events; ties break on user_id so segment
+    membership is deterministic in both engines."""
+    from ..operators.behavior import rfm_segments
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_type = 'purchase'"
+    )
+    return rfm_segments(ev, "user_id", "ts", "value", n_tiles=4)

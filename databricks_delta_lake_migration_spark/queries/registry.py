@@ -31,6 +31,11 @@ class Query:
     doc: str = ""
 
 
+# Numbering note (audit aid): q69 is intentionally UNUSED. The ACID
+# tier ended at q68_cdc_mirror and the medallion tier that landed next
+# started at the round number q70 (commit b98688d); the slot was never
+# backfilled. Registrations are keyed by NAME — the gap is cosmetic,
+# kept so historical CORRECTNESS_r*.json rows stay aligned.
 REGISTRY: dict[str, Query] = {}
 
 _SHIPPED: set[int] = set()

@@ -11,6 +11,9 @@ broadcast where the stats make that the right call at 100 TB.
 
 from __future__ import annotations
 
+import atexit
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2344,6 +2347,33 @@ def q184_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retained.unionByName(churned)
 
 
+# q199's live (tables, temp dir) from the current run — dropped on the
+# NEXT invocation (lazy result: cleanup can't precede consumption) and
+# the dir reaped at interpreter exit for the final run.
+_Q199_LIVE: list[tuple[str, str, str]] = []
+
+
+def _q199_cleanup(spark: SparkSession | None) -> None:
+    import shutil
+
+    while _Q199_LIVE:
+        tbl_o, tbl_c, root = _Q199_LIVE.pop()
+        if spark is not None:
+            for tbl in (tbl_o, tbl_c):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q199_atexit() -> None:
+    # interpreter teardown: the JVM session may already be gone —
+    # only reclaim disk; a dropped-at-next-run catalog entry in a
+    # dead session costs nothing
+    _q199_cleanup(None)
+
+
+atexit.register(_q199_atexit)
+
+
 @query(
     "q199_bucketed_join",
     oracle=f"""
@@ -2364,10 +2394,22 @@ def q199_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain join (bucketing is physical layout only), which is what
     the oracle checks. Tables land as EXTERNAL bucketed tables in a
     per-run temp location — the registered-catalog requirement is
-    Spark's, not a warehouse dependency."""
+    Spark's, not a warehouse dependency.
+
+    Hygiene: names are per-run unique (two concurrent sessions sharing
+    a metastore can't collide), and each invocation drops the PREVIOUS
+    run's tables and temp dir — the returned frame is lazy, so
+    same-run cleanup must wait until the result has been consumed;
+    re-entry (and atexit for the last run's dir) is when that is
+    guaranteed. Running twice in one session leaves exactly one live
+    pair of catalog entries and temp dirs."""
     import tempfile
 
+    _q199_cleanup(spark)
     root = tempfile.mkdtemp(prefix="bucketed-join-")
+    suffix = os.path.basename(root).removeprefix("bucketed-join-")
+    tbl_o, tbl_c = f"q199_orders_b_{suffix}", f"q199_customer_b_{suffix}"
+    _Q199_LIVE.append((tbl_o, tbl_c, root))
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -2377,15 +2419,15 @@ def q199_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", f"{root}/orders_b")
-        .mode("overwrite").saveAsTable("q199_orders_b")
+        .mode("overwrite").saveAsTable(tbl_o)
     )
     (
         c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", f"{root}/customer_b")
-        .mode("overwrite").saveAsTable("q199_customer_b")
+        .mode("overwrite").saveAsTable(tbl_c)
     )
-    ob = spark.table("q199_orders_b")
-    cb = spark.table("q199_customer_b")
+    ob = spark.table(tbl_o)
+    cb = spark.table(tbl_c)
     return (
         ob.join(cb, ob.o_custkey == cb.c_custkey)
         .groupBy("c_mktsegment")
@@ -2394,3 +2436,74 @@ def q199_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "revenue"),
         )
     )
+
+
+@query(
+    "q202_table_diff",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), tgt AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 3 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 97 IN (3, 5)
+                    THEN o_totalprice + 1 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 7
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 11
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+                WHEN s.o_orderkey IS NULL THEN 'extra_in_target'
+                ELSE 'changed' END AS status,
+           CASE WHEN s.o_orderkey IS NULL OR t.o_orderkey IS NULL THEN ''
+                ELSE array_to_string(list_sort(list_filter(
+                    [CASE WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                          THEN 'o_orderstatus' END,
+                     CASE WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice
+                          THEN 'o_totalprice' END],
+                    x -> x IS NOT NULL)), ',')
+           END AS changed_cols
+    FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+    WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL
+       OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+       OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+    """,
+)
+def q202_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level migration reconciliation [EXT] — ``quality.table_diff``
+    over a deterministically perturbed copy of orders (keys dropped,
+    values drifted, keys invented — the three failure modes a
+    count+schema validation (Q4) cannot see). ONE key-partitioned
+    full-outer join (semantically unbroadcastable — both sides'
+    unmatched rows must survive); per-column drift is row-local
+    null-safe equality. The 100 TB recurring-diff shape buckets both
+    tables on the key first (q199's layout)."""
+    from ..quality import table_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mod = F.col("o_orderkey") % 97
+    target = (
+        o.filter(mod != 7)
+        .withColumn(
+            "o_orderstatus",
+            F.when(mod == 3, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                mod.isin(3, 5), F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(mod == 11).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    return table_diff(o, target, ["o_orderkey"])

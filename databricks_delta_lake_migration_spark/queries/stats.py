@@ -75,7 +75,14 @@ _SXY, _SXX, _SYY = (
 )
 _NUM = f"(n * {_SXY} - {_SX} * {_SY})"
 _DEN = f"(n * {_SXX} - {_SX} * {_SX})"
-_SLOPE = f"{_NUM} / {_DEN}"
+_DENY = f"(n * {_SYY} - {_SY} * {_SY})"
+# degenerate groups are explicitly NULL in both engines (mirrors the
+# F.when guard in operators.stats.group_trend)
+_SLOPE = f"(CASE WHEN {_DEN} <> 0 THEN {_NUM} / {_DEN} END)"
+_R2 = (
+    f"(CASE WHEN {_DEN} <> 0 AND {_DENY} <> 0 "
+    f"THEN ({_NUM} * {_NUM}) / ({_DEN} * {_DENY}) END)"
+)
 
 
 @query(
@@ -99,8 +106,7 @@ _SLOPE = f"{_NUM} / {_DEN}"
     SELECT o_orderpriority, n,
            ROUND({_SLOPE}, 6) AS slope,
            ROUND(({_SY} - {_SLOPE} * {_SX}) / n, 6) AS intercept,
-           ROUND(({_NUM} * {_NUM}) /
-                 ({_DEN} * (n * {_SYY} - {_SY} * {_SY})), 6) AS r2
+           ROUND({_R2}, 6) AS r2
     FROM stats
     """,
 )
@@ -358,7 +364,7 @@ def q197_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(n_rows) OVER (ORDER BY n_rows DESC, l_suppkey ASC
                                    ROWS UNBOUNDED PRECEDING)
                  * 1.0 / total_rows, 6) AS cum_share,
-           ROUND(n_rows * 1.0 * n_keys / total_rows, 4) AS skew_factor
+           ROUND(n_rows * 1.0 / total_rows * n_keys, 4) AS skew_factor
     FROM top
     """,
 )

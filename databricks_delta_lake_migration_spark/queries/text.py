@@ -1293,7 +1293,7 @@ def q189_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
-        WHERE ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) >= 0.9
+        WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.9
     )
     """,
 )
@@ -1323,3 +1323,51 @@ def q200_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("jaccard") == 1.0, 1))
         .alias("n_identical"),
     )
+
+
+@query(
+    "q201_exact_substring_profile",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+    ), g AS (
+        SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram
+        FROM words, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        WHERE len(ws) >= 5
+    ), dup AS (
+        SELECT gram FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dg AS (
+        SELECT doc_id, i FROM g JOIN dup USING (gram)
+    ), cov AS (
+        SELECT DISTINCT doc_id, p
+        FROM dg, LATERAL unnest(generate_series(i, i + 4)) AS c(p)
+    )
+    SELECT w.doc_id,
+           len(ws) AS n_words,
+           GREATEST(len(ws) - 4, 0) AS n_grams,
+           COALESCE(d.nd, 0) AS n_dup_grams,
+           COALESCE(c.nc, 0) AS n_covered_words,
+           CASE WHEN len(ws) >= 5
+                THEN ROUND(COALESCE(d.nd, 0) * 1.0 / (len(ws) - 4), 6)
+           END AS dup_ratio
+    FROM words w
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS nd FROM dg GROUP BY 1) d
+           ON w.doc_id = d.doc_id
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS nc FROM cov GROUP BY 1) c
+           ON w.doc_id = c.doc_id
+    """,
+)
+def q201_exact_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring profile at word 5-gram
+    granularity [EXT] — ``dedup.exact_substring_profile``, the
+    measurement half of the ExactSubstr dedup recipe (Lee et al. 2022,
+    public formulation); ``dedup.strip_duplicate_spans`` is the removal
+    half (pytest-verified vs a brute-force reference — its rebuilt
+    free-text column isn't hash-stable SQL). Generalizes the
+    boilerplate-line stripper (q123) from line to arbitrary k-gram
+    granularity. Grams stay row-local arrays (iterated zip_with);
+    shuffles are one gram-keyed frequency agg + the candidate join
+    back + per-doc rollups — the oracle is the brute-force position
+    enumeration."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_profile(docs, k=5)

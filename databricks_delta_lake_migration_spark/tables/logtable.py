@@ -4146,6 +4146,13 @@ class MergeBuilder:
             if idents:
                 ins, ip = t._allocate_identity(ins, idents)
                 ident_props.update(ip)
+                # pin the evaluated allocation: identity values derive
+                # from spark_partition_id + monotonically_increasing_id,
+                # so the CDF job re-executing this plan later could see
+                # a DIFFERENT AQE partitioning and stamp different (or
+                # NULL-offset) values than the committed table data —
+                # localCheckpoint makes both jobs read the same rows
+                ins = ins.localCheckpoint(eager=False)
             insert_frames.append(ins)
             return ins
 

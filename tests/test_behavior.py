@@ -188,3 +188,33 @@ def test_merge_intervals_matches_reference_hypothesis(spark):
         assert got == [tuple(r) for r in ref]
 
     run()
+
+
+def test_rfm_segments_hand_checked(spark):
+    """4 users, 2 tiles: inverted R polarity (most recent = high
+    score), exact decimal monetary, deterministic tie-break."""
+    from databricks_delta_lake_migration_spark.operators.behavior import (
+        rfm_segments,
+    )
+
+    rows = [
+        (1, "2024-01-10 00:00:00", 10.0),  # recent, 1 event, small
+        (2, "2024-01-01 00:00:00", 100.0),  # old, 2 events, big
+        (2, "2024-01-02 00:00:00", 100.0),
+        (3, "2024-01-08 00:00:00", 50.0),
+        (3, "2024-01-09 00:00:00", 5.0),
+        (4, "2024-01-03 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {r.user_id: r for r in rfm_segments(df, "user_id", "ts", "value", n_tiles=2).collect()}
+    assert out[1].recency_days == 0 and out[1].r_score == 2
+    assert out[2].recency_days == 8 and out[2].r_score == 1
+    assert out[2].monetary == 200.0 and out[2].m_score == 2
+    assert out[1].frequency == 1 and out[2].frequency == 2
+    assert out[2].f_score == 2
+    assert out[4].segment == "111"
+    # tie-break on user_id: users 1 and 4 both have frequency 1;
+    # ascending id order puts user 1 in the low tile deterministically
+    assert out[1].f_score == 1

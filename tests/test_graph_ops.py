@@ -46,3 +46,27 @@ def test_pagerank_star_matches_reference(spark):
     assert out == ref
     assert out[0] > out[1] == out[2]
     assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+def test_triangle_count_hand_checked(spark):
+    """K4 has 4 triangles (every node in 3); duplicate/reversed edges
+    and self-loops don't inflate; a path graph has none."""
+    from databricks_delta_lake_migration_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    noisy = k4 + [(2, 1), (3, 3), (1, 2)]  # reversed dup + self-loop
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_count(path).count() == 0
+    # one triangle + pendant: pendant node absent from output
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(tri).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -1939,6 +1939,48 @@ def test_identity_merge_time_allocation(spark, tmp_path):
         )
 
 
+def test_identity_merge_cdf_matches_committed_rows(spark, tmp_path):
+    """ADVICE r7: the CDF insert images for an identity-allocating
+    MERGE must carry the SAME uid values as the committed table data —
+    the stamped insert plan is materialized (localCheckpoint) before
+    the table write, so the later CDF job cannot re-derive different
+    values under a different AQE partitioning."""
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    t = LogTable.create(
+        spark, str(tmp_path / "identcdf"), schema,
+        identity_columns={"uid": {"start": 1, "step": 1}},
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    src = spark.createDataFrame(
+        [(f"n{i}",) for i in range(50)], "name string"
+    )
+    v_before = t.version()
+    (
+        t.merge(src, "target.name = source.name")
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    table_ids = {
+        r.name: r.uid
+        for r in t.read().filter(F.col("name").startswith("n")).collect()
+    }
+    cdf_ids = {
+        r.name: r.uid
+        for r in t.read_changes(starting_version=v_before + 1)
+        .filter(F.col("_change_type") == "insert")
+        .collect()
+    }
+    assert cdf_ids == table_ids
+    assert None not in cdf_ids.values()
+    assert sorted(cdf_ids.values()) == list(range(3, 53))
+
+
 def test_identity_merge_occ_conflict(spark, tmp_path):
     """A MERGE that allocates identity values is a metadata change
     (identity.* watermark property) — a racing identity writer

@@ -1208,3 +1208,40 @@ def test_pyavro_tz_refresh_on_reregister(spark, tmp_path):
         assert back.ts == datetime.datetime(2024, 6, 1, 12, 0, 0)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_table_diff_classifies_and_null_semantics(spark):
+    """table_diff: presence statuses, per-column drift lists, NULL vs
+    value is a change but NULL vs NULL is not, identical rows drop by
+    default and return with include_identical."""
+    from databricks_delta_lake_migration_spark.quality import table_diff
+
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v int",
+    )
+    tgt = spark.createDataFrame(
+        [(1, "a", 10),          # identical
+         (2, "b2", None),       # s changed; NULL v == NULL v
+         (4, "x", None),        # NULL->x and 40->NULL both changes
+         (5, "new", 50)],       # extra
+        "k long, s string, v int",
+    )
+    out = {
+        r.k: (r.status, r.changed_cols)
+        for r in table_diff(src, tgt, ["k"]).collect()
+    }
+    assert out == {
+        2: ("changed", "s"),
+        3: ("missing_in_target", ""),
+        4: ("changed", "s,v"),
+        5: ("extra_in_target", ""),
+    }
+    withid = table_diff(src, tgt, ["k"], include_identical=True)
+    assert {r.k: r.status for r in withid.collect()}[1] == "identical"
+    # compare_cols restricts the drift scan
+    only_v = {
+        r.k: r.status
+        for r in table_diff(src, tgt, ["k"], compare_cols=["v"]).collect()
+    }
+    assert 2 not in only_v and only_v[4] == "changed"

@@ -1326,6 +1326,26 @@ def test_fuzzy_pairs_blocked_levenshtein(spark):
     assert out == {(1, 2): 1, (3, 4): 1}
 
 
+def test_fuzzy_pairs_enforces_block_cap(spark):
+    """A degenerate (constant) block exceeding max_block_rows raises
+    at execution time naming the hot block, instead of silently
+    running an all-pairs comparison; under the cap it completes."""
+    import pytest
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name{i} smith") for i in range(40)], "pid long, name string"
+    )
+    with pytest.raises(Exception, match="smith.*max_block_rows"):
+        fuzzy_pairs(df, "name", "pid", max_block_rows=10).collect()
+    # same data under the cap: completes with bounded candidates
+    assert (
+        fuzzy_pairs(df, "name", "pid", max_block_rows=40).count() >= 0
+    )
+
+
 def test_weighted_sample_bias_determinism_and_plan(spark):
     """Heavy-weight rows dominate the sample; repeat runs are
     identical; the cut plans as TakeOrdered, not a global sort."""
@@ -1401,3 +1421,66 @@ def test_prefix_filter_jaccard_exact_vs_all_pairs(spark):
     assert pf == ap
     assert pf[(1, 2)] == 0.8 and pf[(4, 5)] == 1.0
     assert (1, 3) not in pf
+
+
+def _brute_exact_substring(rows, k):
+    """Python reference for the ExactSubstr family: per-doc duplicated
+    k-gram starts + covered positions + stripped text."""
+    toks = {i: t.lower().split() for i, t in rows}
+    grams = {
+        i: [" ".join(ws[p:p + k]) for p in range(len(ws) - k + 1)]
+        for i, ws in toks.items()
+    }
+    owners = {}
+    for i, gs in grams.items():
+        for g in gs:
+            owners.setdefault(g, set()).add(i)
+    dup = {g for g, o in owners.items() if len(o) >= 2}
+    out = {}
+    for i, ws in toks.items():
+        starts = [p for p, g in enumerate(grams[i]) if g in dup]
+        cov = {q for p in starts for q in range(p, p + k)}
+        kept = [w for p, w in enumerate(ws) if p not in cov]
+        out[i] = (len(ws), len(grams[i]), len(starts), len(cov), " ".join(kept))
+    return out
+
+
+def test_exact_substring_profile_and_strip_vs_brute_force(spark):
+    """ExactSubstr (Lee et al. 2022 recipe): profile counts and the
+    stripped text match the brute-force position enumeration; a
+    k-gram must appear in >= 2 DISTINCT docs to count (an intra-doc
+    repeat alone is not cross-document duplication)."""
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        exact_substring_profile,
+        strip_duplicate_spans,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "we saw the quick brown fox jumps right past us"),
+        (3, "an unrelated document about spark shuffles and joins"),
+        (4, "short doc"),                       # < k words: 0 grams
+        (5, "echo echo echo echo echo echo"),   # intra-doc repeat only
+    ]
+    k = 5
+    ref = _brute_exact_substring(rows, k)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {
+        r.doc_id: (r.n_words, r.n_grams, r.n_dup_grams, r.n_covered_words)
+        for r in exact_substring_profile(df, k=k).collect()
+    }
+    stripped = {
+        r.doc_id: (r.text_stripped, r.n_kept_words)
+        for r in strip_duplicate_spans(df, k=k).collect()
+    }
+    assert set(prof) == set(ref)
+    for i, (nw, ng, nd, nc, kept) in ref.items():
+        assert prof[i] == (nw, ng, nd, nc), f"doc {i}"
+        assert stripped[i] == (kept, len(kept.split()) if kept else 0), f"doc {i}"
+    # the shared 5-gram 'the quick brown fox jumps' was found and only
+    # its spans were removed
+    assert prof[1][2] == 1 and prof[2][2] == 1
+    assert "quick" not in stripped[1][0] and "tonight" in stripped[1][0]
+    # doc 5's self-repeats survive (cross-doc test), doc 4 is intact
+    assert stripped[5][0] == rows[4][1]
+    assert stripped[4][0] == rows[3][1]

@@ -436,3 +436,37 @@ def test_q199_bucketed_join_no_exchange(spark):
         assert "c_mktsegment" in hash_parts[0]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q199_reentry_leaves_no_stale_state(spark):
+    """ADVICE r7 hygiene: running q199 twice in one session leaves
+    exactly ONE live pair of (unique-named) catalog tables and one
+    temp dir — re-entry drops the previous run's state."""
+    import glob
+    import tempfile
+
+    from databricks_delta_lake_migration_spark.queries import relational
+
+    def live_tables():
+        return [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("q199_")
+        ]
+
+    def live_dirs():
+        return set(glob.glob(f"{tempfile.gettempdir()}/bucketed-join-*"))
+
+    d0 = live_dirs()  # stale dirs from OTHER processes aren't ours
+    _q(spark, "q199_bucketed_join").collect()
+    t1, d1 = live_tables(), live_dirs()
+    _q(spark, "q199_bucketed_join").collect()
+    t2, d2 = live_tables(), live_dirs()
+    assert len(t1) == 2 and len(t2) == 2
+    assert not (set(t1) & set(t2))  # per-run unique; previous dropped
+    assert len(d1 - d0) == 1 and len(d2 - d0) == 1
+    assert not ((d1 - d0) & (d2 - d0))  # run-1's dir was reclaimed
+    # simulate session end for the last run: the atexit hook reclaims
+    # the dir; drop the tables too so the suite leaves a clean catalog
+    relational._q199_cleanup(spark)
+    assert live_tables() == []
+    assert not live_dirs() & (d2 - d0)

@@ -35,6 +35,25 @@ def test_group_trend_exact_fit_and_noisy_fit(spark):
     assert out["b"].r2 == 0.75
 
 
+def test_group_trend_degenerate_groups_explicit_null(spark):
+    """n=1, constant-x, and constant-y groups yield NULL (not
+    Inf/NaN-in-one-engine): the den/den_y guards fire."""
+    rows = (
+        [("single", 5, 7)]                             # n=1 → den=0
+        + [("flat_x", 3, 1), ("flat_x", 3, 9)]          # den=0
+        + [("flat_y", 1, 4), ("flat_y", 2, 4)]          # den_y=0 → r2 NULL
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    for g in ("single", "flat_x"):
+        assert out[g].slope is None
+        assert out[g].intercept is None
+        assert out[g].r2 is None
+    assert out["flat_y"].slope == 0.0
+    assert out["flat_y"].intercept == 4.0
+    assert out["flat_y"].r2 is None
+
+
 def test_equidepth_histogram_remainder_buckets(spark):
     """10 rows into 3 buckets: sizes 4/3/3, ranges [1,4][5,7][8,10]."""
     df = spark.createDataFrame(
