@@ -329,3 +329,146 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-/last-touch conversion attribution [EXT]: each
+    ``conversion_type`` event's value is credited to the entity's
+    earliest (first-touch) and most recent (last-touch) PRIOR
+    non-conversion event type — the two bookend models of marketing
+    attribution. Conversions with no prior touch credit ``direct``.
+    Returns per-channel ``(channel, n_first, first_touch_rev, n_last,
+    last_touch_rev)``.
+
+    ONE entity-keyed exchange: both bookends are ignore-nulls
+    first/last window functions over the same (entity, ts, tiebreak)
+    ordering with an UNBOUNDED..1 PRECEDING frame — running state, not
+    a per-conversion lookback self-join (the join would be quadratic
+    in events-per-entity). The channel rollups aggregate the
+    conversion-sized relation only; revenue sums are exact decimal."""
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    conv = (
+        df.withColumn("first_ch", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_ch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.coalesce("first_ch", F.lit("direct")).alias("first_ch"),
+            F.coalesce("last_ch", F.lit("direct")).alias("last_ch"),
+            F.col(value_col).cast("decimal(18,4)").alias("v"),
+        )
+    )
+    ft = conv.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_first"),
+        F.round(F.sum("v"), 4).cast("double").alias("first_touch_rev"),
+    )
+    lt = conv.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_last"),
+        F.round(F.sum("v"), 4).cast("double").alias("last_touch_rev"),
+    )
+    return (
+        ft.join(lt, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first", F.lit(0)).alias("n_first"),
+            F.coalesce("first_touch_rev", F.lit(0.0)).alias("first_touch_rev"),
+            F.coalesce("n_last", F.lit(0)).alias("n_last"),
+            F.coalesce("last_touch_rev", F.lit(0.0)).alias("last_touch_rev"),
+        )
+    )
+
+
+def conversion_lag(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+) -> DataFrame:
+    """Conversion-lag distribution [EXT]: per entity, the time from its
+    FIRST ``from_type`` event to its first ``to_type`` event AT OR
+    AFTER it, bucketed into whole days — the activation-latency curve
+    (signup→purchase, trial→upgrade). Returns ``(lag_days, n_entities)``
+    including a ``-1`` bucket for entities that started but never
+    converted (the funnel's drop-off mass, kept explicit instead of
+    silently filtered).
+
+    ONE entity-keyed aggregate computes both firsts as conditional
+    mins (the second conditioned on the first via a min-over-window,
+    same single-exchange discipline as ``funnel``); the day-bucket
+    rollup aggregates the entity-sized relation."""
+    w = Window.partitionBy(entity_col)
+    start = F.min(
+        F.when(F.col(type_col) == from_type, F.col(ts_col))
+    ).over(w)
+    conv = F.min(
+        F.when(
+            (F.col(type_col) == to_type) & (F.col(ts_col) >= start),
+            F.col(ts_col),
+        )
+    ).over(w)
+    per_entity = (
+        df.select(
+            F.col(entity_col).alias("e"),
+            start.alias("t0"),
+            conv.alias("t1"),
+        )
+        .filter(F.col("t0").isNotNull())
+        .distinct()
+    )
+    lag = F.when(
+        F.col("t1").isNotNull(),
+        F.floor(
+            (F.unix_micros("t1") - F.unix_micros("t0"))
+            / F.lit(86_400_000_000)
+        ),
+    ).otherwise(F.lit(-1))
+    return (
+        per_entity.groupBy(lag.cast("long").alias("lag_days"))
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+
+
+def throttle_events(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    min_gap_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-(entity, type) event throttling [EXT]: flag events arriving
+    within ``min_gap_seconds`` of the PREVIOUS event of the same entity
+    and type — the duplicate-fire / retry-storm suppressor run before
+    behavioral rollups. Returns the input plus ``is_throttled``.
+
+    Lag-based (gap to the previous RAW event): one (entity, type)
+    window over exact epoch micros, zero self-joins. True debounce —
+    gap measured to the last KEPT event — is a running-state recurrence
+    a window can't express; that variant belongs to
+    ``applyInPandasWithState`` (q159's stateful-timeout machinery) and
+    is deliberately NOT emulated here to keep this exactly
+    restatable as SQL."""
+    w = Window.partitionBy(entity_col, type_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(
+        F.unix_micros(F.col(ts_col))
+    ).over(w)
+    return df.withColumn(
+        "is_throttled",
+        F.coalesce(gap < min_gap_seconds * 1_000_000, F.lit(False)),
+    )

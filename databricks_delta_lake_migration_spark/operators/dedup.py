@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import norm_text_hash
-from .textstats import shingles, tokens
+from .textstats import shingles, tokens, word_kgrams
 
 
 # ---------------------------------------------------------------------------
@@ -689,28 +689,6 @@ def prefix_filter_jaccard_pairs(
     )
 
 
-def _word_kgrams(toks: Column, k: int) -> Column:
-    """Array of word k-grams (positions preserved: element i spans
-    tokens i..i+k-1). Built by iterated zip_with over shifted slices —
-    the same constant-reference construction as :func:`textstats.
-    shingles` (transform(sequence) re-evaluates the token expression
-    per element; measured ~10× slower). Docs shorter than ``k`` words
-    yield an empty array."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    n = F.size(toks)
-    acc = toks
-    for i in range(2, k + 1):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, i, F.greatest(n - (i - 1), F.lit(0))),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-    return F.when(n >= k, F.slice(acc, 1, n - k + 1)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def _dup_gram_positions(
     df: DataFrame, k: int, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -724,7 +702,7 @@ def _dup_gram_positions(
         tokens(F.col(text_col)).alias("ws"),
     ).withColumn("n_words", F.size("ws"))
     grams = words.select(
-        "id", F.posexplode(_word_kgrams(F.col("ws"), k)).alias("pos", "gram")
+        "id", F.posexplode(word_kgrams(F.col("ws"), k)).alias("pos", "gram")
     )
     # cross-document frequency: ONE gram-keyed shuffle. Exactness
     # requires grouping on the gram itself; at 100 TB pre-bucket the

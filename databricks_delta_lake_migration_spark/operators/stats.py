@@ -411,3 +411,42 @@ def skew_profile(
             F.col("n_rows") / F.col("total_rows") * F.col("n_keys"), 4
         ).alias("skew_factor"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct count (rolling N-day active entities)
+    [EXT]: per calendar day, the EXACT distinct-entity count over the
+    last ``window_days`` days — the DAU/WAU family. Spark has no
+    ``COUNT(DISTINCT) OVER`` window; the composition is the idiomatic
+    replacement: distinct (day, entity) → per-day entity sets →
+    flatten+array_distinct over a RANGE frame keyed on the day number.
+    Returns ``(day, n_daily, n_rolling)``.
+
+    Scale: the heavy work is the ONE (day, entity) distinct shuffle
+    over the fact table; everything after operates on the per-day set
+    relation, whose cardinality is calendar-bounded (a year is 365
+    rows), so the un-partitioned range window is over a metadata-sized
+    relation — per-day sets carry up to the daily entity cardinality
+    each, which is what bounds applicability (hundreds of millions of
+    daily entities → switch to HLL sketch union, q158's path, and
+    accept approximation)."""
+    daily = df.select(
+        F.to_date(ts_col).alias("day"),
+        F.col(entity_col).alias("e"),
+    ).distinct()
+    sets = daily.groupBy("day").agg(
+        F.collect_set("e").alias("es")
+    ).withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
+    w = Window.orderBy("day_num").rangeBetween(-(window_days - 1), 0)
+    return sets.select(
+        "day",
+        F.size("es").cast("long").alias("n_daily"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("es").over(w)))
+        ).cast("long").alias("n_rolling"),
+    )

@@ -8,7 +8,7 @@ codegen and scales to 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import norm_text_hash
@@ -58,6 +58,28 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
     return F.when(n >= 3, F.slice(tri, 1, n - 2)).otherwise(
         F.array(F.concat_ws(" ", toks))
+    )
+
+
+def word_kgrams(toks: Column, k: int) -> Column:
+    """Array of word k-grams (positions preserved: element i spans
+    tokens i..i+k-1). Built by iterated zip_with over shifted slices —
+    the same constant-reference construction as :func:`shingles`
+    (transform(sequence) re-evaluates the token expression
+    per element; measured ~10× slower). Docs shorter than ``k`` words
+    yield an empty array."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    n = F.size(toks)
+    acc = toks
+    for i in range(2, k + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, i, F.greatest(n - (i - 1), F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return F.when(n >= k, F.slice(acc, 1, n - k + 1)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -908,4 +930,71 @@ def bigram_logprob_scores(
             "avg_bigram_logprob"
         ),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (Rae et al. 2021
+    "Scaling Language Models", public quality-filter recipe, Table A1):
+    for n ∈ {2, 3}, the fraction of the document's characters contained
+    in occurrences of its single most frequent word n-gram — the
+    looping-text detector that length/stopword ratios (q32) miss.
+    Returns ``(doc_id, n_chars, top_bigram, bigram_char_frac,
+    top_trigram, trigram_char_frac)``; fractions are capped at 1.0
+    (overlapping occurrences can over-count chars) and NULL for docs
+    with no n-gram of that order.
+
+    Shape: grams explode → ONE (doc, gram) count shuffle per order +
+    a per-doc window picking the mode (ties break lexicographically,
+    engine-portable). Normalized char length is the denominator, so
+    the metric is tokenizer-consistent with the rest of the §2.14
+    text tier."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(norm).alias("n_chars"),
+        tokens(F.col(text_col)).alias("ws"),
+    )
+
+    def top_frac(k: int, label: str) -> DataFrame:
+        g = base.select(
+            "id", "n_chars",
+            F.explode(word_kgrams(F.col("ws"), k)).alias("gram"),
+        )
+        counts = g.groupBy("id", "n_chars", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("cnt").desc(), F.col("gram").asc()
+        )
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "id",
+                F.col("gram").alias(f"top_{label}"),
+                F.round(
+                    F.least(
+                        F.col("cnt") * F.length("gram") / F.col("n_chars"),
+                        F.lit(1.0),
+                    ),
+                    6,
+                ).alias(f"{label}_char_frac"),
+            )
+        )
+
+    return (
+        base.select(F.col("id"), "n_chars")
+        .join(top_frac(2, "bigram"), "id", "left")
+        .join(top_frac(3, "trigram"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_chars",
+            "top_bigram", "bigram_char_frac",
+            "top_trigram", "trigram_char_frac",
+        )
     )

@@ -253,3 +253,133 @@ def q203_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type = 'purchase'"
     )
     return rfm_segments(ev, "user_id", "ts", "value", n_tiles=4)
+
+
+@query(
+    "q205_touch_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT COALESCE(first_value(
+                   CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS first_ch,
+               COALESCE(last_value(
+                   CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS last_ch,
+               CAST(value AS DECIMAL(18,4)) AS v,
+               event_type
+        FROM events
+    ), p AS (SELECT * FROM conv WHERE event_type = 'purchase'),
+    ft AS (
+        SELECT first_ch AS channel, COUNT(*) AS n_first,
+               CAST(ROUND(SUM(v), 4) AS DOUBLE) AS first_touch_rev
+        FROM p GROUP BY 1
+    ), lt AS (
+        SELECT last_ch AS channel, COUNT(*) AS n_last,
+               CAST(ROUND(SUM(v), 4) AS DOUBLE) AS last_touch_rev
+        FROM p GROUP BY 1
+    )
+    SELECT COALESCE(ft.channel, lt.channel) AS channel,
+           COALESCE(n_first, 0) AS n_first,
+           COALESCE(first_touch_rev, 0.0) AS first_touch_rev,
+           COALESCE(n_last, 0) AS n_last,
+           COALESCE(last_touch_rev, 0.0) AS last_touch_rev
+    FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+    """,
+)
+def q205_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch purchase attribution [EXT] —
+    ``operators.behavior.touch_attribution``: each purchase credits
+    the user's earliest and latest PRIOR non-purchase event type (or
+    'direct'). Both bookends are ignore-nulls first/last windows over
+    ONE user-keyed sort (running state — never a per-conversion
+    lookback self-join); the channel rollups aggregate only the
+    purchase-sized relation with exact decimal revenue."""
+    from ..operators.behavior import touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", "ts", "event_type", "value",
+        conversion_type="purchase", tiebreak_col="event_id",
+    )
+
+
+@query(
+    "q210_conversion_lag",
+    oracle="""
+    WITH pe AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               MIN(CASE WHEN event_type = 'purchase'
+                        AND ts >= (SELECT MIN(ts) FROM events e2
+                                   WHERE e2.user_id = e.user_id
+                                     AND e2.event_type = 'signup')
+                   THEN ts END) AS t1
+        FROM events e GROUP BY user_id
+    )
+    SELECT CASE WHEN t1 IS NOT NULL
+                THEN CAST(floor(date_diff('microsecond', t0, t1)
+                                / 86400000000.0) AS BIGINT)
+                ELSE -1 END AS lag_days,
+           COUNT(*) AS n_entities
+    FROM pe WHERE t0 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q210_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase activation-lag distribution [EXT] —
+    ``operators.behavior.conversion_lag``: first signup and first
+    subsequent purchase are conditional min-windows over ONE
+    entity-keyed exchange; never-converted users are an explicit -1
+    bucket. Exact epoch-micro arithmetic floor-bucketed to days."""
+    from ..operators.behavior import conversion_lag
+
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_lag(
+        ev, "user_id", "ts", "event_type",
+        from_type="signup", to_type="purchase",
+    )
+
+
+@query(
+    "q211_event_throttle",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts ASC, event_id ASC),
+                   ts) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN gap_us < 600000000 THEN 1 END) AS n_throttled
+    FROM g GROUP BY 1
+    """,
+)
+def q211_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-storm suppression audit [EXT] —
+    ``operators.behavior.throttle_events`` at a 600 s minimum gap per
+    (user, type): lag over ONE (entity, type)-keyed window in exact
+    epoch micros, then a per-type rollup of throttle counts. True
+    last-KEPT-event debounce is running state → the stateful streaming
+    path (q159), documented in the operator."""
+    from ..operators.behavior import throttle_events
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = throttle_events(
+        ev, "user_id", "event_type", "ts",
+        min_gap_seconds=600, tiebreak_col="event_id",
+    )
+    from pyspark.sql import functions as F
+
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("is_throttled"), 1)).alias("n_throttled"),
+    )

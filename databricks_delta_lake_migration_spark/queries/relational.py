@@ -2507,3 +2507,63 @@ def q202_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(o, target, ["o_orderkey"])
+
+
+@query(
+    "q206_semi_join_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+    """,
+)
+def q206_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (relational-completeness gap-fill next to J1–J7):
+    suppliers with ≥1 high-quantity lineitem via ``left_semi`` — the
+    probe side never duplicates or widens (no distinct-after-inner-join
+    detour), and the quantity filter pushes to the parquet scan before
+    the existence check. Plan-gated LeftSemi in
+    ``test_q206_semi_join_plans_left_semi``."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45
+    ).select("l_suppkey")
+    return s.join(
+        li, s.s_suppkey == li.l_suppkey, "left_semi"
+    )
+
+
+@query(
+    "q212_ordered_string_agg",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q212_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG — the A-family
+    report formatter): per nation, the sorted CSV of supplier names.
+    Spark has no ordered string_agg; ``array_join(array_sort(
+    collect_list(...)))`` is the deterministic re-expression — sorting
+    INSIDE the row (row-local, engine-portable) instead of trusting
+    collect_list's partition-order luck. Broadcast dimension join, one
+    grouped shuffle."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_name"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), ","
+            ).alias("supplier_csv"),
+        )
+    )

@@ -686,3 +686,64 @@ def q192_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion is row-local, and a per-anchor window keeps k."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(emb, query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+@query(
+    "q207_vector_stats_hof",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)))
+                   AS v
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           ROUND(sqrt(CAST(list_aggregate(
+               list_transform(v, x -> x * x), 'sum') AS DOUBLE)), 6)
+               AS l2_norm,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive,
+           ROUND(CAST(list_aggregate(v, 'sum') AS DOUBLE) / len(v), 6)
+               AS mean_val
+    FROM s
+    """,
+)
+def q207_vector_stats_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector feature statistics via higher-order array functions
+    [EXT]: transform / filter / aggregate evaluate ROW-LOCAL inside
+    whole-stage codegen — the idiomatic Spark shape for elementwise
+    vector math (zero explodes, zero shuffles, zero Python; the
+    UDF-free path the §2.12 surface routes around). Elements snap to
+    DECIMAL(12,6) before the folds so the sums are exact and
+    order-independent in both engines — the registry's decimal
+    doctrine applied inside an array."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double"), 6).cast("decimal(12,6)"),
+    )
+    e = emb.select("vec_id", v.alias("v"))
+    # decimal + decimal widens past 38 and Spark shrinks the scale,
+    # which breaks aggregate()'s fixed accumulator type — re-snap the
+    # merge result to the accumulator type (exact: 64 dims of (25,12)
+    # products can't overflow 38 digits)
+    sq_sum = F.aggregate(
+        F.transform("v", lambda x: x * x),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
+    )
+    v_sum = F.aggregate(
+        "v",
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, x: (acc + x).cast("decimal(38,6)"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("v").cast("int").alias("n_dims"),
+        F.round(F.sqrt(sq_sum.cast("double")), 6).alias("l2_norm"),
+        F.size(F.filter("v", lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(v_sum.cast("double") / F.size("v"), 6).alias("mean_val"),
+    )

@@ -379,3 +379,31 @@ def q198_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return skew_profile(li, ["l_suppkey"], top_n=10)
+
+
+@query(
+    "q208_rolling_distinct",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+        SELECT day, COUNT(*) AS n_daily FROM daily GROUP BY 1
+    )
+    SELECT d.day, d.n_daily,
+           (SELECT COUNT(DISTINCT u.user_id) FROM daily u
+            WHERE u.day BETWEEN d.day - 6 AND d.day) AS n_rolling
+    FROM days d
+    """,
+)
+def q208_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users [EXT] —
+    ``operators.stats.rolling_distinct``: Spark lacks COUNT(DISTINCT)
+    OVER, so per-day entity sets are flattened+deduped over a RANGE
+    frame — exact, and the window runs over the calendar-bounded
+    per-day relation, not the fact table (whose only pass is the one
+    (day, user) distinct shuffle). The 100 TB escape hatch when daily
+    cardinality outgrows a set is the HLL sketch union (q158)."""
+    from ..operators.stats import rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_distinct(ev, "ts", "user_id", window_days=7)

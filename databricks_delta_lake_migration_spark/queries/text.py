@@ -1371,3 +1371,62 @@ def q201_exact_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_substring_profile(docs, k=5)
+
+
+@query(
+    "q209_gopher_repetition",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS n_chars,
+               {_SQL_TOKS} AS ws
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, n_chars, array_to_string(ws[i:i+1], ' ') AS gram
+        FROM base, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    c2 AS (SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+           FROM g2 GROUP BY 1, 2, 3),
+    t2 AS (
+        SELECT doc_id, gram AS top_bigram,
+               ROUND(LEAST(cnt * length(gram) * 1.0 / n_chars, 1.0), 6)
+                   AS bigram_char_frac
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gram ASC) AS rn FROM c2)
+        WHERE rn = 1
+    ),
+    g3 AS (
+        SELECT doc_id, n_chars, array_to_string(ws[i:i+2], ' ') AS gram
+        FROM base, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    c3 AS (SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+           FROM g3 GROUP BY 1, 2, 3),
+    t3 AS (
+        SELECT doc_id, gram AS top_trigram,
+               ROUND(LEAST(cnt * length(gram) * 1.0 / n_chars, 1.0), 6)
+                   AS trigram_char_frac
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gram ASC) AS rn FROM c3)
+        WHERE rn = 1
+    )
+    SELECT b.doc_id, n_chars, top_bigram, bigram_char_frac,
+           top_trigram, trigram_char_frac
+    FROM base b
+    LEFT JOIN t2 ON b.doc_id = t2.doc_id
+    LEFT JOIN t3 ON b.doc_id = t3.doc_id
+    """,
+)
+def q209_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality filters [EXT] —
+    ``textstats.gopher_repetition``: per-doc fraction of characters in
+    the most frequent word 2-/3-gram (Rae et al. 2021 Table A1's
+    looping-text detectors). One (doc, gram) count shuffle per order,
+    mode picked by a deterministic per-doc window; complements the
+    CROSS-document ExactSubstr profile (q201) with the INTRA-document
+    repetition axis."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.gopher_repetition(docs)

@@ -218,3 +218,85 @@ def test_rfm_segments_hand_checked(spark):
     # tie-break on user_id: users 1 and 4 both have frequency 1;
     # ascending id order puts user 1 in the low tile deterministically
     assert out[1].f_score == 1
+
+
+def test_touch_attribution_hand_checked(spark):
+    """First purchase of u1 credits view(first)/click(last); its
+    second purchase (after a signup) credits view/signup — purchases
+    never self-credit; u2's cold purchase goes to 'direct'."""
+    from databricks_delta_lake_migration_spark.operators.behavior import (
+        touch_attribution,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view", 0.0),
+        (2, 1, "2024-01-01 10:05:00", "click", 0.0),
+        (3, 1, "2024-01-01 10:10:00", "purchase", 10.0),
+        (4, 1, "2024-01-01 10:20:00", "signup", 0.0),
+        (5, 1, "2024-01-01 10:30:00", "purchase", 5.0),
+        (6, 2, "2024-01-02 09:00:00", "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.channel: (r.n_first, r.first_touch_rev, r.n_last, r.last_touch_rev)
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "value",
+            conversion_type="purchase", tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out["view"] == (2, 15.0, 0, 0.0)
+    assert out["click"] == (0, 0.0, 1, 10.0)
+    assert out["signup"] == (0, 0.0, 1, 5.0)
+    assert out["direct"] == (1, 7.0, 1, 7.0)
+    assert "purchase" not in out
+
+
+def test_conversion_lag_and_throttle_hand_checked(spark):
+    """conversion_lag: pre-signup purchases don't count, never-converted
+    users land in -1; throttle: only sub-gap repeats of the same
+    (user, type) flag."""
+    from databricks_delta_lake_migration_spark.operators.behavior import (
+        conversion_lag,
+        throttle_events,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "purchase"),  # BEFORE signup
+        (2, 1, "2024-01-02 00:00:00", "signup"),
+        (3, 1, "2024-01-04 12:00:00", "purchase"),  # lag 2.5d -> 2
+        (4, 2, "2024-01-01 00:00:00", "signup"),    # never converts
+        (5, 3, "2024-01-01 00:00:00", "signup"),
+        (6, 3, "2024-01-01 00:00:30", "purchase"),  # lag 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lags = {
+        r.lag_days: r.n_entities
+        for r in conversion_lag(
+            df, "user_id", "ts", "event_type", "signup", "purchase"
+        ).collect()
+    }
+    assert lags == {2: 1, -1: 1, 0: 1}
+
+    t = {
+        r.event_id: r.is_throttled
+        for r in throttle_events(
+            df, "user_id", "event_type", "ts",
+            min_gap_seconds=60, tiebreak_col="event_id",
+        ).collect()
+    }
+    # user 3's purchase is 30s after its signup — DIFFERENT type, not
+    # throttled; no same-type pair is within 60s
+    assert t == {i: False for i in range(1, 7)}
+    t2 = {
+        r.event_id: r.is_throttled
+        for r in throttle_events(
+            df.withColumn("event_type", F.lit("x")),
+            "user_id", "event_type", "ts",
+            min_gap_seconds=60, tiebreak_col="event_id",
+        ).collect()
+    }
+    assert t2[6] is True and t2[5] is False  # same type now: 30s gap flags

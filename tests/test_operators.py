@@ -1484,3 +1484,28 @@ def test_exact_substring_profile_and_strip_vs_brute_force(spark):
     # doc 5's self-repeats survive (cross-doc test), doc 4 is intact
     assert stripped[5][0] == rows[4][1]
     assert stripped[4][0] == rows[3][1]
+
+
+def test_gopher_repetition_hand_checked(spark):
+    """A looping doc scores near 1.0 on the top-bigram fraction; a
+    no-repeat doc scores its single-occurrence fraction; a 2-word doc
+    has no trigram (NULL)."""
+    from databricks_delta_lake_migration_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    rows = [
+        (1, "spam ham spam ham spam ham spam ham"),
+        (2, "all words here are fully unique tokens"),
+        (3, "two words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    # doc 1: 'spam ham' occurs 4x, 8 chars, text 35 chars -> 32/35
+    assert out[1].top_bigram == "spam ham"
+    assert out[1].bigram_char_frac == round(32 / 35, 6)
+    # doc 2: every bigram once; lexicographically-first wins the tie
+    assert out[2].bigram_char_frac < 0.4
+    assert out[3].top_bigram == "two words"
+    assert out[3].top_trigram is None
+    assert out[3].trigram_char_frac is None

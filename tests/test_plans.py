@@ -470,3 +470,11 @@ def test_q199_reentry_leaves_no_stale_state(spark):
     relational._q199_cleanup(spark)
     assert live_tables() == []
     assert not live_dirs() & (d2 - d0)
+
+
+def test_q206_semi_join_plans_left_semi(spark):
+    """EXISTS is an existence join: LeftSemi with the quantity filter
+    pushed to the probe-side scan, never inner-join + distinct."""
+    plan = explain(_q(spark, "q206_semi_join_exists"))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan

@@ -177,3 +177,31 @@ def test_skew_profile_flags_hot_key(spark):
     assert out[0].skew_factor == round(50 * 51 / 100, 4)
     assert out[0].cum_share == 0.5
     assert out[2].cum_share == 0.52
+
+
+def test_rolling_distinct_hand_checked(spark):
+    """3-day window over 4 days: daily counts vs trailing unions; a
+    calendar gap narrows the effective window (RANGE, not ROWS)."""
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        rolling_distinct,
+    )
+
+    rows = [
+        ("2024-01-01 01:00:00", 1), ("2024-01-01 02:00:00", 2),
+        ("2024-01-02 01:00:00", 2), ("2024-01-02 02:00:00", 3),
+        ("2024-01-03 01:00:00", 1),
+        ("2024-01-06 01:00:00", 9),  # 3-day gap
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    )
+    out = {
+        str(r.day): (r.n_daily, r.n_rolling)
+        for r in rolling_distinct(df, "ts", "user_id", window_days=3).collect()
+    }
+    assert out == {
+        "2024-01-01": (2, 2),
+        "2024-01-02": (2, 3),   # {1,2,3}
+        "2024-01-03": (1, 3),   # {1,2,3}
+        "2024-01-06": (1, 1),   # gap: only itself in range
+    }
