@@ -12,8 +12,15 @@ records of primitives (null/boolean/int/long/float/double/bytes/string),
 (→ string), fixed (→ binary), NESTED records (→ struct), and the
 ``timestamp-micros``/``timestamp-millis`` logical types — both read
 and write. Codecs: null and deflate (raw DEFLATE via zlib, per spec).
-Remaining gaps (fail loudly with the offending schema node):
-named-type references, multi-branch unions, snappy codec.
+Named-type REFERENCES (a record/enum/fixed fullname reused as a type)
+resolve against earlier declarations on read and write
+(:func:`resolve_named_types`); multi-branch unions decode by the
+writer's branch index, map to Spark via exact-match or numeric
+promotion (int|long → long, any float → double), and WRITE by
+unambiguous value-type match (ambiguous or unmatched values fail
+loudly). Remaining gaps (fail loudly with the offending schema node):
+recursive named types in the Spark schema mapping, snappy codec
+(python-snappy is not in the container — environment, not format).
 
 Scale shape (same posture as ``streaming/table_source.py``): the
 planner touches only file HEADERS (schema + codec — metadata-sized);
@@ -78,13 +85,92 @@ def _read_bytes(fh) -> bytes:
 
 
 def _unwrap_union(node):
-    """``["null", X]`` (either order) → (X, nullable=True)."""
+    """``["null", X]`` (either order) → (X, nullable=True). Multi-branch
+    unions pass through as the list of NON-NULL branches for the caller
+    to promote (``avro_to_spark_schema``)."""
     if isinstance(node, list):
-        non_null = [n for n in node if n != "null"]
-        if len(non_null) != 1 or len(node) > 2:
-            raise ValueError(f"unsupported avro union: {node}")
-        return non_null[0], True
+        non_null = [
+            n for n in node if n != "null" and _node_type(n) != "null"
+        ]
+        nullable = len(non_null) != len(node)
+        if not non_null:
+            raise ValueError(f"all-null avro union: {node}")
+        if len(non_null) == 1:
+            return non_null[0], nullable
+        return non_null, nullable
     return node, False
+
+
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
+
+
+def resolve_named_types(schema):
+    """Replace string references to previously-declared NAMED types
+    (record / enum / fixed — spec: a fullname is usable anywhere a type
+    is expected after its declaration) with the declaration itself.
+    Returns a new tree; the definition dict is SHARED at every use
+    site, so recursive schemas stay finite here (and are rejected with
+    a loud error only where they genuinely can't be expressed — the
+    Spark schema mapping). Unknown names raise naming the reference.
+
+    Name scoping per spec: a bare name lives in the namespace of its
+    ENCLOSING declaration; references resolve first against the
+    current namespace, then as a fullname."""
+    defs: dict[str, dict] = {}
+
+    def register(node, ns):
+        name = node["name"]
+        namespace = node.get("namespace", ns)
+        full = name if "." in name else (
+            f"{namespace}.{name}" if namespace else name
+        )
+        defs[full] = node
+        defs.setdefault(name.rsplit(".", 1)[-1], node)
+        return namespace if "." not in name else name.rsplit(".", 1)[0]
+
+    def walk(node, ns):
+        if isinstance(node, list):
+            return [walk(b, ns) for b in node]
+        if isinstance(node, str):
+            if node in _PRIMITIVES:
+                return node
+            scoped = f"{ns}.{node}" if ns and "." not in node else node
+            hit = defs.get(scoped) or defs.get(node)
+            if hit is None:
+                raise ValueError(
+                    f"unresolved avro named-type reference: {node!r} "
+                    f"(declared: {sorted(defs)})"
+                )
+            return hit
+        t = node.get("type")
+        if isinstance(t, (list, dict)) or (
+            isinstance(t, str)
+            and t not in _PRIMITIVES
+            and t not in ("record", "enum", "fixed", "array", "map")
+        ):
+            # {"type": <complex-or-reference>} wrapper (legal spec form)
+            return walk(t, ns)
+        if t == "record":
+            out = dict(node)
+            inner_ns = register(out, ns)
+            # register BEFORE walking fields so self-references resolve
+            out["fields"] = [
+                {**f, "type": walk(f["type"], inner_ns)}
+                for f in node["fields"]
+            ]
+            return out
+        if t in ("enum", "fixed"):
+            register(node, ns)
+            return node
+        if t == "array":
+            return {**node, "items": walk(node["items"], ns)}
+        if t == "map":
+            return {**node, "values": walk(node["values"], ns)}
+        return node  # primitive (possibly with logicalType)
+
+    return walk(schema, schema.get("namespace", ""))
 
 
 def _node_type(node) -> str:
@@ -98,8 +184,34 @@ def avro_to_spark_schema(schema: dict):
     SparkSession needed — returns a pyspark.sql.types object)."""
     from pyspark.sql import types as T
 
+    def promote(types, node):
+        """Spark type for a multi-branch union: exact match, or the
+        avro numeric promotion lattice (int|long → long; any float or
+        double involvement → double). Anything else has no faithful
+        single Spark column type — fail naming the union."""
+        first = types[0]
+        if all(t == first for t in types[1:]):
+            return first
+        rank = {"IntegerType": 1, "LongType": 2, "FloatType": 3,
+                "DoubleType": 4}
+        rs = [rank.get(type(t).__name__) for t in types]
+        if all(r is not None for r in rs):
+            return T.LongType() if max(rs) <= 2 else T.DoubleType()
+        raise ValueError(
+            f"avro union {node} maps to incompatible spark types "
+            f"{[t.simpleString() for t in types]}"
+        )
+
+    visiting: set[int] = set()
+
     def field_type(node):
         node, nullable = _unwrap_union(node)
+        if isinstance(node, list):  # multi-branch union
+            parts = [field_type(b) for b in node]
+            return (
+                promote([t for t, _ in parts], node),
+                nullable or any(n for _, n in parts),
+            )
         t = _node_type(node)
         logical = node.get("logicalType") if isinstance(node, dict) else None
         mapping = {
@@ -134,10 +246,19 @@ def avro_to_spark_schema(schema: dict):
         if t == "fixed":  # fixed-size byte payloads surface as binary
             return T.BinaryType(), nullable
         if t == "record":  # nested record → struct
-            flds = []
-            for f in node["fields"]:
-                ft, fn = field_type(f["type"])
-                flds.append(T.StructField(f["name"], ft, fn))
+            if id(node) in visiting:
+                raise ValueError(
+                    f"recursive avro record {node.get('name')!r} cannot "
+                    "map to a (finite) Spark schema"
+                )
+            visiting.add(id(node))
+            try:
+                flds = []
+                for f in node["fields"]:
+                    ft, fn = field_type(f["type"])
+                    flds.append(T.StructField(f["name"], ft, fn))
+            finally:
+                visiting.discard(id(node))
             return T.StructType(flds), nullable
         raise ValueError(f"unsupported avro type for spark: {node}")
 
@@ -252,6 +373,34 @@ def _decode_value(fh, node):
     raise ValueError(f"unsupported avro type: {node}")
 
 
+def _branch_matches(branch, v) -> bool:
+    """Does this union branch's avro type accept the Python value?
+    (Writer-side branch selection for multi-branch unions.)"""
+    from decimal import Decimal
+
+    t = _node_type(branch)
+    logical = branch.get("logicalType") if isinstance(branch, dict) else None
+    if logical in ("timestamp-micros", "timestamp-millis"):
+        return isinstance(v, datetime)
+    if logical == "decimal":
+        return isinstance(v, Decimal)
+    if t == "boolean":
+        return isinstance(v, bool)
+    if t in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if t in ("float", "double"):
+        return isinstance(v, float)
+    if t in ("string", "enum"):
+        return isinstance(v, str)
+    if t in ("bytes", "fixed"):
+        return isinstance(v, (bytes, bytearray))
+    if t == "array":
+        return isinstance(v, (list, tuple))
+    if t in ("map", "record"):
+        return isinstance(v, dict) or hasattr(v, "asDict")
+    return False
+
+
 def _encode_value(out: io.BytesIO, node, v, tz=None) -> None:
     """``tz``: the timezone NAIVE datetimes are interpreted in. Spark
     hands Python writers wall-clock datetimes in the SESSION timezone,
@@ -265,9 +414,29 @@ def _encode_value(out: io.BytesIO, node, v, tz=None) -> None:
                 out, next(i for i, b in enumerate(node) if is_null(b))
             )
             return
-        idx, branch = next(
-            (i, b) for i, b in enumerate(node) if not is_null(b)
-        )
+        non_null = [(i, b) for i, b in enumerate(node) if not is_null(b)]
+        if len(non_null) == 1:
+            idx, branch = non_null[0]
+        else:
+            # multi-branch: pick the branch by the VALUE's Python type;
+            # zero or several matches is a contract violation — fail
+            # loudly rather than guess an encoding (spec gives the
+            # writer free branch choice; we require it to be unambiguous)
+            hits = [
+                (i, b) for i, b in non_null if _branch_matches(b, v)
+            ]
+            if len(hits) != 1:
+                kinds = [
+                    _node_type(b) for _, b in (hits or non_null)
+                ]
+                reason = "matches no branch" if not hits else (
+                    f"ambiguously matches branches {kinds}"
+                )
+                raise ValueError(
+                    f"multi-branch union write: value {v!r} "
+                    f"({type(v).__name__}) {reason} of {node}"
+                )
+            idx, branch = hits[0]
         _write_long(out, idx)
         _encode_value(out, branch, v, tz)
         return
@@ -366,7 +535,10 @@ def read_header(path: str) -> tuple[dict, str, bytes, int]:
                 meta[k] = _read_bytes(fh)
         sync = fh.read(16)
         return (
-            json.loads(meta["avro.schema"]),
+            # resolve named-type references once at the header — every
+            # downstream consumer (decode, Spark schema mapping) then
+            # sees only inline definitions
+            resolve_named_types(json.loads(meta["avro.schema"])),
             meta.get("avro.codec", b"null").decode("utf-8"),
             sync,
             fh.tell(),
@@ -419,6 +591,11 @@ def write_avro(
     (see ``_encode_value``)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
+    # the header embeds the schema AS DECLARED (named references and
+    # all — re-serializing the resolved tree would redefine named types
+    # at every use site, which the spec forbids); encoding walks the
+    # RESOLVED tree so references encode like their declarations
+    enc_schema = resolve_named_types(schema)
     sync = b"\x00" * 8 + b"pyavro!!"  # any 16 bytes; fixed = reproducible
     header = io.BytesIO()
     header.write(MAGIC)
@@ -439,7 +616,7 @@ def write_avro(
     def _flush_block(fh, buf: list[dict]) -> None:
         block = io.BytesIO()
         for row in buf:
-            for f in schema["fields"]:
+            for f in enc_schema["fields"]:
                 _encode_value(block, f["type"], row.get(f["name"]), tz)
         payload = block.getvalue()
         if codec == "deflate":
@@ -613,8 +790,29 @@ def register_pyavro(spark) -> None:
                     return {k: _localize(x) for k, x in v.items()}
                 return v
 
+            # promoted multi-branch numeric unions (int|long → long,
+            # mixed float → double) can decode an int from an
+            # int-branch row into a double-typed column — coerce the
+            # scalar so the DataSource type check accepts it
+            from pyspark.sql.types import DoubleType, FloatType
+
+            to_float = {
+                f.name
+                for f in spark_schema.fields
+                if isinstance(f.dataType, (DoubleType, FloatType))
+            }
+
+            def _coerce(name, v):
+                if (
+                    name in to_float
+                    and isinstance(v, int)
+                    and not isinstance(v, bool)
+                ):
+                    return float(v)
+                return v
+
             for rec in read_avro_records(part.path):
-                yield tuple(_localize(rec.get(n)) for n in names)
+                yield tuple(_coerce(n, _localize(rec.get(n))) for n in names)
 
     class PyAvroWriter(DataSourceWriter):
         def __init__(

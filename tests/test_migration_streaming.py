@@ -1245,3 +1245,113 @@ def test_table_diff_classifies_and_null_semantics(spark):
         for r in table_diff(src, tgt, ["k"], compare_cols=["v"]).collect()
     }
     assert 2 not in only_v and only_v[4] == "changed"
+
+
+def test_pyavro_named_type_references_roundtrip(spark, tmp_path):
+    """VERDICT r7 #5: a record/enum/fixed declared once and referenced
+    by name (bare and fullname) later in the schema resolves on read
+    AND write; the embedded header keeps the reference form."""
+    import os
+
+    from databricks_delta_lake_migration_spark.sources import avro_py
+
+    src = str(tmp_path / "avro")
+    os.makedirs(src)
+    schema = {
+        "type": "record", "name": "Pair", "namespace": "ex",
+        "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "Point",
+                "fields": [{"name": "x", "type": "long"},
+                           {"name": "y", "type": "long"}]}},
+            {"name": "b", "type": "Point"},          # bare reference
+            {"name": "c", "type": ["null", "ex.Point"]},  # fullname ref
+            {"name": "col", "type": {
+                "type": "enum", "name": "Color",
+                "symbols": ["RED", "BLUE"]}},
+            {"name": "col2", "type": "Color"},
+        ],
+    }
+    rows = [
+        {"a": {"x": 1, "y": 2}, "b": {"x": 3, "y": 4},
+         "c": {"x": 5, "y": 6}, "col": "RED", "col2": "BLUE"},
+        {"a": {"x": 7, "y": 8}, "b": {"x": 9, "y": 10},
+         "c": None, "col": "BLUE", "col2": "RED"},
+    ]
+    avro_py.write_avro(os.path.join(src, "p.avro"), schema, rows)
+    # the header must carry the DECLARED schema (references intact,
+    # no named-type redefinition)
+    import json
+
+    with open(os.path.join(src, "p.avro"), "rb") as fh:
+        fh.read(4)
+        raw = fh.read(4096)
+    assert raw.count(b'"name": "Point"') == 1
+    got = sorted(
+        (r.a.x, r.b.y, r.c.x if r.c else None, r.col, r.col2)
+        for r in avro_py.read_avro(spark, src).collect()
+    )
+    assert got == [(1, 4, 5, "RED", "BLUE"), (7, 10, None, "BLUE", "RED")]
+    # unknown reference fails loudly
+    bad = {"type": "record", "name": "B",
+           "fields": [{"name": "z", "type": "Mystery"}]}
+    try:
+        avro_py.resolve_named_types(bad)
+        raise AssertionError("expected unresolved-reference error")
+    except ValueError as e:
+        assert "Mystery" in str(e)
+
+
+def test_pyavro_multi_branch_unions(spark, tmp_path):
+    """VERDICT r7 #5: multi-branch unions decode by branch index and
+    promote numerically for Spark (int|long -> long, float mix ->
+    double); writes pick the branch by value type and fail loudly on
+    ambiguity."""
+    import io
+    import os
+
+    import pytest
+
+    from databricks_delta_lake_migration_spark.sources import avro_py
+
+    src = str(tmp_path / "avro")
+    os.makedirs(src)
+    schema = {
+        "type": "record", "name": "U",
+        "fields": [
+            {"name": "n", "type": ["null", "int", "double"]},
+            {"name": "m", "type": ["int", "double"]},
+        ],
+    }
+    rows = [
+        {"n": 1.5, "m": 3},
+        {"n": None, "m": 4.5},
+        {"n": 2.0, "m": 5},
+    ]
+    avro_py.write_avro(os.path.join(src, "u.avro"), schema, rows)
+    df = avro_py.read_avro(spark, src)
+    assert dict(df.dtypes) == {"n": "double", "m": "double"}
+    got = sorted(((r.n if r.n is not None else -9.0), r.m) for r in df.collect())
+    assert got == [(-9.0, 4.5), (1.5, 3.0), (2.0, 5.0)]
+    # int|long promotes to bigint in the Spark mapping
+    sch = avro_py.avro_to_spark_schema(
+        {"type": "record", "name": "IL",
+         "fields": [{"name": "u", "type": ["int", "long"]}]}
+    )
+    assert sch["u"].dataType.simpleString() == "bigint"
+    # int into ["null","int","double"]: int matches only the int branch
+    buf = io.BytesIO()
+    avro_py._encode_value(buf, ["null", "int", "double"], 3)
+    assert buf.getvalue()[0:1] == b"\x02"  # zigzag(1) = branch idx 1
+    # ambiguous: int could be int or long
+    with pytest.raises(ValueError, match="ambiguous"):
+        avro_py._encode_value(io.BytesIO(), ["int", "long"], 3)
+    # unmatched: bytes value, no bytes branch in the multi-union
+    with pytest.raises(ValueError, match="matches no branch"):
+        avro_py._encode_value(io.BytesIO(), ["null", "int", "string"], b"zz")
+    # incompatible union types still fail the SPARK mapping loudly
+    with pytest.raises(ValueError, match="incompatible spark types"):
+        avro_py.avro_to_spark_schema(
+            {"type": "record", "name": "Bad",
+             "fields": [{"name": "u", "type": ["string", "int"]}]}
+        )
