@@ -67,6 +67,14 @@ EXTRA_QUERIES = [
     # q200 is registration-only at bench SF: the fixture's tiny
     # vocabulary makes the TRUE >=0.9 pair set ~1M rows at sf0.1
     # (output-bound, not algorithm-bound)
+    # round-8 additions
+    "q201_exact_substring_profile",
+    "q202_table_diff",
+    "q203_rfm_segments",
+    "q204_triangle_count",
+    "q205_touch_attribution",
+    "q208_rolling_distinct",
+    "q209_gopher_repetition",
 ]
 
 
@@ -299,6 +307,11 @@ def main() -> None:
                   "q44_batch_topk"}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # per-section 1-min load samples (VERDICT r7 #2: a mid-run load
+    # spike must be attributable to the section it hit)
+    section_load: dict[str, float] = {
+        "before_headline": round(os.getloadavg()[0], 2)
+    }
     for name in names:
         best = float("inf")
         try:
@@ -312,6 +325,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    section_load["after_headline"] = round(os.getloadavg()[0], 2)
     extra: dict[str, float] = {}
     for name in [n for n in EXTRA_QUERIES if n in registry]:
         best = float("inf")
@@ -326,11 +340,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    section_load["after_extras"] = round(os.getloadavg()[0], 2)
     try:
         acid = acid_bench(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         acid = {}
         errors["acid_bench"] = f"{type(exc).__name__}: {exc}"[:500]
+    section_load["after_acid"] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 4)
     line = {
@@ -349,6 +365,7 @@ def main() -> None:
         # four round-5 runs spanned 14.8-17.8 s as 1-min load moved
         # 0.1-4.8) — recorded so deltas stay attributable
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "section_load": section_load,
         "load_gate": load_gate,
     }
     if errors:
