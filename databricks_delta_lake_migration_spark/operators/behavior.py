@@ -472,3 +472,53 @@ def throttle_events(
         "is_throttled",
         F.coalesce(gap < min_gap_seconds * 1_000_000, F.lit(False)),
     )
+
+
+def debounce_events(
+    df: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    min_gap_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """TRUE debounce [EXT]: an event is kept iff it arrives at least
+    ``min_gap_seconds`` after the last KEPT event of its entity group —
+    the running-state recurrence :func:`throttle_events`' lag window
+    cannot express (each decision depends on every prior decision).
+    Returns the input plus ``kept``.
+
+    This is the legitimate Pandas-path case (SURVEY §7.3): the
+    recurrence is sequential WITHIN a group, so it runs as ONE
+    ``applyInPandas`` over the (entity…) grouping — Arrow-batched,
+    parallel ACROSS groups, sequential only along each group's own
+    timeline (which no engine can parallelize without changing the
+    semantics). Streaming twin: the q159 stateful-timeout machinery
+    (``applyInPandasWithState``) carries the same last-kept state
+    across micro-batches.
+
+    Determinism: groups sort by (ts, tiebreak) with a stable sort;
+    timestamps compare as exact int64 nanoseconds."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("kept", T.BooleanType(), False)]
+    )
+    gap_ns = int(min_gap_seconds) * 1_000_000_000
+    sort_cols = [ts_col, tiebreak_col]
+
+    def fn(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        kept = []
+        last = None
+        for t in ts_ns:
+            ok = last is None or t - last >= gap_ns
+            kept.append(ok)
+            if ok:
+                last = int(t)
+        out = pdf.copy()
+        out["kept"] = kept
+        return out
+
+    return df.groupBy(*entity_cols).applyInPandas(fn, out_schema)

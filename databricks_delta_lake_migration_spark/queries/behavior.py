@@ -383,3 +383,57 @@ def q211_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col("is_throttled"), 1)).alias("n_throttled"),
     )
+
+
+@query(
+    "q213_debounce_exact",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ),
+    keep AS (
+        SELECT user_id, event_type, rn, ts AS last_kept, TRUE AS kept
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_type, o.rn,
+               CASE WHEN date_diff('microsecond', k.last_kept, o.ts)
+                         >= 600000000
+                    THEN o.ts ELSE k.last_kept END,
+               date_diff('microsecond', k.last_kept, o.ts) >= 600000000
+        FROM ordered o
+        JOIN keep k ON o.user_id = k.user_id
+                   AND o.event_type = k.event_type
+                   AND o.rn = k.rn + 1
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(CASE WHEN kept THEN 1 END) AS n_kept
+    FROM keep GROUP BY 1
+    """,
+)
+def q213_debounce_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True last-KEPT-event debounce [EXT] —
+    ``operators.behavior.debounce_events`` at 600 s per (user, type):
+    the sequential recurrence runs as ONE applyInPandas over the
+    entity grouping (Arrow-batched; parallel across groups, sequential
+    only along each group's own timeline — §7.3's legitimate Pandas
+    case). The oracle is a DuckDB RECURSIVE CTE stepping rn→rn+1 —
+    the declarative restatement of the same recurrence. Compare
+    q211 (lag-window throttle): same fixture, provably different
+    semantics (a burst's second event resets the lag clock but not
+    the debounce clock)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.behavior import debounce_events
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = debounce_events(
+        ev, ["user_id", "event_type"], "ts",
+        min_gap_seconds=600, tiebreak_col="event_id",
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+    )

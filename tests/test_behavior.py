@@ -300,3 +300,37 @@ def test_conversion_lag_and_throttle_hand_checked(spark):
         ).collect()
     }
     assert t2[6] is True and t2[5] is False  # same type now: 30s gap flags
+
+
+def test_debounce_vs_throttle_semantics(spark):
+    """The defining case: events at t=0s, 40s, 70s with a 60s gap.
+    Throttle (lag-based) drops only t=40 (70-40=30 < 60 resets on the
+    RAW predecessor... 70-40=30 <60 so t=70 drops too); debounce keeps
+    t=70 because the last KEPT event is t=0 and 70-0 >= 60."""
+    from databricks_delta_lake_migration_spark.operators.behavior import (
+        debounce_events,
+        throttle_events,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "x"),
+        (2, 1, "2024-01-01 00:00:40", "x"),
+        (3, 1, "2024-01-01 00:01:10", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    deb = {
+        r.event_id: r.kept
+        for r in debounce_events(
+            df, ["user_id", "event_type"], "ts", 60, "event_id"
+        ).collect()
+    }
+    assert deb == {1: True, 2: False, 3: True}
+    thr = {
+        r.event_id: r.is_throttled
+        for r in throttle_events(
+            df, "user_id", "event_type", "ts", 60, "event_id"
+        ).collect()
+    }
+    assert thr == {1: False, 2: True, 3: True}  # lag clock resets at t=40
