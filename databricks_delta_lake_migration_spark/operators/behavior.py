@@ -352,8 +352,12 @@ def touch_attribution(
     first/last window functions over the same (entity, ts, tiebreak)
     ordering with an UNBOUNDED..1 PRECEDING frame — running state, not
     a per-conversion lookback self-join (the join would be quadratic
-    in events-per-entity). The channel rollups aggregate the
-    conversion-sized relation only; revenue sums are exact decimal."""
+    in events-per-entity). Each conversion then explodes into its two
+    (model, channel) credits ROW-LOCALLY, so the whole channel rollup
+    is a single grouped conditional aggregate — one scan, one window
+    pass, one channel shuffle (a per-model groupBy pair would
+    re-derive the window subtree twice; plan-gated). Revenue sums are
+    exact decimal."""
     w = (
         Window.partitionBy(entity_col)
         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
@@ -370,23 +374,34 @@ def touch_attribution(
             F.col(value_col).cast("decimal(18,4)").alias("v"),
         )
     )
-    ft = conv.groupBy(F.col("first_ch").alias("channel")).agg(
-        F.count(F.lit(1)).alias("n_first"),
-        F.round(F.sum("v"), 4).cast("double").alias("first_touch_rev"),
-    )
-    lt = conv.groupBy(F.col("last_ch").alias("channel")).agg(
-        F.count(F.lit(1)).alias("n_last"),
-        F.round(F.sum("v"), 4).cast("double").alias("last_touch_rev"),
-    )
-    return (
-        ft.join(lt, "channel", "full_outer")
-        .select(
-            "channel",
-            F.coalesce("n_first", F.lit(0)).alias("n_first"),
-            F.coalesce("first_touch_rev", F.lit(0.0)).alias("first_touch_rev"),
-            F.coalesce("n_last", F.lit(0)).alias("n_last"),
-            F.coalesce("last_touch_rev", F.lit(0.0)).alias("last_touch_rev"),
-        )
+    credits = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.col("first_ch").alias("channel"),
+                    F.col("v"),
+                ),
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.col("last_ch").alias("channel"),
+                    F.col("v"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.model", "c.channel", "c.v")
+    is_f, is_l = F.col("model") == "first", F.col("model") == "last"
+    return credits.groupBy("channel").agg(
+        F.count(F.when(is_f, 1)).alias("n_first"),
+        F.coalesce(
+            F.round(F.sum(F.when(is_f, F.col("v"))), 4).cast("double"),
+            F.lit(0.0),
+        ).alias("first_touch_rev"),
+        F.count(F.when(is_l, 1)).alias("n_last"),
+        F.coalesce(
+            F.round(F.sum(F.when(is_l, F.col("v"))), 4).cast("double"),
+            F.lit(0.0),
+        ).alias("last_touch_rev"),
     )
 
 

@@ -478,3 +478,36 @@ def test_q206_semi_join_plans_left_semi(spark):
     plan = explain(_q(spark, "q206_semi_join_exists"))
     assert "LeftSemi" in plan
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+
+def test_q205_attribution_single_user_exchange_no_python(spark):
+    """Both bookend windows stack on ONE user-keyed exchange; the
+    channel rollups shuffle only conversion-sized relations; no Python
+    in the plan."""
+    plan = explain(_q(spark, "q205_touch_attribution"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    user_exchanges = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning(user_id" in l
+    ]
+    assert len(user_exchanges) == 1, user_exchanges
+
+
+def test_q213_debounce_python_is_grouped_map_only(spark):
+    """The recurrence runs as ONE Arrow grouped-map node — no
+    row-at-a-time Python, no extra exchanges beyond the (user, type)
+    grouping and the final rollup."""
+    plan = explain(_q(spark, "q213_debounce_exact"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q201_exact_substring_stays_jvm_side(spark):
+    """Gram generation is row-local zip_with arrays — no Python, no
+    cartesian; the gram relation reaches its frequency aggregate with
+    map-side partial aggregation."""
+    plan = explain(_q(spark, "q201_exact_substring_profile"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_" in plan
