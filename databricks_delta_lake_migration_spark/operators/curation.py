@@ -482,3 +482,41 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def group_consistent_split(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment [EXT]: every row of a
+    GROUP (user, source domain, document family) lands in the SAME
+    split, because the split is a pure function of the portable hash
+    of the group key — never row-level randomness. Row-level splits
+    leak: near-identical documents from one source straddling
+    train/test inflate eval scores (the contamination q95 hunts,
+    prevented structurally here). Adds a ``split`` column.
+
+    Row-local predicate (zero shuffles, no RNG, reproducible across
+    engines, partitionings, and reruns); fractions are enforced in
+    hash-bucket measure over GROUPS, so realized ROW fractions track
+    them only as closely as group sizes are balanced — that skew is
+    the price of the leakage guarantee and is reported by the q215
+    audit."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    if abs(sum(f for _, f in splits) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {splits}")
+    bucket = portable_hash_bucket(F.col(group_col), n_buckets)
+    # when-chain in declaration order: earlier splits own the lower
+    # bucket ranges; the LAST split absorbs integer-rounding remainder
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        lo, acc = acc, acc + frac
+        expr = F.when(
+            (bucket >= int(lo * n_buckets)) & (bucket < int(acc * n_buckets)),
+            name,
+        ).otherwise(expr)
+    expr = F.coalesce(expr, F.lit(splits[-1][0]))
+    return df.withColumn("split", expr)

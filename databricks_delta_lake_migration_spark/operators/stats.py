@@ -450,3 +450,91 @@ def rolling_distinct(
             F.array_distinct(F.flatten(F.collect_list("es").over(w)))
         ).cast("long").alias("n_rolling"),
     )
+
+
+def pareto_classification(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """Pareto / ABC contribution analysis [EXT]: entities ranked by
+    exact decimal value, with share, cumulative share, and the classic
+    A (≤ ``a_cut`` of cumulative value) / B (≤ ``b_cut``) / C class —
+    the 80/20 inventory-and-revenue triage. Ties rank deterministically
+    by key. Class boundaries use the PREVIOUS row's cumulative share
+    (an entity is 'A' if it's needed to REACH the A mass), so the
+    first entity is always A and classes are contiguous.
+
+    Scale: ONE map-side-combined aggregate reduces the fact table to
+    the entity relation; the ranking window runs over that aggregate —
+    entity cardinality is the operator's documented bound (millions of
+    parts sort fine; for billions, bucket by the leading share digits
+    via data-skipping stats first)."""
+    ent = df.groupBy(*key_cols).agg(
+        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("val")
+    )
+    order = [F.col("val").desc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.orderBy(*order)
+    total = Window.partitionBy()
+    # sums stay exact decimal; every RATIO divides in double (Spark's
+    # decimal/decimal division and DuckDB's differ in scale handling —
+    # identical IEEE double division doesn't). Values here fit double
+    # exactly (≤ 2^53 at 4 dp), so the decimal→double casts are exact
+    # in both engines.
+    cum = F.sum("val").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).cast("double")
+    tot = F.sum("val").over(total).cast("double")
+    vald = F.col("val").cast("double")
+    prev_cum_share = (cum - vald) / tot
+    cls = (
+        F.when(prev_cum_share < a_cut, "A")
+        .when(prev_cum_share < b_cut, "B")
+        .otherwise("C")
+    )
+    return ent.select(
+        *key_cols,
+        vald.alias("value"),
+        F.round(vald / tot, 6).alias("share"),
+        F.round(cum / tot, 6).alias("cum_share"),
+        cls.alias("abc_class"),
+    )
+
+
+def stepped_decay_sum(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: int,
+    horizon_col: str = "__horizon",
+) -> DataFrame:
+    """Half-life-decayed engagement score [EXT]: per entity,
+    ``Σ value · 2^(−⌊Δdays / half_life⌋)`` against the corpus max date
+    — the recency-weighted rollup feature stores keep per user. The
+    decay is STEPPED (integer half-life buckets) on purpose: the
+    weight is then an exact power of two, multiplication by it is
+    EXACT in binary floating point, and the whole score is
+    engine-portable — a continuous ``exp(−λΔt)`` hangs the cross-engine
+    hash on the last ulp of each engine's libm. Returns ``(entity,
+    n_events, decayed_sum)``.
+
+    ONE entity-keyed aggregate after a broadcast of the 1-row horizon;
+    weights are row-local."""
+    horizon = df.agg(F.max(F.to_date(ts_col)).alias(horizon_col))
+    steps = F.floor(
+        F.datediff(F.col(horizon_col), F.to_date(ts_col))
+        / F.lit(int(half_life_days))
+    )
+    weight = F.pow(F.lit(2.0), -steps.cast("double"))
+    weighted = (F.col(value_col) * weight).cast("decimal(18,6)")
+    return (
+        df.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col(entity_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(weighted), 6).cast("double").alias("decayed_sum"),
+        )
+    )

@@ -524,3 +524,42 @@ def q190_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "n_chars", k=50).select(
         "doc_id", "n_chars", "sample_key"
     )
+
+
+@query(
+    "q215_group_split_audit",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST('0x' || substring(sha256(source), 1, 8)
+                         AS BIGINT) % 10000 < 8000 THEN 'train'
+                    WHEN CAST('0x' || substring(sha256(source), 1, 8)
+                         AS BIGINT) % 10000 < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_groups
+    FROM assigned GROUP BY 1
+    """,
+)
+def q215_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split audit [EXT] —
+    ``curation.group_consistent_split`` keyed on the SOURCE domain:
+    all documents of a source land in one split (a pure function of
+    the portable group-key hash — no RNG, no row-level leakage), so
+    near-duplicates within a domain can never straddle train/test.
+    The audit reports per-split doc and group counts; row-fraction
+    drift from the nominal 80/10/10 is the visible price of the
+    group guarantee."""
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import group_consistent_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = group_consistent_split(docs, "source")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_groups"),
+    )

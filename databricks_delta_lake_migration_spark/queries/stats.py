@@ -407,3 +407,69 @@ def q208_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_distinct(ev, "ts", "user_id", window_days=7)
+
+
+@query(
+    "q214_pareto_abc",
+    oracle="""
+    WITH ent AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS val
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT l_partkey,
+               CAST(val AS DOUBLE) AS vald,
+               CAST(SUM(val) OVER (ORDER BY val DESC, l_partkey ASC
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumd,
+               CAST(SUM(val) OVER () AS DOUBLE) AS totd
+        FROM ent
+    )
+    SELECT l_partkey, vald AS value,
+           ROUND(vald / totd, 6) AS share,
+           ROUND(cumd / totd, 6) AS cum_share,
+           CASE WHEN (cumd - vald) / totd < 0.8 THEN 'A'
+                WHEN (cumd - vald) / totd < 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def q214_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue triage over parts [EXT] —
+    ``operators.stats.pareto_classification``: exact decimal entity
+    rollup (one map-side-combined shuffle), ranking window over the
+    ENTITY relation only; every ratio divides in double on identical
+    exact inputs so class boundaries can't flap cross-engine. Class
+    uses the previous row's cumulative share, so classes are contiguous
+    and the top entity is always A."""
+    from ..operators.stats import pareto_classification
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pareto_classification(li, ["l_partkey"], "l_extendedprice")
+
+
+@query(
+    "q216_decayed_engagement",
+    oracle="""
+    WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS hd FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value * pow(2.0,
+                    -CAST(floor(date_diff('day', CAST(ts AS DATE), hd)
+                                / 7) AS DOUBLE))
+                AS DECIMAL(18,6))), 6) AS DOUBLE) AS decayed_sum
+    FROM events, h
+    GROUP BY 1
+    """,
+)
+def q216_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed per-user engagement score [EXT] —
+    ``operators.stats.stepped_decay_sum`` at a 7-day half life: weights
+    are exact powers of two (stepped decay), so the weighted products
+    are exact double scalings and the decimal-snapped sum is
+    engine-portable — the deliberate alternative to exp(−λΔt), whose
+    last-ulp libm differences hang cross-engine hashes. ONE entity
+    aggregate after broadcasting the 1-row horizon."""
+    from ..operators.stats import stepped_decay_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return stepped_decay_sum(ev, "user_id", "ts", "value", half_life_days=7)

@@ -355,3 +355,32 @@ def test_quality_top_fraction_rank_cut_and_per_source(spark):
     # window must partition by source, not global
     plan = curation.quality_top_fraction(docs)._jdf.queryExecution().toString()
     assert "hashpartitioning(source" in plan
+
+
+def test_group_consistent_split_no_leakage_and_fractions(spark):
+    """Every group lands in exactly one split; assignment is a pure
+    function of the group key (rerun-identical); fractions must sum
+    to 1."""
+    import pytest
+
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        group_consistent_split,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"g{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = group_consistent_split(df, "grp")
+    per_group = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_group)
+    a = {(r.id, r.split) for r in out.collect()}
+    b = {(r.id, r.split) for r in group_consistent_split(df, "grp").collect()}
+    assert a == b
+    splits = {r.split for r in out.collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    with pytest.raises(ValueError, match="sum to 1"):
+        group_consistent_split(df, "grp", splits=[("a", 0.5), ("b", 0.4)])

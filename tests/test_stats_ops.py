@@ -205,3 +205,46 @@ def test_rolling_distinct_hand_checked(spark):
         "2024-01-03": (1, 3),   # {1,2,3}
         "2024-01-06": (1, 1),   # gap: only itself in range
     }
+
+
+def test_pareto_classification_hand_checked(spark):
+    """Values 50/30/15/5: A covers {50,30} (prev-cum 0, .5), B {15}
+    (prev-cum .8 < .95), C {5}; shares exact."""
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        pareto_classification,
+    )
+
+    rows = [("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: r for r in pareto_classification(df, ["k"], "v").collect()}
+    assert out["a"].abc_class == "A" and out["a"].cum_share == 0.5
+    assert out["b"].abc_class == "A" and out["b"].cum_share == 0.8
+    assert out["c"].abc_class == "B" and out["c"].cum_share == 0.95
+    assert out["d"].abc_class == "C" and out["d"].cum_share == 1.0
+    assert out["a"].share == 0.5 and out["d"].value == 5.0
+
+
+def test_stepped_decay_sum_exact_halving(spark):
+    """Events 0/7/14 days before the horizon at half-life 7 weigh
+    1, 1/2, 1/4 exactly; within-bucket days don't decay."""
+    from pyspark.sql import functions as F
+
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        stepped_decay_sum,
+    )
+
+    rows = [
+        (1, "2024-01-15 12:00:00", 8.0),   # horizon day: weight 1
+        (1, "2024-01-08 00:00:00", 8.0),   # 7 days: weight 1/2
+        (1, "2024-01-01 00:00:00", 8.0),   # 14 days: weight 1/4
+        (2, "2024-01-10 00:00:00", 4.0),   # 5 days: same bucket as 0
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.user_id: (r.n_events, r.decayed_sum)
+        for r in stepped_decay_sum(df, "user_id", "ts", "value", 7).collect()
+    }
+    assert out[1] == (3, 8.0 + 4.0 + 2.0)
+    assert out[2] == (1, 4.0)
