@@ -509,14 +509,19 @@ def group_consistent_split(
         raise ValueError(f"split fractions must sum to 1: {splits}")
     bucket = portable_hash_bucket(F.col(group_col), n_buckets)
     # when-chain in declaration order: earlier splits own the lower
-    # bucket ranges; the LAST split absorbs integer-rounding remainder
-    expr = F.lit(None).cast("string")
+    # bucket ranges; the LAST split absorbs integer-rounding remainder.
+    # Boundaries ROUND the float product — int() truncation misplaces
+    # a whole bucket whenever frac*n_buckets lands an ulp below the
+    # exact integer (0.57*10000 = 5699.999…, review-confirmed)
+    bounds = []
     acc = 0.0
-    for name, frac in splits[:-1]:
-        lo, acc = acc, acc + frac
-        expr = F.when(
-            (bucket >= int(lo * n_buckets)) & (bucket < int(acc * n_buckets)),
-            name,
-        ).otherwise(expr)
+    for _, frac in splits[:-1]:
+        acc += frac
+        bounds.append(round(acc * n_buckets))
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for (name, _), hi in zip(splits[:-1], bounds):
+        expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(expr)
+        lo = hi
     expr = F.coalesce(expr, F.lit(splits[-1][0]))
     return df.withColumn("split", expr)

@@ -948,53 +948,61 @@ def gopher_repetition(
     (overlapping occurrences can over-count chars) and NULL for docs
     with no n-gram of that order.
 
-    Shape: grams explode → ONE (doc, gram) count shuffle per order +
-    a per-doc window picking the mode (ties break lexicographically,
-    engine-portable). Normalized char length is the denominator, so
-    the metric is tokenizer-consistent with the rest of the §2.14
-    text tier."""
+    ONE corpus scan: both gram orders ride one tagged (k, gram) array
+    built row-locally (a per-order pipeline would re-scan and
+    re-tokenize the corpus once per order — no exchange sits between
+    the scan and the explode, so ReuseExchange can't share it). Then
+    one (doc, k, gram) count shuffle, a deterministic per-(doc, k)
+    mode window (ties break lexicographically), and a doc-sized
+    conditional rollup; the doc spine (for gram-less docs) comes from
+    the same exploded relation via explode_outer + distinct, never a
+    second scan."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    base = df.select(
+    ws = tokens(F.col(text_col))
+    tagged = F.concat(
+        F.transform(
+            word_kgrams(ws, 2),
+            lambda g: F.struct(F.lit(2).alias("k"), g.alias("gram")),
+        ),
+        F.transform(
+            word_kgrams(ws, 3),
+            lambda g: F.struct(F.lit(3).alias("k"), g.alias("gram")),
+        ),
+    )
+    ex = df.select(
         F.col(id_col).alias("id"),
         F.length(norm).alias("n_chars"),
-        tokens(F.col(text_col)).alias("ws"),
+        F.explode_outer(tagged).alias("p"),
+    ).select("id", "n_chars", "p.k", "p.gram")
+    counts = (
+        ex.filter(F.col("gram").isNotNull())
+        .groupBy("id", "n_chars", "k", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-
-    def top_frac(k: int, label: str) -> DataFrame:
-        g = base.select(
-            "id", "n_chars",
-            F.explode(word_kgrams(F.col("ws"), k)).alias("gram"),
+    w = Window.partitionBy("id", "k").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    frac = F.round(
+        F.least(
+            F.col("cnt") * F.length("gram") / F.col("n_chars"), F.lit(1.0)
+        ),
+        6,
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("k") == 2, F.col("gram"))).alias("top_bigram"),
+            F.max(F.when(F.col("k") == 2, frac)).alias("bigram_char_frac"),
+            F.max(F.when(F.col("k") == 3, F.col("gram"))).alias("top_trigram"),
+            F.max(F.when(F.col("k") == 3, frac)).alias("trigram_char_frac"),
         )
-        counts = g.groupBy("id", "n_chars", "gram").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        w = Window.partitionBy("id").orderBy(
-            F.col("cnt").desc(), F.col("gram").asc()
-        )
-        return (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "id",
-                F.col("gram").alias(f"top_{label}"),
-                F.round(
-                    F.least(
-                        F.col("cnt") * F.length("gram") / F.col("n_chars"),
-                        F.lit(1.0),
-                    ),
-                    6,
-                ).alias(f"{label}_char_frac"),
-            )
-        )
-
-    return (
-        base.select(F.col("id"), "n_chars")
-        .join(top_frac(2, "bigram"), "id", "left")
-        .join(top_frac(3, "trigram"), "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_chars",
-            "top_bigram", "bigram_char_frac",
-            "top_trigram", "trigram_char_frac",
-        )
+    )
+    spine = ex.select("id", "n_chars").distinct()
+    return spine.join(top, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_chars",
+        "top_bigram", "bigram_char_frac",
+        "top_trigram", "trigram_char_frac",
     )

@@ -726,19 +726,22 @@ def q207_vector_stats_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(x.cast("double"), 6).cast("decimal(12,6)"),
     )
     e = emb.select("vec_id", v.alias("v"))
-    # decimal + decimal widens past 38 and Spark shrinks the scale,
-    # which breaks aggregate()'s fixed accumulator type — re-snap the
-    # merge result to the accumulator type (exact: 64 dims of (25,12)
-    # products can't overflow 38 digits)
+    # accumulator precision is chosen so the ADD ITSELF stays exact:
+    # (30,12)+(25,12) -> (31,12) (scale preserved, no rounding), then
+    # the cast back to (30,12) is exact for any in-range sum. A (38,12)
+    # accumulator looks safer but is the trap: (38,12)+(25,12) would
+    # exceed 38 digits and Spark silently re-scales the ADD to (38,11),
+    # rounding away the 12th decimal BEFORE the lambda's cast —
+    # review-confirmed to zero out sums of ~1e-12 components entirely
     sq_sum = F.aggregate(
         F.transform("v", lambda x: x * x),
-        F.lit(0).cast("decimal(38,12)"),
-        lambda acc, x: (acc + x).cast("decimal(38,12)"),
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
     )
     v_sum = F.aggregate(
         "v",
-        F.lit(0).cast("decimal(38,6)"),
-        lambda acc, x: (acc + x).cast("decimal(38,6)"),
+        F.lit(0).cast("decimal(30,6)"),
+        lambda acc, x: (acc + x).cast("decimal(30,6)"),
     )
     return e.select(
         "vec_id",

@@ -1424,8 +1424,9 @@ def q209_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality filters [EXT] —
     ``textstats.gopher_repetition``: per-doc fraction of characters in
     the most frequent word 2-/3-gram (Rae et al. 2021 Table A1's
-    looping-text detectors). One (doc, gram) count shuffle per order,
-    mode picked by a deterministic per-doc window; complements the
+    looping-text detectors). ONE corpus scan (both orders ride a tagged
+    row-local gram array), one (doc, k, gram) count shuffle, mode picked
+    by a deterministic per-(doc, k) window; complements the
     CROSS-document ExactSubstr profile (q201) with the INTRA-document
     repetition axis."""
     docs = load_table(spark, sf_dir, "documents")

@@ -126,8 +126,11 @@ def resolve_named_types(schema):
         full = name if "." in name else (
             f"{namespace}.{name}" if namespace else name
         )
+        # register the FULLNAME only — a global short-name alias would
+        # let a bare reference silently bind the same-named type from
+        # an unrelated namespace (spec: bare names resolve in the
+        # CURRENT namespace or fail)
         defs[full] = node
-        defs.setdefault(name.rsplit(".", 1)[-1], node)
         return namespace if "." not in name else name.rsplit(".", 1)[0]
 
     def walk(node, ns):
@@ -410,9 +413,15 @@ def _encode_value(out: io.BytesIO, node, v, tz=None) -> None:
     if isinstance(node, list):
         is_null = lambda b: b == "null" or _node_type(b) == "null"  # noqa: E731
         if v is None:
-            _write_long(
-                out, next(i for i, b in enumerate(node) if is_null(b))
+            null_idx = next(
+                (i for i, b in enumerate(node) if is_null(b)), None
             )
+            if null_idx is None:
+                raise ValueError(
+                    f"union write: value is None but union {node} has "
+                    "no null branch"
+                )
+            _write_long(out, null_idx)
             return
         non_null = [(i, b) for i, b in enumerate(node) if not is_null(b)]
         if len(non_null) == 1:

@@ -384,3 +384,32 @@ def test_group_consistent_split_no_leakage_and_fractions(spark):
     assert splits <= {"train", "val", "test"} and "train" in splits
     with pytest.raises(ValueError, match="sum to 1"):
         group_consistent_split(df, "grp", splits=[("a", 0.5), ("b", 0.4)])
+
+
+def test_group_consistent_split_boundary_rounding():
+    """Review r8 fix: boundaries round rather than truncate —
+    0.57*10000 is 5699.999… in floats and int() would hand bucket
+    5699 to the wrong split. Verified against an independent Python
+    recomputation of the same portable hash."""
+    import hashlib
+
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        group_consistent_split,
+    )
+    from databricks_delta_lake_migration_spark.session import build_session
+
+    spark = build_session()
+    groups = [f"g{i}" for i in range(500)]
+    df = spark.createDataFrame([(g,) for g in groups], "grp string")
+    got = {
+        r.grp: r.split
+        for r in group_consistent_split(
+            df, "grp", splits=[("train", 0.57), ("test", 0.43)]
+        ).collect()
+    }
+
+    def expected(g):
+        b = int(hashlib.sha256(g.encode()).hexdigest()[:8], 16) % 10_000
+        return "train" if b < 5700 else "test"
+
+    assert got == {g: expected(g) for g in groups}

@@ -1355,3 +1355,32 @@ def test_pyavro_multi_branch_unions(spark, tmp_path):
             {"type": "record", "name": "Bad",
              "fields": [{"name": "u", "type": ["string", "int"]}]}
         )
+
+
+def test_pyavro_union_and_namespace_loud_errors():
+    """Review r8 fixes: None into a no-null-branch union raises a
+    descriptive ValueError (not StopIteration); a bare reference to a
+    namespaced type from outside that namespace fails loudly instead
+    of silently binding the first same-named declaration."""
+    import io
+
+    import pytest
+
+    from databricks_delta_lake_migration_spark.sources import avro_py
+
+    with pytest.raises(ValueError, match="no null branch"):
+        avro_py._encode_value(io.BytesIO(), ["int", "double"], None)
+
+    schema = {
+        "type": "record", "name": "Top", "namespace": "c",
+        "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "a.Node",
+                "fields": [{"name": "x", "type": "long"}]}},
+            # bare 'Node' in namespace c: neither c.Node nor a bare
+            # fullname 'Node' exists -> must NOT resolve to a.Node
+            {"name": "b", "type": "Node"},
+        ],
+    }
+    with pytest.raises(ValueError, match="unresolved avro named-type"):
+        avro_py.resolve_named_types(schema)
