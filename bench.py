@@ -75,6 +75,9 @@ EXTRA_QUERIES = [
     "q205_touch_attribution",
     "q208_rolling_distinct",
     "q209_gopher_repetition",
+    "q213_debounce_exact",
+    "q214_pareto_abc",
+    "q216_decayed_engagement",
 ]
 
 
