@@ -39,21 +39,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - first-time rows for the 5 round-7 stragglers (q196 column
 #     profile, q197 Benford, q198 skew profile, q199 bucketed join,
 #     q200 prefix-Jaccard join)
-#   - first-time rows for the 16 round-8 additions (q201 ExactSubstr
+#   - first-time rows for the 18 round-8 additions (q201 ExactSubstr
 #     profile, q202 table diff, q203 RFM, q204 triangle count, q205
 #     touch attribution, q206 EXISTS semi-join, q207 HOF vector
 #     stats, q208 rolling distinct, q209 Gopher repetition, q210
 #     conversion lag, q211 event throttle, q212 ordered string_agg,
 #     q213 true debounce, q214 Pareto/ABC, q215 group-consistent
-#     split, q216 stepped-decay engagement)
+#     split, q216 stepped-decay engagement, q217 winsorize audit,
+#     q218 HLL overlap)
 #   - the 8 keeper anchors (one per signature tier: MERGE, time
 #     travel, streaming CDC, medallion, cosine top-k, MinHash-LSH,
 #     grouped agg, star join) — cross-round regression sentinels
 #   - the 19 re-confirms whose only driver rows are r3/r4 (q30–q32,
 #     q34, q35, q37, q43, q45, q46, q48–q50, q53, q77–q80, q83, q84)
-#   - 2 oldest r5-only re-confirms (q02, q07) in the remaining slots
-#     (new registrations beat re-confirms; q09/q10/q16 rotate to r9)
-# 5 + 16 + 8 + 19 + 2 = 50. pytest's local DuckDB oracle-parity twin
+#   (the r5-only re-confirms q02/q07/q09/q10/q16 rotate to round 9:
+#   new registrations beat re-confirms, and 18 additions fill the
+#   window exactly)
+# 5 + 18 + 8 + 19 = 50. pytest's local DuckDB oracle-parity twin
 # still exercises every registration every round.
 _PRIORITY = [
     # first-timers: round-7 stragglers
@@ -68,6 +70,7 @@ _PRIORITY = [
     "q211_event_throttle", "q212_ordered_string_agg",
     "q213_debounce_exact", "q214_pareto_abc",
     "q215_group_split_audit", "q216_decayed_engagement",
+    "q217_winsorize_audit", "q218_hll_overlap",
     # keepers: one anchor per signature tier
     "q60_merge_upsert", "q63_time_travel_diff", "q92_streaming_cdc_apply",
     "q70_medallion_gold", "q40_cosine_topk", "q36_minhash_lsh_pairs",
@@ -80,8 +83,6 @@ _PRIORITY = [
     "q53_pandas_udf_norm", "q77_word_entropy", "q78_near_dup_clusters",
     "q79_pii_redaction", "q80_sql_passthrough", "q83_top_tokens",
     "q84_medallion_tx_analytics",
-    # re-confirms: oldest r5-only rows
-    "q02_top_orders_by_revenue", "q07_conditional_agg",
 ]
 
 

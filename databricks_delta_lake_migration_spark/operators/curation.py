@@ -525,3 +525,39 @@ def group_consistent_split(
         lo = hi
     expr = F.coalesce(expr, F.lit(splits[-1][0]))
     return df.withColumn("split", expr)
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization [EXT]: clip ``value_col`` to its group's
+    exact [``lower``, ``upper``] quantiles — the outlier containment
+    step run before means/trends so one fat-finger row can't drag a
+    segment's statistics (robust_outliers DETECTS; this REPAIRS).
+    Adds ``<value>_w`` (clipped) plus the group bounds ``__lo``/``__hi``.
+
+    Two passes by construction: exact quantiles need the full group
+    before any row can clip (pass 1 = ONE map-side-combined
+    percentile aggregate per group; pass 2 = broadcast the group-bound
+    relation back onto the scan — group cardinality is the documented
+    bound). The single-pass alternative at 100 TB is approx_percentile
+    bounds (same shape, sketch-valued pass 1); exact is the default
+    because the clip boundaries are then auditable and
+    engine-portable."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(value_col), F.lit(upper)).alias("__hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
+        F.col("__hi"),
+    )
+    return df.join(F.broadcast(bounds), group_cols).withColumn(
+        f"{value_col}_w", clipped
+    )

@@ -563,3 +563,54 @@ def q215_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_groups"),
     )
+
+
+@query(
+    "q217_winsorize_audit",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_rows,
+           ROUND(lo, 4) AS lo, ROUND(hi, 4) AS hi,
+           COUNT(CASE WHEN o_totalprice < lo THEN 1 END) AS n_clipped_low,
+           COUNT(CASE WHEN o_totalprice > hi THEN 1 END) AS n_clipped_high,
+           CAST(ROUND(SUM(CAST(
+                LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), lo), hi)
+                AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_w
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY 1, lo, hi
+    """,
+)
+def q217_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorization audit [EXT] —
+    ``curation.winsorize`` at exact [p05, p95]: clip bounds from ONE
+    map-side-combined percentile aggregate (interpolation parity with
+    quantile_cont, the q191 precedent), broadcast back onto the scan;
+    clipped values snap to decimal before the sum so the audit is
+    hash-stable. Exact quantiles force two passes by construction —
+    approx_percentile is the documented single-pass 100 TB variant."""
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import winsorize
+
+    o = load_table(spark, sf_dir, "orders")
+    w = winsorize(o, ["o_orderpriority"], "o_totalprice")
+    return w.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("__lo"), 4).alias("lo"),
+        F.round(F.min("__hi"), 4).alias("hi"),
+        F.count(F.when(F.col("o_totalprice") < F.col("__lo"), 1)).alias(
+            "n_clipped_low"
+        ),
+        F.count(F.when(F.col("o_totalprice") > F.col("__hi"), 1)).alias(
+            "n_clipped_high"
+        ),
+        F.round(
+            F.sum(F.col("o_totalprice_w").cast("decimal(18,4)")), 4
+        ).cast("double").alias("sum_w"),
+    )

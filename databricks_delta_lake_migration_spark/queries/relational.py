@@ -2567,3 +2567,76 @@ def q212_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("supplier_csv"),
         )
     )
+
+
+@query(
+    "q218_hll_overlap",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(SUM(a) AS BIGINT) AS exact_a,
+           CAST(SUM(b) AS BIGINT) AS exact_b,
+           CAST(COUNT(CASE WHEN a = 1 AND b = 1 THEN 1 END) AS BIGINT)
+               AS exact_overlap,
+           TRUE AS overlap_ok
+    FROM per_user
+    """,
+)
+def q218_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra [EXT]: audience OVERLAP between two event
+    types by inclusion-exclusion over HLL sketches —
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` where the union estimate
+    comes from ``hll_union_agg`` over the per-type sketches (pure
+    re-aggregation: the union never rescans facts — q158's rollup
+    pattern extended from union to intersection). Exact counts ride
+    the same pass for the verdict; inclusion-exclusion AMPLIFIES
+    relative error (the documented trade — theta sketches intersect
+    natively; HLL pays ~(|A|+|B|)/|A∩B| × the union's error), so the
+    verdict bound is 10%."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_nd"),
+    )
+    est = sk.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")
+    )
+    combined = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("b"),
+    )
+    exact = per_user.agg(
+        F.sum("a").cast("long").alias("exact_a"),
+        F.sum("b").cast("long").alias("exact_b"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("exact_overlap"),
+    )
+    wide = (
+        est.groupBy()
+        .pivot("event_type", ["view", "purchase"])
+        .agg(F.first("est"))
+        .crossJoin(combined)
+    )
+    overlap_est = F.col("view") + F.col("purchase") - F.col("union_est")
+    return exact.crossJoin(F.broadcast(wide)).select(
+        "exact_a",
+        "exact_b",
+        "exact_overlap",
+        (
+            F.abs(overlap_est - F.col("exact_overlap"))
+            / F.col("exact_overlap")
+            < 0.1
+        ).alias("overlap_ok"),
+    )

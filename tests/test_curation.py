@@ -413,3 +413,29 @@ def test_group_consistent_split_boundary_rounding():
         return "train" if b < 5700 else "test"
 
     assert got == {g: expected(g) for g in groups}
+
+
+def test_winsorize_clips_at_exact_group_quantiles(spark):
+    """11 values 0..100 per group: p05/p95 interpolate to 5/95; the
+    tails clip, interior rows pass through; second group unaffected."""
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        winsorize,
+    )
+    import pytest
+
+    rows = [("g1", float(v)) for v in range(0, 101, 10)] + [
+        ("g2", 1000.0), ("g2", 2000.0), ("g2", 3000.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, ["g"], "v", lower=0.05, upper=0.95)
+    g1 = sorted(r.v_w for r in out.filter("g = 'g1'").collect())
+    assert g1[0] == 5.0 and g1[-1] == 95.0       # tails clipped
+    assert 50.0 in g1                            # interior untouched
+    g2 = {r.v: r.v_w for r in out.filter("g = 'g2'").collect()}
+    assert g2[2000.0] == 2000.0
+    # p05/p95 of {1000,2000,3000} interpolate to 1100 / 2900 (float
+    # interpolation: 3000-0.05*2000 carries an ulp)
+    assert g2[1000.0] == 1100.0
+    assert abs(g2[3000.0] - 2900.0) < 1e-9
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorize(df, ["g"], "v", lower=0.9, upper=0.1)
