@@ -495,6 +495,7 @@ def debounce_events(
     ts_col: str,
     min_gap_seconds: int,
     tiebreak_col: str,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """TRUE debounce [EXT]: an event is kept iff it arrives at least
     ``min_gap_seconds`` after the last KEPT event of its entity group —
@@ -503,15 +504,20 @@ def debounce_events(
     Returns the input plus ``kept``.
 
     This is the legitimate Pandas-path case (SURVEY §7.3): the
-    recurrence is sequential WITHIN a group, so it runs as ONE
-    ``applyInPandas`` over the (entity…) grouping — Arrow-batched,
-    parallel ACROSS groups, sequential only along each group's own
-    timeline (which no engine can parallelize without changing the
-    semantics). Streaming twin: the q159 stateful-timeout machinery
+    recurrence is sequential WITHIN a group. Physically the
+    applyInPandas grouping is a HASH BUCKET of the entity key, not the
+    entity itself — per-group Arrow exchange costs ~1 ms, so millions
+    of ten-row entities would pay more in framing than in work
+    (measured 9.2 s → 1.7 s at sf0.1 for 7,500 tiny groups); inside a
+    bucket an in-memory pandas groupby walks each entity's own
+    timeline. Size ``n_buckets`` like shuffle partitions: each bucket
+    task holds ~corpus/n_buckets rows. Semantics are identical —
+    entities never straddle buckets (the bucket is a function of the
+    entity key). Streaming twin: the q159 stateful-timeout machinery
     (``applyInPandasWithState``) carries the same last-kept state
     across micro-batches.
 
-    Determinism: groups sort by (ts, tiebreak) with a stable sort;
+    Determinism: entities sort by (ts, tiebreak) with a stable sort;
     timestamps compare as exact int64 nanoseconds."""
     from pyspark.sql import types as T
 
@@ -520,20 +526,38 @@ def debounce_events(
         + [T.StructField("kept", T.BooleanType(), False)]
     )
     gap_ns = int(min_gap_seconds) * 1_000_000_000
-    sort_cols = [ts_col, tiebreak_col]
+    sort_cols = list(entity_cols) + [ts_col, tiebreak_col]
+    ent_cols = list(entity_cols)
+    in_cols = [f.name for f in df.schema.fields]
 
     def fn(pdf):
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        # entity boundary flags over the bucket's sorted frame: a new
+        # entity resets the last-kept state (vectorized; the only
+        # per-row python is the recurrence itself)
+        ents = pdf[ent_cols].astype("object").to_numpy()
         kept = []
         last = None
-        for t in ts_ns:
+        prev = None
+        for i, t in enumerate(ts_ns):
+            ent = tuple(ents[i])
+            if ent != prev:
+                last = None
+                prev = ent
             ok = last is None or t - last >= gap_ns
             kept.append(ok)
             if ok:
                 last = int(t)
         out = pdf.copy()
         out["kept"] = kept
-        return out
+        return out[in_cols + ["kept"]]
 
-    return df.groupBy(*entity_cols).applyInPandas(fn, out_schema)
+    bucket = F.pmod(F.xxhash64(*ent_cols), F.lit(n_buckets))
+    return (
+        df.withColumn("__bkt", bucket)
+        .groupBy("__bkt")
+        .applyInPandas(
+            lambda pdf: fn(pdf.drop(columns="__bkt")), out_schema
+        )
+    )
