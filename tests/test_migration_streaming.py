@@ -1384,3 +1384,47 @@ def test_pyavro_union_and_namespace_loud_errors():
     }
     with pytest.raises(ValueError, match="unresolved avro named-type"):
         avro_py.resolve_named_types(schema)
+
+
+def test_table_diff_matches_reference_hypothesis(spark):
+    """Property test: table_diff equals a brute-force dict diff for
+    arbitrary keyed tables with NULLs on both sides."""
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.quality import table_diff
+
+    val = st.one_of(st.none(), st.integers(0, 3))
+    side = st.dictionaries(st.integers(0, 7), st.tuples(val, val),
+                           min_size=0, max_size=6)
+
+    @settings(max_examples=10, deadline=None)
+    @given(side, side)
+    def run(src, tgt):
+        sdf = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in src.items()] or [(None, None, None)],
+            "k int, x int, y int",
+        ).filter("k IS NOT NULL")
+        tdf = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in tgt.items()] or [(None, None, None)],
+            "k int, x int, y int",
+        ).filter("k IS NOT NULL")
+        got = {
+            r.k: (r.status, r.changed_cols)
+            for r in table_diff(sdf, tdf, ["k"]).collect()
+        }
+        ref = {}
+        for k in set(src) | set(tgt):
+            if k not in tgt:
+                ref[k] = ("missing_in_target", "")
+            elif k not in src:
+                ref[k] = ("extra_in_target", "")
+            else:
+                changed = sorted(
+                    c for c, (a, b) in zip("xy", zip(src[k], tgt[k]))
+                    if a != b
+                )
+                if changed:
+                    ref[k] = ("changed", ",".join(changed))
+        assert got == ref, (src, tgt)
+
+    run()

@@ -1509,3 +1509,41 @@ def test_gopher_repetition_hand_checked(spark):
     assert out[3].top_bigram == "two words"
     assert out[3].top_trigram is None
     assert out[3].trigram_char_frac is None
+
+
+def test_exact_substring_matches_reference_hypothesis(spark):
+    """Property test: the ExactSubstr profile and strip equal the
+    brute-force reference for arbitrary small-vocabulary corpora
+    (small vocab maximizes accidental cross-doc k-gram collisions)."""
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        exact_substring_profile,
+        strip_duplicate_spans,
+    )
+
+    corpus = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=9),
+        min_size=2, max_size=6,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus)
+    def run(docs):
+        k = 3
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        ref = _brute_exact_substring(rows, k)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        prof = {
+            r.doc_id: (r.n_words, r.n_grams, r.n_dup_grams, r.n_covered_words)
+            for r in exact_substring_profile(df, k=k).collect()
+        }
+        stripped = {
+            r.doc_id: r.text_stripped
+            for r in strip_duplicate_spans(df, k=k).collect()
+        }
+        for i, (nw, ng, nd, nc, kept) in ref.items():
+            assert prof[i] == (nw, ng, nd, nc), (i, docs)
+            assert stripped[i] == kept, (i, docs)
+
+    run()
