@@ -536,7 +536,11 @@ def debounce_events(
         # entity boundary flags over the bucket's sorted frame: a new
         # entity resets the last-kept state (vectorized; the only
         # per-row python is the recurrence itself)
-        ents = pdf[ent_cols].astype("object").to_numpy()
+        # normalize missing keys to None BEFORE tupling: Arrow hands
+        # null numeric keys to pandas as NaN, and NaN != NaN would make
+        # every null-key row look like a fresh entity (never debounced)
+        ekeys = pdf[ent_cols].astype("object")
+        ents = ekeys.where(ekeys.notna(), None).to_numpy()
         kept = []
         last = None
         prev = None

@@ -538,7 +538,9 @@ def winsorize(
     exact [``lower``, ``upper``] quantiles — the outlier containment
     step run before means/trends so one fat-finger row can't drag a
     segment's statistics (robust_outliers DETECTS; this REPAIRS).
-    Adds ``<value>_w`` (clipped) plus the group bounds ``__lo``/``__hi``.
+    Adds ``<value>_w`` (clipped; NULL stays NULL) plus the group bounds
+    ``<value>__lo``/``<value>__hi``; NULL group keys are preserved
+    (null-safe bound join).
 
     Two passes by construction: exact quantiles need the full group
     before any row can clip (pass 1 = ONE map-side-combined
@@ -550,14 +552,31 @@ def winsorize(
     engine-portable."""
     if not 0 <= lower < upper <= 1:
         raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    lo, hi = f"{value_col}__lo", f"{value_col}__hi"  # composable names
     bounds = df.groupBy(*group_cols).agg(
-        F.percentile(F.col(value_col), F.lit(lower)).alias("__lo"),
-        F.percentile(F.col(value_col), F.lit(upper)).alias("__hi"),
+        F.percentile(F.col(value_col), F.lit(lower)).alias(lo),
+        F.percentile(F.col(value_col), F.lit(upper)).alias(hi),
     )
-    clipped = F.least(
-        F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
-        F.col("__hi"),
+    # NULL measurements stay NULL (Spark least/greatest SKIP nulls —
+    # an unguarded clip would fabricate the p05 bound for missing
+    # values); NULL group keys join null-safely so the transform is
+    # row-preserving
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col(lo)),
+            F.col(hi),
+        ),
     )
-    return df.join(F.broadcast(bounds), group_cols).withColumn(
-        f"{value_col}_w", clipped
+    b = F.broadcast(bounds.select(
+        *[F.col(c).alias(f"__b_{c}") for c in group_cols], lo, hi
+    ))
+    cond = None
+    for c in group_cols:
+        eq = df[c].eqNullSafe(F.col(f"__b_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return (
+        df.join(b, cond)
+        .drop(*[f"__b_{c}" for c in group_cols])
+        .withColumn(f"{value_col}_w", clipped)
     )

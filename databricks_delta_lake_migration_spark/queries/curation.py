@@ -602,14 +602,14 @@ def q217_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = winsorize(o, ["o_orderpriority"], "o_totalprice")
     return w.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.min("__lo"), 4).alias("lo"),
-        F.round(F.min("__hi"), 4).alias("hi"),
-        F.count(F.when(F.col("o_totalprice") < F.col("__lo"), 1)).alias(
-            "n_clipped_low"
-        ),
-        F.count(F.when(F.col("o_totalprice") > F.col("__hi"), 1)).alias(
-            "n_clipped_high"
-        ),
+        F.round(F.min("o_totalprice__lo"), 4).alias("lo"),
+        F.round(F.min("o_totalprice__hi"), 4).alias("hi"),
+        F.count(
+            F.when(F.col("o_totalprice") < F.col("o_totalprice__lo"), 1)
+        ).alias("n_clipped_low"),
+        F.count(
+            F.when(F.col("o_totalprice") > F.col("o_totalprice__hi"), 1)
+        ).alias("n_clipped_high"),
         F.round(
             F.sum(F.col("o_totalprice_w").cast("decimal(18,4)")), 4
         ).cast("double").alias("sum_w"),

@@ -2601,8 +2601,7 @@ def q218_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("view", "purchase")
     )
     sk = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("exact_nd"),
+        F.hll_sketch_agg("user_id").alias("sk")
     )
     est = sk.select(
         "event_type", F.hll_sketch_estimate("sk").alias("est")
@@ -2629,14 +2628,21 @@ def q218_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("est"))
         .crossJoin(combined)
     )
-    overlap_est = F.col("view") + F.col("purchase") - F.col("union_est")
+    # guards: a missing pivot value or empty type contributes 0, and
+    # the relative error normalizes by max(exact, 1) — a disjoint (or
+    # empty) audience yields a real boolean, never a NULL verdict
+    overlap_est = (
+        F.coalesce(F.col("view"), F.lit(0.0))
+        + F.coalesce(F.col("purchase"), F.lit(0.0))
+        - F.coalesce(F.col("union_est"), F.lit(0.0))
+    )
     return exact.crossJoin(F.broadcast(wide)).select(
         "exact_a",
         "exact_b",
         "exact_overlap",
         (
             F.abs(overlap_est - F.col("exact_overlap"))
-            / F.col("exact_overlap")
+            / F.greatest(F.col("exact_overlap"), F.lit(1))
             < 0.1
         ).alias("overlap_ok"),
     )

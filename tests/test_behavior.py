@@ -334,3 +334,28 @@ def test_debounce_vs_throttle_semantics(spark):
         ).collect()
     }
     assert thr == {1: False, 2: True, 3: True}  # lag clock resets at t=40
+
+
+def test_debounce_null_entity_keys_share_state(spark):
+    """Review r8: NULL entity keys form ONE entity (Arrow hands them to
+    pandas as NaN; NaN != NaN must not reset the last-kept state every
+    row)."""
+    from databricks_delta_lake_migration_spark.operators.behavior import (
+        debounce_events,
+    )
+
+    rows = [
+        (1, None, "2024-01-01 00:00:00", "x"),
+        (2, None, "2024-01-01 00:00:10", "x"),  # 10s after kept -> drop
+        (3, None, "2024-01-01 00:02:00", "x"),  # 120s -> keep
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.event_id: r.kept
+        for r in debounce_events(
+            df, ["user_id", "event_type"], "ts", 60, "event_id"
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True}

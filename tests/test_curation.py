@@ -386,7 +386,7 @@ def test_group_consistent_split_no_leakage_and_fractions(spark):
         group_consistent_split(df, "grp", splits=[("a", 0.5), ("b", 0.4)])
 
 
-def test_group_consistent_split_boundary_rounding():
+def test_group_consistent_split_boundary_rounding(spark):
     """Review r8 fix: boundaries round rather than truncate —
     0.57*10000 is 5699.999… in floats and int() would hand bucket
     5699 to the wrong split. Verified against an independent Python
@@ -396,9 +396,7 @@ def test_group_consistent_split_boundary_rounding():
     from databricks_delta_lake_migration_spark.operators.curation import (
         group_consistent_split,
     )
-    from databricks_delta_lake_migration_spark.session import build_session
 
-    spark = build_session()
     groups = [f"g{i}" for i in range(500)]
     df = spark.createDataFrame([(g,) for g in groups], "grp string")
     got = {
@@ -439,3 +437,26 @@ def test_winsorize_clips_at_exact_group_quantiles(spark):
     assert abs(g2[3000.0] - 2900.0) < 1e-9
     with pytest.raises(ValueError, match="lower < upper"):
         winsorize(df, ["g"], "v", lower=0.9, upper=0.1)
+
+
+def test_winsorize_preserves_nulls_and_null_groups(spark):
+    """Review r8: NULL measurements stay NULL (not fabricated at p05),
+    NULL-group rows survive the bound join, and the operator composes
+    (bound names are value-scoped)."""
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        winsorize,
+    )
+
+    rows = [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None),
+            (None, 10.0), (None, 20.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, ["g"], "v", lower=0.25, upper=0.75)
+    assert out.count() == 6  # row-preserving incl. NULL group
+    nulls = out.filter("v IS NULL").collect()
+    assert len(nulls) == 1 and nulls[0].v_w is None
+    ng = sorted(r.v_w for r in out.filter("g IS NULL").collect())
+    assert ng == [12.5, 17.5]  # clipped within the NULL group's bounds
+    # composability: winsorize a second column without name collisions
+    df2 = df.withColumn("u", F.col("v") * 2)
+    both = winsorize(winsorize(df2, ["g"], "v"), ["g"], "u")
+    assert "v_w" in both.columns and "u_w" in both.columns
