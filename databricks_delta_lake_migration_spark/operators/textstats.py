@@ -951,28 +951,38 @@ def gopher_repetition(
     ONE corpus scan: both gram orders ride one tagged (k, gram) array
     built row-locally (a per-order pipeline would re-scan and
     re-tokenize the corpus once per order — no exchange sits between
-    the scan and the explode, so ReuseExchange can't share it). Then
+    the scan and the explode, so ReuseExchange can't share it; on a
+    small local corpus the parallel per-order branches can edge out
+    the single serial chain, but at warehouse scale scan+tokenize
+    I/O dominates and runs once here instead of three times). Then
     one (doc, k, gram) count shuffle, a deterministic per-(doc, k)
     mode window (ties break lexicographically), and a doc-sized
     conditional rollup; the doc spine (for gram-less docs) comes from
     the same exploded relation via explode_outer + distinct, never a
     second scan."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    ws = tokens(F.col(text_col))
+    # materialize the token array behind a projection BEFORE building
+    # grams: word_kgrams references its input many times (acc chain +
+    # shifted slices), and an inlined tokens() expression would be
+    # re-evaluated per reference — the transform(sequence) trap the
+    # shingles docstring documents (measured 6× on this operator)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(norm).alias("n_chars"),
+        tokens(F.col(text_col)).alias("ws"),
+    )
     tagged = F.concat(
         F.transform(
-            word_kgrams(ws, 2),
+            word_kgrams(F.col("ws"), 2),
             lambda g: F.struct(F.lit(2).alias("k"), g.alias("gram")),
         ),
         F.transform(
-            word_kgrams(ws, 3),
+            word_kgrams(F.col("ws"), 3),
             lambda g: F.struct(F.lit(3).alias("k"), g.alias("gram")),
         ),
     )
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.length(norm).alias("n_chars"),
-        F.explode_outer(tagged).alias("p"),
+    ex = base.select(
+        "id", "n_chars", F.explode_outer(tagged).alias("p")
     ).select("id", "n_chars", "p.k", "p.gram")
     counts = (
         ex.filter(F.col("gram").isNotNull())
@@ -999,7 +1009,13 @@ def gopher_repetition(
             F.max(F.when(F.col("k") == 3, frac)).alias("trigram_char_frac"),
         )
     )
-    spine = ex.select("id", "n_chars").distinct()
+    # doc spine (keeps gram-less docs): a direct 2-column projection
+    # of the source — deriving it from `ex` would duplicate the whole
+    # tokenize+explode subtree just to run distinct over it (Catalyst
+    # clones the unshared subtree; exchange reuse can't help pre-agg)
+    spine = df.select(
+        F.col(id_col).alias("id"), F.length(norm).alias("n_chars")
+    )
     return spine.join(top, "id", "left").select(
         F.col("id").alias(id_col),
         "n_chars",
