@@ -295,6 +295,13 @@ def rfm_segments(
     R score is INVERTED (most recent = highest score) to match F/M
     polarity: segment "444" is the best customer in every letter.
 
+    NULL handling (ADVICE r8): an entity whose every ``amount_col`` is
+    NULL has NULL monetary; NULL ordering is PINNED (worst score —
+    NULLS FIRST on the ASC monetary sort, NULLS LAST on the DESC
+    recency sort) rather than left to engine defaults, which diverge
+    (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST). Oracles must
+    mirror the pin (q203 does).
+
     Scale: ONE entity-keyed aggregate (map-side combined), then three
     ntile windows over the ENTITY-level relation — a per-customer
     rollup thousands of times smaller than the event table; the
@@ -312,9 +319,15 @@ def rfm_segments(
     ent = ent.crossJoin(F.broadcast(horizon)).withColumn(
         "recency_days", F.datediff(F.col("h"), F.col("last_day")).cast("long")
     )
-    wr = Window.orderBy(F.col("recency_days").desc(), F.col(entity_col).asc())
+    # NULL pins are explicit even where they match Spark defaults so
+    # the cross-engine contract is visible at the sort site
+    wr = Window.orderBy(
+        F.col("recency_days").desc_nulls_last(), F.col(entity_col).asc()
+    )
     wf = Window.orderBy(F.col("frequency").asc(), F.col(entity_col).asc())
-    wm = Window.orderBy(F.col("monetary").asc(), F.col(entity_col).asc())
+    wm = Window.orderBy(
+        F.col("monetary").asc_nulls_first(), F.col(entity_col).asc()
+    )
     return ent.select(
         entity_col,
         "recency_days",

@@ -555,12 +555,15 @@ def fuzzy_pairs(
     )
     # the guard is folded into the join key itself (not a dropped side
     # column Catalyst could prune away): evaluating the key for a row
-    # of a too-hot block raises
+    # of a too-hot block raises. NULL blocks are exempt: a NULL key
+    # never matches in the equi-join, so NULL-block rows generate ZERO
+    # candidates regardless of how many there are — guarding them
+    # would fail corpora (e.g. many NULL names) that run at no cost
     blk_sz = F.count(F.lit(1)).over(Window.partitionBy("__block"))
     side = side.withColumn(
         "__block",
         F.when(
-            blk_sz > max_block_rows,
+            (blk_sz > max_block_rows) & F.col("__block").isNotNull(),
             F.raise_error(
                 F.concat(
                     F.lit("fuzzy_pairs: block "),

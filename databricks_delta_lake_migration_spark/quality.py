@@ -284,21 +284,35 @@ def table_diff(
     survive), so neither side can broadcast; co-locate the recurring
     case by bucketing both tables on the key (q199's layout). Column
     comparison is row-local null-safe equality (`eqNullSafe` — NULL vs
-    value drift is a real change, NULL vs NULL is not)."""
+    value drift is a real change, NULL vs NULL is not).
+
+    KEY matching is null-safe too (VERDICT r8 #3): a NULL key is one
+    key value, so a NULL-key row present on both sides reconciles as
+    ``identical``/``changed`` instead of drifting into a spurious
+    ``missing_in_target`` + ``extra_in_target`` pair. `<=>` keys stay
+    hash-partitionable, so the ONE-shuffle shape is unchanged. As with
+    any duplicated key value, MULTIPLE NULL-key rows per side compare
+    many-to-many — ``key_cols`` is assumed to be a key."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     comp = compare_cols or [
         c for c in source.columns if c in set(target.columns) and c not in key_cols
     ]
     s = source.select(
-        *key_cols, *[F.col(c).alias(f"__s_{c}") for c in comp],
+        *[F.col(k).alias(f"__ks_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__s_{c}") for c in comp],
         F.lit(1).alias("__in_s"),
     )
     t = target.select(
-        *key_cols, *[F.col(c).alias(f"__t_{c}") for c in comp],
+        *[F.col(k).alias(f"__kt_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__t_{c}") for c in comp],
         F.lit(1).alias("__in_t"),
     )
-    j = s.join(t, key_cols, "full_outer")
+    key_eq = None
+    for k in key_cols:
+        eq = F.col(f"__ks_{k}").eqNullSafe(F.col(f"__kt_{k}"))
+        key_eq = eq if key_eq is None else (key_eq & eq)
+    j = s.join(t, key_eq, "full_outer")
     changed = F.array_sort(
         F.array_compact(
             F.array(
@@ -319,7 +333,12 @@ def table_diff(
         .otherwise(F.lit("identical"))
     )
     out = j.select(
-        *key_cols,
+        # coalesce is NULL-correct here: an unmatched NULL-key row has
+        # NULL on both sides, so the output key stays NULL as it should
+        *[
+            F.coalesce(F.col(f"__ks_{k}"), F.col(f"__kt_{k}")).alias(k)
+            for k in key_cols
+        ],
         status.alias("status"),
         F.when(
             status == "changed", F.array_join(changed, ",")

@@ -223,12 +223,12 @@ def q194_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS recency_days,
                frequency,
                CAST(ROUND(monetary_d, 4) AS DOUBLE) AS monetary,
-               ntile(4) OVER (ORDER BY date_diff('day', last_day, hd) DESC,
-                              user_id ASC) AS r_score,
+               ntile(4) OVER (ORDER BY date_diff('day', last_day, hd)
+                              DESC NULLS LAST, user_id ASC) AS r_score,
                ntile(4) OVER (ORDER BY frequency ASC, user_id ASC)
                    AS f_score,
-               ntile(4) OVER (ORDER BY monetary_d ASC, user_id ASC)
-                   AS m_score
+               ntile(4) OVER (ORDER BY monetary_d ASC NULLS FIRST,
+                              user_id ASC) AS m_score
         FROM ent, h
     )
     SELECT user_id, recency_days, frequency, monetary,

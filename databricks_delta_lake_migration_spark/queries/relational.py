@@ -2467,7 +2467,8 @@ def q199_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN 'o_totalprice' END],
                     x -> x IS NOT NULL)), ',')
            END AS changed_cols
-    FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+    FROM src s FULL OUTER JOIN tgt t
+         ON s.o_orderkey IS NOT DISTINCT FROM t.o_orderkey
     WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL
        OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
        OR s.o_totalprice IS DISTINCT FROM t.o_totalprice

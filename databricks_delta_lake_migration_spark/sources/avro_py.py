@@ -17,8 +17,13 @@ resolve against earlier declarations on read and write
 (:func:`resolve_named_types`); multi-branch unions decode by the
 writer's branch index, map to Spark via exact-match or numeric
 promotion (int|long → long, any float → double), and WRITE by
-unambiguous value-type match (ambiguous or unmatched values fail
-loudly). Remaining gaps (fail loudly with the offending schema node):
+value-type match: an all-numeric multi-match (int vs ['int','long'],
+float vs ['float','double']) picks the WIDEST branch — any matching
+numeric branch is a correct writer choice and the widest is lossless;
+mixed-KIND ambiguity or unmatched values still fail loudly. The
+int→float read coercion for promoted unions applies RECURSIVELY
+(record/array/map positions), driven by the mapped Spark schema.
+Remaining gaps (fail loudly with the offending schema node):
 recursive named types in the Spark schema mapping, snappy codec
 (python-snappy is not in the container — environment, not format).
 
@@ -434,6 +439,22 @@ def _encode_value(out: io.BytesIO, node, v, tz=None) -> None:
             hits = [
                 (i, b) for i, b in non_null if _branch_matches(b, v)
             ]
+            if len(hits) > 1:
+                # ALL-numeric multi-hit is spec-legal and unambiguous
+                # in VALUE (['int','long'] for a Python int,
+                # ['float','double'] for a float): pick the WIDEST
+                # branch — always a correct writer choice, and
+                # lossless (long holds every int the narrow branch
+                # holds; double holds every float exactly). The loud
+                # error below stays for genuinely mixed-KIND
+                # ambiguity (ADVICE r8).
+                num_rank = {"int": 0, "long": 1, "float": 2, "double": 3}
+                if all(
+                    _node_type(b) in num_rank
+                    and not (isinstance(b, dict) and b.get("logicalType"))
+                    for _, b in hits
+                ):
+                    hits = [max(hits, key=lambda ib: num_rank[_node_type(ib[1])])]
             if len(hits) != 1:
                 kinds = [
                     _node_type(b) for _, b in (hits or non_null)
@@ -802,26 +823,44 @@ def register_pyavro(spark) -> None:
             # promoted multi-branch numeric unions (int|long → long,
             # mixed float → double) can decode an int from an
             # int-branch row into a double-typed column — coerce the
-            # scalar so the DataSource type check accepts it
-            from pyspark.sql.types import DoubleType, FloatType
+            # scalar so the DataSource type check accepts it. The walk
+            # is RECURSIVE, driven by the mapped Spark schema (ADVICE
+            # r8: a promoted union nested inside a record/array/map
+            # needs the same coercion at its nested position).
+            from pyspark.sql.types import (
+                ArrayType,
+                DoubleType,
+                FloatType,
+                MapType,
+                StructType as _ST,
+            )
 
-            to_float = {
-                f.name
-                for f in spark_schema.fields
-                if isinstance(f.dataType, (DoubleType, FloatType))
-            }
-
-            def _coerce(name, v):
-                if (
-                    name in to_float
-                    and isinstance(v, int)
-                    and not isinstance(v, bool)
-                ):
-                    return float(v)
+            def _coerce(dt, v):
+                if v is None:
+                    return None
+                if isinstance(dt, (DoubleType, FloatType)):
+                    if isinstance(v, int) and not isinstance(v, bool):
+                        return float(v)
+                    return v
+                if isinstance(dt, _ST) and isinstance(v, dict):
+                    return {
+                        f.name: _coerce(f.dataType, v.get(f.name))
+                        for f in dt.fields
+                    }
+                if isinstance(dt, ArrayType) and isinstance(v, list):
+                    return [_coerce(dt.elementType, x) for x in v]
+                if isinstance(dt, MapType) and isinstance(v, dict):
+                    return {
+                        k: _coerce(dt.valueType, x) for k, x in v.items()
+                    }
                 return v
 
+            ftypes = [f.dataType for f in spark_schema.fields]
             for rec in read_avro_records(part.path):
-                yield tuple(_coerce(n, _localize(rec.get(n))) for n in names)
+                yield tuple(
+                    _coerce(dt, _localize(rec.get(n)))
+                    for n, dt in zip(names, ftypes)
+                )
 
     class PyAvroWriter(DataSourceWriter):
         def __init__(

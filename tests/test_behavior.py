@@ -220,6 +220,49 @@ def test_rfm_segments_hand_checked(spark):
     assert out[1].f_score == 1
 
 
+def test_rfm_segments_null_amounts_pinned(spark):
+    """ADVICE r8: an entity whose every amount is NULL has NULL
+    monetary and must land in the WORST m-tile deterministically
+    (NULLS FIRST pin on the ASC sort) — matching the DuckDB oracle's
+    explicit NULLS FIRST, not either engine's divergent default."""
+    import duckdb
+    from databricks_delta_lake_migration_spark.operators.behavior import (
+        rfm_segments,
+    )
+
+    rows = [
+        (1, "2024-01-10 00:00:00", None),   # all-NULL amounts
+        (1, "2024-01-11 00:00:00", None),
+        (2, "2024-01-05 00:00:00", 100.0),
+        (3, "2024-01-08 00:00:00", 50.0),
+        (4, "2024-01-03 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {
+        r.user_id: r
+        for r in rfm_segments(df, "user_id", "ts", "value", n_tiles=2).collect()
+    }
+    assert out[1].monetary is None
+    assert out[1].m_score == 1  # NULL = worst tile, not engine-dependent
+    assert out[2].m_score == 2
+    # cross-engine: the DuckDB twin with the same NULLS FIRST pin agrees
+    ora = duckdb.sql(
+        """
+        WITH ent AS (SELECT * FROM (VALUES
+            (1, NULL), (2, 100.0), (3, 50.0), (4, 1.0))
+            t(user_id, monetary))
+        SELECT user_id, ntile(2) OVER (ORDER BY monetary ASC NULLS FIRST,
+                                       user_id ASC) AS m_score
+        FROM ent
+        """
+    ).fetchall()
+    assert {u: m for u, m in ora} == {
+        u: r.m_score for u, r in out.items()
+    }
+
+
 def test_touch_attribution_hand_checked(spark):
     """First purchase of u1 credits view(first)/click(last); its
     second purchase (after a signup) credits view/signup — purchases

@@ -460,3 +460,38 @@ def test_winsorize_preserves_nulls_and_null_groups(spark):
     df2 = df.withColumn("u", F.col("v") * 2)
     both = winsorize(winsorize(df2, ["g"], "v"), ["g"], "u")
     assert "v_w" in both.columns and "u_w" in both.columns
+
+
+def test_winsorize_approx_mode_rank_bounded(spark):
+    """VERDICT r8 #6: approx=True swaps exact percentile for the
+    approx_percentile sketch (bounded map-side state — the 100 TB
+    pass-1). Contract checked per group: each approx bound is an
+    ACTUAL group value whose exact rank is within n/approx_accuracy
+    (+1 for the exact pass's interpolation) of the requested quantile
+    rank, and clipping with those bounds is the plain least/greatest
+    clip."""
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        winsorize,
+    )
+
+    rows = [("a", float(v)) for v in range(1000)] + [
+        ("b", float(3 * v)) for v in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    acc = 10_000
+    out = winsorize(
+        df, ["g"], "v", lower=0.05, upper=0.95,
+        approx=True, approx_accuracy=acc,
+    ).collect()
+    vals = {"a": sorted(float(v) for g, v in rows if g == "a"),
+            "b": sorted(float(v) for g, v in rows if g == "b")}
+    bounds = {r.g: (r.v__lo, r.v__hi) for r in out}
+    for g, (lo, hi) in bounds.items():
+        n = len(vals[g])
+        tol = n / acc + 1
+        assert lo in vals[g] and hi in vals[g]  # sketch returns data
+        assert abs(vals[g].index(lo) - 0.05 * (n - 1)) <= tol
+        assert abs(vals[g].index(hi) - 0.95 * (n - 1)) <= tol
+    for r in out:
+        lo, hi = bounds[r.g]
+        assert r.v_w == min(max(r.v, lo), hi)

@@ -1247,6 +1247,44 @@ def test_table_diff_classifies_and_null_semantics(spark):
     assert 2 not in only_v and only_v[4] == "changed"
 
 
+def test_table_diff_null_key_matches_null_key(spark):
+    """VERDICT r8 #3: key matching is null-safe — a NULL-key row
+    present on BOTH sides reconciles as changed/identical (one output
+    row, NULL key preserved) instead of splitting into a spurious
+    missing_in_target + extra_in_target pair; a NULL-key row on ONE
+    side only is a plain presence diff with a NULL output key."""
+    from databricks_delta_lake_migration_spark.quality import table_diff
+
+    # NULL key on both sides, value drifted -> ONE 'changed' row
+    src = spark.createDataFrame(
+        [(None, "a"), (1, "x")], "k string, v string"
+    )
+    tgt = spark.createDataFrame(
+        [(None, "b"), (1, "x")], "k string, v string"
+    )
+    rows = table_diff(src, tgt, ["k"]).collect()
+    assert len(rows) == 1
+    assert rows[0].k is None
+    assert (rows[0].status, rows[0].changed_cols) == ("changed", "v")
+    # identical NULL-key rows drop like any identical row
+    same = table_diff(src, src, ["k"]).collect()
+    assert same == []
+    # NULL key only in source -> missing_in_target with NULL key out
+    tgt2 = spark.createDataFrame([(1, "x")], "k string, v string")
+    only = table_diff(src, tgt2, ["k"]).collect()
+    assert len(only) == 1
+    assert only[0].k is None and only[0].status == "missing_in_target"
+    # composite key: NULL in one component still matches null-safely
+    s2 = spark.createDataFrame(
+        [(1, None, "a")], "k1 int, k2 string, v string"
+    )
+    t2 = spark.createDataFrame(
+        [(1, None, "z")], "k1 int, k2 string, v string"
+    )
+    comp = table_diff(s2, t2, ["k1", "k2"]).collect()
+    assert [(r.k1, r.k2, r.status) for r in comp] == [(1, None, "changed")]
+
+
 def test_pyavro_named_type_references_roundtrip(spark, tmp_path):
     """VERDICT r7 #5: a record/enum/fixed declared once and referenced
     by name (bare and fullname) later in the schema resolves on read
@@ -1343,9 +1381,22 @@ def test_pyavro_multi_branch_unions(spark, tmp_path):
     buf = io.BytesIO()
     avro_py._encode_value(buf, ["null", "int", "double"], 3)
     assert buf.getvalue()[0:1] == b"\x02"  # zigzag(1) = branch idx 1
-    # ambiguous: int could be int or long
+    # all-numeric multi-match picks the WIDEST branch (ADVICE r8):
+    # int vs ["int","long"] -> long (idx 1), float vs mix -> double
+    buf = io.BytesIO()
+    avro_py._encode_value(buf, ["int", "long"], 3)
+    assert buf.getvalue()[0:1] == b"\x02"  # branch idx 1 = long
+    buf = io.BytesIO()
+    avro_py._encode_value(buf, ["null", "float", "double"], 1.5)
+    assert buf.getvalue()[0:1] == b"\x04"  # branch idx 2 = double
+    # mixed-KIND multi-match still fails loudly (bytes matches both
+    # the bytes branch and the fixed branch — no principled pick)
     with pytest.raises(ValueError, match="ambiguous"):
-        avro_py._encode_value(io.BytesIO(), ["int", "long"], 3)
+        avro_py._encode_value(
+            io.BytesIO(),
+            ["bytes", {"type": "fixed", "name": "F2", "size": 2}],
+            b"zz",
+        )
     # unmatched: bytes value, no bytes branch in the multi-union
     with pytest.raises(ValueError, match="matches no branch"):
         avro_py._encode_value(io.BytesIO(), ["null", "int", "string"], b"zz")
@@ -1355,6 +1406,80 @@ def test_pyavro_multi_branch_unions(spark, tmp_path):
             {"type": "record", "name": "Bad",
              "fields": [{"name": "u", "type": ["string", "int"]}]}
         )
+
+
+def test_pyavro_numeric_union_roundtrip_and_nested_coercion(spark, tmp_path):
+    """ADVICE r8 (both avro items): (1) a spec-legal all-numeric union
+    (['null','int','long']) is WRITABLE — the widest branch is picked
+    instead of raising — so such files roundtrip; (2) the int->float
+    read coercion for promoted unions applies at NESTED positions
+    (array items, record fields, map values), not just top level."""
+    import os
+
+    from databricks_delta_lake_migration_spark.sources import avro_py
+
+    src = str(tmp_path / "avro")
+    os.makedirs(src)
+    schema = {
+        "type": "record", "name": "N",
+        "fields": [
+            {"name": "u", "type": ["null", "int", "long"]},
+            {"name": "arr",
+             "type": {"type": "array", "items": ["int", "double"]}},
+            {"name": "rec", "type": {
+                "type": "record", "name": "Inner",
+                "fields": [{"name": "x", "type": ["null", "int", "double"]}]}},
+            {"name": "mp",
+             "type": {"type": "map", "values": ["int", "double"]}},
+        ],
+    }
+    rows = [
+        {"u": 7, "arr": [1, 2.5], "rec": {"x": 3}, "mp": {"a": 4}},
+        {"u": None, "arr": [], "rec": {"x": None}, "mp": {"b": 5.5}},
+    ]
+    avro_py.write_avro(os.path.join(src, "n.avro"), schema, rows)
+    df = avro_py.read_avro(spark, src)
+    assert dict(df.dtypes) == {
+        "u": "bigint", "arr": "array<double>",
+        "rec": "struct<x:double>", "mp": "map<string,double>",
+    }
+    got = {
+        (-1 if r.u is None else r.u): (
+            tuple(r.arr), r.rec.x, tuple(sorted(r.mp.items()))
+        )
+        for r in df.collect()
+    }
+    assert got == {
+        -1: ((), None, (("b", 5.5),)),
+        7: ((1.0, 2.5), 3.0, (("a", 4.0),)),
+    }
+
+
+def test_pyavro_recursive_named_type_pinned():
+    """VERDICT r8 #4 (decision: KEEP the loud error): a recursive named
+    type (a record containing itself) has no finite Spark schema —
+    resolve_named_types handles the shared definition fine, and the
+    SPARK MAPPING raises naming the recursive record. Bounded-depth
+    unrolling was considered and declined: any fixed depth silently
+    truncates deeper data, which is worse than a loud refusal."""
+    import pytest
+
+    from databricks_delta_lake_migration_spark.sources import avro_py
+
+    schema = {
+        "type": "record", "name": "Tree",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "kid", "type": ["null", "Tree"]},
+        ],
+    }
+    resolved = avro_py.resolve_named_types(schema)  # finite: shared def
+    with pytest.raises(
+        ValueError,
+        match="recursive avro record 'Tree' cannot map to a .finite. "
+              "Spark schema",
+    ):
+        avro_py.avro_to_spark_schema(resolved)
 
 
 def test_pyavro_union_and_namespace_loud_errors():

@@ -1346,6 +1346,35 @@ def test_fuzzy_pairs_enforces_block_cap(spark):
     )
 
 
+def test_fuzzy_pairs_null_blocks_exempt_from_cap(spark):
+    """An oversized NULL block must NOT trip the cap (ADVICE r8): NULL
+    keys never match in the equi-join, so NULL-block rows generate
+    zero candidates at zero cost — only non-NULL hot blocks raise."""
+    import pytest
+    from pyspark.sql import functions as F
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        fuzzy_pairs,
+    )
+
+    # 30 NULL-name rows (NULL last-token block) + 2 matchable rows
+    rows = [(i, None) for i in range(30)] + [
+        (100, "red bolt"), (101, "ted bolt"),
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, "name", "pid", max_block_rows=10).collect()
+    }
+    # runs (no raise), finds the real pair, emits nothing for NULLs
+    assert out == {(100, 101): 1}
+    # a non-NULL block over the cap still raises on the same data
+    hot = df.withColumn(
+        "name", F.coalesce(F.col("name"), F.lit("joe smith"))
+    )
+    with pytest.raises(Exception, match="smith.*max_block_rows"):
+        fuzzy_pairs(hot, "name", "pid", max_block_rows=10).collect()
+
+
 def test_weighted_sample_bias_determinism_and_plan(spark):
     """Heavy-weight rows dominate the sample; repeat runs are
     identical; the cut plans as TakeOrdered, not a global sort."""
