@@ -453,23 +453,43 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph [EXT]:
     (node, component) where component = min node id reachable — turns
     pairwise near-dup hits into dedup GROUPS (keep one doc per
-    component).
+    component). Both algorithms produce the IDENTICAL labeling.
 
-    Iterative min-label propagation: each round joins labels across
-    edges and keeps the per-node minimum; converges in O(graph
-    diameter) rounds — near-dup clusters are shallow (stars/cliques),
-    so 2-4 rounds in practice. Scale discipline: each round is one
-    equi-join + one groupBy (shuffle on node id), the convergence check
-    is a metadata-sized count, and ``localCheckpoint`` truncates the
-    growing lineage so round N's plan doesn't replay rounds 1..N-1 —
-    the standard Spark pattern for iterative graph algorithms
-    (GraphX/GraphFrames do the same internally).
+    ``algorithm="label"`` (default): iterative min-label propagation —
+    each round joins labels across edges and keeps the per-node
+    minimum; converges in O(graph diameter) rounds. Near-dup clusters
+    are shallow (stars/cliques), so 2-4 rounds in practice; cheapest
+    per round (one join + one groupBy).
+
+    ``algorithm="star"``: alternating large-star/small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014 — public formulation): large-star hangs
+    every larger neighbor of u onto min(N(u) ∪ {u}); small-star hangs
+    the smaller neighbors (and u) onto the same min. Each pair of
+    steps at least HALVES tree heights, so convergence is O(log n)
+    rounds regardless of diameter — the remedy when label propagation
+    exhausts ``max_iter`` on chain-shaped graphs (path graphs from
+    transitive shingle overlaps). Per round: two groupBy(min) + two
+    joins, all keyed on node id — same shuffle discipline, more rounds
+    bought per shuffle.
+
+    Scale discipline (both): every step is an equi-join/groupBy keyed
+    on node id, the convergence check is a metadata-sized count, and
+    ``localCheckpoint`` truncates the growing lineage so round N's
+    plan doesn't replay rounds 1..N-1 — the standard Spark pattern for
+    iterative graph algorithms (GraphX/GraphFrames do the same
+    internally).
     """
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star': {algorithm!r}")
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if algorithm == "star":
+        return _cc_star(e, max_iter)
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -502,10 +522,88 @@ def connected_components(
         # component into several — callers would keep duplicate docs
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — "
-            "diameter-deep chains need ~diameter rounds"
+            f"({changed} labels still changing); diameter-deep chains "
+            "need ~diameter rounds — use algorithm='star' "
+            "(O(log n) rounds) or raise max_iter"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def _cc_star(e: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (see
+    :func:`connected_components`). ``e``: raw (a, b) pairs. Edges are
+    kept canonically LARGER-FIRST (u > v); the fixpoint is a star
+    forest (member → component-min), read out as the labeling."""
+    # canonical undirected edge set, larger endpoint first, no loops
+    edges = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # node set from the RAW pairs (not the loop-filtered edges) so a
+    # self-loop-only node still labels itself — parity with "label"
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        # center every node; m_u = min(N(u) ∪ {u}); larger neighbors
+        # attach to m_u. Output edges satisfy v(larger) > m, so they
+        # stay canonical larger-first.
+        bidir = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            bidir.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # edges arrive larger-first: N_small(u) = all v. Everyone in
+        # N_small(u) ∪ {u} attaches to m_u = min(N_small(u)).
+        m = ed.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = ed.join(m, "u").select(F.col("v").alias("w"), F.col("m"))
+        selfs = m.select(F.col("u").alias("w"), F.col("m"))
+        return (
+            nbrs.union(selfs)
+            .filter(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            new_edges.exceptAll(edges).count()
+            + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            f"rounds ({changed} edge changes) — O(log n) rounds suffice "
+            "for any graph; raise max_iter"
+        )
+    # fixpoint = star forest: edges (member, root); roots label selves
+    return (
+        nodes.join(edges, nodes.node == edges.u, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("v"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def fuzzy_pairs(

@@ -1576,3 +1576,79 @@ def test_exact_substring_matches_reference_hypothesis(spark):
             assert stripped[i] == kept, (i, docs)
 
     run()
+
+
+def test_connected_components_star_deep_chain_and_remedy(spark):
+    """algorithm='star' (large-star/small-star contraction) converges
+    in O(log n) rounds on a chain whose diameter exhausts label
+    propagation's max_iter; the label algorithm's error names the
+    star remedy."""
+    import pytest
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # 121-node path: diameter 120 >> 25 label rounds; log2(121) ~ 7
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 121)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="algorithm='star'"):
+        connected_components(pairs, max_iter=25).collect()
+    got = {
+        tuple(r)
+        for r in connected_components(
+            pairs, max_iter=25, algorithm="star"
+        ).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 122)}
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(pairs, algorithm="turbo")
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Property test: star contraction equals a union-find reference
+    (and the label algorithm) on random graphs with self-loops,
+    duplicate and reversed edges."""
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges_strategy = st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1, max_size=20,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(edges_strategy)
+    def run(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component label = min node id reachable
+        ref = {n: min(m for m in parent if find(m) == find(n))
+               for n in parent}
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        star = {
+            r.doc_id: r.component
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert star == ref
+        label = {
+            r.doc_id: r.component
+            for r in connected_components(df, max_iter=30).collect()
+        }
+        assert label == ref
+
+    run()

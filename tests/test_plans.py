@@ -511,3 +511,16 @@ def test_q201_exact_substring_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_" in plan
+
+
+def test_q202_table_diff_nullsafe_join_stays_hash_partitioned(spark):
+    """VERDICT r8 #3 follow-through: the null-safe key join (`<=>`)
+    must still compile to ONE hash-partitioned SortMergeJoin
+    (Catalyst rewrites <=> keys as coalesce+isnull equi-keys) — never
+    a BroadcastNestedLoopJoin/CartesianProduct, which is what a
+    non-equi null-safe condition would degenerate to."""
+    plan = explain(_q(spark, "q202_table_diff"))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(coalesce(") >= 2  # both sides
