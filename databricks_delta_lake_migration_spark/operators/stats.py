@@ -418,31 +418,52 @@ def rolling_distinct(
     ts_col: str,
     entity_col: str,
     window_days: int = 7,
+    approx: bool = False,
+    hll_lg_k: int = 14,
 ) -> DataFrame:
     """Trailing-window distinct count (rolling N-day active entities)
-    [EXT]: per calendar day, the EXACT distinct-entity count over the
-    last ``window_days`` days — the DAU/WAU family. Spark has no
+    [EXT]: per calendar day, the distinct-entity count over the last
+    ``window_days`` days — the DAU/WAU family. Spark has no
     ``COUNT(DISTINCT) OVER`` window; the composition is the idiomatic
     replacement: distinct (day, entity) → per-day entity sets →
     flatten+array_distinct over a RANGE frame keyed on the day number.
     Returns ``(day, n_daily, n_rolling)``.
 
+    ``approx=True`` is the ≥10⁸-daily-entities path: per-day HLL
+    sketches (``hll_sketch_agg``, KB-sized regardless of entity
+    cardinality) replace ``collect_set``, and the same RANGE frame
+    unions sketches (``hll_union_agg``) instead of flattening arrays.
+    ``n_daily`` stays EXACT either way (it's a count over the already-
+    distinct (day, entity) relation — no extra work); ``n_rolling``
+    gets HLL's ~1.04/√2^``hll_lg_k`` relative error (~0.8% at the
+    default lg_k=14).
+
     Scale: the heavy work is the ONE (day, entity) distinct shuffle
-    over the fact table; everything after operates on the per-day set
+    over the fact table; everything after operates on the per-day
     relation, whose cardinality is calendar-bounded (a year is 365
     rows), so the un-partitioned range window is over a metadata-sized
-    relation — per-day sets carry up to the daily entity cardinality
-    each, which is what bounds applicability (hundreds of millions of
-    daily entities → switch to HLL sketch union, q158's path, and
-    accept approximation)."""
+    relation — exact mode's per-day sets carry the full daily entity
+    cardinality each (what bounds exact applicability and what
+    ``approx`` removes)."""
     daily = df.select(
         F.to_date(ts_col).alias("day"),
         F.col(entity_col).alias("e"),
     ).distinct()
+    w = Window.orderBy("day_num").rangeBetween(-(window_days - 1), 0)
+    if approx:
+        sk = daily.groupBy("day").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.hll_sketch_agg(F.col("e").cast("string"), F.lit(hll_lg_k)).alias("sk"),
+        ).withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
+        return sk.select(
+            "day",
+            F.col("nd").cast("long").alias("n_daily"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+            .cast("long").alias("n_rolling"),
+        )
     sets = daily.groupBy("day").agg(
         F.collect_set("e").alias("es")
     ).withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
-    w = Window.orderBy("day_num").rangeBetween(-(window_days - 1), 0)
     return sets.select(
         "day",
         F.size("es").cast("long").alias("n_daily"),

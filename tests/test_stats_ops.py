@@ -207,6 +207,37 @@ def test_rolling_distinct_hand_checked(spark):
     }
 
 
+def test_rolling_distinct_approx_hll_tolerance(spark):
+    """approx=True (the >=1e8-daily-entities path): per-day HLL
+    sketches + window hll_union_agg replace collect_set. n_daily stays
+    EXACT; n_rolling lands within HLL's error envelope (~0.8% at
+    lg_k=14; assert 5%); no collect_set in the plan."""
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        rolling_distinct,
+    )
+
+    # 10 days x 3000 entities with 40% day-over-day overlap
+    rows = [
+        (f"2024-02-{d:02d} 01:00:00", d * 1800 + e)
+        for d in range(1, 11)
+        for e in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    )
+    exact = {
+        str(r.day): (r.n_daily, r.n_rolling)
+        for r in rolling_distinct(df, "ts", "user_id", window_days=7).collect()
+    }
+    appr = rolling_distinct(df, "ts", "user_id", window_days=7, approx=True)
+    assert "collect_set" not in appr._jdf.queryExecution().executedPlan().toString()
+    got = {str(r.day): (r.n_daily, r.n_rolling) for r in appr.collect()}
+    assert set(got) == set(exact)
+    for day, (nd, nr) in got.items():
+        assert nd == exact[day][0]                     # daily stays exact
+        assert abs(nr - exact[day][1]) <= 0.05 * exact[day][1]
+
+
 def test_pareto_classification_hand_checked(spark):
     """Values 50/30/15/5: A covers {50,30} (prev-cum 0, .5), B {15}
     (prev-cum .8 < .95), C {5}; shares exact."""
