@@ -296,11 +296,13 @@ def rfm_segments(
     polarity: segment "444" is the best customer in every letter.
 
     NULL handling (ADVICE r8): an entity whose every ``amount_col`` is
-    NULL has NULL monetary; NULL ordering is PINNED (worst score —
-    NULLS FIRST on the ASC monetary sort, NULLS LAST on the DESC
-    recency sort) rather than left to engine defaults, which diverge
-    (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST). Oracles must
-    mirror the pin (q203 does).
+    NULL has NULL monetary; one whose every ``ts_col`` is NULL has
+    NULL recency. NULL ordering is PINNED to the WORST tile in both —
+    NULLS FIRST on the ASC monetary sort AND on the DESC recency sort
+    (the inverted-R polarity makes oldest-first = nulls-first) —
+    rather than left to engine defaults, which diverge (Spark ASC =
+    NULLS FIRST, DuckDB ASC = NULLS LAST). Oracles must mirror the
+    pins (q203 does).
 
     Scale: ONE entity-keyed aggregate (map-side combined), then three
     ntile windows over the ENTITY-level relation — a per-customer
@@ -322,7 +324,11 @@ def rfm_segments(
     # NULL pins are explicit even where they match Spark defaults so
     # the cross-engine contract is visible at the sort site
     wr = Window.orderBy(
-        F.col("recency_days").desc_nulls_last(), F.col(entity_col).asc()
+        # NULL recency (entity with no parsable ts) = never seen =
+        # OLDEST: under the inverted-R DESC sort, oldest-first means
+        # NULLS FIRST, so the NULL entity takes the WORST r-tile
+        # (review r9: desc_nulls_last would have scored it BEST)
+        F.col("recency_days").desc_nulls_first(), F.col(entity_col).asc()
     )
     wf = Window.orderBy(F.col("frequency").asc(), F.col(entity_col).asc())
     wm = Window.orderBy(

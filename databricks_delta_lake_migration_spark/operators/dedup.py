@@ -487,6 +487,8 @@ def connected_components(
     """
     if algorithm not in ("label", "star"):
         raise ValueError(f"algorithm must be 'label' or 'star': {algorithm!r}")
+    if max_iter < 1:  # range(0) would skip to the else-raise with
+        raise ValueError(f"max_iter must be >= 1: {max_iter}")  # `changed` unbound
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     if algorithm == "star":
         return _cc_star(e, max_iter)

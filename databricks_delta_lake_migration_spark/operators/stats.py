@@ -451,8 +451,12 @@ def rolling_distinct(
     ).distinct()
     w = Window.orderBy("day_num").rangeBetween(-(window_days - 1), 0)
     if approx:
+        # count("e"), not count(*): NULL entities must stay excluded
+        # exactly as exact mode's collect_set (and the sketch) exclude
+        # them — count(*) would let n_daily exceed n_rolling on days
+        # with NULL entities (review r9)
         sk = daily.groupBy("day").agg(
-            F.count(F.lit(1)).alias("nd"),
+            F.count("e").alias("nd"),
             F.hll_sketch_agg(F.col("e").cast("string"), F.lit(hll_lg_k)).alias("sk"),
         ).withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
         return sk.select(

@@ -224,7 +224,7 @@ def q194_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                frequency,
                CAST(ROUND(monetary_d, 4) AS DOUBLE) AS monetary,
                ntile(4) OVER (ORDER BY date_diff('day', last_day, hd)
-                              DESC NULLS LAST, user_id ASC) AS r_score,
+                              DESC NULLS FIRST, user_id ASC) AS r_score,
                ntile(4) OVER (ORDER BY frequency ASC, user_id ASC)
                    AS f_score,
                ntile(4) OVER (ORDER BY monetary_d ASC NULLS FIRST,

@@ -221,10 +221,13 @@ def test_rfm_segments_hand_checked(spark):
 
 
 def test_rfm_segments_null_amounts_pinned(spark):
-    """ADVICE r8: an entity whose every amount is NULL has NULL
-    monetary and must land in the WORST m-tile deterministically
-    (NULLS FIRST pin on the ASC sort) — matching the DuckDB oracle's
-    explicit NULLS FIRST, not either engine's divergent default."""
+    """ADVICE r8 + review r9: an entity whose every amount is NULL has
+    NULL monetary and must land in the WORST m-tile deterministically
+    (NULLS FIRST pin on the ASC sort); an entity whose every ts is
+    NULL has NULL recency and must land in the WORST r-tile (NULLS
+    FIRST on the inverted-R DESC sort — nulls_last would have scored
+    the never-seen customer BEST). Both match the DuckDB oracle's
+    explicit pins, not either engine's divergent default."""
     import duckdb
     from databricks_delta_lake_migration_spark.operators.behavior import (
         rfm_segments,
@@ -261,6 +264,23 @@ def test_rfm_segments_null_amounts_pinned(spark):
     assert {u: m for u, m in ora} == {
         u: r.m_score for u, r in out.items()
     }
+    # all-NULL ts entity: NULL recency = never seen = WORST r-tile
+    rows_r = [
+        (1, None, 5.0),
+        (2, "2024-01-05 00:00:00", 100.0),
+        (3, "2024-01-08 00:00:00", 50.0),
+        (4, "2024-01-10 00:00:00", 1.0),
+    ]
+    dfr = spark.createDataFrame(
+        rows_r, "user_id long, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    outr = {
+        r.user_id: r
+        for r in rfm_segments(dfr, "user_id", "ts", "value", n_tiles=2).collect()
+    }
+    assert outr[1].recency_days is None
+    assert outr[1].r_score == 1   # worst tile
+    assert outr[4].r_score == 2   # most recent = best
 
 
 def test_touch_attribution_hand_checked(spark):

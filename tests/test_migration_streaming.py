@@ -1285,6 +1285,27 @@ def test_table_diff_null_key_matches_null_key(spark):
     assert [(r.k1, r.k2, r.status) for r in comp] == [(1, None, "changed")]
 
 
+def test_table_diff_nonnullable_keys_use_plain_equality(spark):
+    """Review r9: when every key field is non-nullable on both sides,
+    = and <=> coincide, and table_diff must join on plain equality so
+    the exchange partitions on the RAW key — the distribution a
+    bucketBy(key) layout can satisfy (the <=> rewrite partitions on
+    coalesce(key)+isnull(key), which bucketing never matches)."""
+    from databricks_delta_lake_migration_spark.quality import table_diff
+
+    s = spark.range(10).selectExpr("id as k", "id * 2 as v")
+    t = spark.range(12).selectExpr("id as k", "id * 2 + CAST(id = 3 AS LONG) as v")
+    assert not s.schema["k"].nullable
+    out = table_diff(s, t, ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(coalesce(" not in plan   # raw-key exchange
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    got = {r.k: r.status for r in out.collect()}
+    assert got == {
+        3: "changed", 10: "extra_in_target", 11: "extra_in_target",
+    }
+
+
 def test_pyavro_named_type_references_roundtrip(spark, tmp_path):
     """VERDICT r7 #5: a record/enum/fixed declared once and referenced
     by name (bare and fullname) later in the schema resolves on read

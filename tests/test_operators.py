@@ -1603,6 +1603,10 @@ def test_connected_components_star_deep_chain_and_remedy(spark):
     assert got == {(i, 1) for i in range(1, 122)}
     with pytest.raises(ValueError, match="algorithm"):
         connected_components(pairs, algorithm="turbo")
+    # review r9: non-positive max_iter is a loud ValueError, not an
+    # unbound-variable NameError from the skipped loop's else clause
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(pairs, max_iter=0)
 
 
 def test_connected_components_star_matches_union_find(spark):

@@ -238,6 +238,40 @@ def test_rolling_distinct_approx_hll_tolerance(spark):
         assert abs(nr - exact[day][1]) <= 0.05 * exact[day][1]
 
 
+def test_rolling_distinct_approx_null_entities_match_exact(spark):
+    """Review r9: NULL entities are excluded from n_daily in BOTH
+    modes (count('e'), matching collect_set/sketch semantics) — a day
+    whose only entity is NULL reports 0/0 in both."""
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        rolling_distinct,
+    )
+
+    rows = [
+        ("2024-03-01 01:00:00", None),
+        ("2024-03-01 02:00:00", "a"),
+        ("2024-03-02 01:00:00", None),   # NULL-only day
+        ("2024-03-03 01:00:00", "b"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id string").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    )
+    exact = {
+        str(r.day): (r.n_daily, r.n_rolling)
+        for r in rolling_distinct(df, "ts", "user_id", window_days=2).collect()
+    }
+    appr = {
+        str(r.day): (r.n_daily, r.n_rolling)
+        for r in rolling_distinct(
+            df, "ts", "user_id", window_days=2, approx=True
+        ).collect()
+    }
+    assert exact == appr == {
+        "2024-03-01": (1, 1),
+        "2024-03-02": (0, 1),   # trailing window still sees 'a'
+        "2024-03-03": (1, 1),
+    }
+
+
 def test_pareto_classification_hand_checked(spark):
     """Values 50/30/15/5: A covers {50,30} (prev-cum 0, .5), B {15}
     (prev-cum .8 < .95), C {5}; shares exact."""
