@@ -313,3 +313,102 @@ def test_stepped_decay_sum_exact_halving(spark):
     }
     assert out[1] == (3, 8.0 + 4.0 + 2.0)
     assert out[2] == (1, 4.0)
+
+
+def test_pareto_classification_matches_brute_force_hypothesis(spark):
+    """Property test: classes/shares equal a brute-force Python
+    computation (sum per key, sort by value desc then key, prev-cum
+    thresholds) for arbitrary non-negative multisets including ties
+    and zero values (contribution analysis presumes a positive total;
+    an all-zero corpus is out of the operator's domain)."""
+    from hypothesis import assume, given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        pareto_classification,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(st.sampled_from("abcdefg"),
+                  st.decimals(min_value=0, max_value=100, places=2)),
+        min_size=1, max_size=25,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows_strategy)
+    def run(rows):
+        from collections import defaultdict
+
+        agg = defaultdict(float)
+        for k, v in rows:
+            agg[k] += float(v)
+        assume(sum(agg.values()) > 0)
+        order = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(agg.values())
+        ref, cum = {}, 0.0
+        for k, v in order:
+            prev = cum / total
+            cum += v
+            ref[k] = ("A" if prev < 0.8 else "B" if prev < 0.95 else "C",
+                      round(v / total, 6), round(cum / total, 6))
+        df = spark.createDataFrame(
+            [(k, float(v)) for k, v in rows], "k string, v double"
+        )
+        got = {
+            r.k: (r.abc_class, r.share, r.cum_share)
+            for r in pareto_classification(df, ["k"], "v").collect()
+        }
+        assert set(got) == set(ref)
+        for k in ref:
+            assert got[k][0] == ref[k][0], (k, got[k], ref[k], order)
+            assert abs(got[k][1] - ref[k][1]) <= 1e-6
+            assert abs(got[k][2] - ref[k][2]) <= 1e-6
+
+    run()
+
+
+def test_rolling_distinct_matches_brute_force_hypothesis(spark):
+    """Property test: exact rolling_distinct equals a brute-force
+    per-day set union over the trailing RANGE window for arbitrary
+    (day, entity) multisets with gaps and NULL entities."""
+    from hypothesis import given, settings, strategies as st
+
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        rolling_distinct,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(1, 12),
+                  st.one_of(st.none(), st.integers(0, 6))),
+        min_size=1, max_size=30,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows_strategy)
+    def run(rows):
+        from collections import defaultdict
+
+        w = 3
+        daysets = defaultdict(set)
+        present = set()
+        for d, e in rows:
+            present.add(d)
+            if e is not None:
+                daysets[d].add(e)
+        ref = {}
+        for d in present:
+            trailing = set()
+            for back in range(w):
+                trailing |= daysets.get(d - back, set())
+            ref[d] = (len(daysets.get(d, set())), len(trailing))
+        df = spark.createDataFrame(
+            [(f"2024-01-{d:02d} 03:00:00",
+              str(e) if e is not None else None) for d, e in rows],
+            "ts string, user_id string",
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id")
+        got = {
+            int(str(r.day)[8:10]): (r.n_daily, r.n_rolling)
+            for r in rolling_distinct(df, "ts", "user_id", window_days=w).collect()
+        }
+        assert got == ref
+
+    run()
