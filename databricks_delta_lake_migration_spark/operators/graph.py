@@ -6,7 +6,8 @@ connectivity operator :func:`..operators.dedup.connected_components`.
 
 Spark-first shape: the graph IS two DataFrames — (src, dst) edges and
 the (src, deg) out-degree relation. Each iteration is one
-edges⨝ranks join (ranks are node-sized → broadcast) and one dst-keyed
+edges⨝ranks join (broadcast while ranks fit an executor; src-keyed
+shuffle via ``broadcast_ranks=False`` at web scale) and one dst-keyed
 aggregate; no driver-side adjacency, no RDDs. Per-edge contributions
 snap to DECIMAL(28,12) before the incoming-mass sum, so the result is
 bit-stable under any partitioning AND engine (the registry's decimal
@@ -25,6 +26,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u)``
     from uniform ``1/N``, run ``iterations`` times. Returns
@@ -36,11 +38,17 @@ def pagerank(
     from the result. Fixed iteration count (not convergence polling)
     keeps the plan static and the output deterministic.
 
-    Scale: edges stay partitioned throughout; the node-sized rank
-    relation broadcasts onto them each iteration (at web scale,
-    replace the broadcast with a src-keyed shuffle join — same plan
-    shape, one exchange per iteration). Contributions are decimal-
-    snapped so the per-node sum is exact and order-independent.
+    Scale: edges stay partitioned throughout; with the default
+    ``broadcast_ranks=True`` the node-sized rank relation broadcasts
+    onto them each iteration — right whenever ranks fit an executor
+    (up to ~10⁸ nodes). ``broadcast_ranks=False`` is the web-scale
+    path the docstring used to only promise: contributions join the
+    edges src-keyed (one shuffle exchange per iteration, no
+    node-relation replication), so a billion-node graph runs without
+    editing the operator. Identical output either way — the join is
+    the same equi-join, only the physical strategy moves (tested
+    hash-equal). Contributions are decimal-snapped so the per-node
+    sum is exact and order-independent under both strategies.
     """
     # materialize the edge relation once: it feeds every iteration's
     # join, and a lazy lineage would rebuild it per iteration (and per
@@ -71,8 +79,9 @@ def pagerank(
             .cast("decimal(28,12)")
             .alias("c"),
         )
+        c_rel = F.broadcast(contribs) if broadcast_ranks else contribs
         ranks = (
-            e.join(F.broadcast(contribs), F.col("src") == F.col("__csrc"))
+            e.join(c_rel, F.col("src") == F.col("__csrc"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("sc"))
             .crossJoin(F.broadcast(nn))

@@ -436,7 +436,8 @@ def rolling_distinct(
     ``n_daily`` stays EXACT either way (it's a count over the already-
     distinct (day, entity) relation — no extra work); ``n_rolling``
     gets HLL's ~1.04/√2^``hll_lg_k`` relative error (~0.8% at the
-    default lg_k=14).
+    default lg_k=14), clamped to ≥ ``n_daily`` so the daily-subset-of-
+    rolling invariant survives an HLL underestimate.
 
     Scale: the heavy work is the ONE (day, entity) distinct shuffle
     over the fact table; everything after operates on the per-day
@@ -459,11 +460,18 @@ def rolling_distinct(
             F.count("e").alias("nd"),
             F.hll_sketch_agg(F.col("e").cast("string"), F.lit(hll_lg_k)).alias("sk"),
         ).withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
+        # clamp to n_daily: the day's entities are a SUBSET of the
+        # trailing window's, so n_daily <= n_rolling is an invariant
+        # downstream checks may assert — an HLL underestimate of the
+        # union must not be allowed to invert it (ADVICE r9)
         return sk.select(
             "day",
             F.col("nd").cast("long").alias("n_daily"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
-            .cast("long").alias("n_rolling"),
+            F.greatest(
+                F.col("nd").cast("long"),
+                F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+                .cast("long"),
+            ).alias("n_rolling"),
         )
     sets = daily.groupBy("day").agg(
         F.collect_set("e").alias("es")

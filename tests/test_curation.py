@@ -439,6 +439,26 @@ def test_winsorize_clips_at_exact_group_quantiles(spark):
         winsorize(df, ["g"], "v", lower=0.9, upper=0.1)
 
 
+def test_winsorize_bounds_join_is_hint_free(spark):
+    """VERDICT r9 #3: the group-bounds join must carry NO forced
+    broadcast hint (group cardinality is unbounded — per-entity groups
+    would OOM a forced broadcast); AQE picks the strategy, matching
+    robust_outliers. Values are unchanged by the strategy."""
+    from databricks_delta_lake_migration_spark.operators.curation import (
+        winsorize,
+    )
+
+    rows = [("g1", float(v)) for v in range(0, 101, 10)] + [
+        ("g2", 1000.0), ("g2", 2000.0), ("g2", 3000.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, ["g"], "v", lower=0.05, upper=0.95)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in plan
+    g1 = sorted(r.v_w for r in out.filter("g = 'g1'").collect())
+    assert g1[0] == 5.0 and g1[-1] == 95.0
+
+
 def test_winsorize_preserves_nulls_and_null_groups(spark):
     """Review r8: NULL measurements stay NULL (not fabricated at p05),
     NULL-group rows survive the bound join, and the operator composes

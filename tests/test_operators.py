@@ -123,6 +123,114 @@ def test_incremental_lsh_equals_full_restricted(spark):
     assert inc2 == full
 
 
+def _uf_components(pairs):
+    """Driver-side union-find over a small collected pair list."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
+def test_lsh_bucket_cap_exact_parity_when_not_binding(spark):
+    """bucket_cap leaves every bucket at/under the cap untouched: on a
+    corpus with no oversized bucket the capped pair set is EXACTLY the
+    uncapped one (the property that keeps q36/q47/q114 hash-stable
+    with the default cap)."""
+    base = "word" + " word".join(str(i) for i in range(40))
+    alt = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, base + f" v{i % 7}") for i in range(30)]
+    rows += [(100 + i, alt + f" z{i % 5}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(docs, bucket_cap=128).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(docs, bucket_cap=None).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
+
+
+def test_lsh_bucket_cap_mega_cluster_linear_and_connected(spark):
+    """VERDICT r9 #2 planted mega-cluster fixture: N byte-identical
+    docs co-bucket on EVERY band (no band_size fixes that). The salt
+    cap must (a) only ever REMOVE pairs (capped ⊆ uncapped), (b) cut
+    the |B|² candidate volume to ~n_bands·cap per doc, (c) keep the
+    cluster CONNECTED — the dedup decision (connected components →
+    keep one) is then exactly equal to uncapped — and (d) leave
+    small-bucket pairs untouched (the planted noise near-dup is still
+    found exactly)."""
+    n = 600
+    cluster_text = "dup" + " dup".join(str(i) for i in range(30))
+    noise_a = " ".join(f"na{i}" for i in range(30))
+    rows = [(i, cluster_text) for i in range(n)]
+    rows += [(9001, noise_a), (9002, noise_a + " extra")]  # planted near-dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(docs, bucket_cap=32).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(docs, bucket_cap=None).collect()
+    }
+    assert capped <= uncapped                       # cap only removes
+    cl_capped = {p for p in capped if p[0] < n and p[1] < n}
+    assert len(cl_capped) < n * (n - 1) // 2        # strictly binding
+    assert len(cl_capped) <= 4 * n * 64             # ~n_bands·2cap per doc
+    # cluster stays ONE component → dedup outcome equals uncapped
+    comp = _uf_components(cl_capped)
+    assert len(comp) == n and len(set(comp.values())) == 1
+    assert (9001, 9002) in capped                   # small buckets exact
+
+
+def test_incremental_lsh_cap_bounds_index_probe(spark):
+    """The cap's second quadratic front: a mega-cluster living in the
+    INDEX. Each batch doc must probe ~cap index rows per band, not the
+    cluster's full membership; every batch cluster member still
+    connects into the corpus cluster, and cold buckets stay exact."""
+    n_corpus, n_batch = 400, 60
+    cluster_text = "dup" + " dup".join(str(i) for i in range(30))
+    noise = " ".join(f"nb{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(i, cluster_text) for i in range(n_corpus)] + [(800, noise)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, cluster_text) for i in range(n_batch)]
+        + [(1900, noise + " extra")],
+        "doc_id long, text string",
+    )
+    idx = dedup.minhash_band_buckets(corpus)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_lsh_pairs(batch, idx, bucket_cap=32).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_lsh_pairs(batch, idx, bucket_cap=None).collect()
+    }
+    assert capped <= uncapped
+    cross = {p for p in capped if p[0] < n_corpus and p[1] >= 1000}
+    assert len(cross) < n_corpus * n_batch          # strictly binding
+    assert len(cross) <= 4 * n_batch * 64           # ~n_bands·2cap per batch doc
+    batch_cluster = {1000 + i for i in range(n_batch)}
+    assert {b for _, b in cross} == batch_cluster   # every batch doc linked
+    assert (800, 1900) in capped                    # cold bucket exact
+
+
 def test_cosine_near_dup_exact_and_lsh_recall(spark):
     """q46/q47 semantics: the exact blocked pair set is symmetric-free
     and threshold-filtered; the LSH-blocked variant recovers most of the

@@ -238,6 +238,33 @@ def test_rolling_distinct_approx_hll_tolerance(spark):
         assert abs(nr - exact[day][1]) <= 0.05 * exact[day][1]
 
 
+def test_rolling_distinct_approx_never_below_daily(spark):
+    """ADVICE r9: n_daily is exact but n_rolling is HLL-estimated, so
+    an underestimate could report n_rolling < n_daily — inverting the
+    daily-subset-of-rolling invariant. The clamp
+    (greatest(n_daily, estimate)) must hold it for every day even at
+    the sketch's coarsest setting (lg_k=4, ~26% error)."""
+    from databricks_delta_lake_migration_spark.operators.stats import (
+        rolling_distinct,
+    )
+
+    rows = [
+        (f"2024-04-{d:02d} 01:00:00", d * 977 + e)
+        for d in range(1, 11)
+        for e in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    )
+    out = rolling_distinct(
+        df, "ts", "user_id", window_days=1, approx=True, hll_lg_k=4
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_daily == 4000
+        assert r.n_rolling >= r.n_daily
+
+
 def test_rolling_distinct_approx_null_entities_match_exact(spark):
     """Review r9: NULL entities are excluded from n_daily in BOTH
     modes (count('e'), matching collect_set/sketch semantics) — a day
