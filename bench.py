@@ -78,6 +78,8 @@ EXTRA_QUERIES = [
     "q213_debounce_exact",
     "q214_pareto_abc",
     "q216_decayed_engagement",
+    # round-10 addition
+    "q219_stream_schema_inference",
 ]
 
 

@@ -1583,3 +1583,117 @@ def q173_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LogTable(spark, out_path).read().select(
         "event_id", "user_id", "ts", "segment"
     )
+
+
+@query(
+    "q219_stream_schema_inference",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS total_value,
+           TRUE AS schema_pinned_reused,
+           TRUE AS drift_named_column
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q219_stream_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto Loader schemaLocation parity, hash-checked end to end
+    (VERDICT r9 #5; reference ``src/data_processor.py:182-188``
+    ``cloudFiles.schemaLocation`` / ``inferColumnTypes``): the events
+    fixture is replayed as JSON files in two waves through a stream
+    that starts SCHEMA-LESS — the first start infers the schema from
+    the files present and pins it under the checkpoint; the restart
+    for wave 2 reuses the pinned schema byte-for-byte (no re-infer
+    drift); a third, type-drifting file (``value`` becomes a string)
+    must make the evolution path raise :class:`SchemaDriftError`
+    NAMING the column. Both verdicts are baked into the hash as
+    literal columns, so the oracle comparison fails if inference,
+    pinning, restart reuse, or the drift guard ever regress. The
+    aggregate itself proves no rows were lost or duplicated across
+    the restart (batch-id idempotent sink)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import (
+        SchemaDriftError,
+        infer_stream_schema,
+        stream_files_to_table,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream-infer-")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    table_path = os.path.join(root, "state")
+    os.makedirs(src)
+
+    def _stage(wave: int, flt):
+        stage = os.path.join(root, f"stage{wave}")
+        e.filter(flt).coalesce(1).write.json(stage)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.json"))):
+            shutil.move(f, os.path.join(src, f"wave-{wave}-{i}.json"))
+
+    pinned_file = os.path.join(ckpt, "inferred_schema.json")
+
+    # wave 0: schema-less first start → infer + pin
+    _stage(0, F.col("user_id") % 2 == 0)
+    q = stream_files_to_table(
+        spark, src, table_path, schema=None, stream_id="s219",
+        checkpoint=ckpt, max_files_per_trigger=4,
+    )
+    q.awaitTermination()
+    with open(pinned_file) as fh:
+        pin_first = fh.read()
+
+    # wave 1 lands, restart schema-less: the pin is reused, not re-inferred
+    _stage(1, F.col("user_id") % 2 == 1)
+    q = stream_files_to_table(
+        spark, src, table_path, schema=None, stream_id="s219",
+        checkpoint=ckpt, max_files_per_trigger=4,
+    )
+    q.awaitTermination()
+    with open(pinned_file) as fh:
+        pin_second = fh.read()
+    from ..tables import LogTable
+
+    state = LogTable(spark, table_path).read()
+    pinned_reused = (
+        pin_first == pin_second
+        and sorted(state.columns)
+        == ["event_id", "event_type", "user_id", "value"]
+    )
+
+    # type drift: value becomes a string → evolution path must raise,
+    # naming the column
+    with open(os.path.join(src, "drift.json"), "w") as fh:
+        fh.write(
+            '{"event_id": -1, "user_id": -1, "event_type": "x",'
+            ' "value": "not-a-number"}\n'
+        )
+    try:
+        infer_stream_schema(
+            spark, src, "json", schema_location=ckpt, allow_evolution=True
+        )
+        drift_named = False
+    except SchemaDriftError as ex:
+        drift_named = "'value'" in str(ex)
+
+    return state.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(bool(pinned_reused)).alias("schema_pinned_reused"),
+        F.lit(bool(drift_named)).alias("drift_named_column"),
+    )

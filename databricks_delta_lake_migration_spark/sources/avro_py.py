@@ -11,7 +11,9 @@ records of primitives (null/boolean/int/long/float/double/bytes/string),
 ``["null", X]`` nullable unions, arrays, string-keyed maps, enums
 (→ string), fixed (→ binary), NESTED records (→ struct), and the
 ``timestamp-micros``/``timestamp-millis`` logical types — both read
-and write. Codecs: null and deflate (raw DEFLATE via zlib, per spec).
+and write. Codecs: null, deflate (raw DEFLATE via zlib, per spec) and
+snappy (vendored pure-Python block codec, :mod:`.snappy_py`, with the
+spec's trailing big-endian CRC32 of the uncompressed block).
 Named-type REFERENCES (a record/enum/fixed fullname reused as a type)
 resolve against earlier declarations on read and write
 (:func:`resolve_named_types`); multi-branch unions decode by the
@@ -23,9 +25,9 @@ numeric branch is a correct writer choice and the widest is lossless;
 mixed-KIND ambiguity or unmatched values still fail loudly. The
 int→float read coercion for promoted unions applies RECURSIVELY
 (record/array/map positions), driven by the mapped Spark schema.
-Remaining gaps (fail loudly with the offending schema node):
-recursive named types in the Spark schema mapping, snappy codec
-(python-snappy is not in the container — environment, not format).
+Remaining gap (fails loudly with the offending schema node):
+recursive named types in the Spark schema mapping (any fixed-depth
+unrolling would silently truncate — declined with a pinned test).
 
 Scale shape (same posture as ``streaming/table_source.py``): the
 planner touches only file HEADERS (schema + codec — metadata-sized);
@@ -42,6 +44,8 @@ import json
 import os
 import struct
 import zlib
+
+from . import snappy_py
 from datetime import datetime, timedelta, timezone
 from typing import Iterator
 
@@ -578,7 +582,7 @@ def read_header(path: str) -> tuple[dict, str, bytes, int]:
 def read_avro_records(path: str) -> Iterator[dict]:
     """Decode every record of one OCF file (executor-side)."""
     schema, codec, sync, start = read_header(path)
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported avro codec {codec!r} in {path}")
     fields = schema["fields"]
     with open(path, "rb") as fh:
@@ -593,6 +597,13 @@ def read_avro_records(path: str) -> Iterator[dict]:
             raw = fh.read(n_bytes)
             if codec == "deflate":
                 raw = zlib.decompress(raw, -15)
+            elif codec == "snappy":
+                # per spec the snappy block carries a trailing 4-byte
+                # big-endian CRC32 of the UNCOMPRESSED data
+                body, crc = raw[:-4], raw[-4:]
+                raw = snappy_py.decompress(body)
+                if zlib.crc32(raw) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+                    raise ValueError(f"avro snappy block CRC mismatch in {path}")
             block = io.BytesIO(raw)
             for _ in range(n_records):
                 yield {
@@ -611,15 +622,15 @@ def write_avro(
     tz=None,
     block_rows: int = 8192,
 ) -> None:
-    """Write one OCF file (null-first unions; ``null`` or ``deflate``
-    codec) — the roundtrip/export half. ``rows`` may be any iterable
+    """Write one OCF file (null-first unions; ``null``, ``deflate``
+    or ``snappy`` codec) — the roundtrip/export half. ``rows`` may be any iterable
     of dicts: it is consumed INCREMENTALLY into sync-delimited blocks
     of ``block_rows`` records (the OCF format supports any number of
     blocks per file), so per-call memory is one encoded block, never
     the whole partition (ADVICE r6: the single-block form was
     unbounded on large partitions). ``tz`` interprets naive datetimes
     (see ``_encode_value``)."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     # the header embeds the schema AS DECLARED (named references and
     # all — re-serializing the resolved tree would redefine named types
@@ -652,6 +663,10 @@ def write_avro(
         if codec == "deflate":
             c = zlib.compressobj(wbits=-15)  # raw DEFLATE per spec
             payload = c.compress(payload) + c.flush()
+        elif codec == "snappy":
+            payload = snappy_py.compress(payload) + (
+                zlib.crc32(payload) & 0xFFFFFFFF
+            ).to_bytes(4, "big")
         head = io.BytesIO()
         _write_long(head, len(buf))
         _write_long(head, len(payload))

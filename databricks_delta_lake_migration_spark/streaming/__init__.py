@@ -1,6 +1,7 @@
 """Structured-Streaming ingestion into log tables."""
 
 from .ingest import (  # noqa: F401
+    SchemaDriftError,
     infer_stream_schema,
     interval_join,
     session_windowed_counts,

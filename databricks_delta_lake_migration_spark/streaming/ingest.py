@@ -25,6 +25,13 @@ from pyspark.sql.streaming import StreamingQuery
 from ..tables import LogTable
 
 
+class SchemaDriftError(ValueError):
+    """An existing column's inferred type no longer matches the pinned
+    stream schema (Auto Loader fails the stream on type change too —
+    only brand-new columns are adoptable). Names the offending column
+    so the operator can route the bad files or re-pin deliberately."""
+
+
 def _last_committed_batch(table: LogTable, stream_id: str) -> int:
     for c in reversed(table.commits()):
         p = c.parameters or {}
@@ -50,9 +57,12 @@ def infer_stream_schema(
 
     ``allow_evolution=True`` is the ``addNewColumns`` analog: on
     restart, re-infer and APPEND any brand-new columns to the pinned
-    schema (existing columns keep their pinned types — widening is
-    additive only, never a type change), persisting the evolved
-    schema back."""
+    schema — widening is additive only, never a type change: an
+    existing column whose re-inferred type conflicts with the pin
+    raises :class:`SchemaDriftError` NAMING the column (Auto Loader
+    fails the stream on type drift too; silently keeping the pinned
+    type would null out the drifted values at parse time). The evolved
+    schema persists back."""
     import json
     import os
 
@@ -80,8 +90,22 @@ def infer_stream_schema(
             pinned = T.StructType.fromJson(json.load(fh))
         if not allow_evolution:
             return pinned
-        names = {f.name for f in pinned.fields}
-        new = [f for f in _infer().fields if f.name not in names]
+        by_name = {f.name: f for f in pinned.fields}
+        inferred = _infer().fields
+        drifted = [
+            f for f in inferred
+            if f.name in by_name and f.dataType != by_name[f.name].dataType
+        ]
+        if drifted:
+            f = drifted[0]
+            raise SchemaDriftError(
+                f"stream schema drift on column {f.name!r}: pinned "
+                f"{by_name[f.name].dataType.simpleString()}, files now "
+                f"infer {f.dataType.simpleString()} — type changes are "
+                "not adoptable; quarantine the offending files or "
+                f"delete {stored} to re-pin deliberately"
+            )
+        new = [f for f in inferred if f.name not in by_name]
         if not new:
             return pinned
         evolved = T.StructType(list(pinned.fields) + new)

@@ -594,6 +594,34 @@ def test_stream_schema_inference_pinned_across_restarts(spark, tmp_path):
     assert sorted(f.name for f in pinned.fields) == ["id", "v"]
 
 
+def test_stream_schema_drift_raises_naming_column(spark, tmp_path):
+    """VERDICT r9 #5: evolution adopts brand-new columns but a TYPE
+    change on a pinned column must fail loudly, naming the column —
+    silently keeping the pinned type would null the drifted values at
+    parse time."""
+    import pytest
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        SchemaDriftError,
+        infer_stream_schema,
+    )
+
+    src, ckpt = (str(tmp_path / n) for n in ("src", "ckpt"))
+    _write_json(src + "/f1.json", [{"id": 1, "v": 1.0}])
+    pinned = infer_stream_schema(spark, src, "json", schema_location=ckpt)
+    assert [f.name for f in pinned.fields] == ["id", "v"]
+    # v drifts double → string; id stays long
+    _write_json(src + "/f2.json", [{"id": 2, "v": "oops"}])
+    with pytest.raises(SchemaDriftError, match="'v'"):
+        infer_stream_schema(
+            spark, src, "json", schema_location=ckpt, allow_evolution=True
+        )
+    # non-evolving restarts still serve the pin untouched (parse-time
+    # behavior is the caller's policy), and the pin file is unchanged
+    again = infer_stream_schema(spark, src, "json", schema_location=ckpt)
+    assert again == pinned
+
+
 def test_stream_schema_evolution_adopts_new_columns(spark, tmp_path):
     """T3 addNewColumns analog: with schema_evolution=True a restart
     after a wider file lands widens the pinned schema AND the target
