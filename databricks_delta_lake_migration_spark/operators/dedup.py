@@ -185,6 +185,37 @@ def _salt_oversized_buckets(
     return salted.drop("__nsub") if not keep_nsub else salted
 
 
+def _expand_bucket_pairs(
+    banded: DataFrame, id_col: str, keys: list[str]
+) -> DataFrame:
+    """In-bucket pair expansion shared by the from-scratch and
+    incremental LSH paths: group band rows on ``keys``, then a
+    combinations fold over the sorted in-bucket id array → one
+    ``(id_a, id_b)`` row per unordered pair, ``id_a < id_b``. ONE
+    shuffle keyed on the bucket and ONE evaluation of the upstream
+    signature pipeline; per-task state is the bucket's id list."""
+    ids = F.sort_array(F.collect_list(id_col))
+    return (
+        banded.groupBy(*keys)
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -230,29 +261,7 @@ def lsh_candidate_pairs(
     if bucket_cap is not None:
         banded = _salt_oversized_buckets(banded, id_col, bucket_cap)
         keys.append("__salt")
-    ids = F.sort_array(F.collect_list(id_col))
-    buckets = (
-        banded.groupBy(*keys)
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    return _expand_bucket_pairs(banded, id_col, keys).distinct()
 
 
 def incremental_lsh_pairs(
@@ -291,9 +300,15 @@ def incremental_lsh_pairs(
     anyway), so the standing corpus is never re-scanned beyond the
     probe.
     """
+    # materialize the batch's band rows ONCE: they feed up to four
+    # branches of the final plan (probe-key distinct, the cross join's
+    # new side, the within-batch fold) and the shingle+digest fold is
+    # the expensive part — same localCheckpoint discipline as
+    # connected_components/pagerank (re-running the fold per branch
+    # was the module's own documented 8x trap)
     new_bands = minhash_band_buckets(
         new_docs, text_col, id_col, num_hashes, band_size
-    )
+    ).localCheckpoint()
     # new ↔ indexed corpus: one shuffle keyed on the bucket. The index
     # may contain the new docs themselves (growing-table pattern) —
     # the inequality filter drops self-matches either way.
@@ -303,9 +318,12 @@ def incremental_lsh_pairs(
             ["band_idx", "bkt"],
             "left_semi",
         )
+        # materialized too: feeds both the join side and the nsub
+        # relation — without it the index probe (a full index semi
+        # scan) runs twice
         salted = _salt_oversized_buckets(
             probed, id_col, bucket_cap, keep_nsub=True
-        )
+        ).localCheckpoint()
         idx_side = salted.drop("__nsub")
         # each new row probes ONE salt group of the bucket, picked by
         # the same (id, band) hash the index side salts with — nsub
@@ -344,26 +362,7 @@ def incremental_lsh_pairs(
     if bucket_cap is not None:
         within_bands = _salt_oversized_buckets(new_bands, id_col, bucket_cap)
         wkeys.append("__salt")
-    ids = F.sort_array(F.collect_list(id_col))
-    within = (
-        within_bands.groupBy(*wkeys)
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-    )
+    within = _expand_bucket_pairs(within_bands, id_col, wkeys)
     return cross.unionByName(within).distinct()
 
 

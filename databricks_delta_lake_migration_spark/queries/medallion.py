@@ -1642,8 +1642,14 @@ def q219_stream_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pinned_file = os.path.join(ckpt, "inferred_schema.json")
 
+    # the two waves must PARTITION the fixture (the oracle aggregates
+    # ALL events): pmod is sign-safe for negative ids and NULL ids
+    # route to wave 1 via the null-safe negation — plain `% 2 == 0` /
+    # `% 2 == 1` would silently drop NULL and negative user_ids
+    even = F.pmod(F.col("user_id"), F.lit(2)) == 0
+
     # wave 0: schema-less first start → infer + pin
-    _stage(0, F.col("user_id") % 2 == 0)
+    _stage(0, even)
     q = stream_files_to_table(
         spark, src, table_path, schema=None, stream_id="s219",
         checkpoint=ckpt, max_files_per_trigger=4,
@@ -1653,7 +1659,7 @@ def q219_stream_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         pin_first = fh.read()
 
     # wave 1 lands, restart schema-less: the pin is reused, not re-inferred
-    _stage(1, F.col("user_id") % 2 == 1)
+    _stage(1, ~even.eqNullSafe(True))
     q = stream_files_to_table(
         spark, src, table_path, schema=None, stream_id="s219",
         checkpoint=ckpt, max_files_per_trigger=4,

@@ -33,8 +33,8 @@ Scale shape (same posture as ``streaming/table_source.py``): the
 planner touches only file HEADERS (schema + codec — metadata-sized);
 each ``.avro`` file becomes one InputPartition decoded executor-side,
 so a directory of N files reads N-wide with zero driver row traffic.
-A writer (null codec) is included for roundtrips and for migrating
-log-table data OUT to avro consumers.
+A writer (all three codecs) is included for roundtrips and for
+migrating log-table data OUT to avro consumers.
 """
 
 from __future__ import annotations
