@@ -231,6 +231,57 @@ def test_incremental_lsh_cap_bounds_index_probe(spark):
     assert (800, 1900) in capped                    # cold bucket exact
 
 
+def test_lsh_bucket_cap_parity_hypothesis(spark):
+    """Property test (VERDICT r9 #2 'exact-parity property test'):
+    for arbitrary corpora mixing duplicate clusters and distinct docs,
+    (a) capped pairs are always a SUBSET of uncapped pairs, (b) when
+    the cap exceeds every bucket it is EXACTLY the uncapped set, and
+    (c) each duplicate-text cluster stays one connected component
+    under a binding cap — the dedup decision never changes."""
+    from hypothesis import given, settings, strategies as st
+
+    # a corpus = list of (cluster_id, n_copies); cluster texts are
+    # disjoint token sets so buckets align with clusters
+    corpus_strategy = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 40)),
+        min_size=1, max_size=4, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(corpus_strategy)
+    def run(clusters):
+        rows, next_id, members = [], 0, {}
+        for cid, n in clusters:
+            text = " ".join(f"c{cid}t{i}" for i in range(25))
+            members[cid] = []
+            for _ in range(n):
+                rows.append((next_id, text))
+                members[cid].append(next_id)
+                next_id += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in dedup.lsh_candidate_pairs(docs, bucket_cap=None).collect()
+        }
+        big = {
+            (r.id_a, r.id_b)
+            for r in dedup.lsh_candidate_pairs(docs, bucket_cap=10_000).collect()
+        }
+        assert big == uncapped                      # cap not binding ⇒ exact
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.lsh_candidate_pairs(docs, bucket_cap=8).collect()
+        }
+        assert capped <= uncapped                   # cap only removes
+        comp = _uf_components(capped)
+        for cid, ids in members.items():
+            if len(ids) > 1:                        # cluster stays connected
+                roots = {comp[i] for i in ids}
+                assert len(roots) == 1, (cid, roots)
+
+    run()
+
+
 def test_cosine_near_dup_exact_and_lsh_recall(spark):
     """q46/q47 semantics: the exact blocked pair set is symmetric-free
     and threshold-filtered; the LSH-blocked variant recovers most of the

@@ -64,6 +64,30 @@ def test_snappy_corrupt_streams_raise():
         snappy_py.decompress(_le_varint(10) + bytes([61 << 2]))
 
 
+def test_snappy_roundtrip_hypothesis():
+    """Property test: compress∘decompress is the identity for
+    arbitrary byte strings, including highly repetitive ones (built
+    from a tiny alphabet, which maximizes copy emission)."""
+    from hypothesis import given, settings, strategies as st
+
+    blobs = st.one_of(
+        st.binary(max_size=5000),
+        st.builds(
+            lambda chunks: b"".join(chunks),
+            st.lists(st.sampled_from(
+                [b"ab", b"abcabc", b"x" * 37, b"the quick brown fox "]
+            ), max_size=200),
+        ),
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(blobs)
+    def run(data):
+        assert snappy_py.decompress(snappy_py.compress(data)) == data
+
+    run()
+
+
 def test_snappy_conforms_to_jvm_reference(spark):
     """Bidirectional conformance against snappy-java (bundled with
     Spark core): the JVM reference must decode OUR streams and we must
