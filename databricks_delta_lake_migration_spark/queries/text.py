@@ -1259,8 +1259,12 @@ def q189_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts_b = names.select(
         F.col("name_id").alias("id_b"), F.col("n_rows").alias("n_rows_b")
     )
-    return pairs.join(F.broadcast(counts), "id_a").join(
-        F.broadcast(counts_b), "id_b"
+    # hint-free: at sf the name relation is broadcast-sized but at
+    # entity-resolution scale (hundreds of millions of names) a forced
+    # broadcast OOMs — AQE picks BHJ here anyway because PAIRS is the
+    # small side (same posture as winsorize's bounds join, r10)
+    return pairs.join(counts, "id_a").join(
+        counts_b, "id_b"
     ).select(
         "id_a", "id_b", "name_a", "name_b", "dist", "n_rows_a", "n_rows_b"
     )

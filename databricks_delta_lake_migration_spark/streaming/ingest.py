@@ -319,8 +319,11 @@ def stream_enrich_to_table(
     already-landed rows keep the attributes they were enriched with
     (a fact table stamped at ingest time).
 
-    At scale: the dimension is broadcast (dims are metadata-sized next
-    to the fact stream); the fact batch never shuffles. Batch-id
+    At scale: the dimension join carries NO forced broadcast hint —
+    AQE broadcasts a metadata-sized dim (the common case, fact batch
+    never shuffles) and falls back to a shuffle join when the
+    dimension outgrows an executor, instead of OOMing a hinted plan
+    (same posture as winsorize's bounds join, r10). Batch-id
     idempotence rides on the commit parameters like every other sink
     here, so crash-replayed batches are no-ops.
     """
@@ -343,7 +346,7 @@ def stream_enrich_to_table(
         if batch_id <= _last_committed_batch(tbl, stream_id):
             return
         dim = LogTable(spark, dim_path).read()  # CURRENT snapshot
-        enriched = batch_df.join(F.broadcast(dim), join_key, "left")
+        enriched = batch_df.join(dim, join_key, "left")
         schema_now = tbl.schema()
         aligned = enriched.select(
             *[F.col(f.name).cast(f.dataType) for f in schema_now.fields]
