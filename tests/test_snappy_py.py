@@ -88,6 +88,24 @@ def test_snappy_roundtrip_hypothesis():
     run()
 
 
+def test_snappy_decoder_rejects_garbage_cleanly():
+    """Adversarial input: arbitrary byte strings either decode (the
+    rare accidentally-valid stream) or raise SnappyError — never an
+    IndexError/hang/allocation bomb. Expansion is bounded (a copy tag
+    emits ≤64 bytes), so a malicious stream can't DoS the reader."""
+    import random
+
+    random.seed(1234)
+    for _ in range(2000):
+        blob = bytes(
+            random.randrange(0, 256) for _ in range(random.randrange(0, 80))
+        )
+        try:
+            snappy_py.decompress(blob)
+        except snappy_py.SnappyError:
+            pass
+
+
 def test_snappy_conforms_to_jvm_reference(spark):
     """Bidirectional conformance against snappy-java (bundled with
     Spark core): the JVM reference must decode OUR streams and we must
