@@ -392,6 +392,15 @@ def main() -> None:
         for k, ref in baseline.items()
         if acid.get(k)
     }
+    # per-headline-query evidence, compact enough to survive the tail:
+    # r10's 31 extras pushed the headline per-query dict out of the
+    # 2000-char artifact window entirely (VERDICT r10 #3), leaving the
+    # recap totals unattributable. Keys shortened to the qNN prefix
+    # (~12 chars/entry → the full line is ~250 chars).
+    print(json.dumps(
+        {"recap": "headline_queries",
+         **{n.split("_")[0]: t for n, t in timings.items()}}
+    ))
     recap = {
         "recap": "bench_summary",
         "headline_total_s": total,

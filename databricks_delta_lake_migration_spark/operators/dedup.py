@@ -240,12 +240,25 @@ def lsh_candidate_pairs(
     banding is TUNED to produce) are expanded exactly, so output
     equals the uncapped output whenever no bucket exceeds the cap;
     inside an oversized bucket, pairwise candidate recall drops to
-    ~n_bands·cap/|B| per pair while every member still meets ~cap
-    co-members per band — so cluster CONNECTIVITY (what the dedup
-    decision consumes via connected components) is preserved, which is
-    the property the planted mega-cluster test asserts.
+    ~n_bands·cap/|B| per pair (exactly ``1-(1-1/ceil(|B|/cap))^n_bands``;
+    measured 0.2943 vs 0.2939 analytic on a planted |B|=192, cap=16,
+    4-band mega-bucket — ``test_lsh_bucket_cap_recall_matches_
+    expectation``) while every member still meets ~cap co-members per
+    band — so cluster CONNECTIVITY (what the dedup decision consumes
+    via connected components) is preserved, which is the property the
+    planted mega-cluster test asserts.
     ``bucket_cap=None`` restores the uncapped r9 behavior.
+
+    .. note:: the 128 default (new in r10) is a BREAKING default for
+       callers consuming the raw candidate pairs of corpora whose
+       buckets exceed 128 — they lose per-pair recall with no signal
+       (the connected-components dedup consumer is unaffected). Pass
+       ``bucket_cap=None`` to keep the old contract; ``bucket_cap < 1``
+       raises (``ceil(count/0)`` would NULL the salt and silently
+       disable the cap).
     """
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
     banded = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
     # Bucket-group, then expand pairs WITHIN each bucket — the LSH
     # reduction with exactly ONE shuffle keyed on the bucket and ONE
@@ -299,7 +312,20 @@ def incremental_lsh_pairs(
     actually probes (a left-semi restriction the equi-join implies
     anyway), so the standing corpus is never re-scanned beyond the
     probe.
+
+    .. note:: the two ``localCheckpoint`` calls below run EAGER Spark
+       jobs at plan-construction time (the second scans the probed
+       slice of the index) even if the returned DataFrame is never
+       evaluated, and localCheckpoint blocks live on executor storage,
+       not reliable storage — losing an executor after the call
+       invalidates the truncated lineage and the plan must be rebuilt
+       from this function. The trade accepted here: without the
+       materialization the signature fold re-runs once per consuming
+       branch (the module's measured 8× trap). Callers that construct
+       the plan speculatively should call this lazily.
     """
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
     # materialize the batch's band rows ONCE: they feed up to four
     # branches of the final plan (probe-key distinct, the cross join's
     # new side, the within-batch fold) and the shingle+digest fold is

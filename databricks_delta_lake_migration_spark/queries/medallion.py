@@ -1657,8 +1657,17 @@ def q219_stream_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     with open(pinned_file) as fh:
         pin_first = fh.read()
+    pin_mtime_first = os.stat(pinned_file).st_mtime_ns
+    from ..tables import LogTable
 
-    # wave 1 lands, restart schema-less: the pin is reused, not re-inferred
+    schema_wave0 = LogTable(spark, table_path).schema()
+
+    # wave 1 lands, restart schema-less: the pin is reused, not
+    # re-inferred. Byte-equality alone is vacuous (a regression that
+    # re-infers the SAME files writes identical JSON), so the check
+    # also pins the file's mtime — the restart path must never
+    # rewrite the pin — and the post-restart table schema must equal
+    # the schema OBJECT wave 0 inferred (r10 ADVICE #5).
     _stage(1, ~even.eqNullSafe(True))
     q = stream_files_to_table(
         spark, src, table_path, schema=None, stream_id="s219",
@@ -1667,11 +1676,12 @@ def q219_stream_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     with open(pinned_file) as fh:
         pin_second = fh.read()
-    from ..tables import LogTable
 
     state = LogTable(spark, table_path).read()
     pinned_reused = (
         pin_first == pin_second
+        and os.stat(pinned_file).st_mtime_ns == pin_mtime_first
+        and LogTable(spark, table_path).schema() == schema_wave0
         and sorted(state.columns)
         == ["event_id", "event_type", "user_id", "value"]
     )

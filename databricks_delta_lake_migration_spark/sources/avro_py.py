@@ -600,6 +600,11 @@ def read_avro_records(path: str) -> Iterator[dict]:
             elif codec == "snappy":
                 # per spec the snappy block carries a trailing 4-byte
                 # big-endian CRC32 of the UNCOMPRESSED data
+                if len(raw) < 4:
+                    raise ValueError(
+                        f"truncated avro snappy block in {path}: "
+                        f"{len(raw)} bytes, need >= 4 for the CRC tail"
+                    )
                 body, crc = raw[:-4], raw[-4:]
                 raw = snappy_py.decompress(body)
                 if zlib.crc32(raw) & 0xFFFFFFFF != int.from_bytes(crc, "big"):

@@ -911,6 +911,85 @@ def test_stream_enrich_static_side_reread_per_run(spark, tmp_path):
     assert rows[4] is None and len(rows) == 4
 
 
+def test_stream_enrich_foreachbatch_dim_join_strategy(spark, tmp_path):
+    """AQE is DISABLED inside foreachBatch, so stream_enrich's
+    hint-free dim join rides on STATIC size estimates alone. Pin both
+    directions of that reliance (VERDICT r10 #4): a metadata-sized dim
+    must still get a BroadcastHashJoin in the executed micro-batch
+    plan (the common case — the fact batch never shuffles), and with
+    auto-broadcast disabled the same code must degrade to a shuffle
+    join rather than resurrect a forced hint (the unconditional hint
+    on an unbounded dim was the r10 OOM risk this posture replaced)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        ingest as ingest_mod,
+    )
+    from databricks_delta_lake_migration_spark.streaming import (
+        stream_enrich_to_table,
+    )
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dim_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+    dim = LogTable.create(spark, str(tmp_path / "dim"), dim_schema)
+    dim.append(spark.createDataFrame([("a", "v1"), ("b", "v1")], dim_schema))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+    (src / "c1.json").write_text(
+        "\n".join(json.dumps(r) for r in [{"id": 1, "k": "a"}, {"id": 2, "k": "b"}])
+    )
+
+    def drain(tag):
+        q = stream_enrich_to_table(
+            spark, str(src), str(tmp_path / f"enriched_{tag}"), schema,
+            str(tmp_path / "dim"), join_key="k",
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination()
+
+    probe: list[str] = []
+    ingest_mod._ENRICH_PLAN_PROBE = probe
+    try:
+        drain("bcast")
+        assert probe, "probe captured no batch plans"
+        assert all("BroadcastHashJoin" in p for p in probe), probe[0]
+        assert "strategy=broadcast" not in probe[0]  # hint-free
+
+        probe.clear()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            drain("shuffle")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert probe
+        assert all("BroadcastHashJoin" not in p for p in probe), probe[0]
+        assert any(
+            "SortMergeJoin" in p or "ShuffledHashJoin" in p for p in probe
+        ), probe[0]
+    finally:
+        ingest_mod._ENRICH_PLAN_PROBE = None
+    # behavior unchanged by the probe: both runs enriched the rows
+    for tag in ("bcast", "shuffle"):
+        rows = {
+            r.id: r.attr
+            for r in LogTable(spark, str(tmp_path / f"enriched_{tag}")).read().collect()
+        }
+        assert rows == {1: "v1", 2: "v1"}, tag
+
+
 def test_timeout_sessions_event_time_timeout(spark, tmp_path):
     """EventTimeTimeout sessions: a session closes (a) when a later
     event proves the gap elapsed, and (b) — the path only a state

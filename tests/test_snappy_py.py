@@ -156,6 +156,28 @@ def test_pyavro_snappy_ocf_roundtrip(spark, tmp_path):
     os.remove(bad)
 
 
+def test_pyavro_snappy_truncated_block_names_the_defect(tmp_path):
+    """r10 ADVICE: a snappy block shorter than its own 4-byte CRC tail
+    must raise a 'truncated' error naming the file — not a confusing
+    SnappyError/CRC mismatch from slicing an empty body."""
+    import io
+
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "id", "type": "long"}]}
+    path = str(tmp_path / "t.avro")
+    avro_py.write_avro(path, schema, [{"id": 1}], codec="snappy")
+    _, _, sync, start = avro_py.read_header(path)
+    header = open(path, "rb").read(start)
+    block = io.BytesIO()
+    avro_py._write_long(block, 1)   # n_records
+    avro_py._write_long(block, 2)   # n_bytes — shorter than the CRC tail
+    bad = str(tmp_path / "trunc.avro")
+    with open(bad, "wb") as fh:
+        fh.write(header + block.getvalue() + b"\x00\x00" + sync)
+    with pytest.raises(ValueError, match="truncated avro snappy block"):
+        list(avro_py.read_avro_records(bad))
+
+
 def test_pyavro_snappy_crc_is_spec_layout(tmp_path):
     """The block tail IS the spec's CRC32: recompute it from the
     decompressed body and it matches byte-for-byte."""
