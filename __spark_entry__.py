@@ -32,59 +32,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the first 50 registrations; ordering is
-# coverage policy. Cumulative state entering round 10: all 218
-# registrations (217 + q219, new this round) driver-green at their
-# latest check (zero failures ever); 41 queries' NEWEST row is r5.
-# ROUND 10 WINDOW (below), per VERDICT r9 next-step #1 ("freshness
-# rotation — retire the r5 tail"); new registrations take slots
-# first, exactly one this round:
+# coverage policy. Cumulative state entering round 11: all 219
+# registrations (218 + q220, new this round) driver-green at their
+# latest check (zero failures ever); the oldest freshness tier is the
+# 42-query r6 tail (q112–q153). ROUND 11 WINDOW (below), per VERDICT
+# r10 next-step #1 ("freshness rotation — retire the r6 tail, leading
+# with the plan-changed strays"); new registrations take slots first,
+# exactly one this round:
 #   - the 8 keeper anchors (one per signature tier: MERGE, time
 #     travel, streaming CDC, medallion, cosine top-k, MinHash-LSH,
 #     grouped agg, star join) — cross-round regression sentinels
-#   - q219 (FIRST-TIMER: Auto Loader schema inference parity —
-#     schema-less start pins the inferred schema under the
-#     checkpoint, restart reuses it, type drift raises naming the
-#     column; VERDICT r9 #5)
-#   - the 41 re-confirms whose NEWEST driver row is r5 (q02,
-#     q07–q10, q15, q16, q18, q19, q25, q41, q61, q62, q64–q66,
-#     q68, q71–q73, q76, q88, q93–q111)
-# 8 + 1 + 41 = 50. Done-criterion: CORRECTNESS_r10 50/50 green and
-# no query's newest row older than r6. pytest's local DuckDB
-# oracle-parity twin still exercises every registration every round.
-# NOTE: q36/q47/q114 (LSH bucket_cap, default 128) and q217
-# (hint-free winsorize bounds join) changed PLANS this round but not
-# results on the fixtures (max LSH bucket there is 9 ≪ 128; measured
-# via the oracle's own banding in DuckDB) — q36 is a keeper anchor
-# and all four are re-proven by the pytest twin this round.
+#   - q220 (FIRST-TIMER: Auto Loader useNotifications parity —
+#     notification-queue file discovery that never lists the data
+#     directory: decoy invisible, duplicate notification a no-op;
+#     VERDICT r10 #5)
+#   - the r10 plan-changed strays without a ≥r10 driver row: q114
+#     (incremental-LSH salt cap, in the r6 tail anyway — run FIRST),
+#     q217 (hint-free winsorize bounds join, newest row r8), q47
+#     (LSH cap default, newest row r9)
+#   - 38 more of the r6 tail in order (q112, q113, q115–q150)
+# 8 + 1 + 3 + 38 = 50. q151/q152/q153 roll to r12 with the r7 tail
+# (the one-new-registration slot displacement VERDICT r10 #1
+# anticipates: "new registrations take slots first as usual").
+# Done-criterion: CORRECTNESS_r11 50/50 green; every r10 plan-changed
+# query has a driver row ≥ r10. pytest's local DuckDB oracle-parity
+# twin still exercises every registration every round.
 _PRIORITY = [
     # keepers: one anchor per signature tier
     "q60_merge_upsert", "q63_time_travel_diff", "q92_streaming_cdc_apply",
     "q70_medallion_gold", "q40_cosine_topk", "q36_minhash_lsh_pairs",
     "q01_pricing_summary", "q05_nation_revenue",
-    # first-timer (round 10)
-    "q219_stream_schema_inference",
-    # re-confirms: the r5 tail (newest driver row is r5)
-    "q02_top_orders_by_revenue", "q07_conditional_agg",
-    "q08_distinct_counts", "q09_null_profile",
-    "q10_latest_event_per_user", "q15_customers_without_orders",
-    "q16_global_kpis", "q18_sessionization",
-    "q19_daily_user_activity", "q25_quality_report",
-    "q41_ann_lsh_topk", "q61_merge_conditional",
-    "q62_update_delete", "q64_cdf_summary",
-    "q65_replace_where", "q66_scd2_dimension",
-    "q68_cdc_mirror", "q71_bronze_stamping",
-    "q72_windowed_event_counts", "q73_session_windows",
-    "q76_history_rollup", "q88_scd2_users_state",
-    "q93_sequence_packing", "q94_data_mixture",
-    "q95_decontamination", "q96_pq_topk",
-    "q97_ivfpq_topk", "q98_corpus_pipeline",
-    "q99_expectations_gate", "q100_stratified_sample",
-    "q101_dv_delete", "q102_incremental_gold",
-    "q103_stream_windowed_agg", "q104_generated_columns",
-    "q105_rename_drop_column", "q106_identity_column",
-    "q107_semantic_dedup", "q108_stream_interval_join",
-    "q109_stream_ingest_dedup", "q110_sql_time_travel",
-    "q111_convert_to_delta",
+    # first-timer (round 11)
+    "q220_notification_discovery",
+    # r10 plan-changed strays, led by q114
+    "q114_incremental_lsh", "q217_winsorize_audit", "q47_lsh_near_dup",
+    # re-confirms: the r6 tail (newest driver row is r6)
+    "q112_bloom_index_skipping", "q113_copy_into",
+    "q115_persisted_ivf_index", "q116_chunk_documents",
+    "q117_contamination_scores", "q118_show_partitions",
+    "q119_write_tuning", "q120_schema_metadata",
+    "q121_shard_shuffle", "q122_quality_top_fraction",
+    "q123_boilerplate_strip", "q124_type_widening",
+    "q125_liquid_clustering", "q126_log_retention",
+    "q127_unigram_logprob", "q128_vacuum_lite",
+    "q129_column_defaults", "q130_row_tracking",
+    "q131_commit_annotations", "q132_tfidf_top_terms",
+    "q133_sq8_topk", "q134_catalog_views",
+    "q135_stream_enrich", "q136_protocol_features",
+    "q137_intradoc_dedup", "q138_classifier_filter",
+    "q139_text_normalization", "q140_bq_topk",
+    "q141_stream_outer_interval_join", "q142_stream_session_windows",
+    "q143_binned_range_join", "q144_stateful_running_totals",
+    "q145_table_stream_source", "q146_stream_change_feed",
+    "q147_cdc_replication_pipeline", "q148_quarantine_routing",
+    "q149_sample_k_per_group", "q150_pca_embeddings",
 ]
 
 

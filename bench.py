@@ -80,6 +80,8 @@ EXTRA_QUERIES = [
     "q216_decayed_engagement",
     # round-10 addition
     "q219_stream_schema_inference",
+    # round-11 addition
+    "q220_notification_discovery",
 ]
 
 

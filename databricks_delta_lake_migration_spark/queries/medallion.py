@@ -1713,3 +1713,121 @@ def q219_stream_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(pinned_reused)).alias("schema_pinned_reused"),
         F.lit(bool(drift_named)).alias("drift_named_column"),
     )
+
+
+@query(
+    "q220_notification_discovery",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS total_value,
+           TRUE AS decoy_invisible,
+           TRUE AS duplicate_noop
+    FROM events
+    WHERE ((user_id % 3) + 3) % 3 IN (0, 1)
+    GROUP BY event_type
+    """,
+)
+def q220_notification_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto Loader ``useNotifications`` parity, hash-checked end to end
+    (VERDICT r10 #5; reference ``src/data_processor.py:187``,
+    ``migration/migrate_from_s3.py:171``): the events fixture is split
+    three ways — wave 0 and wave 1 are staged as JSON files and
+    NOTIFIED through the queue; a decoy file (the remaining third,
+    carrying an extra column) sits in the same data directory and is
+    never notified. The stream runs schema-less in notification mode:
+    inference samples only the notified files (no ``zzz`` column, no
+    directory listing), wave 1 lands via a RESTART that also
+    re-notifies a wave-0 file — the at-least-once duplicate must be a
+    no-op through the sourceFiles commit ledger. The oracle aggregates
+    exactly the two notified waves, so a decoy leak (listing-mode
+    regression), a duplicate double-ingest, or a lost wave all break
+    the value hash; both structural verdicts are baked in as literal
+    columns."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import notify_files, stream_files_to_table
+    from ..tables import LogTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="notify-disc-")
+    data_dir = os.path.join(root, "data")
+    queue = os.path.join(root, "queue")
+    ckpt = os.path.join(root, "ckpt")
+    table_path = os.path.join(root, "state")
+    os.makedirs(data_dir)
+
+    tile = F.pmod(F.col("user_id"), F.lit(3))
+
+    def _stage(name: str, df) -> list[str]:
+        stage = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.json(stage)
+        out = []
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.json"))):
+            dst = os.path.join(data_dir, f"{name}-{i}.json")
+            shutil.move(f, dst)
+            out.append(dst)
+        return out
+
+    wave0 = _stage("wave0", e.filter(tile.eqNullSafe(0)))
+    # decoy: NOT notified, extra column — visible only to a directory
+    # listing or a listing-based schema inference
+    _stage(
+        "decoy",
+        e.filter(~(tile.eqNullSafe(0) | tile.eqNullSafe(1)))
+        .withColumn("zzz", F.lit(1)),
+    )
+    notify_files(queue, wave0)
+
+    def _drain():
+        q = stream_files_to_table(
+            spark, data_dir, table_path, schema=None, stream_id="s220",
+            checkpoint=ckpt, max_files_per_trigger=4,
+            discovery="notifications", queue_dir=queue,
+        )
+        q.awaitTermination()
+
+    _drain()
+    n_wave0 = LogTable(spark, table_path).read().count()
+
+    # wave 1 + a DUPLICATE notification of a wave-0 file, then restart
+    wave1 = _stage("wave1", e.filter(tile.eqNullSafe(1)))
+    notify_files(queue, wave1 + [wave0[0]])
+    _drain()
+
+    state = LogTable(spark, table_path).read()
+    n_expected = e.filter(tile.eqNullSafe(0) | tile.eqNullSafe(1)).count()
+    # one scan decides both verdicts (row total + decoy-tile presence)
+    in_waves = (
+        F.pmod(F.col("user_id"), F.lit(3)).eqNullSafe(0)
+        | F.pmod(F.col("user_id"), F.lit(3)).eqNullSafe(1)
+    )
+    chk = state.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(~in_waves, 1)).alias("n_decoy"),
+    ).collect()[0]
+    decoy_invisible = (
+        sorted(state.columns) == ["event_id", "event_type", "user_id", "value"]
+        and chk.n_decoy == 0
+    )
+    duplicate_noop = chk.n_rows == n_expected and n_wave0 < n_expected
+
+    return state.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(bool(decoy_invisible)).alias("decoy_invisible"),
+        F.lit(bool(duplicate_noop)).alias("duplicate_noop"),
+    )

@@ -4,11 +4,13 @@ from .ingest import (  # noqa: F401
     SchemaDriftError,
     infer_stream_schema,
     interval_join,
+    notify_files,
     session_windowed_counts,
     stream_dedup_to_table,
     stream_enrich_to_table,
     stream_files_to_table,
     stream_near_dup_ingest,
+    stream_notified_files_to_table,
     stream_pit_enrich,
     stream_scd2_apply,
     stream_upsert_to_table,

@@ -46,6 +46,7 @@ def infer_stream_schema(
     file_format: str = "json",
     schema_location: str | None = None,
     allow_evolution: bool = False,
+    paths: list[str] | None = None,
 ) -> T.StructType:
     """Auto Loader-style schema inference for the file stream (T3 —
     the OSS replacement for ``cloudFiles.schemaLocation``,
@@ -62,7 +63,12 @@ def infer_stream_schema(
     raises :class:`SchemaDriftError` NAMING the column (Auto Loader
     fails the stream on type drift too; silently keeping the pinned
     type would null out the drifted values at parse time). The evolved
-    schema persists back."""
+    schema persists back.
+
+    ``paths`` restricts inference to an explicit file list instead of
+    listing ``source_path`` — the notification-discovery mode uses it
+    so schema inference never lists the data directory either (Auto
+    Loader samples notified files the same way)."""
     import json
     import os
 
@@ -83,7 +89,7 @@ def infer_stream_schema(
         reader = spark.read.format(file_format)
         if file_format == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")
-        return reader.load(source_path).schema
+        return reader.load(paths if paths is not None else source_path).schema
 
     if stored and os.path.exists(stored):
         with open(stored) as fh:
@@ -130,6 +136,8 @@ def stream_files_to_table(
     available_now: bool = True,
     transform=None,
     schema_evolution: bool = False,
+    discovery: str = "listing",
+    queue_dir: str | None = None,
 ) -> StreamingQuery:
     """File stream → checkpointed append into a log table.
 
@@ -142,7 +150,38 @@ def stream_files_to_table(
     ``available_now=True`` drains everything currently in the source
     then stops (test/batch-catchup mode); ``False`` runs continuously
     with a processing-time trigger (data_processor.py:190-197).
+
+    ``discovery`` is the Auto Loader file-discovery seam
+    (``cloudFiles.useNotifications`` — reference
+    ``src/data_processor.py:187``, ``migration/migrate_from_s3.py:171``):
+
+    - ``"listing"`` (default, Auto Loader's directory-listing mode):
+      Spark's file source lists ``source_path`` every trigger. Cost
+      grows with the TOTAL file count of the directory — the scaling
+      cliff past ~10⁵ files/dir that notification mode exists to avoid.
+    - ``"notifications"``: never lists ``source_path``. New-file events
+      are consumed from ``queue_dir`` (required) — see
+      :func:`stream_notified_files_to_table` for the contract. Per-
+      trigger cost tracks the NOTIFICATION volume (new files), not the
+      corpus size, so a directory with 10⁸ accumulated files streams at
+      the same cost as an empty one.
     """
+    if discovery == "notifications":
+        if queue_dir is None:
+            raise ValueError("discovery='notifications' requires queue_dir")
+        return stream_notified_files_to_table(
+            spark, queue_dir, table_path, schema=schema,
+            file_format=file_format, stream_id=stream_id,
+            checkpoint=checkpoint,
+            max_notifications_per_trigger=max_files_per_trigger,
+            available_now=available_now, transform=transform,
+            schema_evolution=schema_evolution,
+        )
+    if discovery != "listing":
+        raise ValueError(
+            f"unknown discovery mode {discovery!r}: expected 'listing' "
+            "or 'notifications'"
+        )
     if schema is None:
         schema = infer_stream_schema(
             spark, source_path, file_format, schema_location=checkpoint,
@@ -192,6 +231,201 @@ def stream_files_to_table(
         )
 
     writer = reader.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+def notify_files(queue_dir: str, paths: list[str]) -> str:
+    """Publish file-arrival notifications into ``queue_dir`` — the
+    producer half of notification-mode discovery (the stand-in for
+    S3→SQS / GCS→Pub/Sub bucket events behind Auto Loader's
+    ``useNotifications``; reference ``migration/migrate_from_s3.py:171``).
+
+    Each call lands ONE atomic, uniquely-named ndjson file whose lines
+    are ``{"path": <absolute data file>}`` — the same rename-into-place
+    protocol the data writers use, so a half-written notification is
+    never visible. A real cloud deployment replaces this function with
+    a trivial queue poller draining SQS/PubSub into the same ndjson
+    shape; everything downstream is unchanged (the queue FILE FORMAT is
+    the pluggable seam, exactly like the image-codec stub in
+    operators/multimodal.py)."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(queue_dir, exist_ok=True)
+    name = f"notify-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(queue_dir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        for p in paths:
+            fh.write(json.dumps({"path": os.path.abspath(p)}) + "\n")
+    final = os.path.join(queue_dir, name)
+    os.replace(tmp, final)
+    return final
+
+
+def _all_notified_paths(queue_dir: str) -> list[str]:
+    """Driver-side read of every notification in the queue (used only
+    for schema inference — bounded by queue depth, never by the data
+    directory's file count; consumed notifications are purgeable)."""
+    import json
+    import os
+
+    out: list[str] = []
+    if not os.path.isdir(queue_dir):
+        return out
+    for n in sorted(os.listdir(queue_dir)):
+        if n.startswith(".") or not n.endswith(".json"):
+            continue
+        with open(os.path.join(queue_dir, n)) as fh:
+            for ln in fh:
+                ln = ln.strip()
+                if ln:
+                    out.append(json.loads(ln)["path"])
+    return out
+
+
+def _ingested_source_files(table: LogTable, stream_id: str) -> set[str]:
+    """Replay this stream's commit provenance into the already-ingested
+    file set — the transactional dedup ledger for at-least-once queues
+    (Auto Loader keeps the same ledger in RocksDB under the checkpoint;
+    here the TABLE is the store, so the ledger can never disagree with
+    the data). Metadata-sized: one path string per ingested file, the
+    same order of magnitude as the table's own add-file list."""
+    import json
+
+    seen: set[str] = set()
+    for c in table.commits():
+        p = c.parameters or {}
+        if p.get("streamId") == stream_id and p.get("sourceFiles"):
+            seen.update(json.loads(p["sourceFiles"]))
+    return seen
+
+
+def stream_notified_files_to_table(
+    spark: SparkSession,
+    queue_dir: str,
+    table_path: str,
+    schema: T.StructType | None = None,
+    file_format: str = "json",
+    stream_id: str = "notified",
+    checkpoint: str | None = None,
+    max_notifications_per_trigger: int = 10,
+    available_now: bool = True,
+    transform=None,
+    schema_evolution: bool = False,
+) -> StreamingQuery:
+    """Notification-mode file ingestion (Auto Loader
+    ``cloudFiles.useNotifications=true`` — reference
+    ``src/data_processor.py:187``): ingest exactly the data files named
+    by arrival events in ``queue_dir``, NEVER listing the data
+    directory.
+
+    Spark-first shape: the built-in file stream consumes the (compact)
+    notification queue — checkpointed, so each notification file is
+    processed exactly once — and each micro-batch reads the newly
+    notified data files with the BATCH reader and appends them to the
+    log table under the usual batch-id idempotent commit. Discovery
+    cost per trigger is O(queue depth), not O(corpus files): the one
+    scaling cliff of listing mode at millions of files per day.
+
+    Exactly-once, layered:
+
+    - notification delivery: the queue stream's checkpoint;
+    - sink replay after a crash: ``batchId`` in the commit parameters
+      (same as every sink in this module);
+    - DUPLICATE notifications (cloud queues are at-least-once): each
+      commit records the data files it ingested (``sourceFiles``), and
+      a batch drops paths already in that ledger — re-notified files
+      are no-ops instead of double-ingests.
+
+    ``schema=None`` infers from the currently-notified files (never a
+    directory listing) and pins under the checkpoint, identical to
+    listing mode; ``schema_evolution`` adopts brand-new columns on
+    restart the same way. Un-notified files in the data directory are
+    INVISIBLE by design — that is the contract notification mode buys.
+    """
+    import json
+
+    notif_schema = T.StructType([T.StructField("path", T.StringType())])
+    if schema is None:
+        pending = _all_notified_paths(queue_dir)
+        if not pending:
+            raise ValueError(
+                f"cannot infer a schema: no notifications in {queue_dir} "
+                "yet — pass an explicit schema or notify the first files "
+                "before starting"
+            )
+        schema = infer_stream_schema(
+            spark, queue_dir, file_format, schema_location=checkpoint,
+            allow_evolution=schema_evolution, paths=pending,
+        )
+    t = LogTable.create(spark, table_path, schema)
+    if schema_evolution:
+        have = {f.name for f in t.schema().fields}
+        new = [f for f in schema.fields if f.name not in have]
+        if new:
+            t.add_columns(new)
+    data_schema = schema
+
+    notifications = (
+        spark.readStream.schema(notif_schema)
+        .option("maxFilesPerTrigger", max_notifications_per_trigger)
+        .format("json")
+        .load(queue_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = LogTable(spark, table_path)
+        if batch_id <= _last_committed_batch(tbl, stream_id):
+            return  # exactly-once: batch was already committed
+        # a notification batch is metadata (bounded by
+        # max_notifications_per_trigger × lines/file) — collecting the
+        # path list to the driver is the same driver-state class as
+        # Auto Loader's own file ledger, not a data collect
+        batch_paths = {
+            r.path for r in batch_df.select("path").distinct().collect()
+            if r.path
+        }
+        fresh = sorted(batch_paths - _ingested_source_files(tbl, stream_id))
+        if not fresh:
+            return  # all duplicates: nothing to commit
+        data = spark.read.format(file_format).schema(data_schema).load(fresh)
+        if transform is not None:
+            data = transform(data)
+        schema_now = tbl.schema()
+        aligned = data.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema_now.fields]
+        )
+        aligned = tbl._maybe_optimize_write(
+            aligned, tbl.partition_columns(), tbl.properties()
+        )
+        entries = tbl._write_files(aligned, tbl.partition_columns())
+        import time as _time
+
+        from ..tables.logtable import Commit
+
+        tbl._commit(
+            Commit(
+                version=tbl._next_version(),
+                timestamp=_time.time(),
+                operation="STREAMING UPDATE",
+                add=entries,
+                parameters={
+                    "streamId": stream_id,
+                    "batchId": int(batch_id),
+                    "sourceFiles": json.dumps(fresh),
+                },
+                metrics={"numOutputRows": sum(e.num_records for e in entries)},
+            )
+        )
+
+    writer = notifications.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     if available_now:

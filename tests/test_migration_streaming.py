@@ -911,6 +911,107 @@ def test_stream_enrich_static_side_reread_per_run(spark, tmp_path):
     assert rows[4] is None and len(rows) == 4
 
 
+def test_notification_discovery_ingests_only_notified_files(spark, tmp_path):
+    """Auto Loader useNotifications parity: discovery='notifications'
+    ingests exactly the files named by queue events and NEVER lists the
+    data directory — a decoy file sitting in the directory stays
+    invisible (in listing mode it would land). Duplicate notifications
+    (at-least-once queues) are no-ops via the sourceFiles commit
+    ledger, and a restart drains only the new notifications."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        notify_files,
+        stream_files_to_table,
+    )
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    data = tmp_path / "data"
+    data.mkdir()
+    queue = str(tmp_path / "queue")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+
+    def put(name, rows):
+        p = data / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        return str(p)
+
+    f1 = put("f1.json", [{"id": 1, "k": "a"}, {"id": 2, "k": "b"}])
+    f2 = put("f2.json", [{"id": 3, "k": "c"}])
+    # decoy: present in the data dir, never notified — and carrying an
+    # extra column, so if ANYTHING (ingest or schema inference) listed
+    # the directory it would surface as rows or as a 'zzz' column
+    put("decoy.json", [{"id": 99, "k": "x", "zzz": 1}])
+    notify_files(queue, [f1])
+    notify_files(queue, [f2])
+
+    table_path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_files_to_table(
+            spark, str(data), table_path, schema=None, stream_id="notif",
+            checkpoint=ckpt, discovery="notifications", queue_dir=queue,
+        )
+        q.awaitTermination()
+
+    drain()
+    tbl = LogTable(spark, table_path)
+    got = sorted((r.id, r.k) for r in tbl.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert sorted(tbl.read().columns) == ["id", "k"]  # no decoy 'zzz'
+
+    # duplicate notification: re-notifying f1 must NOT re-ingest it
+    notify_files(queue, [f1])
+    v_before = len(tbl.commits())
+    drain()
+    tbl = LogTable(spark, table_path)
+    assert sorted((r.id, r.k) for r in tbl.read().collect()) == got
+    assert len(tbl.commits()) == v_before  # duplicate-only batch: no commit
+
+    # restart drains only the NEW notification; decoy still invisible
+    f3 = put("f3.json", [{"id": 4, "k": "d"}])
+    notify_files(queue, [f3])
+    drain()
+    got = sorted((r.id, r.k) for r in LogTable(spark, table_path).read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_notification_discovery_argument_validation(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        stream_files_to_table,
+        stream_notified_files_to_table,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(ValueError, match="requires queue_dir"):
+        stream_files_to_table(
+            spark, str(tmp_path / "d"), str(tmp_path / "t"), schema,
+            discovery="notifications",
+        )
+    with pytest.raises(ValueError, match="unknown discovery mode"):
+        stream_files_to_table(
+            spark, str(tmp_path / "d"), str(tmp_path / "t"), schema,
+            discovery="polling",
+        )
+    with pytest.raises(ValueError, match="no notifications"):
+        stream_notified_files_to_table(
+            spark, str(tmp_path / "empty-queue"), str(tmp_path / "t"),
+            schema=None,
+        )
+
+
 def test_stream_enrich_foreachbatch_dim_join_strategy(spark, tmp_path):
     """AQE is DISABLED inside foreachBatch, so stream_enrich's
     hint-free dim join rides on STATIC size estimates alone. Pin both
