@@ -40,6 +40,62 @@ def _last_committed_batch(table: LogTable, stream_id: str) -> int:
     return -1
 
 
+# Test seam: when a test sets this to a list, every append sink in
+# this module records each micro-batch's EXECUTED physical plan string
+# before writing. AQE is disabled inside foreachBatch
+# (ResolveWriteToStream), so join strategies there are decided by
+# STATIC size estimates alone — the probe lets tests pin e.g. that
+# stream_enrich's metadata-sized dim still broadcasts without a forced
+# hint (VERDICT r10 #4). None (production) costs nothing.
+_SINK_PLAN_PROBE: list[str] | None = None
+
+
+def _append_batch(
+    tbl: LogTable,
+    df: DataFrame,
+    stream_id: str,
+    batch_id: int,
+    operation: str = "STREAMING UPDATE",
+    extra_params: dict | None = None,
+) -> None:
+    """The one micro-batch append path shared by every foreachBatch
+    sink in this module: align the batch to the CURRENT table schema,
+    apply the write-tuning seam (optimizeWrite lands one-ish file per
+    partition; a CLUSTER BY key pre-sorts the micro-batch), write, and
+    commit with the stream/batch identity in the parameters — the
+    batch-id idempotence every sink's replay guard reads back. One
+    implementation so a fix (or the plan probe) lands everywhere at
+    once instead of drifting across hand-rolled copies."""
+    import time as _time
+
+    from ..tables.logtable import Commit
+
+    aligned = df.select(
+        *[F.col(f.name).cast(f.dataType) for f in tbl.schema().fields]
+    )
+    if _SINK_PLAN_PROBE is not None:
+        _SINK_PLAN_PROBE.append(
+            aligned._jdf.queryExecution().executedPlan().toString()
+        )
+    aligned = tbl._maybe_optimize_write(
+        aligned, tbl.partition_columns(), tbl.properties()
+    )
+    entries = tbl._write_files(aligned, tbl.partition_columns())
+    params = {"streamId": stream_id, "batchId": int(batch_id)}
+    if extra_params:
+        params.update(extra_params)
+    tbl._commit(
+        Commit(
+            version=tbl._next_version(),
+            timestamp=_time.time(),
+            operation=operation,
+            add=entries,
+            parameters=params,
+            metrics={"numOutputRows": sum(e.num_records for e in entries)},
+        )
+    )
+
+
 def infer_stream_schema(
     spark: SparkSession,
     source_path: str,
@@ -206,29 +262,7 @@ def stream_files_to_table(
         tbl = LogTable(spark, table_path)
         if batch_id <= _last_committed_batch(tbl, stream_id):
             return  # exactly-once: batch was already committed
-        data = batch_df
-        schema_now = tbl.schema()
-        aligned = data.select(*[F.col(f.name).cast(f.dataType) for f in schema_now.fields])
-        # same write-tuning seam as batch appends: optimizeWrite lands
-        # one-ish file per partition, and a CLUSTER BY key pre-sorts
-        # the micro-batch (cluster-on-write)
-        aligned = tbl._maybe_optimize_write(
-            aligned, tbl.partition_columns(), tbl.properties()
-        )
-        entries = tbl._write_files(aligned, tbl.partition_columns())
-        from ..tables.logtable import Commit
-        import time as _time
-
-        tbl._commit(
-            Commit(
-                version=tbl._next_version(),
-                timestamp=_time.time(),
-                operation="STREAMING UPDATE",
-                add=entries,
-                parameters={"streamId": stream_id, "batchId": int(batch_id)},
-                metrics={"numOutputRows": sum(e.num_records for e in entries)},
-            )
-        )
+        _append_batch(tbl, batch_df, stream_id, batch_id)
 
     writer = reader.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint:
@@ -272,7 +306,10 @@ def notify_files(queue_dir: str, paths: list[str]) -> str:
 def _all_notified_paths(queue_dir: str) -> list[str]:
     """Driver-side read of every notification in the queue (used only
     for schema inference — bounded by queue depth, never by the data
-    directory's file count; consumed notifications are purgeable)."""
+    directory's file count; consumed notifications are purgeable).
+    A malformed notification line raises NAMING the queue file — the
+    same loud-failure contract the sink applies (a silent drop under
+    an exactly-once contract is permanent data loss)."""
     import json
     import os
 
@@ -282,11 +319,19 @@ def _all_notified_paths(queue_dir: str) -> list[str]:
     for n in sorted(os.listdir(queue_dir)):
         if n.startswith(".") or not n.endswith(".json"):
             continue
-        with open(os.path.join(queue_dir, n)) as fh:
+        qf = os.path.join(queue_dir, n)
+        with open(qf) as fh:
             for ln in fh:
                 ln = ln.strip()
-                if ln:
-                    out.append(json.loads(ln)["path"])
+                if not ln:
+                    continue
+                rec = json.loads(ln)
+                if not isinstance(rec, dict) or not rec.get("path"):
+                    raise ValueError(
+                        f"malformed notification line in {qf}: expected "
+                        f'{{"path": <data file>}}, got {ln[:120]!r}'
+                    )
+                out.append(rec["path"])
     return out
 
 
@@ -346,24 +391,41 @@ def stream_notified_files_to_table(
 
     ``schema=None`` infers from the currently-notified files (never a
     directory listing) and pins under the checkpoint, identical to
-    listing mode; ``schema_evolution`` adopts brand-new columns on
-    restart the same way. Un-notified files in the data directory are
-    INVISIBLE by design — that is the contract notification mode buys.
+    listing mode; on restart an existing pin wins outright — the queue
+    may have been purged of consumed notifications by then, and
+    nothing needs re-inferring. ``schema_evolution`` adopts brand-new
+    columns on restart the same way, sampling only notified files that
+    STILL EXIST (ingest-and-delete pipelines leave stale notifications
+    behind; a deleted file can't drift the schema). Un-notified files
+    in the data directory are INVISIBLE by design — that is the
+    contract notification mode buys.
     """
     import json
+    import os
 
     notif_schema = T.StructType([T.StructField("path", T.StringType())])
     if schema is None:
-        pending = _all_notified_paths(queue_dir)
-        if not pending:
+        pin = (
+            os.path.join(checkpoint, "inferred_schema.json")
+            if checkpoint
+            else None
+        )
+        have_pin = pin is not None and os.path.exists(pin)
+        pending = [
+            p for p in _all_notified_paths(queue_dir) if os.path.exists(p)
+        ]
+        if not pending and not have_pin:
             raise ValueError(
                 f"cannot infer a schema: no notifications in {queue_dir} "
                 "yet — pass an explicit schema or notify the first files "
                 "before starting"
             )
+        # with a pin but nothing (existing) to sample, the pin alone
+        # carries the schema — evolution has nothing to adopt from
         schema = infer_stream_schema(
             spark, queue_dir, file_format, schema_location=checkpoint,
-            allow_evolution=schema_evolution, paths=pending,
+            allow_evolution=schema_evolution and bool(pending),
+            paths=pending or None,
         )
     t = LogTable.create(spark, table_path, schema)
     if schema_evolution:
@@ -380,50 +442,47 @@ def stream_notified_files_to_table(
         .load(queue_dir)
     )
 
+    # the duplicate-notification ledger, seeded from the table's commit
+    # provenance ONCE per stream start and maintained incrementally —
+    # replaying the full commit log every trigger would reintroduce the
+    # O(total ingested files) per-trigger cost this mode exists to
+    # avoid. foreachBatch invocations are sequential, so the closure
+    # mutation is safe; a restart just re-seeds from the log.
+    ledger: dict[str, set | None] = {"seen": None}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         tbl = LogTable(spark, table_path)
         if batch_id <= _last_committed_batch(tbl, stream_id):
             return  # exactly-once: batch was already committed
+        if ledger["seen"] is None:
+            ledger["seen"] = _ingested_source_files(tbl, stream_id)
+        seen = ledger["seen"]
         # a notification batch is metadata (bounded by
         # max_notifications_per_trigger × lines/file) — collecting the
         # path list to the driver is the same driver-state class as
         # Auto Loader's own file ledger, not a data collect
-        batch_paths = {
-            r.path for r in batch_df.select("path").distinct().collect()
-            if r.path
-        }
-        fresh = sorted(batch_paths - _ingested_source_files(tbl, stream_id))
+        rows = batch_df.select("path").collect()
+        if any(r.path is None for r in rows):
+            # PERMISSIVE json parse NULLs the path of a malformed
+            # notification line; dropping it silently under an
+            # exactly-once contract is permanent data loss (the queue
+            # checkpoint marks it consumed) — fail the stream loudly
+            raise ValueError(
+                "malformed notification (missing/NULL 'path') in the "
+                f"queue feeding {table_path} — fix the publisher and "
+                "restart; refusing to drop it silently"
+            )
+        fresh = sorted({r.path for r in rows} - seen)
         if not fresh:
             return  # all duplicates: nothing to commit
         data = spark.read.format(file_format).schema(data_schema).load(fresh)
         if transform is not None:
             data = transform(data)
-        schema_now = tbl.schema()
-        aligned = data.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema_now.fields]
+        _append_batch(
+            tbl, data, stream_id, batch_id,
+            extra_params={"sourceFiles": json.dumps(fresh)},
         )
-        aligned = tbl._maybe_optimize_write(
-            aligned, tbl.partition_columns(), tbl.properties()
-        )
-        entries = tbl._write_files(aligned, tbl.partition_columns())
-        import time as _time
-
-        from ..tables.logtable import Commit
-
-        tbl._commit(
-            Commit(
-                version=tbl._next_version(),
-                timestamp=_time.time(),
-                operation="STREAMING UPDATE",
-                add=entries,
-                parameters={
-                    "streamId": stream_id,
-                    "batchId": int(batch_id),
-                    "sourceFiles": json.dumps(fresh),
-                },
-                metrics={"numOutputRows": sum(e.num_records for e in entries)},
-            )
-        )
+        seen.update(fresh)
 
     writer = notifications.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint:
@@ -532,16 +591,6 @@ def stream_upsert_to_table(
     return writer.start()
 
 
-# Test seam: when a test sets this to a list, stream_enrich_to_table's
-# sink appends each micro-batch's EXECUTED physical plan string before
-# writing. AQE is disabled inside foreachBatch (ResolveWriteToStream),
-# so the dim-join strategy there is decided by STATIC size estimates
-# alone — the probe lets tests pin that a metadata-sized dim still
-# broadcasts without a forced hint (VERDICT r10 #4). None (production)
-# costs nothing.
-_ENRICH_PLAN_PROBE: list[str] | None = None
-
-
 def stream_enrich_to_table(
     spark: SparkSession,
     source_path: str,
@@ -591,32 +640,7 @@ def stream_enrich_to_table(
             return
         dim = LogTable(spark, dim_path).read()  # CURRENT snapshot
         enriched = batch_df.join(dim, join_key, "left")
-        schema_now = tbl.schema()
-        aligned = enriched.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema_now.fields]
-        )
-        if _ENRICH_PLAN_PROBE is not None:
-            _ENRICH_PLAN_PROBE.append(
-                aligned._jdf.queryExecution().executedPlan().toString()
-            )
-        aligned = tbl._maybe_optimize_write(
-            aligned, tbl.partition_columns(), tbl.properties()
-        )
-        entries = tbl._write_files(aligned, tbl.partition_columns())
-        import time as _time
-
-        from ..tables.logtable import Commit
-
-        tbl._commit(
-            Commit(
-                version=tbl._next_version(),
-                timestamp=_time.time(),
-                operation="STREAMING UPDATE",
-                add=entries,
-                parameters={"streamId": stream_id, "batchId": int(batch_id)},
-                metrics={"numOutputRows": sum(e.num_records for e in entries)},
-            )
-        )
+        _append_batch(tbl, enriched, stream_id, batch_id)
 
     writer = reader.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint:
@@ -736,27 +760,7 @@ def stream_dedup_to_table(
         tbl = LogTable(spark, table_path)
         if batch_id <= _last_committed_batch(tbl, stream_id):
             return
-        schema_now = tbl.schema()
-        aligned = batch_df.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema_now.fields]
-        )
-        aligned = tbl._maybe_optimize_write(
-            aligned, tbl.partition_columns(), tbl.properties()
-        )
-        entries = tbl._write_files(aligned, tbl.partition_columns())
-        from ..tables.logtable import Commit
-        import time as _time
-
-        tbl._commit(
-            Commit(
-                version=tbl._next_version(),
-                timestamp=_time.time(),
-                operation="STREAMING DEDUP",
-                add=entries,
-                parameters={"streamId": stream_id, "batchId": int(batch_id)},
-                metrics={"numOutputRows": sum(e.num_records for e in entries)},
-            )
-        )
+        _append_batch(tbl, batch_df, stream_id, batch_id, "STREAMING DEDUP")
 
     writer = reader.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint:
@@ -891,7 +895,6 @@ def stream_near_dup_ingest(
     bucket equi-join against the index — the corpus is never re-hashed.
     """
     from ..operators.dedup import incremental_lsh_pairs, minhash_band_buckets
-    from ..tables.logtable import Commit
 
     LogTable.create(spark, table_path, schema)
     band_schema = T.StructType(
@@ -909,27 +912,6 @@ def stream_near_dup_ingest(
         .format(file_format)
         .load(source_path)
     )
-
-    def _append_batch(tbl: LogTable, df: DataFrame, batch_id: int, op: str) -> None:
-        import time as _time
-
-        aligned = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in tbl.schema().fields]
-        )
-        aligned = tbl._maybe_optimize_write(
-            aligned, tbl.partition_columns(), tbl.properties()
-        )
-        entries = tbl._write_files(aligned, tbl.partition_columns())
-        tbl._commit(
-            Commit(
-                version=tbl._next_version(),
-                timestamp=_time.time(),
-                operation=op,
-                add=entries,
-                parameters={"streamId": stream_id, "batchId": int(batch_id)},
-                metrics={"numOutputRows": sum(e.num_records for e in entries)},
-            )
-        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         corpus = LogTable(spark, table_path)
@@ -960,12 +942,12 @@ def stream_near_dup_ingest(
             drops, F.col(id_col) == F.col("pid"), "left_anti"
         )
         if not corpus_done:
-            _append_batch(corpus, survivors, batch_id, "STREAMING UPDATE")
+            _append_batch(corpus, survivors, stream_id, batch_id)
         if not index_done:
             bands = minhash_band_buckets(
                 survivors, text_col, id_col, num_hashes, band_size
             )
-            _append_batch(index, bands, batch_id, "STREAMING INDEX")
+            _append_batch(index, bands, stream_id, batch_id, "STREAMING INDEX")
 
     writer = reader.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint:

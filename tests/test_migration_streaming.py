@@ -983,6 +983,66 @@ def test_notification_discovery_ingests_only_notified_files(spark, tmp_path):
     got = sorted((r.id, r.k) for r in LogTable(spark, table_path).read().collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
 
+    # operational lifecycle (review r11): consumed notifications get
+    # PURGED and ingested data files may be deleted — a schema-less
+    # restart must ride the pinned schema instead of demanding
+    # re-inferable notifications, and a schema_evolution restart must
+    # not trip over a notified file that no longer exists
+    import os
+
+    for n in os.listdir(queue):
+        os.remove(os.path.join(queue, n))
+    os.remove(f1)  # ingest-and-delete pipeline
+    q = stream_files_to_table(
+        spark, str(data), table_path, schema=None, stream_id="notif",
+        checkpoint=ckpt, discovery="notifications", queue_dir=queue,
+        schema_evolution=True,
+    )
+    q.awaitTermination()
+    got2 = sorted((r.id, r.k) for r in LogTable(spark, table_path).read().collect())
+    assert got2 == got  # pure no-op restart, nothing lost or re-ingested
+
+
+def test_notification_malformed_line_fails_loudly(spark, tmp_path):
+    """A path-less notification (publisher bug, truncated line) must
+    FAIL the stream, not be silently dropped — the queue checkpoint
+    marks it consumed, so a silent drop is permanent data loss under
+    the exactly-once contract (review r11)."""
+    import json
+    import os
+
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        stream_notified_files_to_table,
+    )
+
+    queue = tmp_path / "queue"
+    queue.mkdir()
+    (queue / "bad.json").write_text(json.dumps({"Path": "/nope.json"}) + "\n")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    # inference-side consumer names the offending queue file
+    from databricks_delta_lake_migration_spark.streaming.ingest import (
+        _all_notified_paths,
+    )
+
+    with pytest.raises(ValueError, match="malformed notification"):
+        _all_notified_paths(str(queue))
+
+    # sink-side consumer fails the stream loudly
+    q = stream_notified_files_to_table(
+        spark, str(queue), str(tmp_path / "tbl"), schema=schema,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="malformed notification"):
+        q.awaitTermination()
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    assert LogTable(spark, str(tmp_path / "tbl")).read().count() == 0
+
 
 def test_notification_discovery_argument_validation(spark, tmp_path):
     import pytest
@@ -1062,7 +1122,7 @@ def test_stream_enrich_foreachbatch_dim_join_strategy(spark, tmp_path):
         q.awaitTermination()
 
     probe: list[str] = []
-    ingest_mod._ENRICH_PLAN_PROBE = probe
+    ingest_mod._SINK_PLAN_PROBE = probe
     try:
         drain("bcast")
         assert probe, "probe captured no batch plans"
@@ -1081,7 +1141,7 @@ def test_stream_enrich_foreachbatch_dim_join_strategy(spark, tmp_path):
             "SortMergeJoin" in p or "ShuffledHashJoin" in p for p in probe
         ), probe[0]
     finally:
-        ingest_mod._ENRICH_PLAN_PROBE = None
+        ingest_mod._SINK_PLAN_PROBE = None
     # behavior unchanged by the probe: both runs enriched the rows
     for tag in ("bcast", "shuffle"):
         rows = {
