@@ -5,6 +5,7 @@ from .ingest import (  # noqa: F401
     infer_stream_schema,
     interval_join,
     notify_files,
+    purge_consumed_notifications,
     session_windowed_counts,
     stream_dedup_to_table,
     stream_enrich_to_table,

@@ -310,7 +310,6 @@ def _all_notified_paths(queue_dir: str) -> list[str]:
     A malformed notification line raises NAMING the queue file — the
     same loud-failure contract the sink applies (a silent drop under
     an exactly-once contract is permanent data loss)."""
-    import json
     import os
 
     out: list[str] = []
@@ -319,19 +318,66 @@ def _all_notified_paths(queue_dir: str) -> list[str]:
     for n in sorted(os.listdir(queue_dir)):
         if n.startswith(".") or not n.endswith(".json"):
             continue
+        out.extend(_all_notified_paths_one(os.path.join(queue_dir, n)))
+    return out
+
+
+def purge_consumed_notifications(
+    queue_dir: str, table: LogTable, stream_id: str
+) -> list[str]:
+    """Queue maintenance for notification-mode discovery (the analog
+    of the event-retention/cleanup policy on the cloud queue behind
+    Auto Loader's ``useNotifications``): delete notification files
+    whose EVERY path is already in the stream's ``sourceFiles`` commit
+    ledger — i.e. provably ingested, so neither a restart (pin-aware)
+    nor re-inference will ever need them again. Notification files
+    carrying ANY un-ingested path are kept whole (a notification file
+    is the atomic queue unit). Returns the deleted file paths.
+
+    Run it like VACUUM — between drains, not mid-trigger: deleting a
+    queue file the RUNNING stream has listed but not yet read errors
+    the file source (the same already-listed-file caveat VACUUM has
+    with concurrent time-travel readers). It is what keeps the
+    per-trigger O(queue depth) bound equal to O(recent notifications)
+    instead of O(all notifications ever)."""
+    import os
+
+    ingested = _ingested_source_files(table, stream_id)
+    removed: list[str] = []
+    if not os.path.isdir(queue_dir):
+        return removed
+    for n in sorted(os.listdir(queue_dir)):
+        if n.startswith(".") or not n.endswith(".json"):
+            continue
         qf = os.path.join(queue_dir, n)
-        with open(qf) as fh:
-            for ln in fh:
-                ln = ln.strip()
-                if not ln:
-                    continue
-                rec = json.loads(ln)
-                if not isinstance(rec, dict) or not rec.get("path"):
-                    raise ValueError(
-                        f"malformed notification line in {qf}: expected "
-                        f'{{"path": <data file>}}, got {ln[:120]!r}'
-                    )
-                out.append(rec["path"])
+        try:
+            paths = _all_notified_paths_one(qf)
+        except ValueError:
+            continue  # malformed file: leave it for the loud consumers
+        if paths and all(p in ingested for p in paths):
+            os.remove(qf)
+            removed.append(qf)
+    return removed
+
+
+def _all_notified_paths_one(queue_file: str) -> list[str]:
+    """Paths of a single notification file (same strict parse as
+    :func:`_all_notified_paths`)."""
+    import json
+
+    out: list[str] = []
+    with open(queue_file) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if not ln:
+                continue
+            rec = json.loads(ln)
+            if not isinstance(rec, dict) or not rec.get("path"):
+                raise ValueError(
+                    f"malformed notification line in {queue_file}: "
+                    f'expected {{"path": <data file>}}, got {ln[:120]!r}'
+                )
+            out.append(rec["path"])
     return out
 
 

@@ -1003,6 +1003,66 @@ def test_notification_discovery_ingests_only_notified_files(spark, tmp_path):
     assert got2 == got  # pure no-op restart, nothing lost or re-ingested
 
 
+def test_purge_consumed_notifications_keeps_unconsumed(spark, tmp_path):
+    """Queue maintenance: purge removes only notification files whose
+    EVERY path is in the stream's sourceFiles ledger; files carrying
+    un-ingested paths and malformed files are kept, and the stream
+    keeps working after the purge (pin-aware restart)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        notify_files,
+        purge_consumed_notifications,
+        stream_notified_files_to_table,
+    )
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    data = tmp_path / "data"
+    data.mkdir()
+    queue = str(tmp_path / "queue")
+
+    def put(name, rows):
+        p = data / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        return str(p)
+
+    f1 = put("f1.json", [{"id": 1}])
+    f2 = put("f2.json", [{"id": 2}])
+    n12 = notify_files(queue, [f1, f2])
+
+    table_path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_notified_files_to_table(
+            spark, queue, table_path, schema=None, stream_id="purge",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    drain()
+    f3 = put("f3.json", [{"id": 3}])
+    n3 = notify_files(queue, [f3])           # published, not yet drained
+    bad = os.path.join(queue, "zz-bad.json")
+    with open(bad, "w") as fh:
+        fh.write('{"nope": 1}\n')            # malformed: must survive purge
+
+    tbl = LogTable(spark, table_path)
+    removed = purge_consumed_notifications(queue, tbl, "purge")
+    assert removed == [n12]
+    assert sorted(os.listdir(queue)) == sorted(
+        [os.path.basename(n3), "zz-bad.json"]
+    )
+
+    os.remove(bad)  # publisher fixes its bug
+    drain()          # pin-aware restart drains only f3
+    got = sorted(r.id for r in LogTable(spark, table_path).read().collect())
+    assert got == [1, 2, 3]
+
+
 def test_notification_malformed_line_fails_loudly(spark, tmp_path):
     """A path-less notification (publisher bug, truncated line) must
     FAIL the stream, not be silently dropped — the queue checkpoint
