@@ -1176,9 +1176,13 @@ def knn_graph(
     near-duplicate clusters (they co-bucket on EVERY plane), so buckets
     larger than ``bucket_cap`` are additionally salt-split — see the
     inline comment — making total candidate work linear in n.
-    Returns (src, dst, cosine, rank)."""
-    from functools import reduce as _reduce
+    Returns (src, dst, cosine, rank).
 
+    .. note:: the salted bucket relation is ``localCheckpoint``-ed
+       (eager Spark job at plan-construction time, executor-storage
+       lineage truncation — the incremental_lsh_pairs trade): it feeds
+       both candidate self-join sides, which would otherwise re-run
+       the bucket folds and the size window per side."""
     from pyspark.sql import Window
 
     if n_planes is None:
@@ -1189,17 +1193,32 @@ def knn_graph(
         n_planes = _knn_auto_planes(n, target_bucket=2 * bucket_cap)
     spark = embeddings.sparkSession
 
-    tabs = [
-        embeddings.select(
-            F.col(id_col),
-            _bucket_expr_lit(
-                vec_col,
-                _plane_components(spark, n_planes, dims, seed=1001 + t),
-            ).alias("bucket"),
-        ).withColumn("tab", F.lit(t))
-        for t in range(n_tables)
-    ]
-    bk = _reduce(lambda a, b: a.unionByName(b), tabs)
+    # ONE corpus scan for all tables: each row computes its n_tables
+    # bucket folds and explodes into (id, tab, bucket) rows behind a
+    # generator barrier — the minhash_band_buckets pattern. The former
+    # per-table union re-SCANNED the embedding column once per table
+    # per consumer (measured 36 parquet scans in the executed plan at
+    # n_tables=8: 8 tables × 2 self-join sides + re-ranks; this plus
+    # the checkpoint below takes it to 3).
+    bk = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tab"),
+                        _bucket_expr_lit(
+                            vec_col,
+                            _plane_components(
+                                spark, n_planes, dims, seed=1001 + t
+                            ),
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "tb.tab", "tb.bucket")
     # Salt-cap oversized buckets: tight near-duplicate clusters hash to
     # the SAME bucket on every plane (measured on the fixture corpus:
     # max bucket 354/2000 whether or not the planes are mean-centered —
@@ -1226,7 +1245,14 @@ def knn_graph(
             .cast("int"),
         )
         .drop("nsub")
-    )
+    # materialize the salted band rows ONCE: they feed BOTH sides of
+    # the candidate self-join, which otherwise re-runs the bucket
+    # folds AND the size window per side (same localCheckpoint
+    # discipline — and the same eager-evaluation/executor-storage
+    # trade — as incremental_lsh_pairs; the relation is narrow
+    # (id, tab, bucket, salt) metadata, n·n_tables rows, NOT the
+    # vectors themselves)
+    ).localCheckpoint()
     pairs = (
         bk.alias("a")
         .join(bk.alias("b"), ["tab", "bucket", "salt"])

@@ -380,6 +380,16 @@ def test_knn_graph_no_cartesian(spark):
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r11: the bucket relation is built from ONE corpus scan (explode
+    # over per-table folds) and checkpointed before the self-join —
+    # the executed plan carries the two re-rank scans (norms for src
+    # and dst sides), NOT 4×n_tables+ scans (36 were measured before
+    # the fix), and exactly one Window (top-k; the bucket-size window
+    # is inside the materialized relation)
+    g.collect()
+    final = explain(g).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 4, final
+    assert final.count("Window (") == 1, final
 
 
 def test_q181_rollup_single_expand_single_shuffle(spark):
