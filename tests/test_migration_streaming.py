@@ -1063,6 +1063,93 @@ def test_purge_consumed_notifications_keeps_unconsumed(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_notification_exactly_once_random_scenarios(spark, tmp_path):
+    """Property-style scenario test for the exactly-once contract:
+    under a seeded random interleaving of publish / duplicate-notify /
+    drain / purge operations, the table always ends up with EXACTLY
+    the union of rows of every notified file — no loss, no
+    double-ingest — and un-notified decoy files never appear."""
+    import json
+    import os
+    import random
+
+    from pyspark.sql import types as T
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        notify_files,
+        purge_consumed_notifications,
+        stream_notified_files_to_table,
+    )
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("src", T.StringType()),
+        ]
+    )
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        root = tmp_path / f"s{seed}"
+        data = root / "data"
+        data.mkdir(parents=True)
+        queue = str(root / "queue")
+        table_path = str(root / "tbl")
+        ckpt = str(root / "ckpt")
+
+        notified: list[str] = []     # files whose rows MUST land once
+        expected: set[tuple] = set()
+        next_id = 0
+
+        def put(name, n_rows, notify=True):
+            nonlocal next_id
+            rows = [
+                {"id": next_id + i, "src": name} for i in range(n_rows)
+            ]
+            next_id += n_rows
+            p = data / name
+            p.write_text("\n".join(json.dumps(r) for r in rows))
+            if notify:
+                notify_files(queue, [str(p)])
+                notified.append(str(p))
+                expected.update((r["id"], r["src"]) for r in rows)
+            return str(p)
+
+        def drain():
+            q = stream_notified_files_to_table(
+                spark, queue, table_path, schema=schema,
+                stream_id="prop", checkpoint=ckpt,
+            )
+            q.awaitTermination()
+
+        put("seed.json", 2)  # ensure the queue is never empty at start
+        for step in range(12):
+            op = rng.choice(["pub", "pub", "dup", "decoy", "drain", "purge"])
+            if op == "pub":
+                put(f"f{step}.json", rng.randint(1, 4))
+            elif op == "dup" and notified:
+                notify_files(queue, [rng.choice(notified)])
+            elif op == "decoy":
+                put(f"decoy{step}.json", rng.randint(1, 3), notify=False)
+            elif op == "drain":
+                drain()
+            elif op == "purge" and os.path.isdir(table_path):
+                purge_consumed_notifications(
+                    queue, LogTable(spark, table_path), "prop"
+                )
+        drain()  # final drain picks up anything still queued
+        rows = LogTable(spark, table_path).read().collect()
+        got = {(r.id, r.src) for r in rows}
+        assert got == expected, (
+            seed,
+            sorted(expected - got)[:5],
+            sorted(got - expected)[:5],
+        )
+        # a set compare alone would mask a double-ingest — pin the
+        # physical row count too
+        assert len(rows) == len(expected), (seed, len(rows), len(expected))
+
+
 def test_notification_malformed_line_fails_loudly(spark, tmp_path):
     """A path-less notification (publisher bug, truncated line) must
     FAIL the stream, not be silently dropped — the queue checkpoint
