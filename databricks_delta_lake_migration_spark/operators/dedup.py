@@ -409,12 +409,19 @@ def jaccard_pairs(
     (+ block), count shared tokens, then J = |∩| / (|A|+|B|−|∩|).
     Blocking bounds the candidate space; at 100 TB use LSH
     (:func:`lsh_candidate_pairs`) as the blocker instead.
+
+    The token relation is ``localCheckpoint``-ed (eager job at
+    plan-construction time, the module's standard trade): it feeds
+    THREE consumers — both self-join sides and the per-doc size
+    aggregate — and the tokenize fold is the expensive part; distinct
+    column aliases on the join sides defeat exchange reuse, so without
+    the materialization it runs three times.
     """
     toks = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    )
+    ).localCheckpoint()
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     join_keys = ["tok"] + ([block_col] if block_col else [])
     a = toks.select(*[F.col(c) for c in join_keys], F.col(id_col).alias("id_a"))
@@ -509,11 +516,14 @@ def chargram_jaccard_pairs(
         f"array_distinct(transform(sequence(1, greatest(length(__norm) - {n - 1}, 1)),"
         f" i -> substring(__norm, i, {n})))"
     )
+    # materialized for the same three-consumer reason as
+    # :func:`jaccard_pairs` (both join sides + sizes; the n-gram
+    # transform is the expensive part)
     toks = base.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         F.explode(grams).alias("g"),
-    )
+    ).localCheckpoint()
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     join_keys = ["g"] + ([block_col] if block_col else [])
     a = toks.select(*[F.col(c) for c in join_keys], F.col(id_col).alias("id_a"))
@@ -855,13 +865,19 @@ def prefix_filter_jaccard_pairs(
     exact (completeness asserted vs brute force in tests). Shuffles:
     token-frequency agg, per-doc window, ONE prefix-token equi-join,
     and the verify join against the doc-set relation.
+
+    Both the token relation (three consumers: frequency agg, the
+    ranking join, the verify doc-sets) and the prefix relation (both
+    equi-join sides) are ``localCheckpoint``-ed — the module's
+    standard eager-materialization trade; without it the tokenize
+    fold and the two ranking windows re-run per consumer.
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    )
+    ).localCheckpoint()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(
         F.col("df").asc(), F.col("tok").asc()
@@ -874,7 +890,7 @@ def prefix_filter_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "tok", "sz")
+    ).select("id", "tok", "sz").localCheckpoint()
     a = prefix.select(
         F.col("tok"), F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
     )
