@@ -164,6 +164,10 @@ def decontaminate(
     is scanned once with NO corpus-side shuffle. If the eval set ever
     outgrows broadcast size, the same plan falls back to a hash
     equi-join on the chunk hash (uniform content key, skew-free)."""
+    if chunk_words < 1:
+        # size/0.0 is Infinity — the flags would be silently garbage
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+
     def chunk_hashes(d: DataFrame):
         words = F.split(F.col(text_col), " ")
         n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")

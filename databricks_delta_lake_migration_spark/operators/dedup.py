@@ -568,6 +568,9 @@ def chunk_dedup_counts(
     boilerplate removal in training-data pipelines: exact doc-level
     dedup (q34) misses documents that share most chunks but not all.
     """
+    if chunk_words < 1:
+        # size/0.0 is Infinity — the counts would be silently garbage
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
     chunks = F.transform(

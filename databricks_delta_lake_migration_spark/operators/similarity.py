@@ -1185,6 +1185,10 @@ def knn_graph(
        the bucket folds and the size window per side."""
     from pyspark.sql import Window
 
+    if bucket_cap < 1:
+        # same guard as the LSH paths: ceil(count/0) is NULL, which
+        # would NULL every salt and silently disable the cap
+        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
     if n_planes is None:
         n = n_vectors if n_vectors is not None else embeddings.count()
         # B tracks the actual salt cap (the docstring's 2x-cap rule);

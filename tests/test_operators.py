@@ -282,6 +282,35 @@ def test_lsh_bucket_cap_zero_or_negative_raises(spark):
             dedup.incremental_lsh_pairs(docs, idx, bucket_cap=bad)
 
 
+def test_chunk_words_zero_raises(spark):
+    """chunk_words=0 turns size/0.0 into Infinity — chunk counts and
+    contamination flags would be silently garbage; both consumers
+    validate."""
+    import pytest
+
+    from databricks_delta_lake_migration_spark.operators import curation
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_words"):
+        dedup.chunk_dedup_counts(docs, chunk_words=0)
+    with pytest.raises(ValueError, match="chunk_words"):
+        curation.decontaminate(docs, docs, chunk_words=0)
+
+
+def test_knn_graph_bucket_cap_zero_raises(spark):
+    """Same guard class as the LSH paths: ceil(count/0) NULLs the salt
+    and silently uncaps."""
+    import pytest
+
+    from databricks_delta_lake_migration_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="bucket_cap"):
+        similarity.knn_graph(df, k=1, dims=8, bucket_cap=0)
+
+
 def test_lsh_bucket_cap_parity_hypothesis(spark):
     """Property test (VERDICT r9 #2 'exact-parity property test'):
     for arbitrary corpora mixing duplicate clusters and distinct docs,
