@@ -117,10 +117,14 @@ def triangle_count(
     closed by ONE membership join against the canonical edge set.
     Every join is a hash equi-join; nothing is quadratic in degree of
     the hot node."""
+    # canon feeds FOUR consumers (both degree-union branches, the
+    # orientation join, the closing join) and carries a distinct
+    # shuffle — materialized once, the module's standard trade (same
+    # localCheckpoint discipline as pagerank's edges/deg)
     canon = edges.select(
         F.least(F.col(src_col), F.col(dst_col)).alias("a"),
         F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
+    ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
     # undirected degree
     deg = (
         canon.select(F.col("a").alias("node"))
@@ -137,10 +141,12 @@ def triangle_count(
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # oriented feeds both wedge self-join sides — materialized so the
+    # two degree joins behind it run once, not per side
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint()
     e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
     wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
