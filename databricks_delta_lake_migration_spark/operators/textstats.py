@@ -763,7 +763,18 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     )
-    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the docfreq derivation and the pricing join, and
+    # the two branches do NOT share their exchange (measured: the
+    # tokenize+partial-agg subtree ran twice) — materialize the
+    # compact (doc, word, tf) aggregate once. Unlike the exploded
+    # token relation (corpus-token-sized, deliberately NOT
+    # checkpointed here or in unigram_logprob_scores), tf is the
+    # distinct doc-term relation — the natural spill-safe size.
+    tf = (
+        toks.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.round(
