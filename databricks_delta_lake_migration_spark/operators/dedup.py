@@ -969,7 +969,13 @@ def _dup_gram_positions(
         .filter(F.col("nd") >= 2)
         .select("gram")
     )
-    dup_pos = grams.join(dup, "gram").select("id", "pos")
+    # dup_pos feeds MULTIPLE consumers in both callers (profile: the
+    # dup-gram count AND the coverage expansion; strip: the span
+    # rebuild) and sits atop the expensive gram fold + gram-keyed
+    # join — materialize it once. It is the (id, pos) relation of
+    # DUPLICATED positions only, far smaller than the gram relation
+    # itself (which stays un-checkpointed: corpus-gram-sized strings).
+    dup_pos = grams.join(dup, "gram").select("id", "pos").localCheckpoint()
     return words, dup_pos
 
 
