@@ -1189,6 +1189,11 @@ def knn_graph(
         # same guard as the LSH paths: ceil(count/0) is NULL, which
         # would NULL every salt and silently disable the cap
         raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+    if n_tables < 1:
+        # the explode over zero per-table structs would silently drop
+        # every row and return an EMPTY graph (the old reduce-union at
+        # least raised on the empty list)
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     if n_planes is None:
         n = n_vectors if n_vectors is not None else embeddings.count()
         # B tracks the actual salt cap (the docstring's 2x-cap rule);

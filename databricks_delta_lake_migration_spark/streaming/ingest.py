@@ -292,6 +292,11 @@ def notify_files(queue_dir: str, paths: list[str]) -> str:
     import os
     import uuid
 
+    if not paths:
+        raise ValueError(
+            "notify_files called with no paths — an empty notification "
+            "is a publisher bug (purge would just delete it)"
+        )
     os.makedirs(queue_dir, exist_ok=True)
     name = f"notify-{uuid.uuid4().hex}.json"
     tmp = os.path.join(queue_dir, f".{name}.tmp")
@@ -322,39 +327,100 @@ def _all_notified_paths(queue_dir: str) -> list[str]:
     return out
 
 
+def _uncommitted_queue_files(checkpoint: str) -> set[str]:
+    """Queue files the stream's file-source checkpoint has LISTED in a
+    batch that has not yet committed. A restart replays those batches
+    by re-reading exactly these files (the FileStreamSource offset log
+    records paths, not contents), so purge must keep them even when
+    every data path they carry is already in the sourceFiles ledger —
+    the crash-between-sink-commit-and-checkpoint-advance window the
+    batchId replay guard exists for."""
+    import json
+    import os
+    from urllib.parse import unquote, urlparse
+
+    src = os.path.join(checkpoint, "sources", "0")
+    commits = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(src):
+        return set()
+    committed = (
+        {int(n) for n in os.listdir(commits) if n.isdigit()}
+        if os.path.isdir(commits)
+        else set()
+    )
+    last = max(committed, default=-1)
+    keep: set[str] = set()
+    for n in os.listdir(src):
+        if not n.isdigit() or int(n) <= last:
+            continue
+        with open(os.path.join(src, n)) as fh:
+            for ln in fh:
+                ln = ln.strip()
+                if not ln.startswith("{"):
+                    continue  # the leading "v1" version line
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                if rec.get("path"):
+                    keep.add(
+                        os.path.abspath(unquote(urlparse(rec["path"]).path))
+                    )
+    return keep
+
+
 def purge_consumed_notifications(
-    queue_dir: str, table: LogTable, stream_id: str
+    queue_dir: str,
+    table: LogTable,
+    stream_id: str,
+    checkpoint: str | None = None,
 ) -> list[str]:
     """Queue maintenance for notification-mode discovery (the analog
     of the event-retention/cleanup policy on the cloud queue behind
     Auto Loader's ``useNotifications``): delete notification files
     whose EVERY path is already in the stream's ``sourceFiles`` commit
-    ledger — i.e. provably ingested, so neither a restart (pin-aware)
-    nor re-inference will ever need them again. Notification files
-    carrying ANY un-ingested path are kept whole (a notification file
-    is the atomic queue unit). Returns the deleted file paths.
+    ledger — i.e. provably ingested. Zero-path files (an empty publish)
+    are trivially consumed and deleted too. Notification files carrying
+    ANY un-ingested path are kept whole (a notification file is the
+    atomic queue unit). Returns the deleted file paths.
 
-    Run it like VACUUM — between drains, not mid-trigger: deleting a
-    queue file the RUNNING stream has listed but not yet read errors
-    the file source (the same already-listed-file caveat VACUUM has
-    with concurrent time-travel readers). It is what keeps the
-    per-trigger O(queue depth) bound equal to O(recent notifications)
-    instead of O(all notifications ever)."""
+    Pass the stream's ``checkpoint`` to make the purge crash-safe: a
+    drain that dies between the table commit and the streaming
+    checkpoint advance leaves its last batch ledger-complete but
+    UNCOMMITTED, and the restart replays it by RE-READING the queue
+    files named in the offset log — with ``checkpoint`` given, those
+    files are detected and kept. Without it, only purge after a clean
+    shutdown (``availableNow`` drain that terminated normally), and
+    never mid-trigger — deleting a listed-but-unread file errors the
+    file source, the same caveat VACUUM has with concurrent readers.
+
+    One queue per consuming stream (the SQS/PubSub model — fan out at
+    the PUBLISHER when several pipelines ingest the same files): the
+    ledger consulted here is ``stream_id``'s alone, so purging a queue
+    shared by a second stream would delete notifications that stream
+    has not seen. This is what keeps the per-trigger O(queue depth)
+    bound equal to O(recent notifications) instead of O(all
+    notifications ever)."""
     import os
 
-    ingested = _ingested_source_files(table, stream_id)
     removed: list[str] = []
     if not os.path.isdir(queue_dir):
         return removed
+    ingested = _ingested_source_files(table, stream_id)
+    replay_needed = (
+        _uncommitted_queue_files(checkpoint) if checkpoint else set()
+    )
     for n in sorted(os.listdir(queue_dir)):
         if n.startswith(".") or not n.endswith(".json"):
             continue
         qf = os.path.join(queue_dir, n)
+        if os.path.abspath(qf) in replay_needed:
+            continue  # an uncommitted batch will re-read this file
         try:
             paths = _all_notified_paths_one(qf)
         except ValueError:
             continue  # malformed file: leave it for the loud consumers
-        if paths and all(p in ingested for p in paths):
+        if all(p in ingested for p in paths):
             os.remove(qf)
             removed.append(qf)
     return removed
@@ -445,6 +511,12 @@ def stream_notified_files_to_table(
     behind; a deleted file can't drift the schema). Un-notified files
     in the data directory are INVISIBLE by design — that is the
     contract notification mode buys.
+
+    One queue per consuming stream (the SQS/PubSub model): the
+    duplicate ledger and :func:`purge_consumed_notifications` are both
+    keyed to THIS stream's provenance — several pipelines ingesting
+    the same files should each get their own queue_dir, fanned out at
+    the publisher.
     """
     import json
     import os

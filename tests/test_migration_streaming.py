@@ -1011,8 +1011,6 @@ def test_purge_consumed_notifications_keeps_unconsumed(spark, tmp_path):
     import json
     import os
 
-    from pyspark.sql import types as T
-
     from databricks_delta_lake_migration_spark.streaming import (
         notify_files,
         purge_consumed_notifications,
@@ -1061,6 +1059,95 @@ def test_purge_consumed_notifications_keeps_unconsumed(spark, tmp_path):
     drain()          # pin-aware restart drains only f3
     got = sorted(r.id for r in LogTable(spark, table_path).read().collect())
     assert got == [1, 2, 3]
+
+
+def test_purge_checkpoint_aware_keeps_uncommitted_replay_files(spark, tmp_path):
+    """Crash window (review r11): a drain that dies between the table
+    commit and the streaming checkpoint advance leaves its last batch
+    ledger-complete but UNCOMMITTED, and the restart re-reads the
+    queue files named in the offset log. Checkpoint-aware purge must
+    keep exactly those files; after the replay commits they become
+    purgeable. Also: zero-path notification files are trivially
+    consumed and deleted, and publishing an empty notification raises."""
+    import json
+    import os
+
+    import pytest
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        notify_files,
+        purge_consumed_notifications,
+        stream_notified_files_to_table,
+    )
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    data = tmp_path / "data"
+    data.mkdir()
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+    table_path = str(tmp_path / "tbl")
+
+    def put(name, rows):
+        p = data / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        return str(p)
+
+    def drain(cp):
+        q = stream_notified_files_to_table(
+            spark, queue, table_path, schema=None, stream_id="cw",
+            checkpoint=cp,
+        )
+        q.awaitTermination()
+
+    n1 = notify_files(queue, [put("f1.json", [{"id": 1}])])
+    drain(ckpt)
+    n2 = notify_files(queue, [put("f2.json", [{"id": 2}])])
+    drain(ckpt)
+
+    # simulate the crash: the last batch's table commit landed (id=2
+    # is in the ledger) but the streaming commit log never advanced.
+    # The restart happens on a CLONED checkpoint path — a real crash
+    # restarts in a fresh JVM, while mutating the log in-place in this
+    # JVM trips Spark's concurrent-modification guard instead.
+    import shutil
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    stale_crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(stale_crc):
+        os.remove(stale_crc)  # a leftover crc blocks the replay's rewrite
+
+    tbl = LogTable(spark, table_path)
+    removed = purge_consumed_notifications(queue, tbl, "cw", checkpoint=ckpt)
+    assert removed == [n1]                       # n2's batch must replay
+    assert os.path.exists(n2)
+
+    ckpt2 = str(tmp_path / "ckpt-restarted")
+    shutil.copytree(ckpt, ckpt2)
+    # the in-JVM guard is keyed on the query id in ckpt/metadata; a
+    # real crash-restart has a fresh JVM — here, a fresh id stands in
+    # (offsets/commits/sources logs drive the replay, not the id)
+    os.remove(os.path.join(ckpt2, "metadata"))
+    crc = os.path.join(ckpt2, ".metadata.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain(ckpt2)  # replay: source re-reads n2, sink's batchId guard no-ops
+    got = sorted(r.id for r in LogTable(spark, table_path).read().collect())
+    assert got == [1, 2]
+
+    # now committed → n2 is purgeable; a stray zero-path file goes too
+    empty = os.path.join(queue, "zz-empty.json")
+    open(empty, "w").close()
+    removed = purge_consumed_notifications(
+        queue, LogTable(spark, table_path), "cw", checkpoint=ckpt2
+    )
+    assert sorted(removed) == sorted([n2, empty])
+
+    with pytest.raises(ValueError, match="no paths"):
+        notify_files(queue, [])
 
 
 def test_notification_exactly_once_random_scenarios(spark, tmp_path):
