@@ -62,11 +62,17 @@ def pagerank(
         .localCheckpoint()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = (
-        deg.select(F.col("src").alias("node"))
-        .crossJoin(F.broadcast(nn))
-        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+    # node count as ONE driver-side count over the checkpointed deg
+    # relation (r12): the former 1-row nn aggregate was crossJoin-
+    # broadcast into every iteration's rank expression, so the final
+    # plan evaluated the deg-agg subtree (and built its broadcast)
+    # once per iteration plus once for r0 — a literal keeps the plan
+    # linear in iterations. Arithmetic unchanged: the same int feeds
+    # the same double divisions, so ranks are bit-identical.
+    n_nodes = deg.count()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.lit(n_nodes)).alias("r"),
     )
     for _ in range(iterations):
         # join conditions resolve BY NAME (each name unique to one
@@ -84,11 +90,10 @@ def pagerank(
             e.join(c_rel, F.col("src") == F.col("__csrc"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("sc"))
-            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
                 (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    (F.lit(1.0) - F.lit(damping)) / F.lit(n_nodes)
                     + F.lit(damping) * F.col("sc").cast("double")
                 ).alias("r"),
             )

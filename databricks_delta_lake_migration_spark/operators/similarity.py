@@ -115,16 +115,32 @@ def _plane_components(
     components as literals instead of recomputing ``dims`` string
     hashes per plane PER ROW. Same formula as ``_bucket_expr``, so
     bucket ids are bit-identical."""
+    return _plane_components_multi(spark, n_planes, dims, [seed])[0]
+
+
+def _plane_components_multi(
+    spark, n_planes: int, dims: int, seeds: list[int]
+) -> list[list[list[float]]]:
+    """All hyperplane grids for a list of seeds in ONE 1-row Spark job
+    (r12: ``knn_graph`` called :func:`_plane_components` once per LSH
+    table — 8 driver-side collect jobs where one suffices; at 8 tables
+    the fused job saves ~7 job round-trips per graph build). Same
+    per-(seed, plane, i) formula, so every component is bit-identical
+    to the single-seed path."""
     exprs = [
         F.expr(
             f"transform(sequence(1, {dims}), i -> "
             f"cast(xxhash64(concat('{seed}:{p}:', cast(i as string))) "
             f"% 2001 - 1000 as double) / 1000.0)"
-        ).alias(f"p{p}")
+        ).alias(f"s{s}p{p}")
+        for s, seed in enumerate(seeds)
         for p in range(n_planes)
     ]
     row = spark.range(1).select(*exprs).collect()[0]
-    return [[float(c) for c in row[f"p{p}"]] for p in range(n_planes)]
+    return [
+        [[float(c) for c in row[f"s{s}p{p}"]] for p in range(n_planes)]
+        for s in range(len(seeds))
+    ]
 
 
 def _bucket_expr_lit(vec_col: str, comps: list[list[float]]) -> Column:
@@ -1157,10 +1173,11 @@ def knn_graph(
     - candidate generation is ONE equi shuffle on (table, bucket) —
       pair expansion happens within buckets only, so work tracks the
       true collision density, not n²;
-    - pairs dedupe on (src, dst) (a pair found by several tables
-      scores once), exact decimal-snapped cosine re-ranks, and a
-      per-src window keeps the top-``k`` — the window shuffle is keyed
-      on src, skew-free.
+    - pairs dedupe UNDIRECTED on (min, max) (a pair found by several
+      tables scores once, and each unordered pair folds its cosine
+      once — the mirror back to both directions is a row-local
+      generator), then a per-src window keeps the top-``k`` — the
+      window shuffle is keyed on src, skew-free.
 
     Sparse-bucket caveat: a vector sharing no bucket has no edges; more
     tables/fewer planes trade recall for candidate volume. Candidate
@@ -1209,6 +1226,9 @@ def knn_graph(
     # per consumer (measured 36 parquet scans in the executed plan at
     # n_tables=8: 8 tables × 2 self-join sides + re-ranks; this plus
     # the checkpoint below takes it to 3).
+    comps = _plane_components_multi(
+        spark, n_planes, dims, [1001 + t for t in range(n_tables)]
+    )  # ONE driver job for all tables' grids (was one per table)
     bk = embeddings.select(
         F.col(id_col),
         F.explode(
@@ -1216,12 +1236,7 @@ def knn_graph(
                 *[
                     F.struct(
                         F.lit(t).alias("tab"),
-                        _bucket_expr_lit(
-                            vec_col,
-                            _plane_components(
-                                spark, n_planes, dims, seed=1001 + t
-                            ),
-                        ).alias("bucket"),
+                        _bucket_expr_lit(vec_col, comps[t]).alias("bucket"),
                     )
                     for t in range(n_tables)
                 ]
@@ -1262,13 +1277,22 @@ def knn_graph(
     # (id, tab, bucket, salt) metadata, n·n_tables rows, NOT the
     # vectors themselves)
     ).localCheckpoint()
+    # UNDIRECTED candidate pairs (r12): the bucket relation is
+    # symmetric — (u, v) co-bucket iff (v, u) does — and the double
+    # fold is commutative per element (x*y == y*x bitwise, identical
+    # element order), so cosine(u, v) == cosine(v, u) exactly. Keeping
+    # only a<b halves the distinct shuffle AND halves the per-pair
+    # re-rank folds (the dominant term); both directions are restored
+    # by a row-local mirror union before the top-k window, so the
+    # (src, dst, cosine) multiset — and therefore the ranked output —
+    # is identical to the directed form's.
     pairs = (
         bk.alias("a")
         .join(bk.alias("b"), ["tab", "bucket", "salt"])
-        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("src"),
-            F.col(f"b.{id_col}").alias("dst"),
+            F.col(f"a.{id_col}").alias("ida"),
+            F.col(f"b.{id_col}").alias("idb"),
         )
         .distinct()
     )
@@ -1286,12 +1310,12 @@ def knn_graph(
         "cast(0.0 as double), (acc, t) -> acc + t)"
     )
     va = embeddings.select(
-        F.col(id_col).alias("src"),
+        F.col(id_col).alias("ida"),
         F.col(vec_col).alias("va"),
         F.sqrt(F.expr(dot_double.format(a=vec_col, b=vec_col))).alias("na"),
     )
     vb = embeddings.select(
-        F.col(id_col).alias("dst"),
+        F.col(id_col).alias("idb"),
         F.col(vec_col).alias("vb"),
         F.sqrt(F.expr(dot_double.format(a=vec_col, b=vec_col))).alias("nb"),
     )
@@ -1300,9 +1324,25 @@ def knn_graph(
         / (F.col("na") * F.col("nb")),
         6,
     )
-    scored = pairs.join(va, "src").join(vb, "dst").select(
-        "src", "dst", cos.alias("cosine")
+    scored_und = pairs.join(va, "ida").join(vb, "idb").select(
+        "ida", "idb", cos.alias("cosine")
     )
+    # mirror via ONE explode (a union of two selects over scored_und
+    # would re-evaluate the join + fold pipeline once per branch — the
+    # generator doubles rows behind a barrier in a single evaluation)
+    scored = scored_und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ida").alias("src"), F.col("idb").alias("dst")
+                ),
+                F.struct(
+                    F.col("idb").alias("src"), F.col("ida").alias("dst")
+                ),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.src", "e.dst", "cosine")
     w = Window.partitionBy("src").orderBy(
         F.col("cosine").desc(), F.col("dst").asc()
     )

@@ -351,7 +351,19 @@ def _uncommitted_queue_files(checkpoint: str) -> set[str]:
     last = max(committed, default=-1)
     keep: set[str] = set()
     for n in os.listdir(src):
-        if not n.isdigit() or int(n) <= last:
+        # FileStreamSourceLog writes every compactInterval-th (default
+        # 10) batch's metadata ONLY to "<batchId>.compact" — a compact
+        # file carries every entry up to that batch, each stamped with
+        # its original per-record batchId (ADVICE r11: a crash on a
+        # compaction batch left its queue files undetected and purge
+        # deleted files the replay still needed)
+        if n.isdigit():
+            file_batch = int(n)
+        elif n.endswith(".compact") and n[: -len(".compact")].isdigit():
+            file_batch = int(n[: -len(".compact")])
+        else:
+            continue
+        if file_batch <= last:
             continue
         with open(os.path.join(src, n)) as fh:
             for ln in fh:
@@ -361,6 +373,11 @@ def _uncommitted_queue_files(checkpoint: str) -> set[str]:
                 try:
                     rec = json.loads(ln)
                 except ValueError:
+                    continue
+                # entries from already-committed batches inside a
+                # compact file are not replay-needed; a per-batch digit
+                # file's entries all carry its own batchId
+                if int(rec.get("batchId", file_batch)) <= last:
                     continue
                 if rec.get("path"):
                     keep.add(
@@ -420,8 +437,13 @@ def purge_consumed_notifications(
             paths = _all_notified_paths_one(qf)
         except ValueError:
             continue  # malformed file: leave it for the loud consumers
+        except FileNotFoundError:
+            continue  # a concurrent purger/consumer already removed it
         if all(p in ingested for p in paths):
-            os.remove(qf)
+            try:
+                os.remove(qf)
+            except FileNotFoundError:
+                continue  # vanished between check and remove: consumed
             removed.append(qf)
     return removed
 

@@ -3907,6 +3907,20 @@ class MergeBuilder:
     # ------------------------------------------------------------------
 
     def execute(self) -> dict:
+        """Run the MERGE.
+
+        Measured non-trade (r12): materializing the source once
+        (public Delta's merge source materialization — persist
+        MEMORY_AND_DISK around the pruning-bounds / probe / rewrite /
+        anti-join evaluations) was A/B'd at the ACID-bench shape
+        (10 M-row table, 1 M-row source) over 4 alternating pairs and
+        LOST on the best samples (min 3.30 s plain vs 5.05 s persisted):
+        the cache-write pass costs as much as the 2 saved recomputes of
+        a cheap source. Callers with an expensive or non-deterministic
+        source should persist it themselves before calling merge."""
+        return self._execute_impl()
+
+    def _execute_impl(self) -> dict:
         t = self.table
         idents = t._identity_columns()
         if self.not_matched and idents:

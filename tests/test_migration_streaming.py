@@ -1150,6 +1150,94 @@ def test_purge_checkpoint_aware_keeps_uncommitted_replay_files(spark, tmp_path):
         notify_files(queue, [])
 
 
+def test_purge_checkpoint_aware_survives_compaction_batch_crash(spark, tmp_path):
+    """ADVICE r11 (medium): FileStreamSourceLog writes every
+    compactInterval-th batch's metadata ONLY to '<batchId>.compact'.
+    A crash whose uncommitted batch is a compaction batch must still
+    have its queue files detected as replay-needed — the old
+    digit-files-only parse missed them and purge deleted files the
+    restart re-reads (breaking crash-safety on ~1 in compactInterval
+    crash positions)."""
+    import json
+    import os
+    import shutil
+
+    from databricks_delta_lake_migration_spark.streaming import (
+        notify_files,
+        purge_consumed_notifications,
+        stream_notified_files_to_table,
+    )
+    from databricks_delta_lake_migration_spark.tables import LogTable
+
+    data = tmp_path / "data"
+    data.mkdir()
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+    table_path = str(tmp_path / "tbl")
+
+    def put(name, rows):
+        p = data / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        return str(p)
+
+    def drain(cp):
+        q = stream_notified_files_to_table(
+            spark, queue, table_path, schema=None, stream_id="cc",
+            checkpoint=cp,
+        )
+        q.awaitTermination()
+
+    old_interval = spark.conf.get(
+        "spark.sql.streaming.fileSource.log.compactInterval", None
+    )
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", "2")
+    try:
+        n1 = notify_files(queue, [put("f1.json", [{"id": 1}])])
+        drain(ckpt)                                   # batch 0 → "0"
+        n2 = notify_files(queue, [put("f2.json", [{"id": 2}])])
+        drain(ckpt)                                   # batch 1 → "1.compact"
+        src = os.path.join(ckpt, "sources", "0")
+        assert "1.compact" in os.listdir(src), sorted(os.listdir(src))
+
+        # crash: batch 1's table commit landed but the streaming commit
+        # log never advanced (same simulation as the digit-file twin)
+        commits = sorted(
+            f for f in os.listdir(os.path.join(ckpt, "commits"))
+            if f.isdigit()
+        )
+        os.remove(os.path.join(ckpt, "commits", commits[-1]))
+        stale_crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+        if os.path.exists(stale_crc):
+            os.remove(stale_crc)
+
+        tbl = LogTable(spark, table_path)
+        removed = purge_consumed_notifications(queue, tbl, "cc", checkpoint=ckpt)
+        assert removed == [n1]                 # n2's compaction batch replays
+        assert os.path.exists(n2)
+
+        ckpt2 = str(tmp_path / "ckpt-restarted")
+        shutil.copytree(ckpt, ckpt2)
+        os.remove(os.path.join(ckpt2, "metadata"))
+        crc = os.path.join(ckpt2, ".metadata.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        drain(ckpt2)  # replay re-reads n2; sink batchId guard no-ops
+        got = sorted(r.id for r in LogTable(spark, table_path).read().collect())
+        assert got == [1, 2]
+
+        removed = purge_consumed_notifications(
+            queue, LogTable(spark, table_path), "cc", checkpoint=ckpt2
+        )
+        assert removed == [n2]  # committed now → purgeable
+    finally:
+        if old_interval is None:
+            spark.conf.unset("spark.sql.streaming.fileSource.log.compactInterval")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.fileSource.log.compactInterval", old_interval
+            )
+
+
 def test_notification_exactly_once_random_scenarios(spark, tmp_path):
     """Property-style scenario test for the exactly-once contract:
     under a seeded random interleaving of publish / duplicate-notify /

@@ -83,7 +83,12 @@ def test_q36_minhash_lsh_single_shuffle_per_band(spark):
     executed = explain(df)
     assert "isFinalPlan=true" in executed
     final_tree = executed.split("== Initial Plan ==")[0]
-    n_exchanges = final_tree.count("Exchange (")
+    # count SHUFFLE exchanges only: "Exchange (" would also match the
+    # tail of "BroadcastExchange (", conflating a broadcast with a
+    # shuffle (ADVICE r11)
+    import re
+
+    n_exchanges = len(re.findall(r"(?<!Broadcast)Exchange \(", final_tree))
     assert n_exchanges == 2, final_tree
     # the window runs BETWEEN the two, i.e. on the shared exchange —
     # it must not have sprouted its own
