@@ -8,7 +8,7 @@ codegen and scales to 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import norm_text_hash
@@ -831,11 +831,15 @@ def count_min_heavy_hitters(
 
     Built as a pure DataFrame composition — no binary sketch blobs:
 
-    - ONE token shuffle builds the sketch: each token occurrence emits
-      its ``depth`` (row, bucket) cells row-locally (portable
-      sliced-sha256 hashes, engine-reproducible), then a (row, bucket)
-      groupBy-count — the sketch IS a ≤ depth×width-row table, trivially
-      mergeable across corpora by summing cells;
+    - ONE corpus scan and ONE token shuffle build BOTH the exact top-k
+      and the sketch (r12): tokens aggregate to a vocabulary-sized
+      (w, count) relation once; each vocab entry then emits its
+      ``depth`` (row, bucket) cells row-locally (portable sliced-sha256
+      hashes, engine-reproducible) carrying its count, and a
+      (row, bucket) SUM — over disjoint token groups, so bit-identical
+      to counting occurrences directly — yields the sketch: a
+      ≤ depth×width-row table, trivially mergeable across corpora by
+      summing cells;
     - estimates come from joining candidate tokens' cells against the
       sketch and taking the per-token MIN over rows. The sketch side
       is bounded by constants (depth×width cells), so broadcasting it
@@ -865,17 +869,28 @@ def count_min_heavy_hitters(
             ]
         )
 
-    sketch = (
-        toks.select(F.explode(_cells(F.col("w"))).alias("c"))
-        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cell"))
-    )
-    top = (
+    # ONE corpus scan + ONE token shuffle total (r12): the sketch is
+    # derivable from the exact per-token counts — a cell's occurrence
+    # count is the SUM of the counts of the (disjoint) tokens hashing
+    # into it, bit-identical to counting occurrences directly. The old
+    # shape scanned + tokenized + shuffled the whole corpus twice (once
+    # for the sketch, once for the top-k); now the vocabulary-sized
+    # (w, true_count) relation is built once and feeds both consumers —
+    # localCheckpoint'd because the two branches do not share the
+    # exchange in one plan (the q132/tfidf r11 finding; the module's
+    # standard materialization trade, see the package docs on eager
+    # materialization).
+    wc = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.col("true_count").desc(), F.col("w").asc())
-        .limit(k)
+        .localCheckpoint()
     )
+    sketch = (
+        wc.select(F.explode(_cells(F.col("w"))).alias("c"), "true_count")
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("true_count").alias("cell"))
+    )
+    top = wc.orderBy(F.col("true_count").desc(), F.col("w").asc()).limit(k)
     probes = top.select(
         "w", "true_count", F.explode(_cells(F.col("w"))).alias("c")
     ).select("w", "true_count", F.col("c.row").alias("row"),
@@ -972,11 +987,11 @@ def gopher_repetition(
     small local corpus the parallel per-order branches can edge out
     the single serial chain, but at warehouse scale scan+tokenize
     I/O dominates and runs once here instead of three times). Then
-    one (doc, k, gram) count shuffle, a deterministic per-(doc, k)
-    mode window (ties break lexicographically), and a doc-sized
-    conditional rollup; the doc spine (for gram-less docs) comes from
-    the same exploded relation via explode_outer + distinct, never a
-    second scan."""
+    one (doc, k, gram) count shuffle and ONE deterministic per-doc
+    min_by aggregate (r12 — cnt DESC, gram ASC tie-break, identical to
+    the former mode window but without its exchange + sort); the doc
+    spine (for gram-less docs) is a direct 2-column projection of the
+    source, never a second tokenize."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     # materialize the token array behind a projection BEFORE building
     # grams: word_kgrams references its input many times (acc chain +
@@ -1006,25 +1021,42 @@ def gopher_repetition(
         .groupBy("id", "n_chars", "k", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("id", "k").orderBy(
-        F.col("cnt").desc(), F.col("gram").asc()
-    )
     frac = F.round(
         F.least(
             F.col("cnt") * F.length("gram") / F.col("n_chars"), F.lit(1.0)
         ),
         6,
     )
-    top = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("id")
-        .agg(
-            F.max(F.when(F.col("k") == 2, F.col("gram"))).alias("top_bigram"),
-            F.max(F.when(F.col("k") == 2, frac)).alias("bigram_char_frac"),
-            F.max(F.when(F.col("k") == 3, F.col("gram"))).alias("top_trigram"),
-            F.max(F.when(F.col("k") == 3, frac)).alias("trigram_char_frac"),
+
+    # per-(doc, k) mode + per-doc rollup in ONE aggregate (r12):
+    # min_by over ord = struct(-cnt, gram) picks cnt DESC then gram ASC
+    # — exactly the old mode-window's ordering — and ord is UNIQUE per
+    # row within a doc (gram is a grouping key of `counts` and ord
+    # embeds it), so the pick is deterministic; rows of the other gram
+    # order get a NULL ord, which min_by ignores (a doc with no gram of
+    # an order yields NULL, as before). This replaces the (id, k)
+    # window exchange + full sort of the gram-count relation AND the
+    # separate (id) rollup exchange with one partial-aggregable hash
+    # aggregate: 3 exchanges + 1 sort -> 2 exchanges + 0 sorts, and the
+    # second exchange now carries <= 4 picked rows per doc per map
+    # partition instead of every distinct gram.
+    def _pick(order: int, val):
+        cond = F.col("k") == order
+        return F.min_by(
+            F.when(cond, val),
+            F.when(
+                cond,
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("gram").alias("g")
+                ),
+            ),
         )
+
+    top = counts.groupBy("id").agg(
+        _pick(2, F.col("gram")).alias("top_bigram"),
+        _pick(2, frac).alias("bigram_char_frac"),
+        _pick(3, F.col("gram")).alias("top_trigram"),
+        _pick(3, frac).alias("trigram_char_frac"),
     )
     # doc spine (keeps gram-less docs): a direct 2-column projection
     # of the source — deriving it from `ex` would duplicate the whole

@@ -562,3 +562,38 @@ def test_q202_table_diff_nullsafe_join_stays_hash_partitioned(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(coalesce(") >= 2  # both sides
+
+
+def test_q169_cms_single_token_shuffle(spark):
+    """r12: the CMS sketch derives from the exact per-token counts
+    (sum over disjoint token groups per cell == direct occurrence
+    count), so ONE materialized vocabulary relation feeds both the
+    top-k and the sketch — the final plan must carry no parquet scan
+    (both branches read the checkpointed counts) and exactly one
+    shuffle exchange (the vocab-sized cell re-aggregate; the sketch
+    side then broadcasts)."""
+    import re
+
+    df = _q(spark, "q169_cms_heavy_hitters")
+    plan = explain(df)
+    assert "Scan parquet" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
+    assert n_shuffles == 1, tree
+
+
+def test_q209_gopher_mode_is_aggregate_not_window(spark):
+    """r12: the per-(doc, order) most-frequent-gram pick is a min_by
+    aggregate (ord = struct(-cnt, gram), unique per row, so ties break
+    identically to the former cnt DESC / gram ASC mode window). The
+    plan must carry NO Window node and exactly two shuffle exchanges
+    (gram counts + per-doc pick) — the window variant had three plus a
+    full sort of the gram relation."""
+    import re
+
+    df = _q(spark, "q209_gopher_repetition")
+    plan = explain(df)
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
+    assert n_shuffles == 2, tree
