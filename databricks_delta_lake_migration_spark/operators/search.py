@@ -4,12 +4,13 @@ pipeline (the dense half is ``operators.similarity``). The reference
 engine has no search surface at all; this derives one from the public
 Okapi BM25 formulation (Robertson & Zaragoza 2009).
 
-Spark-first shape: the "inverted index" IS a DataFrame — the
-(doc, term, tf) relation produced by one explode+groupBy pass, exactly
-the relation :func:`textstats.tfidf_top_terms` builds. Document
-frequencies come from that same relation (no second corpus scan), the
-query's terms prune it with a pushed ``isin`` filter, and ranking ends
-in a TakeOrderedAndProject. Per-term partial scores are snapped to
+Spark-first shape: the "inverted index" IS a DataFrame — a per-doc
+aggregate over one explode pass yields doc lengths AND the query
+terms' tfs together (r12: one corpus tokenize, one doc-keyed shuffle),
+then a row-local unpivot recovers the (doc, term, tf) relation — the
+same relation :func:`textstats.tfidf_top_terms` builds, pruned to the
+query's terms. Document frequencies come from that same relation (no
+second corpus scan), and ranking ends in a TakeOrderedAndProject. Per-term partial scores are snapped to
 DECIMAL(28,12) before the per-doc sum, so cross-engine hashes never
 flap on float accumulation order.
 """
@@ -50,42 +51,66 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
-    terms = [t.lower() for t in query_terms]
+    # dedup preserves current semantics (the old (doc, w) groupBy keyed
+    # out duplicate query terms) and keeps the unpivot 1 row per term
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     )
-    # prune to query terms BEFORE any aggregation: tf, and df derived
-    # from it, only ever materialize the ≤|query| surviving terms —
-    # the whole-vocabulary frequency table is never built (a served
-    # index would persist the unpruned tf relation bucketed by term)
-    tf = (
-        toks.filter(F.col("w").isin(terms))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # dl feeds both the hits join and the corpus constants; checkpoint
-    # so the full-corpus explode+aggregate runs ONCE (the relation is
-    # one row per doc — small)
-    dl = (
+    # ONE corpus tokenize + ONE doc-keyed shuffle for BOTH doc lengths
+    # and per-query-term tfs (r12: the former tf/dl branches each
+    # re-scanned and re-tokenized the corpus): tf_t = Σ(w = t) inside
+    # the per-doc aggregate — identical to counting the term-filtered
+    # rows — with the whole-vocabulary frequency table still never
+    # built (≤|query| conditional counters per doc; a served index
+    # would persist the unpruned tf relation bucketed by term).
+    # Checkpointed (module materialization discipline): it feeds the
+    # hits unpivot AND the corpus-constants aggregate.
+    per_doc = (
         toks.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(
+                    F.when(F.col("w") == t, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"__tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
         .localCheckpoint(eager=False)
     )
+    # row-local unpivot to (doc, dl, term, tf>0) — carrying dl here
+    # removes the former tf ⋈ dl join entirely
+    tf = per_doc.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("w"),
+                            F.col(f"__tf{i}").cast("long").alias("tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                ),
+                lambda s: s["tf"] > 0,
+            )
+        ).alias("p"),
+    ).select(id_col, "dl", "p.w", "p.tf")
     docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    # N and avgdl from ONE aggregate of the dl relation — a separate
-    # df.count() would re-run the corpus scan. dl has one row per doc
-    # with non-NULL text (empty text still tokenizes to [""], so it
-    # counts); NULL-text docs are outside the searchable corpus.
-    corpus = dl.agg(
+    # N and avgdl from ONE aggregate of the per-doc relation — a
+    # separate df.count() would re-run the corpus scan. per_doc has one
+    # row per doc with non-NULL text (empty text still tokenizes to
+    # [""], so it counts); NULL-text docs are outside the searchable
+    # corpus.
+    corpus = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
 
-    hits = (
-        tf.join(F.broadcast(docfreq), "w")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-    )
+    hits = tf.join(F.broadcast(docfreq), "w").crossJoin(F.broadcast(corpus))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)

@@ -57,6 +57,18 @@ PROFILES: dict[str, SparkProfile] = {
 }
 
 
+def _shuffle_partitions_for(prof: SparkProfile, cpus: str | None) -> int:
+    """Local-profile shuffle fan-out tracks the actual core count the
+    driver grants via ``SPARK_GRAFT_CPUS`` (optimization guide §2.5:
+    scale-adaptive, not a constant tuned for one core count — the
+    driver benches at SEVERAL core counts and 32 fixed tasks on e.g.
+    8 cores only add scheduling overhead). Cluster profiles keep their
+    fixed reference sizing."""
+    if prof.name == "local" and cpus and cpus.isdigit() and int(cpus) > 0:
+        return int(cpus)
+    return prof.shuffle_partitions
+
+
 def build_session(
     app_name: str = "spark-engine",
     master: str | None = None,
@@ -70,9 +82,10 @@ def build_session(
     path used by the LLM-pipeline operators.
     """
     prof = PROFILES[profile]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle_partitions = _shuffle_partitions_for(prof, cpus)
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -82,7 +95,7 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # shuffle / IO sizing (data_processor.py:65-68)
-        .config("spark.sql.shuffle.partitions", str(prof.shuffle_partitions))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", prof.max_partition_bytes)
         # join planning (data_processor.py:78-79)
         .config("spark.sql.autoBroadcastJoinThreshold", prof.broadcast_threshold)

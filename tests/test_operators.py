@@ -1895,3 +1895,24 @@ def test_connected_components_star_matches_union_find(spark):
         assert label == ref
 
     run()
+
+
+def test_local_shuffle_partitions_track_granted_cpus():
+    """r12 (guide §2.5): the local profile's shuffle fan-out follows
+    SPARK_GRAFT_CPUS instead of pinning 32 — the driver benches at
+    several core counts and the scaling measurement must not schedule
+    32 shuffle tasks onto 8 cores. Cluster profiles keep their fixed
+    reference sizing; absent/garbage env falls back to the profile."""
+    from databricks_delta_lake_migration_spark.session import (
+        PROFILES,
+        _shuffle_partitions_for,
+    )
+
+    local = PROFILES["local"]
+    assert _shuffle_partitions_for(local, "8") == 8
+    assert _shuffle_partitions_for(local, "32") == 32
+    assert _shuffle_partitions_for(local, None) == local.shuffle_partitions
+    assert _shuffle_partitions_for(local, "") == local.shuffle_partitions
+    assert _shuffle_partitions_for(local, "abc") == local.shuffle_partitions
+    assert _shuffle_partitions_for(local, "0") == local.shuffle_partitions
+    assert _shuffle_partitions_for(PROFILES["prod"], "8") == 4000

@@ -597,3 +597,20 @@ def test_q209_gopher_mode_is_aggregate_not_window(spark):
     assert "Window" not in tree, tree
     n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
     assert n_shuffles == 2, tree
+
+
+def test_q188_bm25_single_corpus_tokenize(spark):
+    """r12: doc lengths and per-query-term tfs come from ONE per-doc
+    aggregate over one tokenize pass (checkpointed), the (doc, term,
+    tf) relation is a row-local unpivot carrying dl — so the final
+    plan reads no parquet (both branches consume the materialized
+    per-doc relation) and carries at most 3 shuffle exchanges
+    (per-doc agg is inside the checkpoint; docfreq + corpus + final
+    rollup remain)."""
+    import re
+
+    plan = explain(_q(spark, "q188_bm25_search"))
+    assert "Scan parquet" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
+    assert n_shuffles <= 3, tree
