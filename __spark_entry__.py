@@ -32,60 +32,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the first 50 registrations; ordering is
-# coverage policy. Cumulative state entering round 11: all 219
-# registrations (218 + q220, new this round) driver-green at their
-# latest check (zero failures ever); the oldest freshness tier is the
-# 42-query r6 tail (q112–q153). ROUND 11 WINDOW (below), per VERDICT
-# r10 next-step #1 ("freshness rotation — retire the r6 tail, leading
-# with the plan-changed strays"); new registrations take slots first,
-# exactly one this round:
+# coverage policy. Cumulative state entering round 12: all 219
+# registrations driver-green at their latest check (zero failures
+# ever); freshness floor is r6 for exactly q151/q152/q153, then the
+# 42-query r7 tail (q154–q195 by number). ROUND 12 WINDOW (below), per
+# VERDICT r11 next-step #1 ("retire the r7 tail; run q175/q193 early —
+# r11 plan changes without a driver re-hash"), adjusted for THIS
+# round's optimization work — every query whose executed plan changed
+# in r12 runs early so the driver re-hashes it first:
 #   - the 8 keeper anchors (one per signature tier: MERGE, time
 #     travel, streaming CDC, medallion, cosine top-k, MinHash-LSH,
 #     grouped agg, star join) — cross-round regression sentinels
-#   - q220 (FIRST-TIMER: Auto Loader useNotifications parity —
-#     notification-queue file discovery that never lists the data
-#     directory: decoy invisible, duplicate notification a no-op;
-#     VERDICT r10 #5)
-#   - the r10 plan-changed strays without a ≥r10 driver row: q114
-#     (incremental-LSH salt cap, in the r6 tail anyway — run FIRST),
-#     q217 (hint-free winsorize bounds join, newest row r8), q47
-#     (LSH cap default, newest row r9)
-#   - 38 more of the r6 tail in order (q112, q113, q115–q150)
-# 8 + 1 + 3 + 38 = 50. q151/q152/q153 roll to r12 with the r7 tail
-# (the one-new-registration slot displacement VERDICT r10 #1
-# anticipates: "new registrations take slots first as usual").
-# Done-criterion: CORRECTNESS_r11 50/50 green; every r10 plan-changed
-# query has a driver row ≥ r10. pytest's local DuckDB oracle-parity
-# twin still exercises every registration every round.
+#   - the r12 plan-changed queries: q169 (CMS sketch derived from
+#     token counts), q175 (fused planes + undirected scoring), q188
+#     (single-tokenize BM25), q193 (n_nodes literal), q209 (min_by
+#     mode aggregate) — q175/q193 are also VERDICT r11's early-run
+#     strays; all but q209 are r7-tail members anyway
+#   - q151/q152/q153 (the r6 freshness floor, oldest rows in the corpus)
+#   - 34 more of the r7 tail in registration order
+# 8 + 5 + 3 + 34 = 50. q209's slot (an r8-tail member promoted for its
+# r12 plan change) displaces one tail slot vs VERDICT's 39-of-42
+# arithmetic, so FOUR r7 queries roll to r13 with the r8 tail
+# (q186/q187/q191/q195 — the registration-order tail, none of them
+# r12-changed). Done-criterion: CORRECTNESS_r12 50/50 green; every
+# r12 plan-changed query has a driver row ≥ r12; freshness floor
+# rises to r7 except the four roll-overs. pytest's local DuckDB
+# oracle-parity twin still exercises every registration every round.
 _PRIORITY = [
     # keepers: one anchor per signature tier
     "q60_merge_upsert", "q63_time_travel_diff", "q92_streaming_cdc_apply",
     "q70_medallion_gold", "q40_cosine_topk", "q36_minhash_lsh_pairs",
     "q01_pricing_summary", "q05_nation_revenue",
-    # first-timer (round 11)
-    "q220_notification_discovery",
-    # r10 plan-changed strays, led by q114
-    "q114_incremental_lsh", "q217_winsorize_audit", "q47_lsh_near_dup",
-    # re-confirms: the r6 tail (newest driver row is r6)
-    "q112_bloom_index_skipping", "q113_copy_into",
-    "q115_persisted_ivf_index", "q116_chunk_documents",
-    "q117_contamination_scores", "q118_show_partitions",
-    "q119_write_tuning", "q120_schema_metadata",
-    "q121_shard_shuffle", "q122_quality_top_fraction",
-    "q123_boilerplate_strip", "q124_type_widening",
-    "q125_liquid_clustering", "q126_log_retention",
-    "q127_unigram_logprob", "q128_vacuum_lite",
-    "q129_column_defaults", "q130_row_tracking",
-    "q131_commit_annotations", "q132_tfidf_top_terms",
-    "q133_sq8_topk", "q134_catalog_views",
-    "q135_stream_enrich", "q136_protocol_features",
-    "q137_intradoc_dedup", "q138_classifier_filter",
-    "q139_text_normalization", "q140_bq_topk",
-    "q141_stream_outer_interval_join", "q142_stream_session_windows",
-    "q143_binned_range_join", "q144_stateful_running_totals",
-    "q145_table_stream_source", "q146_stream_change_feed",
-    "q147_cdc_replication_pipeline", "q148_quarantine_routing",
-    "q149_sample_k_per_group", "q150_pca_embeddings",
+    # r12 plan-changed (optimization round): driver re-hash FIRST
+    "q169_cms_heavy_hitters", "q175_knn_graph", "q188_bm25_search",
+    "q193_pagerank", "q209_gopher_repetition",
+    # the r6 freshness floor
+    "q151_conversion_funnel", "q152_card_redaction",
+    "q153_approx_percentiles",
+    # re-confirms: the r7 tail in registration order (newest row r7)
+    "q154_part_cooccurrence", "q155_salted_skew_join",
+    "q156_resample_gap_fill", "q157_variant_extraction",
+    "q158_hll_sketch_union", "q162_correlation_matrix",
+    "q163_referential_integrity", "q164_asof_join",
+    "q181_rollup_subtotals", "q182_pivot_status_matrix",
+    "q183_unpivot_metrics", "q184_set_operations",
+    "q170_bigram_logprob", "q189_fuzzy_pairs",
+    "q165_mmr_diversify", "q192_hard_negatives",
+    "q161_right_to_be_forgotten", "q167_fsck_repair",
+    "q168_symlink_manifest", "q172_informational_fk_audit",
+    "q174_avro_migration", "q176_informational_pk_audit",
+    "q159_stateful_timeout_sessions", "q160_state_store_introspection",
+    "q171_stream_scd2_apply", "q173_stream_pit_enrich",
+    "q166_robust_outliers", "q190_weighted_sample",
+    "q177_sessionize", "q178_funnel",
+    "q179_cohort_retention", "q180_event_transitions",
+    "q194_merge_intervals", "q185_rolling_zscore",
 ]
 
 

@@ -106,27 +106,18 @@ def _bucket_expr(vec_col: str, n_planes: int, dims: int, seed: int) -> Column:
     return F.concat(*bits)
 
 
-def _plane_components(
-    spark, n_planes: int, dims: int, seed: int
-) -> list[list[float]]:
-    """Materialize the deterministic xxhash64-derived hyperplane grid
-    ONCE driver-side (n_planes × dims floats — metadata, never
-    corpus-sized) via a 1-row Spark job, so bucketing can inline the
-    components as literals instead of recomputing ``dims`` string
-    hashes per plane PER ROW. Same formula as ``_bucket_expr``, so
-    bucket ids are bit-identical."""
-    return _plane_components_multi(spark, n_planes, dims, [seed])[0]
-
-
 def _plane_components_multi(
     spark, n_planes: int, dims: int, seeds: list[int]
 ) -> list[list[list[float]]]:
-    """All hyperplane grids for a list of seeds in ONE 1-row Spark job
-    (r12: ``knn_graph`` called :func:`_plane_components` once per LSH
-    table — 8 driver-side collect jobs where one suffices; at 8 tables
-    the fused job saves ~7 job round-trips per graph build). Same
-    per-(seed, plane, i) formula, so every component is bit-identical
-    to the single-seed path."""
+    """Materialize the deterministic xxhash64-derived hyperplane grids
+    for ALL seeds in ONE 1-row Spark job, driver-side (per seed:
+    n_planes × dims floats — metadata, never corpus-sized), so
+    bucketing can inline the components as literals instead of
+    recomputing ``dims`` string hashes per plane PER ROW (r12:
+    ``knn_graph`` previously ran one such job per LSH table — 8
+    driver collect round-trips where one suffices). Same per-(seed,
+    plane, i) formula as ``_bucket_expr``, so bucket ids are
+    bit-identical."""
     exprs = [
         F.expr(
             f"transform(sequence(1, {dims}), i -> "
@@ -145,7 +136,7 @@ def _plane_components_multi(
 
 def _bucket_expr_lit(vec_col: str, comps: list[list[float]]) -> Column:
     """Sign-bit bucket id from PRECOMPUTED hyperplane components (see
-    ``_plane_components``) inlined as array literals: the per-row work
+    ``_plane_components_multi``) inlined as array literals: the per-row work
     is just the zip_with fold — no hashing — and stays inside
     whole-stage codegen. Fold order matches ``_bucket_expr`` exactly,
     so the two forms produce identical bucket ids."""

@@ -16,6 +16,7 @@ only adds task-scheduling overhead.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -57,15 +58,20 @@ PROFILES: dict[str, SparkProfile] = {
 }
 
 
-def _shuffle_partitions_for(prof: SparkProfile, cpus: str | None) -> int:
-    """Local-profile shuffle fan-out tracks the actual core count the
-    driver grants via ``SPARK_GRAFT_CPUS`` (optimization guide §2.5:
-    scale-adaptive, not a constant tuned for one core count — the
-    driver benches at SEVERAL core counts and 32 fixed tasks on e.g.
-    8 cores only add scheduling overhead). Cluster profiles keep their
-    fixed reference sizing."""
-    if prof.name == "local" and cpus and cpus.isdigit() and int(cpus) > 0:
-        return int(cpus)
+def _shuffle_partitions_for(prof: SparkProfile, master: str) -> int:
+    """Local-profile shuffle fan-out tracks the session's ACTUAL core
+    count — parsed from the final ``local[N]`` master, whether that
+    came from the driver's ``SPARK_GRAFT_CPUS`` or an explicit caller
+    master (optimization guide §2.5: scale-adaptive, not a constant
+    tuned for one core count — the driver benches at SEVERAL core
+    counts and 32 fixed tasks on e.g. 8 cores only add scheduling
+    overhead; a caller-pinned master must not desync from an unrelated
+    env var either). ``local[*]`` and cluster profiles keep the fixed
+    profile sizing."""
+    if prof.name == "local":
+        m = re.fullmatch(r"local\[(\d+)\]", master)
+        if m and int(m.group(1)) > 0:
+            return int(m.group(1))
     return prof.shuffle_partitions
 
 
@@ -82,10 +88,10 @@ def build_session(
     path used by the LLM-pipeline operators.
     """
     prof = PROFILES[profile]
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
-    shuffle_partitions = _shuffle_partitions_for(prof, cpus)
+    shuffle_partitions = _shuffle_partitions_for(prof, master)
 
     b = (
         SparkSession.builder.appName(app_name)

@@ -3918,9 +3918,6 @@ class MergeBuilder:
         the cache-write pass costs as much as the 2 saved recomputes of
         a cheap source. Callers with an expensive or non-deterministic
         source should persist it themselves before calling merge."""
-        return self._execute_impl()
-
-    def _execute_impl(self) -> dict:
         t = self.table
         idents = t._identity_columns()
         if self.not_matched and idents:

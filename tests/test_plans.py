@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from databricks_delta_lake_migration_spark.queries import all_queries
 
@@ -20,6 +21,15 @@ def explain(df, mode: str = "formatted") -> str:
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+def count_shuffle_exchanges(tree: str) -> int:
+    """Shuffle exchanges only: 'Exchange (' lines that are neither
+    'BroadcastExchange (' nor 'ReusedExchange (' — a reused broadcast
+    (ReusedExchange appears in this repo's knn plans) must not count
+    as a shuffle, and a broadcast swap must not satisfy a shuffle
+    gate (ADVICE r11 + r12 review)."""
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \(", tree))
 
 
 def _q(spark, name):
@@ -83,12 +93,7 @@ def test_q36_minhash_lsh_single_shuffle_per_band(spark):
     executed = explain(df)
     assert "isFinalPlan=true" in executed
     final_tree = executed.split("== Initial Plan ==")[0]
-    # count SHUFFLE exchanges only: "Exchange (" would also match the
-    # tail of "BroadcastExchange (", conflating a broadcast with a
-    # shuffle (ADVICE r11)
-    import re
-
-    n_exchanges = len(re.findall(r"(?<!Broadcast)Exchange \(", final_tree))
+    n_exchanges = count_shuffle_exchanges(final_tree)
     assert n_exchanges == 2, final_tree
     # the window runs BETWEEN the two, i.e. on the shared exchange —
     # it must not have sprouted its own
@@ -572,14 +577,11 @@ def test_q169_cms_single_token_shuffle(spark):
     (both branches read the checkpointed counts) and exactly one
     shuffle exchange (the vocab-sized cell re-aggregate; the sketch
     side then broadcasts)."""
-    import re
-
     df = _q(spark, "q169_cms_heavy_hitters")
     plan = explain(df)
     assert "Scan parquet" not in plan, plan
     tree = plan.split("\n\n")[0]
-    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
-    assert n_shuffles == 1, tree
+    assert count_shuffle_exchanges(tree) == 1, tree
 
 
 def test_q209_gopher_mode_is_aggregate_not_window(spark):
@@ -589,14 +591,11 @@ def test_q209_gopher_mode_is_aggregate_not_window(spark):
     plan must carry NO Window node and exactly two shuffle exchanges
     (gram counts + per-doc pick) — the window variant had three plus a
     full sort of the gram relation."""
-    import re
-
     df = _q(spark, "q209_gopher_repetition")
     plan = explain(df)
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree, tree
-    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
-    assert n_shuffles == 2, tree
+    assert count_shuffle_exchanges(tree) == 2, tree
 
 
 def test_q188_bm25_single_corpus_tokenize(spark):
@@ -607,10 +606,7 @@ def test_q188_bm25_single_corpus_tokenize(spark):
     per-doc relation) and carries at most 3 shuffle exchanges
     (per-doc agg is inside the checkpoint; docfreq + corpus + final
     rollup remain)."""
-    import re
-
     plan = explain(_q(spark, "q188_bm25_search"))
     assert "Scan parquet" not in plan, plan
     tree = plan.split("\n\n")[0]
-    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
-    assert n_shuffles <= 3, tree
+    assert count_shuffle_exchanges(tree) <= 3, tree
