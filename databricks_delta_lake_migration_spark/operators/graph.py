@@ -74,12 +74,21 @@ def pagerank(
         F.col("src").alias("node"),
         (F.lit(1.0) / F.lit(n_nodes)).alias("r"),
     )
+    # deg is node-sized — the SAME relation class the default mode
+    # already broadcasts (contribs) — but it arrives as a checkpointed
+    # RDD scan whose size Spark cannot estimate, so the planner gave
+    # every iteration's ranks⨝deg join a SortMergeJoin: 2 shuffle
+    # exchanges + 2 sorts PER ITERATION on node-sized inputs (r12
+    # measured plan). Broadcasting it under the same broadcast_ranks
+    # contract removes all of them; the web-scale shuffle mode keeps
+    # the un-hinted join (a billion-node deg must not broadcast).
+    d_rel = F.broadcast(deg) if broadcast_ranks else deg
     for _ in range(iterations):
         # join conditions resolve BY NAME (each name unique to one
         # side): deg/e are ancestors of both sides of these
         # self-joins, so dataset-attribute refs (deg.src) would trip
         # Spark's ambiguous-self-join detector
-        contribs = ranks.join(deg, F.col("node") == F.col("src")).select(
+        contribs = ranks.join(d_rel, F.col("node") == F.col("src")).select(
             F.col("src").alias("__csrc"),
             F.round(F.col("r") / F.col("deg"), 12)
             .cast("decimal(28,12)")
@@ -105,6 +114,7 @@ def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_degrees: bool = True,
 ) -> DataFrame:
     """Exact per-node triangle counts over an undirected edge relation
     [EXT] (input may list each edge once in either direction or both;
@@ -130,15 +140,26 @@ def triangle_count(
         F.least(F.col(src_col), F.col(dst_col)).alias("a"),
         F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
     ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
-    # undirected degree
+    # undirected degree — both endpoints via ONE explode over one scan
+    # of canon (the unionAll twin scanned it once per branch)
     deg = (
-        canon.select(F.col("a").alias("node"))
-        .unionAll(canon.select(F.col("b").alias("node")))
+        canon.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # degree attach (r12): da/db are NODE-sized but derive from a
+    # checkpointed RDD scan Spark cannot size, so the planner shuffled
+    # the EDGE-sized canon twice (2 SortMergeJoins) to attach them.
+    # Broadcasting the degree relation moves only node-sized bytes —
+    # the same fits-an-executor contract as pagerank's default mode;
+    # ``broadcast_degrees=False`` keeps the un-hinted shuffle joins
+    # for graphs whose node relation outgrows an executor.
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
     ranked = canon.join(da, "a").join(db, "b")
     # orient low-(deg, id) → high-(deg, id): a total order, so the
     # oriented graph is acyclic and each triangle forms exactly one
@@ -157,10 +178,18 @@ def triangle_count(
     wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
     closing = canon.select(F.col("a").alias("v"), F.col("b").alias("w"))
     tris = wedges.join(closing, ["v", "w"])  # (u, v, w) triangles
+    # per-node tally via ONE explode (r12): the former 3-branch
+    # unionAll re-evaluated the whole wedge⨝closing pipeline once per
+    # branch — 12 SortMergeJoins / 13 exchanges in the measured plan;
+    # the generator emits the same (u, v, w) node multiset row-locally
+    # behind a single evaluation (the knn_graph mirror pattern), so
+    # the join pipeline runs once.
     per_node = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v").alias("node")))
-        .unionAll(tris.select(F.col("w").alias("node")))
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
