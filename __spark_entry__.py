@@ -45,16 +45,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     grouped agg, star join) — cross-round regression sentinels
 #   - the r12 plan-changed queries: q169 (CMS sketch derived from
 #     token counts), q175 (fused planes + undirected scoring), q188
-#     (single-tokenize BM25), q193 (n_nodes literal), q209 (min_by
-#     mode aggregate) — q175/q193 are also VERDICT r11's early-run
-#     strays; all but q209 are r7-tail members anyway
+#     (single-tokenize BM25), q193 (n_nodes literal + broadcast deg),
+#     q209 (min_by mode aggregate), q204 (explode tally + broadcast
+#     degrees) — q175/q193 are also VERDICT r11's early-run strays;
+#     all but q209/q204 are r7-tail members anyway
 #   - q151/q152/q153 (the r6 freshness floor, oldest rows in the corpus)
-#   - 34 more of the r7 tail in registration order
-# 8 + 5 + 3 + 34 = 50. q209's slot (an r8-tail member promoted for its
-# r12 plan change) displaces one tail slot vs VERDICT's 39-of-42
-# arithmetic, so FOUR r7 queries roll to r13 with the r8 tail
-# (q186/q187/q191/q195 — the registration-order tail, none of them
-# r12-changed). Done-criterion: CORRECTNESS_r12 50/50 green; every
+#   - 33 more of the r7 tail in registration order
+# 8 + 6 + 3 + 33 = 50. q209's and q204's slots (r8-tail members
+# promoted for their r12 plan changes) displace two tail slots vs
+# VERDICT's 39-of-42 arithmetic, so FIVE r7 queries roll to r13 with
+# the r8 tail (q185/q186/q187/q191/q195 — the registration-order
+# tail, none of them r12-changed). Done-criterion: CORRECTNESS_r12
+# 50/50 green; every
 # r12 plan-changed query has a driver row ≥ r12; freshness floor
 # rises to r7 except the four roll-overs. pytest's local DuckDB
 # oracle-parity twin still exercises every registration every round.
@@ -65,7 +67,7 @@ _PRIORITY = [
     "q01_pricing_summary", "q05_nation_revenue",
     # r12 plan-changed (optimization round): driver re-hash FIRST
     "q169_cms_heavy_hitters", "q175_knn_graph", "q188_bm25_search",
-    "q193_pagerank", "q209_gopher_repetition",
+    "q193_pagerank", "q209_gopher_repetition", "q204_triangle_count",
     # the r6 freshness floor
     "q151_conversion_funnel", "q152_card_redaction",
     "q153_approx_percentiles",
@@ -86,7 +88,7 @@ _PRIORITY = [
     "q166_robust_outliers", "q190_weighted_sample",
     "q177_sessionize", "q178_funnel",
     "q179_cohort_retention", "q180_event_transitions",
-    "q194_merge_intervals", "q185_rolling_zscore",
+    "q194_merge_intervals",
 ]
 
 
