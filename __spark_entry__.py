@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tail, none of them r12-changed). Done-criterion: CORRECTNESS_r12
 # 50/50 green; every
 # r12 plan-changed query has a driver row ≥ r12; freshness floor
-# rises to r7 except the four roll-overs. pytest's local DuckDB
+# rises to r7 except the five roll-overs. pytest's local DuckDB
 # oracle-parity twin still exercises every registration every round.
 _PRIORITY = [
     # keepers: one anchor per signature tier

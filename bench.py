@@ -301,6 +301,29 @@ def wait_for_quiet_host(
     }
 
 
+def calibrate(spark) -> dict:
+    """Host-speed self-calibration (VERDICT r12 item 3): a fixed
+    single-thread hash spin and a tiny fixed Spark job, min-of-3 each,
+    emitted in the artifact so cross-round comparisons can normalize
+    host speed / CPU steal instead of relying on BENCH_NOTES
+    archaeology. Fixed work, not wall-clock-budgeted: the numbers are
+    comparable across hosts by construction."""
+    import hashlib
+
+    spin = noop = float("inf")
+    buf = b"\x5a" * 65536
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(2048):  # 128 MiB hashed, single thread
+            h.update(buf)
+        spin = min(spin, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        noop = min(noop, time.perf_counter() - t0)
+    return {"spin_s": round(spin, 4), "spark_noop_s": round(noop, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -317,6 +340,10 @@ def main() -> None:
         registry["q06_revenue_forecast"].fn(spark, sf_dir).collect()
     except Exception:
         pass  # warm-up is best-effort; per-query timing below self-warms
+    try:
+        calib = calibrate(spark)
+    except Exception:  # noqa: BLE001 — calibration must never kill the line
+        calib = {}
 
     # Steady-state timing: best of 2 runs per query. Run 1 includes JVM
     # JIT + codegen compilation of the query's generated classes; run 2
@@ -406,6 +433,7 @@ def main() -> None:
         "section_load": section_load,
         "extras_load": extras_load,
         "load_gate": load_gate,
+        "calib": calib,
     }
     if errors:
         line["errors"] = errors
@@ -449,6 +477,30 @@ def main() -> None:
         "extras_load": extras_load,
     }
     print(json.dumps(recap))
+    # FINAL stdout line = the driver-parseable contract line, compact
+    # enough (~1.7 KB worst case vs the 2000-char tail cap) to survive
+    # the driver's tail capture WHOLE (VERDICT r12 item 1: PERF_r12 got
+    # n_common=0 / geomean null because the full artifact line above
+    # outgrows the tail and arrives truncated mid-object, while the
+    # recap lines it does keep lack the metric/value/queries contract
+    # keys). Same timings as above — "queries" here merges the extras
+    # in (additions are allowed by the contract; "value" stays the
+    # frozen 14-query headline total), values rounded to 3 decimals to
+    # stay under the cap.
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 3) for n, t in {**timings, **extra}.items()},
+        "sf": sf,
+        "runs": N_RUNS,
+        "agg": "min",
+        "n_errors": len(errors),
+        "acid_worst_ratio": max(ratios.values()) if ratios else None,
+        "calib": calib,
+        "load_1m": round(os.getloadavg()[0], 2),
+        "gate_passed": load_gate["passed"],
+    }))
 
 
 if __name__ == "__main__":

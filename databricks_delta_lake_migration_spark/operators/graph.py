@@ -132,7 +132,7 @@ def triangle_count(
     closed by ONE membership join against the canonical edge set.
     Every join is a hash equi-join; nothing is quadratic in degree of
     the hot node."""
-    # canon feeds FOUR consumers (both degree-union branches, the
+    # canon feeds THREE consumers (the degree explode, the
     # orientation join, the closing join) and carries a distinct
     # shuffle — materialized once, the module's standard trade (same
     # localCheckpoint discipline as pagerank's edges/deg)

@@ -749,17 +749,35 @@ def q21_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cohort_retention gold product (03_gold_aggregation.py:237-289):
-    first-activity cohort × months-since retention matrix."""
+    first-activity cohort × months-since retention matrix.
+
+    r13 shape: ONE orders scan, ONE per-customer aggregate computing
+    the cohort (min month) AND the distinct active-month set together,
+    then a row-local explode — replaces the r12 cohort⨝activity
+    self-join (2 scans, 3 exchanges). Equivalence: the months are
+    wrapped in a 1-field struct so collect_set dedups exactly like the
+    old DISTINCT including a NULL month (collect_set drops bare NULLs
+    but keeps struct(NULL)); min() ignores NULLs on both sides; the
+    old activity-DISTINCT was itself subsumed by the final
+    countDistinct, and every downstream step is order-insensitive, so
+    the arbitrary set order cannot leak."""
     o = load_table(spark, sf_dir, "orders")
     month = F.date_trunc("month", "o_orderdate")
-    cohort = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
-    activity = o.select("o_custkey", month.alias("active_month")).distinct()
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(month).alias("cohort_month"),
+        F.collect_set(F.struct(month.alias("am"))).alias("active_months"),
+    )
     months = lambda col: F.year(col) * 12 + F.month(col)  # noqa: E731
+    active = F.col("active.am")
     return (
-        cohort.join(activity, "o_custkey")
+        per_cust.select(
+            "o_custkey",
+            "cohort_month",
+            F.explode("active_months").alias("active"),
+        )
         .groupBy(
             F.to_date("cohort_month").alias("cohort_month"),
-            (months(F.col("active_month")) - months(F.col("cohort_month")))
+            (months(active) - months(F.col("cohort_month")))
             .cast("bigint")
             .alias("months_since"),
         )

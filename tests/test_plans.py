@@ -610,3 +610,50 @@ def test_q188_bm25_single_corpus_tokenize(spark):
     assert "Scan parquet" not in plan, plan
     tree = plan.split("\n\n")[0]
     assert count_shuffle_exchanges(tree) <= 3, tree
+
+
+def test_q22_cohort_single_scan_no_join(spark):
+    """r13: the cohort (min month) and the distinct active-month set
+    come from ONE per-customer aggregate over ONE orders scan, then a
+    row-local explode — the r12 cohort⨝activity self-join re-scanned
+    orders. The plan must read orders exactly once, carry no join, and
+    at most 2 shuffle exchanges (per-customer agg + final rollup)."""
+    plan = explain(_q(spark, "q22_cohort_retention"))
+    assert plan.count("Scan parquet ") <= 2, plan  # tree + details = 1 scan
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert count_shuffle_exchanges(tree) <= 2, tree
+
+
+def test_q44_partial_topk_below_exchange_and_norms_hoisted(spark):
+    """r13 scale shape: (a) Spark's WindowGroupLimit pushes a PARTIAL
+    top-k below the per-query exchange, so each scan task ships only
+    its local top-k — the |queries|-partition window ceiling applies
+    to k·|Q|·n_tasks rows, not the corpus; (b) the corpus-vector norm
+    is projected BELOW the cross join (once per corpus row, not once
+    per row×query pair) and the query norm on the broadcast side."""
+    df = _q(spark, "q44_batch_topk")
+    plan = explain(df)
+    tree = plan.split("\n\n")[0]
+    lines = [l for l in tree.splitlines() if l.strip()]
+    wgl = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l]
+    exchange = next(
+        (i for i, l in enumerate(lines)
+         if re.search(r"(?<!Broadcast)Exchange \(", l)), None
+    )
+    # top-down tree: Final WGL above the exchange, Partial WGL below it
+    assert len(wgl) == 2 and exchange is not None, tree
+    assert wgl[0] < exchange < wgl[1], tree
+    assert ", Partial" in plan and ", Final" in plan
+    # norms are attributes at the cosine projection, not re-folded per
+    # pair: exactly one SQRT per side, both BELOW the join
+    details = plan.split("\n\n", 1)[-1]
+    join_line = next(l for l in tree.splitlines() if "BroadcastNestedLoopJoin" in l)
+    assert "__cnorm" in plan and "__qnorm" in plan
+    cosine_projs = [
+        p for p in details.split("\n\n")
+        if "cosine" in p and "round" in p
+    ]
+    assert cosine_projs and all("SQRT" not in p for p in cosine_projs), (
+        "cosine projection re-computes norms per pair"
+    )
