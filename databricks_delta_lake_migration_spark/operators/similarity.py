@@ -56,15 +56,22 @@ def cosine_topk(
     """Exact cosine top-k neighbors of one corpus vector.
 
     The 1-row query side is cross-broadcast; the corpus scan never
-    shuffles until the final TakeOrderedAndProject(k).
+    shuffles until the final TakeOrderedAndProject(k). Norms are
+    projected BELOW the join (r13): the corpus norm folds once per row
+    and the query norm once TOTAL (on the broadcast side) instead of
+    both folding per (row × query) pair — same doubles, same division,
+    bit-identical cosines, ~half the per-row fold work.
     """
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qvec")
+        F.col(vec_col).alias("qvec"),
+        _norm(vec_col, dims).alias("__qnorm"),
     )
-    joined = embeddings.crossJoin(F.broadcast(q))
+    joined = embeddings.withColumn("__cnorm", _norm(vec_col, dims)).crossJoin(
+        F.broadcast(q)
+    )
     cos = F.round(
         _dot_decimal(vec_col, "qvec", dims)
-        / (_norm(vec_col, dims) * _norm("qvec", dims)),
+        / (F.col("__cnorm") * F.col("__qnorm")),
         6,
     )
     return (
@@ -232,18 +239,24 @@ def cosine_near_dup_pairs(
     and the quadratic work is per-block, never corpus-wide — the exact
     baseline. When no natural blocking key exists at scale, use
     :func:`lsh_near_dup_pairs` (sign-LSH buckets as the block key)."""
+    # norms fold once per SIDE ROW below the block join (r13) — the
+    # within-block pair count is quadratic in block size, so per-pair
+    # norm folds were the dominant redundant term; same doubles, same
+    # division, bit-identical cosines
     a = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        _norm(vec_col, dims).alias("__na"),
     )
     b = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        _norm(vec_col, dims).alias("__nb"),
     )
     cos = F.round(
-        _dot_decimal("va", "vb", dims) / (_norm("va", dims) * _norm("vb", dims)), 6
+        _dot_decimal("va", "vb", dims) / (F.col("__na") * F.col("__nb")), 6
     )
     return (
         a.join(b, "blk")
@@ -1032,12 +1045,17 @@ def sq8_topk(
     """
     approx = coded.withColumn("xhat", F.expr(dequant))
     q = approx.filter(F.col(id_col) == query_vec_id).select(
-        F.col("xhat").alias("qvec")
+        F.col("xhat").alias("qvec"),
+        _norm("xhat", dims).alias("__qnorm"),
     )
-    joined = approx.crossJoin(F.broadcast(q))
+    # dequantized norm folds once per row / once per query, not per
+    # pair (r13, same hoist as cosine_topk — bit-identical scores)
+    joined = approx.withColumn("__xnorm", _norm("xhat", dims)).crossJoin(
+        F.broadcast(q)
+    )
     score = F.round(
         _dot_decimal("xhat", "qvec", dims)
-        / (_norm("xhat", dims) * _norm("qvec", dims)),
+        / (F.col("__xnorm") * F.col("__qnorm")),
         6,
     )
     cands = (
@@ -1386,14 +1404,19 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col(label_col).alias("qlabel"),
+        _norm(vec_col, dims).alias("__qnorm"),
     )
-    joined = embeddings.crossJoin(F.broadcast(q)).filter(
+    # candidate norm folds once per corpus row, anchor norm once per
+    # anchor (r13, same hoist as batch_topk — bit-identical cosines)
+    joined = embeddings.withColumn(
+        "__cnorm", _norm(vec_col, dims)
+    ).crossJoin(F.broadcast(q)).filter(
         (F.col(label_col) != F.col("qlabel"))
         & (F.col(id_col) != F.col("query_id"))
     )
     cos = F.round(
         _dot_decimal(vec_col, "qvec", dims)
-        / (_norm(vec_col, dims) * _norm("qvec", dims)),
+        / (F.col("__cnorm") * F.col("__qnorm")),
         6,
     )
     from pyspark.sql.window import Window

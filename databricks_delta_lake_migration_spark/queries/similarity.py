@@ -615,18 +615,25 @@ def q175_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact top-5 for the five probe ids in ONE broadcast job, then one
     # semi-join against the cached graph for the recall tally
     probes = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        simops._norm("embedding", 64).alias("__qnorm"),
     )
+    # corpus norm folds once per row, probe norm once per probe — not
+    # per (row × probe) pair (r13, the batch_topk hoist; bit-identical)
     cos = F.round(
         simops._dot_decimal("embedding", "qvec", 64)
-        / (simops._norm("embedding", 64) * simops._norm("qvec", 64)),
+        / (F.col("__cnorm") * F.col("__qnorm")),
         6,
     )
     wq = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     exact5 = (
-        emb.crossJoin(F.broadcast(probes))
+        emb.select(
+            "vec_id", "embedding", simops._norm("embedding", 64).alias("__cnorm")
+        )
+        .crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(wq))

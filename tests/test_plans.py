@@ -657,3 +657,28 @@ def test_q44_partial_topk_below_exchange_and_norms_hoisted(spark):
     assert cosine_projs and all("SQRT" not in p for p in cosine_projs), (
         "cosine projection re-computes norms per pair"
     )
+
+
+def _assert_cosine_projection_norm_free(plan: str):
+    """Shared r13 gate: the cosine round(...) projection must divide by
+    precomputed norm ATTRIBUTES — a SQRT re-appearing there means the
+    norm fold regressed to per-pair evaluation."""
+    details = plan.split("\n\n", 1)[-1]
+    cosine_projs = [
+        p for p in details.split("\n\n") if "cosine" in p and "round(" in p
+    ]
+    assert cosine_projs, plan
+    assert all("SQRT" not in p for p in cosine_projs), (
+        "cosine projection re-computes norms per pair"
+    )
+    assert "SQRT" in plan  # the folds exist — below the join, per side
+
+
+def test_q40_cosine_norms_hoisted_below_join(spark):
+    _assert_cosine_projection_norm_free(explain(_q(spark, "q40_cosine_topk")))
+
+
+def test_q192_hard_negative_norms_hoisted_below_join(spark):
+    _assert_cosine_projection_norm_free(
+        explain(_q(spark, "q192_hard_negatives"))
+    )
