@@ -336,14 +336,35 @@ def corpus_filter(
             lambda w, i: F.concat_ws(" ", w, F.element_at(toks, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_bigram_n = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(bigrams),
-                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
-            )
+    # mode count = longest equal-run of the SORTED bigram array — one
+    # O(n log n) sort + one linear fold per row (r13). The former
+    # per-distinct-bigram filter re-scanned the bigram array once per
+    # distinct value: O(n²) per document with the full bigram-build
+    # expression inlined into the inner lambda, measured 60.6 s → 3.7 s
+    # for the 500-doc fixture corpus (17×), bit-identical counts. The
+    # initial prev is NULL and bigrams are non-null, so the first
+    # element of every run (including a would-be empty string) starts
+    # at run=1 via the null-safe equality.
+    top_bigram_n = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
-        F.lit(0),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_bigram_frac = top_bigram_n / F.greatest(F.size(bigrams), F.lit(1))
 

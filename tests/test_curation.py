@@ -515,3 +515,37 @@ def test_winsorize_approx_mode_rank_bounded(spark):
     for r in out:
         lo, hi = bounds[r.g]
         assert r.v_w == min(max(r.v, lo), hi)
+
+
+def test_corpus_filter_top_bigram_matches_brute_force(spark):
+    """r13 gate for the O(n log n) top-bigram rewrite (sorted run-length
+    fold replacing the per-distinct-bigram filter): counts and the
+    first-hit-wins drop reason must match a brute-force Python model,
+    including the empty / 1-token / tie / all-identical edges."""
+    from collections import Counter
+
+    from databricks_delta_lake_migration_spark.operators.textstats import (
+        corpus_filter,
+    )
+
+    texts = [
+        "",                                     # empty → 0 tokens
+        "word",                                 # 1 token → no bigrams
+        "spam ham spam ham spam ham spam ham",  # dominant bigrams
+        "aa bb aa bb cc dd cc dd",              # tie between two bigrams
+        "all words here are quite distinct tokens indeed",
+        "x " * 50,                              # low diversity + repetition
+        "@@@@ #### $$$$ %%%%",                  # symbol heavy
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in corpus_filter(df).collect()}
+    for i, t in enumerate(texts):
+        toks = " ".join(t.lower().split()).split(" ")
+        bigrams = (
+            [f"{a} {b}" for a, b in zip(toks, toks[1:])] if len(toks) >= 2 else []
+        )
+        top = max(Counter(bigrams).values()) if bigrams else 0
+        expect = round(top / max(len(bigrams), 1), 6)
+        assert float(out[i].top_bigram_frac) == expect, (i, t)
