@@ -1001,24 +1001,36 @@ def exact_substring_profile(
     Scale: grams never materialize per-document state beyond the token
     array (row-local zip_with); the only shuffles are the gram-keyed
     frequency agg (map-side combined), the candidate join back, and
-    two per-doc aggregates. Coverage expansion is k× the DUPLICATED
-    positions only, not the corpus."""
+    ONE per-doc aggregate carrying both signals. Coverage expansion is
+    a row-local fold over each doc's DUPLICATED positions only, not
+    the corpus."""
     words, dup_pos = _dup_gram_positions(df, k, text_col, id_col)
-    dup_counts = dup_pos.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_dup_grams")
-    )
-    covered = (
-        dup_pos.select(
-            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p")
+    # ONE id-keyed aggregate computes BOTH per-doc signals (r13): the
+    # dup-gram count is the group size, and coverage is a row-local
+    # fold — distinct positions in the union of the k-wide spans —
+    # over the group's collected positions. The former shape ran two
+    # separate shuffles (an (id) agg plus an (id,p) distinct over the
+    # k×-exploded spans, itself re-exchanged for its per-id count) and
+    # joined words twice. Per-task state is one position list per doc,
+    # bounded by doc length — the same per-doc collect posture as
+    # strip_duplicate_spans' reassembly.
+    per_doc = dup_pos.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(F.col("pos"), F.col("pos") + k - 1)
+                    )
+                )
+            )
         )
-        .distinct()
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_covered_words"))
+        .cast("long")
+        .alias("n_covered_words"),
     )
     n_grams = F.greatest(F.col("n_words") - k + 1, F.lit(0)).cast("long")
     return (
-        words.join(dup_counts, "id", "left")
-        .join(covered, "id", "left")
+        words.join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.col("n_words").cast("long").alias("n_words"),

@@ -549,11 +549,20 @@ def test_q213_debounce_python_is_grouped_map_only(spark):
 def test_q201_exact_substring_stays_jvm_side(spark):
     """Gram generation is row-local zip_with arrays — no Python, no
     cartesian; the gram relation reaches its frequency aggregate with
-    map-side partial aggregation."""
+    map-side partial aggregation. r13: dup count AND span coverage come
+    from ONE id-keyed aggregate (row-local coverage fold) — the old
+    k×-explode+distinct coverage branch must not reappear, so the plan
+    joins the per-doc signals back exactly once."""
     plan = explain(_q(spark, "q201_exact_substring_profile"))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_" in plan
+    tree = plan.split("\n\n")[0]
+    # ONE visible join: words ⟕ per_doc (the gram-keyed candidate join
+    # lives behind the dup_pos checkpoint); the old shape joined words
+    # against dup_counts AND the exploded-coverage branch = 2
+    n_joins = sum(1 for l in tree.splitlines() if "Join" in l)
+    assert n_joins <= 1, tree
 
 
 def test_q202_table_diff_nullsafe_join_stays_hash_partitioned(spark):
