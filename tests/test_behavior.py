@@ -1,5 +1,7 @@
 """Unit tests for operators.behavior with hand-checked fixtures."""
 
+import pytest
+
 from pyspark.sql import functions as F  # noqa: F401
 
 from databricks_delta_lake_migration_spark.operators.behavior import (
@@ -101,6 +103,7 @@ def test_event_transitions_probabilities(spark):
     assert sum(n for n, _ in out.values()) == 4
 
 
+@pytest.mark.slow
 def test_sessionize_matches_reference_hypothesis(spark):
     """Property test: sessionize equals the brute-force gap-splitting
     reference for arbitrary integer-second event layouts (dup
@@ -154,6 +157,7 @@ def test_sessionize_matches_reference_hypothesis(spark):
     run()
 
 
+@pytest.mark.slow
 def test_merge_intervals_matches_reference_hypothesis(spark):
     """Property test: merge_intervals equals brute-force sweep-line
     merging for arbitrary integer interval sets."""

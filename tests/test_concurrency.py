@@ -150,6 +150,11 @@ def test_commit_tx_gives_up_after_repeated_races(spark, tmp_path):
             return self._inner.put_if_absent(path, text)
 
     t.fs = _AlwaysLosingFS(t.fs, lambda: None)
+    # the contract under test is the GIVING UP (bounded retries +
+    # consistent table), not the production retry budget: 3 lost races
+    # exercise the same loop as the default 15 at 1/5 the wall time
+    # (each lost race pays a full stealing append + replay)
+    t._commit_tx = lambda commit: LogTable._commit_tx(t, commit, attempts=3)
     with pytest.raises(ConcurrentWriteError):
         t.append(_rows(spark, [2]), )
     # table stays consistent: only the winners' commits are visible

@@ -4,6 +4,8 @@ q93–q95."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from databricks_delta_lake_migration_spark.operators import curation
@@ -108,6 +110,7 @@ def _mk_docs(spark, docs):
 
 @settings(max_examples=10, deadline=None)
 @given(_doc_strategy)
+@pytest.mark.slow
 def test_pack_sequences_matches_python_model(spark, docs):
     budget = 16
     got = {
@@ -130,6 +133,7 @@ def test_pack_sequences_matches_python_model(spark, docs):
 
 @settings(max_examples=10, deadline=None)
 @given(_doc_strategy)
+@pytest.mark.slow
 def test_mixture_sample_matches_python_model(spark, docs):
     rows = curation.mixture_sample(_mk_docs(spark, docs)).collect()
     # reference weights + portable-hash keep decision (hashlib sha256
@@ -157,6 +161,7 @@ def test_mixture_sample_matches_python_model(spark, docs):
 
 @settings(max_examples=10, deadline=None)
 @given(_doc_strategy, st.integers(min_value=1, max_value=4))
+@pytest.mark.slow
 def test_decontaminate_matches_python_model(spark, docs, chunk_words):
     df = _mk_docs(spark, docs)
     train = df.filter(F.col("doc_id") % 3 != 0)

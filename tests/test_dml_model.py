@@ -9,6 +9,8 @@ whole-format serializability check the per-operation suites can't see
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from hypothesis import given, settings, strategies as st
@@ -43,6 +45,7 @@ def _df(spark, rows):
 
 @settings(max_examples=6, deadline=None)
 @given(st.lists(_op, min_size=2, max_size=8))
+@pytest.mark.slow
 def test_random_dml_program_matches_model(spark, ops):
     path = tempfile.mkdtemp(prefix="dmlmodel-") + "/t"
     t = LogTable.create(spark, path, SCHEMA)
@@ -112,6 +115,7 @@ _WIDEN_CHAIN = ["long", "decimal(22,0)", "decimal(24,0)", "decimal(28,0)"]
 
 @settings(max_examples=5, deadline=None)
 @given(st.lists(_ddl_op, min_size=2, max_size=8))
+@pytest.mark.slow
 def test_random_ddl_dml_program_matches_model(spark, ops):
     """Column-mapping + type-widening serializability: RENAME COLUMN
     and ALTER COLUMN TYPE interleaved with an arbitrary DML program
@@ -196,6 +200,7 @@ _rt_op = st.one_of(
 
 @settings(max_examples=5, deadline=None)
 @given(st.lists(_rt_op, min_size=2, max_size=8))
+@pytest.mark.slow
 def test_random_rt_program_tracks_rows(spark, ops):
     """Row-tracking serializability: under an arbitrary DML program,
     every live row's (_row_id, _row_commit_version) pair must follow

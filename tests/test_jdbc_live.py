@@ -63,6 +63,7 @@ def derby(spark, tmp_path):
     return cfg, props, src_rows, write_src
 
 
+@pytest.mark.slow
 def test_partitioned_parallel_scan_live(spark, derby):
     cfg, _, _, _ = derby
     opts = jdbc_reader_options(
@@ -74,6 +75,7 @@ def test_partitioned_parallel_scan_live(spark, derby):
     assert df.rdd.getNumPartitions() == 4
 
 
+@pytest.mark.slow
 def test_full_migration_live(spark, derby, tmp_path):
     cfg, _, _, _ = derby
     mig = RdbmsMigrator(spark, cfg, clock=lambda: 1700000000.0)
@@ -96,6 +98,7 @@ def test_full_migration_live(spark, derby, tmp_path):
     assert row["source_table"] == "APP.SRC"
 
 
+@pytest.mark.slow
 def test_incremental_migration_live_hwm_loop(spark, derby, tmp_path):
     cfg, props, src_rows, write_src = derby
     mig = RdbmsMigrator(spark, cfg, clock=lambda: 1700000000.0)

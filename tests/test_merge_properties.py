@@ -8,6 +8,8 @@ clause whose condition holds wins, per row, for arbitrary inputs.
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import tempfile
 
@@ -56,6 +58,7 @@ def _model(target: dict, source: dict, t_del: int, t_stale: int) -> dict:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(target=row_sets, source=row_sets, t_del=st.integers(0, 100), t_stale=st.integers(0, 100))
+@pytest.mark.slow
 def test_merge_matches_python_model(spark, target, source, t_del, t_stale):
     root = tempfile.mkdtemp(prefix="merge-prop-")
     try:
@@ -102,6 +105,7 @@ snapshots = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(snaps=snapshots)
+@pytest.mark.slow
 def test_scd2_matches_python_model(spark, snaps):
     """Replay random snapshot sequences through scd2_upsert and through
     a trivial Python SCD2 model; open rows, closed-row counts, and

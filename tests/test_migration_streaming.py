@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -1238,6 +1240,7 @@ def test_purge_checkpoint_aware_survives_compaction_batch_crash(spark, tmp_path)
             )
 
 
+@pytest.mark.slow
 def test_notification_exactly_once_random_scenarios(spark, tmp_path):
     """Property-style scenario test for the exactly-once contract:
     under a seeded random interleaving of publish / duplicate-notify /
@@ -2122,6 +2125,7 @@ def test_pyavro_union_and_namespace_loud_errors():
         avro_py.resolve_named_types(schema)
 
 
+@pytest.mark.slow
 def test_table_diff_matches_reference_hypothesis(spark):
     """Property test: table_diff equals a brute-force dict diff for
     arbitrary keyed tables with NULLs on both sides."""

@@ -3,6 +3,8 @@ checked (approximate / engine-specific results)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from databricks_delta_lake_migration_spark.operators import dedup, similarity
@@ -311,6 +313,7 @@ def test_knn_graph_bucket_cap_zero_raises(spark):
         similarity.knn_graph(df, k=1, dims=8, bucket_cap=0)
 
 
+@pytest.mark.slow
 def test_lsh_bucket_cap_parity_hypothesis(spark):
     """Property test (VERDICT r9 #2 'exact-parity property test'):
     for arbitrary corpora mixing duplicate clusters and distinct docs,
@@ -578,6 +581,7 @@ def test_strip_boilerplate_lines_removes_repeated_segments(spark):
     assert set(none.values()) == {0}
 
 
+@pytest.mark.slow
 def test_strip_boilerplate_lines_matches_python_model(spark):
     from hypothesis import given, settings, strategies as st
 
@@ -616,6 +620,7 @@ def test_strip_boilerplate_lines_matches_python_model(spark):
     inner()
 
 
+@pytest.mark.slow
 def test_quality_top_fraction_matches_python_model(spark):
     import math
 
@@ -775,6 +780,7 @@ def test_dedup_intradoc_segments_keeps_first_occurrence(spark):
     assert (out[4].n_kept, out[4].n_stripped) == (2, 4)
 
 
+@pytest.mark.slow
 def test_dedup_intradoc_segments_matches_python_model(spark):
     from hypothesis import given, settings, strategies as st
 
@@ -990,6 +996,7 @@ def test_sample_k_per_group_exact_quota_and_stability(spark):
         sample_k_per_group(df, "grp", k=0)
 
 
+@pytest.mark.slow
 def test_binned_range_join_matches_raw_predicate_hypothesis(spark):
     from hypothesis import given, settings, strategies as st
 
@@ -1417,6 +1424,7 @@ def test_bigram_logprob_reference(spark):
     assert out[1][0] == expect == out[2][0]
 
 
+@pytest.mark.slow
 def test_asof_join_matches_reference_hypothesis(spark):
     """Property test: asof_join equals the brute-force latest-at-or-
     before reference for arbitrary key/ts layouts, including keys with
@@ -1779,6 +1787,7 @@ def test_gopher_repetition_hand_checked(spark):
     assert out[3].trigram_char_frac is None
 
 
+@pytest.mark.slow
 def test_exact_substring_matches_reference_hypothesis(spark):
     """Property test: the ExactSubstr profile and strip equal the
     brute-force reference for arbitrary small-vocabulary corpora
@@ -1848,6 +1857,7 @@ def test_connected_components_star_deep_chain_and_remedy(spark):
         connected_components(pairs, max_iter=0)
 
 
+@pytest.mark.slow
 def test_connected_components_star_matches_union_find(spark):
     """Property test: star contraction equals a union-find reference
     (and the label algorithm) on random graphs with self-loops,

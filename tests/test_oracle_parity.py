@@ -30,15 +30,75 @@ ROWS_ONLY_QUERIES = sorted(
 )
 
 
+# Queries that mutate SESSION-scoped state (q131 sets the commit
+# userMetadata conf for a window of its run): a concurrent commit from
+# another thread inside that window would absorb the annotation, so
+# these run on the main thread AFTER the pool drains.
+_SERIAL_QUERIES = {"q131_commit_annotations"}
+
+# r13 (VERDICT r12 item 2 — the driver's pytest run must finish inside
+# its budget): the 219 parity checks are independent (query, oracle)
+# pairs whose Spark side is dominated by driver/job machinery at
+# sf0.001, so they overlap cleanly — a small thread pool submits them
+# concurrently and Spark's FIFO scheduler back-fills idle cores
+# (optimization guide §2.6). Each worker owns a PRIVATE DuckDB
+# connection (duckdb connections are not thread-safe); the assertions
+# below are unchanged and still run one test per query, so failure
+# granularity and -x behavior are preserved. Workers: 4 — enough to
+# hide per-job latency, few enough that streaming scenario queries
+# (own checkpoints each) never starve.
+_N_WORKERS = int(os.environ.get("SPARK_GRAFT_ORACLE_WORKERS", "4"))
+
+
+def _compute_one(spark, make_con, name):
+    q = all_queries()[name]
+    try:
+        spark.sparkContext.setJobDescription(f"oracle-parity {name}")
+        sdf = q.fn(spark, SF_DIR)
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        spark_types = dict(sdf.dtypes)
+        con = make_con()
+        res = con.execute(q.oracle)
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        arrow_schema = con.execute(q.oracle).arrow().schema
+        return (s_cols, s_rows, spark_types, d_cols, d_rows, arrow_schema)
+    except Exception as exc:  # re-raised inside the query's own test
+        return exc
+    finally:
+        spark.sparkContext.setJobDescription(None)
+
+
 @pytest.fixture(scope="module")
-def ddb():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
+def parity_results(spark):
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    tl = threading.local()
+
+    def make_con():
+        if getattr(tl, "con", None) is None:
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')"
+                )
+            tl.con = con
+        return tl.con
+
+    pooled = [n for n in ORACLE_QUERIES if n not in _SERIAL_QUERIES]
+    out = {}
+    with ThreadPoolExecutor(max_workers=_N_WORKERS) as pool:
+        for name, r in zip(
+            pooled, pool.map(lambda n: _compute_one(spark, make_con, n), pooled)
+        ):
+            out[name] = r
+    for name in ORACLE_QUERIES:
+        if name in _SERIAL_QUERIES:
+            out[name] = _compute_one(spark, make_con, name)
+    return out
 
 
 def _canon_cell(v):
@@ -66,15 +126,11 @@ def _canon(cols, rows):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_match(spark, ddb, name):
-    q = all_queries()[name]
-    sdf = q.fn(spark, SF_DIR)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
-
-    res = ddb.execute(q.oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+def test_oracle_match(parity_results, name):
+    r = parity_results[name]
+    if isinstance(r, Exception):
+        raise r
+    s_cols, s_rows, spark_types, d_cols, d_rows, arrow_schema = r
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
 
@@ -85,10 +141,7 @@ def test_oracle_match(spark, ddb, name):
     # (oracle fix: CAST(... AS BIGINT), see q26's pattern).
     import pyarrow as pa
 
-    arrow_types = {
-        f.name: f.type for f in ddb.execute(q.oracle).arrow().schema
-    }
-    spark_types = dict(sdf.dtypes)
+    arrow_types = {f.name: f.type for f in arrow_schema}
     for cname, atype in arrow_types.items():
         if pa.types.is_decimal(atype) and spark_types.get(cname) in (
             "bigint", "int", "smallint", "tinyint"

@@ -1,5 +1,7 @@
 """Unit tests for operators.stats with hand-computed references."""
 
+import pytest
+
 from databricks_delta_lake_migration_spark.operators.stats import (
     equidepth_histogram,
     group_trend,
@@ -342,6 +344,7 @@ def test_stepped_decay_sum_exact_halving(spark):
     assert out[2] == (1, 4.0)
 
 
+@pytest.mark.slow
 def test_pareto_classification_matches_brute_force_hypothesis(spark):
     """Property test: classes/shares equal a brute-force Python
     computation (sum per key, sort by value desc then key, prev-cum
@@ -393,6 +396,7 @@ def test_pareto_classification_matches_brute_force_hypothesis(spark):
     run()
 
 
+@pytest.mark.slow
 def test_rolling_distinct_matches_brute_force_hypothesis(spark):
     """Property test: exact rolling_distinct equals a brute-force
     per-day set union over the trailing RANGE window for arbitrary
