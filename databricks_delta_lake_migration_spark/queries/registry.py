@@ -16,6 +16,8 @@ Cross-engine determinism rules (SURVEY.md §7.4 item 5):
 from __future__ import annotations
 
 import os
+import threading
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -39,6 +41,7 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 _SHIPPED: set[int] = set()
+_SHIP_LOCK = threading.Lock()
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
@@ -53,26 +56,41 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
-    import tempfile
-    import zipfile
+    # Serialized + atomic: concurrent driver threads (guide §2.6 job
+    # overlap — e.g. the threaded oracle-parity harness) both passing
+    # the _SHIPPED check used to race the zip build; one thread could
+    # addPyFile a HALF-WRITTEN zip while another was still writing it,
+    # after which every executor fetch fails with "exists and does not
+    # match contents" and the session is wedged. The lock serializes
+    # shippers; the write-to-temp + os.replace makes the zip appear
+    # atomically, so a reader process can never observe a partial file.
+    with _SHIP_LOCK:
+        if key in _SHIPPED:
+            return
+        import tempfile
+        import zipfile
 
-    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pkg_name = os.path.basename(pkg_dir)
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
-    )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _, names in os.walk(pkg_dir):
-                for n in names:
-                    if n.endswith(".py"):
-                        full = os.path.join(root, n)
-                        z.write(
-                            full,
-                            os.path.join(pkg_name, os.path.relpath(full, pkg_dir)),
-                        )
-    spark.sparkContext.addPyFile(zpath)
-    _SHIPPED.add(key)
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pkg_name = os.path.basename(pkg_dir)
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            tmp = f"{zpath}.tmp-{uuid.uuid4().hex}"
+            with zipfile.ZipFile(tmp, "w") as z:
+                for root, _, names in os.walk(pkg_dir):
+                    for n in names:
+                        if n.endswith(".py"):
+                            full = os.path.join(root, n)
+                            z.write(
+                                full,
+                                os.path.join(
+                                    pkg_name, os.path.relpath(full, pkg_dir)
+                                ),
+                            )
+            os.replace(tmp, zpath)
+        spark.sparkContext.addPyFile(zpath)
+        _SHIPPED.add(key)
 
 
 def query(name: str, oracle: str | None = None):

@@ -554,3 +554,33 @@ def test_corpus_filter_top_bigram_matches_brute_force(spark):
         top = max(Counter(bigrams).values()) if bigrams else 0
         expect = round(top / max(len(bigrams), 1), 6)
         assert float(out[i].top_bigram_frac) == expect, (i, t)
+
+
+def test_package_shipping_is_thread_safe(spark):
+    """r13: concurrent driver threads (the threaded parity harness,
+    guide §2.6 job overlap) must not race the package-zip build — the
+    old check-then-write could addPyFile a half-written zip, wedging
+    every later executor fetch with 'exists and does not match
+    contents'. Hammer the cold path from 8 threads and prove the zip
+    is complete and valid."""
+    import os
+    import tempfile
+    import zipfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from databricks_delta_lake_migration_spark.queries import registry
+
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"databricks_delta_lake_migration_spark-{os.getpid()}.zip",
+    )
+    if os.path.exists(zpath):
+        os.remove(zpath)
+    registry._SHIPPED.clear()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(
+            lambda _: registry.ensure_package_shipped(spark), range(8)
+        ))
+    with zipfile.ZipFile(zpath) as z:
+        assert z.testzip() is None
+        assert any(n.endswith("queries/registry.py") for n in z.namelist())
