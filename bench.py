@@ -233,15 +233,20 @@ def acid_bench(spark, sf_dir: str) -> dict:
             for _ in range(n):
                 t0 = time.perf_counter()
                 fn()
-                ss.append(round(time.perf_counter() - t0, 3))
+                ss.append(time.perf_counter() - t0)
             return ss
 
         before_s = sampled(point)
         t.zorder(["user_id", "category"], n_files=8)
         after_s = sampled(point)
+        # ratio from UNROUNDED floats (a sub-0.5 ms sample would round
+        # to 0.0 and divide-by-zero); rounding is for the artifact only
         before, after = min(before_s), min(after_s)
         out["zorder_speedup_pct"] = round((before - after) / before * 100, 1)
-        out["zorder_samples"] = {"before_s": before_s, "after_s": after_s}
+        out["zorder_samples"] = {
+            "before_s": [round(s, 3) for s in before_s],
+            "after_s": [round(s, 3) for s in after_s],
+        }
         zskip = t.prune_stats(zpred)
         out["zorder_files_total"] = zskip["files_total"]
         out["zorder_files_skipped"] = zskip["files_skipped"]

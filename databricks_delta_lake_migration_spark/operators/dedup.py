@@ -1007,26 +1007,35 @@ def exact_substring_profile(
     words, dup_pos = _dup_gram_positions(df, k, text_col, id_col)
     # ONE id-keyed aggregate computes BOTH per-doc signals (r13): the
     # dup-gram count is the group size, and coverage is a row-local
-    # fold — distinct positions in the union of the k-wide spans —
-    # over the group's collected positions. The former shape ran two
-    # separate shuffles (an (id) agg plus an (id,p) distinct over the
-    # k×-exploded spans, itself re-exchanged for its per-id count) and
-    # joined words twice. Per-task state is one position list per doc,
-    # bounded by doc length — the same per-doc collect posture as
+    # interval fold over the SORTED positions — the k-wide spans all
+    # have equal length, so sorted-by-start the union size is
+    # k + Σ min(k, pᵢ − pᵢ₋₁) (positions are unique per doc: each has
+    # exactly one gram). The former shape ran two separate shuffles
+    # (an (id) agg plus an (id,p) distinct over k×-exploded span rows,
+    # itself re-exchanged for its per-id count) and joined words
+    # twice. Per-task state is ONE position list per doc (≤ n_grams
+    # ints, no k× expansion) — the same per-doc collect posture as
     # strip_duplicate_spans' reassembly.
+    cov_fold = F.aggregate(
+        F.array_sort(F.collect_list("pos")),
+        F.struct(
+            F.lit(None).cast("integer").alias("prev"),
+            F.lit(0).cast("long").alias("cov"),
+        ),
+        lambda acc, p: F.struct(
+            p.cast("integer").alias("prev"),
+            (
+                acc["cov"]
+                + F.when(acc["prev"].isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), p - acc["prev"])
+                )
+            ).alias("cov"),
+        ),
+        lambda acc: acc["cov"],
+    )
     per_doc = dup_pos.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_dup_grams"),
-        F.size(
-            F.array_distinct(
-                F.flatten(
-                    F.collect_list(
-                        F.sequence(F.col("pos"), F.col("pos") + k - 1)
-                    )
-                )
-            )
-        )
-        .cast("long")
-        .alias("n_covered_words"),
+        cov_fold.alias("n_covered_words"),
     )
     n_grams = F.greatest(F.col("n_words") - k + 1, F.lit(0)).cast("long")
     return (

@@ -655,17 +655,10 @@ def test_q44_partial_topk_below_exchange_and_norms_hoisted(spark):
     assert wgl[0] < exchange < wgl[1], tree
     assert ", Partial" in plan and ", Final" in plan
     # norms are attributes at the cosine projection, not re-folded per
-    # pair: exactly one SQRT per side, both BELOW the join
-    details = plan.split("\n\n", 1)[-1]
-    join_line = next(l for l in tree.splitlines() if "BroadcastNestedLoopJoin" in l)
+    # pair (the shared gate also pins that the folds still EXIST below
+    # the join via "SQRT" in plan)
     assert "__cnorm" in plan and "__qnorm" in plan
-    cosine_projs = [
-        p for p in details.split("\n\n")
-        if "cosine" in p and "round" in p
-    ]
-    assert cosine_projs and all("SQRT" not in p for p in cosine_projs), (
-        "cosine projection re-computes norms per pair"
-    )
+    _assert_cosine_projection_norm_free(plan)
 
 
 def _assert_cosine_projection_norm_free(plan: str):
